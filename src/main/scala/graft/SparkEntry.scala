@@ -1,13 +1,433 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.api.frame._
+import graft.api.syntax._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, with a DuckDB-runnable oracle in `oracleSql` wherever the
+  * semantics are ANSI-SQL-expressible.
+  *
+  * Float determinism: all money/ratio aggregates go through exact
+  * DECIMAL(18,2/4) sums and only then cast to DOUBLE, so Spark and DuckDB
+  * produce bit-identical doubles regardless of accumulation order (the test
+  * data is fixed-decimal: quantities are integers, prices 2dp, event values
+  * 4dp).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    // events.ts is TIMESTAMP(NANOS) parquet, read as long nanos under
+    // spark.sql.legacy.parquet.nanosAsLong — normalize to µs TimestampType
+    // (floor division, matching DuckDB's ns→µs cast).
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
+      // cast to timestamp_ntz (session TZ is UTC) so outputs round-trip as
+      // naive timestamps, matching DuckDB's ns→µs TIMESTAMP
+      case Some(_) => df.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      case None => df
+    }
+  }
+
+  /** Exact decimal view of a 2dp money column. */
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+  private def dec4(c: Column): Column = c.cast("decimal(18,4)")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_groupby_agg")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2.5 group_by().agg() with the full core agg set (sum/mean/min/max/
+    // count/len) — reference lazy.rs:168-184, expr.rs:208-211,881-888,1125-1130
+    "q01_groupby_agg" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("sum_price"),
+          (sum(dec2(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          count(col("l_quantity")).as("cnt_qty"),
+          graft.api.syntax.len().as("n_rows"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // §2.3 filter + select + arithmetic/comparison exprs — lazy.rs:84-88,
+    // expr.rs:222-243
+    "q02_filter_project" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_quantity") > lit(30.0) && col("l_discount") <= lit(0.05))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+            .cast("double").as("revenue"),
+          (col("l_quantity") + col("l_tax")).as("qty_plus_tax"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // §2.4 inner equi-join (multi-table) + agg — lazy.rs:462-488
+    "q03_join_inner" -> ((s, d) => {
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders"); val c = t(s, d, "customer")
+      li.join(o, li("l_orderkey") === o("o_orderkey"), "inner")
+        .join(c, o("o_custkey") === c("c_custkey"), "inner")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+            .cast("double").as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // §2.4 left join with null-producing right side — utils.rs:98-107 (code 1)
+    "q04_join_left" -> ((s, d) => {
+      val c = t(s, d, "customer"); val o = t(s, d, "orders")
+      c.joinCoalesced(o.groupBy(col("o_custkey")).agg(
+          count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("total_spend")),
+        Seq("c_custkey"), Seq("o_custkey"), JoinHow.Left)
+        .select(col("c_custkey"), col("c_name"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("total_spend"), lit(0.0)).as("total_spend"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // §2.4 semi join (code 4)
+    "q05_join_semi" -> ((s, d) => {
+      val c = t(s, d, "customer"); val o = t(s, d, "orders")
+      c.joinCoalesced(o.filter(col("o_totalprice") > lit(100000.0)),
+          Seq("c_custkey"), Seq("o_custkey"), JoinHow.Semi)
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // §2.4 anti join (code 5)
+    "q06_join_anti" -> ((s, d) => {
+      val c = t(s, d, "customer"); val o = t(s, d, "orders")
+      c.joinCoalesced(o, Seq("c_custkey"), Seq("o_custkey"), JoinHow.Anti)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // §2.4 cross join (code 3) — small dims
+    "q07_join_cross" -> ((s, d) => {
+      val r = t(s, d, "region"); val n = t(s, d, "nation")
+      r.joinCoalesced(n, Seq(), Seq(), JoinHow.Cross)
+        .select(col("r_regionkey"), col("r_name"), col("n_nationkey"), col("n_name"))
+        .orderBy(col("r_regionkey"), col("n_nationkey"))
+    }),
+
+    // §2.7 multi-key sort + limit (top-k) — lazy.rs:99-164
+    "q08_sort_limit" -> ((s, d) => {
+      t(s, d, "orders")
+        .sortBy(Seq(("o_totalprice", true), ("o_orderkey", false)))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+
+    // §2.3 distinct/unique (SQL-path parity)
+    "q09_distinct" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .unique()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // §2.6 expr.over(partition) — whole-partition window agg broadcast back
+    // to rows (expr.rs:994-1013)
+    "q10_window_over" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+      t(s, d, "orders")
+        .withColumn("cust_total",
+          sum(dec2(col("o_totalprice"))).over(w).cast("double"))
+        .withColumn("cust_n", count(lit(1)).over(w))
+        .filter(col("o_totalprice") > col("cust_total") / col("cust_n"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("cust_total"), col("cust_n"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // §2.11 if_else / is_between / cast / math — expr.rs:706-723,865-876,1103-1122
+    "q11_case_cast_math" -> ((s, d) => {
+      t(s, d, "part")
+        .select(
+          col("p_partkey"),
+          ifElse(col("p_size").isBetween(lit(10), lit(30)), lit("mid"), lit("extreme")).as("size_class"),
+          col("p_size").cast("long").as("size_l"),
+          col("p_retailprice").roundTo(0).as("price_round"),
+          abs(col("p_size") - lit(25)).as("size_dist"),
+          sqrt(col("p_size").cast("double")).as("size_sqrt"),
+          pow(col("p_size").cast("double"), lit(2.0)).as("size_sq"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // §2.11 string namespace — upper/lower/len/contains/slice/extract/
+    // replace/starts/ends (expr.rs:262-499)
+    "q12_str_funcs" -> ((s, d) => {
+      t(s, d, "part")
+        .select(
+          col("p_partkey"),
+          col("p_name").str.toUppercase.as("name_upper"),
+          col("p_name").str.lenChars.as("name_len"),
+          col("p_name").str.contains("ste").as("has_ste"),
+          col("p_name").str.slice(0, 5).as("name_head"),
+          col("p_brand").str.extract("Brand#(\\d+)", 1).as("brand_num"),
+          col("p_type").str.replaceAll(" ", "_", useRegex = false).as("type_snake"),
+          col("p_type").str.startsWith("STANDARD").as("is_std"),
+          col("p_type").str.endsWith("TIN").as("is_tin"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // §2.11 temporal namespace — year/month/day/hour/weekday/ordinal/truncate
+    // (expr.rs:247-257,568-579)
+    "q13_dt_funcs" -> ((s, d) => {
+      t(s, d, "events")
+        .select(
+          col("event_id"),
+          col("ts").dt.year.as("y"),
+          col("ts").dt.month.as("mo"),
+          col("ts").dt.day.as("dom"),
+          col("ts").dt.ordinalDay.as("doy"),
+          col("ts").dt.weekday.as("wd"),
+          col("ts").dt.hour.as("h"),
+          col("ts").dt.minute.as("mi"),
+          col("ts").dt.truncate("1h").cast("timestamp_ntz").as("ts_hour"),
+          col("ts").dt.timestamp("us").as("epoch_us"))
+        .orderBy(col("event_id"))
+    }),
+
+    // §2.3 explode + §2.11 str.split (expr.rs:374-386, lazy.rs:275-309)
+    "q14_split_explode" -> ((s, d) => {
+      t(s, d, "documents")
+        .filter(col("doc_id") < lit(50L))
+        .select(col("doc_id"), col("text").str.split(" ").as("words"))
+        .explodeCol("words")
+        .groupBy(col("words")).agg(count(lit(1)).as("n"))
+        .orderBy(col("words"))
+    }),
+
+    // §2.8 concat diagonal (unionByName w/ null-fill) — lazy.rs:450
+    "q15_concat_diagonal" -> ((s, d) => {
+      val a = t(s, d, "customer").select(col("c_custkey").as("key"), col("c_name").as("name"))
+      val b = t(s, d, "supplier").select(col("s_suppkey").as("key"), col("s_acctbal").as("bal"))
+      a.concatDiagonal(b)
+        .orderBy(col("key"), col("name"), col("bal"))
+    }),
+
+    // §2.9 unpivot/melt — lazy.rs:345-406
+    "q16_unpivot" -> ((s, d) => {
+      t(s, d, "part")
+        .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+          col("p_retailprice").as("retail"))
+        .unpivotOn(Seq("p_partkey"), Seq("size", "retail"), "variable", "value")
+        .orderBy(col("p_partkey"), col("variable"))
+    }),
+
+    // §2.9 pivot — eager.rs:553-605 (sum agg)
+    "q17_pivot" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .pivotOn(Seq("l_returnflag"), "l_linestatus", "l_quantity", "sum")
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // §2.11 fill_null / coalesce + drop_nulls interplay — expr.rs:242
+    "q18_fill_null" -> ((s, d) => {
+      val c = t(s, d, "customer"); val o = t(s, d, "orders")
+      c.joinCoalesced(
+          o.groupBy(col("o_custkey")).agg(max(col("o_totalprice")).as("max_price")),
+          Seq("c_custkey"), Seq("o_custkey"), JoinHow.Left)
+        .select(col("c_custkey"),
+          col("max_price").fillNull(lit(-1.0)).as("max_price_filled"),
+          col("max_price").isNull.as("was_null"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // §2.5 median/quantile — expr.rs:1147-1176 (linear interpolation =
+    // DuckDB quantile_cont; quantities are integers so exact)
+    "q19_quantile" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          median(col("l_quantity")).as("med_qty"),
+          percentile(col("l_quantity"), lit(0.25)).as("q25_qty"),
+          percentile(col("l_quantity"), lit(0.9)).as("q90_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // §2.6 shift/diff over ordered window — expr.rs:1035-1062
+    "q20_shift_diff" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("value_diff",
+          (dec4(col("value")) - dec4(lag(col("value"), 1).over(w))).cast("double"))
+        .select(col("event_id"), col("user_id"), col("value"), col("prev_value"), col("value_diff"))
+        .orderBy(col("event_id"))
+    }),
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_groupby_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+        |  min(l_quantity) AS min_qty,
+        |  max(l_quantity) AS max_qty,
+        |  count(l_quantity) AS cnt_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  l_quantity + l_tax AS qty_plus_tax
+        |FROM lineitem WHERE l_quantity > 30.0 AND l_discount <= 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_join_inner" ->
+      """SELECT c_mktsegment,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q04_join_left" ->
+      """SELECT c_custkey, c_name,
+        |  coalesce(n_orders, 0) AS n_orders,
+        |  coalesce(total_spend, 0.0) AS total_spend
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |  FROM orders GROUP BY o_custkey
+        |) o ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q05_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q06_join_anti" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q07_join_cross" ->
+      """SELECT r_regionkey, r_name, n_nationkey, n_name
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin,
+
+    "q08_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q09_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q10_window_over" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, cust_total, cust_n
+        |FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS DOUBLE) AS cust_total,
+        |    count(*) OVER (PARTITION BY o_custkey) AS cust_n
+        |  FROM orders
+        |) WHERE o_totalprice > cust_total / cust_n
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q11_case_cast_math" ->
+      """SELECT p_partkey,
+        |  CASE WHEN p_size BETWEEN 10 AND 30 THEN 'mid' ELSE 'extreme' END AS size_class,
+        |  CAST(p_size AS BIGINT) AS size_l,
+        |  round(p_retailprice, 0) AS price_round,
+        |  abs(p_size - 25) AS size_dist,
+        |  sqrt(CAST(p_size AS DOUBLE)) AS size_sqrt,
+        |  pow(CAST(p_size AS DOUBLE), 2.0) AS size_sq
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q12_str_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS name_upper,
+        |  length(p_name) AS name_len,
+        |  regexp_matches(p_name, 'ste') AS has_ste,
+        |  substr(p_name, 1, 5) AS name_head,
+        |  CASE WHEN regexp_extract(p_brand, 'Brand#(\d+)', 1) = '' THEN NULL
+        |       ELSE regexp_extract(p_brand, 'Brand#(\d+)', 1) END AS brand_num,
+        |  replace(p_type, ' ', '_') AS type_snake,
+        |  starts_with(p_type, 'STANDARD') AS is_std,
+        |  p_type LIKE '%TIN' AS is_tin
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q13_dt_funcs" ->
+      """SELECT event_id,
+        |  year(ts) AS y, month(ts) AS mo, day(ts) AS dom,
+        |  dayofyear(ts) AS doy, isodow(ts) AS wd,
+        |  hour(ts) AS h, minute(ts) AS mi,
+        |  date_trunc('hour', ts) AS ts_hour,
+        |  epoch_us(ts) AS epoch_us
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q14_split_explode" ->
+      """SELECT words, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS words
+        |  FROM documents WHERE doc_id < 50
+        |) GROUP BY words ORDER BY words""".stripMargin,
+
+    "q15_concat_diagonal" ->
+      """SELECT key, name, bal FROM (
+        |  SELECT c_custkey AS key, c_name AS name, NULL::DOUBLE AS bal FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey AS key, NULL AS name, s_acctbal AS bal FROM supplier
+        |) ORDER BY key, name, bal""".stripMargin,
+
+    "q16_unpivot" ->
+      """SELECT p_partkey, variable, value FROM (
+        |  SELECT p_partkey, 'size' AS variable, CAST(p_size AS DOUBLE) AS value FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'retail' AS variable, p_retailprice AS value FROM part
+        |) ORDER BY p_partkey, variable""".stripMargin,
+
+    "q17_pivot" ->
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS "F",
+        |  sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS "O"
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q18_fill_null" ->
+      """SELECT c_custkey,
+        |  coalesce(max_price, -1.0) AS max_price_filled,
+        |  max_price IS NULL AS was_null
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, max(o_totalprice) AS max_price FROM orders GROUP BY o_custkey
+        |) o ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q19_quantile" ->
+      """SELECT l_returnflag,
+        |  median(l_quantity) AS med_qty,
+        |  quantile_cont(l_quantity, 0.25) AS q25_qty,
+        |  quantile_cont(l_quantity, 0.9) AS q90_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q20_shift_diff" ->
+      """SELECT event_id, user_id, value, prev_value,
+        |  CAST(CAST(value AS DECIMAL(18,4)) - CAST(prev_value AS DECIMAL(18,4)) AS DOUBLE) AS value_diff
+        |FROM (
+        |  SELECT event_id, user_id, value,
+        |    lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        |  FROM events
+        |) ORDER BY event_id""".stripMargin,
+  )
 }

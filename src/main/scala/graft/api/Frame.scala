@@ -1,0 +1,259 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Frame-level operations mirroring the reference's DataFrame/LazyFrame
+  * surface (reference: native_shim/src/{lazy,eager}.rs; Polars.CSharp/
+  * {DataFrame,LazyFrame}.cs).
+  *
+  * The reference keeps separate eager/lazy types but eager ops are literally
+  * `clone().lazy().op().collect()` (eager.rs:35-56); Spark DataFrames are lazy
+  * plans already, so ONE type covers both — `collect()`/`show()`/`write` are
+  * the actions. Import `graft.api.frame._`.
+  */
+object frame {
+
+  /** Polars join-type codes (reference utils.rs:98-107; C# Enums.cs:8-11). */
+  object JoinHow {
+    val Inner = "inner"; val Left = "left"; val Full = "full"
+    val Cross = "cross"; val Semi = "left_semi"; val Anti = "left_anti"
+  }
+
+  implicit class GraftFrame(val df: DataFrame) extends AnyVal {
+
+    // ----- projection / row ops (lazy.rs:84-94; eager.rs:88-93,278-326) -----
+
+    def withColumnsMap(cols: Map[String, Column]): DataFrame = df.withColumns(cols)
+
+    /** tail(n) without a full sort: Spark Dataset.tail is driver-side; for a
+      * distributed plan we expose it only as an action (lazy.rs:94). */
+    def tailRows(n: Int): Array[org.apache.spark.sql.Row] = df.tail(n)
+
+    /** drop_nulls(subset) — eager.rs:306-326. */
+    def dropNulls(subset: String*): DataFrame =
+      if (subset.isEmpty) df.na.drop() else df.na.drop(subset)
+
+    /** rename — eager.rs:291-304. */
+    def rename(oldName: String, newName: String): DataFrame =
+      df.withColumnRenamed(oldName, newName)
+
+    /** sample fraction w/ seed — eager.rs:347-369. */
+    def sampleFrac(frac: Double, withReplacement: Boolean = false, seed: Long = 42L): DataFrame =
+      df.sample(withReplacement, frac, seed)
+
+    /** sample exactly n rows (reference computes height*frac rows; exact-n via
+      * sort on a seeded hash so the choice is deterministic and distributed —
+      * no driver-side materialization). */
+    def sampleN(n: Int, seed: Long = 42L): DataFrame = {
+      val cols = df.columns.map(col).toSeq
+      df.withColumn("__rand", xxhash64(struct(cols: _*), lit(seed)))
+        .orderBy(col("__rand")).limit(n).drop("__rand")
+    }
+
+    /** unique / distinct (reference: SQL-only `SELECT DISTINCT`; SURVEY §2.3). */
+    def unique(): DataFrame = df.distinct()
+    def unique(subset: Seq[String]): DataFrame = df.dropDuplicates(subset)
+
+    // ----- explode / unnest (lazy.rs:275-309; eager.rs:510-549,707-731) -----
+
+    /** explode one list column in place, keeping all other columns. */
+    def explodeCol(name: String): DataFrame =
+      df.withColumn(name, explode(col(name)))
+
+    /** explode keeping rows whose list is null/empty (Polars yields null row). */
+    def explodeOuter(name: String): DataFrame =
+      df.withColumn(name, explode_outer(col(name)))
+
+    /** unnest struct columns → top-level columns (eager.rs:707-731). */
+    def unnest(structCols: String*): DataFrame = {
+      val out = df.schema.fields.flatMap { f =>
+        if (structCols.contains(f.name)) f.dataType match {
+          case st: StructType =>
+            st.fieldNames.map(n => col(s"${f.name}.$n").as(n)).toSeq
+          case _ => Seq(col(f.name))
+        } else Seq(col(f.name))
+      }
+      df.select(out.toIndexedSeq: _*)
+    }
+
+    // ----- selector-powered selection (SURVEY §2.12) -----
+
+    def selectSel(sel: Selector): DataFrame =
+      df.select(sel.resolve(df.schema).map(col).toIndexedSeq: _*)
+
+    // ----- sorts (lazy.rs:99-164) -----
+
+    /** multi-sort with per-key descending flags; nulls last = Polars default
+      * SortOptions (SURVEY §2.7). */
+    def sortBy(keys: Seq[(String, Boolean)]): DataFrame =
+      df.orderBy(keys.map { case (k, desc) =>
+        if (desc) col(k).desc_nulls_last else col(k).asc_nulls_last
+      }.toIndexedSeq: _*)
+
+    def topK(k: Int, byCol: String, descending: Boolean = true): DataFrame =
+      df.orderBy(if (descending) col(byCol).desc_nulls_last else col(byCol).asc_nulls_last).limit(k)
+
+    // ----- joins (lazy.rs:462-488; utils.rs:98-107) -----
+
+    /** Equi-join with Polars key-coalescing semantics: the join keys appear
+      * ONCE in the output (left's values; for full joins coalesce(l,r)), and
+      * right-side non-key name collisions get the "_right" suffix — matching
+      * Polars' default join output (SURVEY §2.4).
+      */
+    def joinCoalesced(right: DataFrame, leftOn: Seq[String], rightOn: Seq[String],
+                      how: String): DataFrame = {
+      require(leftOn.length == rightOn.length, "leftOn/rightOn length mismatch")
+      how match {
+        case JoinHow.Cross => crossJoinSuffixed(right)
+        case JoinHow.Semi | JoinHow.Anti =>
+          val cond = joinCond(df, right, leftOn, rightOn)
+          df.join(right, cond, how)
+        case _ =>
+          val l = df.alias("__l"); val r = right.alias("__r")
+          val cond = leftOn.zip(rightOn).map { case (lk, rk) =>
+            col(s"__l.$lk") === col(s"__r.$rk")
+          }.reduce(_ && _)
+          val joined = l.join(r, cond, how)
+          val rightKeySet = rightOn.toSet
+          val leftNames = df.columns.toSet
+          val keyCols: Seq[Column] = leftOn.zip(rightOn).map { case (lk, rk) =>
+            if (how == JoinHow.Full) coalesce(col(s"__l.$lk"), col(s"__r.$rk")).as(lk)
+            else col(s"__l.$lk").as(lk)
+          }
+          val leftRest = df.columns.filterNot(leftOn.contains)
+            .map(n => col(s"__l.$n").as(n)).toSeq
+          val rightRest = right.columns.filterNot(rightKeySet.contains).map { n =>
+            val outName = if (leftNames.contains(n)) s"${n}_right" else n
+            col(s"__r.$n").as(outName)
+          }.toSeq
+          // preserve left column order, then right extras — Polars layout
+          val ordered = df.columns.map { n =>
+            if (leftOn.contains(n)) keyCols(leftOn.indexOf(n))
+            else col(s"__l.$n").as(n)
+          }.toSeq ++ rightRest
+          joined.select(ordered.toIndexedSeq: _*)
+      }
+    }
+
+    private def crossJoinSuffixed(right: DataFrame): DataFrame = {
+      val leftNames = df.columns.toSet
+      val r2 = right.columns.foldLeft(right) { (acc, n) =>
+        if (leftNames.contains(n)) acc.withColumnRenamed(n, s"${n}_right") else acc
+      }
+      df.crossJoin(r2)
+    }
+
+    // ----- concat (lazy.rs:410-457; eager.rs:665-703) -----
+
+    /** Vertical concat — schemas must match (UnionArgs default). */
+    def concatVertical(others: DataFrame*): DataFrame =
+      others.foldLeft(df)(_ unionAll _)
+
+    /** Diagonal concat — align by name, null-fill missing (lazy.rs:450). */
+    def concatDiagonal(others: DataFrame*): DataFrame =
+      others.foldLeft(df)(_.unionByName(_, allowMissingColumns = true))
+
+    /** Horizontal concat — zip frames row-by-row (lazy.rs:447).
+      *
+      * No Spark primitive; implemented as a join on per-partition-computed
+      * global row index. zipWithIndex needs one extra pass per input but no
+      * extra shuffle beyond the final index join. At 100 TB you'd co-partition
+      * the inputs first; at reference scale this mirrors Polars' semantics
+      * exactly (row order of each input preserved).
+      */
+    def concatHorizontal(others: DataFrame*): DataFrame =
+      others.foldLeft(withRowIndex(df)) { (acc, o) =>
+        val oNamed = withRowIndex(o)
+        val leftNames = acc.columns.toSet
+        val renamed = oNamed.columns.foldLeft(oNamed) { (a, n) =>
+          if (n != "__idx" && leftNames.contains(n)) a.withColumnRenamed(n, s"${n}_right") else a
+        }
+        acc.join(renamed, Seq("__idx"), "full")
+      }.drop("__idx")
+
+    /** Stable global row index without collapsing to one partition:
+      * zipWithIndex computes per-partition offsets with one lightweight
+      * count-per-partition job, preserving partition-parallelism. */
+    private def withRowIndex(d: DataFrame): DataFrame = {
+      val spark = d.sparkSession
+      val schema = StructType(StructField("__idx", LongType, nullable = false) +: d.schema.fields)
+      val rdd = d.rdd.zipWithIndex.map { case (row, i) =>
+        org.apache.spark.sql.Row.fromSeq(i +: row.toSeq)
+      }
+      spark.createDataFrame(rdd, schema)
+    }
+
+    // ----- reshape (eager.rs:553-661; lazy.rs:345-406) -----
+
+    /** pivot (eager-only in the reference because the output schema depends on
+      * the data — same in Spark: groupBy().pivot() triggers a values scan).
+      * agg ∈ {first,sum,min,max,mean,median,count,len,last} (eager.rs:579-589). */
+    def pivotOn(index: Seq[String], columns: String, values: String,
+                aggName: String = "first"): DataFrame = {
+      val v = col(values)
+      val aggExpr = aggName match {
+        case "first" => first(v, ignoreNulls = false)
+        case "last" => last(v, ignoreNulls = false)
+        case "sum" => sum(v)
+        case "min" => min(v)
+        case "max" => max(v)
+        case "mean" => avg(v)
+        case "median" => median(v)
+        case "count" => count(v)
+        case "len" => count(lit(1))
+        case other => throw new IllegalArgumentException(s"bad pivot agg: $other")
+      }
+      df.groupBy(index.map(col).toIndexedSeq: _*).pivot(columns).agg(aggExpr)
+    }
+
+    /** unpivot/melt; empty `on` = all non-index columns (lazy.rs:374-379). */
+    def unpivotOn(index: Seq[String], on: Seq[String],
+                  variableName: String = "variable",
+                  valueName: String = "value"): DataFrame = {
+      val onCols = if (on.nonEmpty) on else df.columns.toSeq.filterNot(index.contains)
+      df.unpivot(index.map(col).toArray, onCols.map(col).toArray, variableName, valueName)
+    }
+
+    // ----- metadata / describe (SURVEY §2.15) -----
+
+    def height: Long = df.count()
+    def width: Int = df.columns.length
+
+    /** describe(): count, null_count, mean, std, min, 25%, 50%, 75%, max —
+      * the reference composes this client-side from Select/Concat
+      * (DataFrame.cs:665-727); we compose one distributed aggregation.
+      * Quantiles use "nearest" interpolation like the reference. */
+    def describeAll(): DataFrame = {
+      val spark = df.sparkSession
+      val numCols = df.schema.fields.filter(_.dataType.isInstanceOf[NumericType]).map(_.name)
+      val stats = Seq("count", "null_count", "mean", "std", "min", "25%", "50%", "75%", "max")
+      val aggs: Seq[Column] = df.columns.toSeq.flatMap { n =>
+        val c = col(n)
+        val isNum = numCols.contains(n)
+        def s(x: Column) = if (isNum) x.cast("string") else lit(null).cast("string")
+        Seq(
+          count(c).cast("string").as(s"${n}__count"),
+          sum(when(c.isNull, 1).otherwise(0)).cast("string").as(s"${n}__null_count"),
+          s(avg(c)).as(s"${n}__mean"),
+          s(stddev_samp(c)).as(s"${n}__std"),
+          min(c).cast("string").as(s"${n}__min"),
+          s(percentile_approx(c, lit(0.25), lit(10000))).as(s"${n}__p25"),
+          s(percentile_approx(c, lit(0.5), lit(10000))).as(s"${n}__p50"),
+          s(percentile_approx(c, lit(0.75), lit(10000))).as(s"${n}__p75"),
+          max(c).cast("string").as(s"${n}__max"))
+      }
+      val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val out = stats.zipWithIndex.map { case (st, i) =>
+        org.apache.spark.sql.Row.fromSeq(st +: df.columns.indices.map(j => row.getString(j * 9 + i)))
+      }
+      val schema = StructType(StructField("statistic", StringType) +:
+        df.columns.map(n => StructField(n, StringType)))
+      spark.createDataFrame(spark.sparkContext.parallelize(out.toIndexedSeq), schema)
+    }
+  }
+
+  private def joinCond(l: DataFrame, r: DataFrame, leftOn: Seq[String], rightOn: Seq[String]): Column =
+    leftOn.zip(rightOn).map { case (lk, rk) => l(lk) === r(rk) }.reduce(_ && _)
+}
