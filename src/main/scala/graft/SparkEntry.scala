@@ -368,11 +368,254 @@ object SparkEntry {
           col("value_ffill"), col("value_bfill"))
         .orderBy(col("event_id"))
     }),
+
+    // ---- training-data pipeline operators (driver north-star extensions) ----
+
+    // exact dedup: deterministic keep-first per key group
+    "qd01_dedup_exact" -> ((s, d) => {
+      graft.dedup.Dedup.exact(t(s, d, "documents"), Seq("lang", "source"), "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // fingerprint dedup: count distinct normalized-text fingerprints per lang
+    // (oracle counts distinct normalized text — equal iff no 64-bit collisions)
+    "qd02_fingerprint" -> ((s, d) => {
+      t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(countDistinct(graft.functions.TextFunctions.fingerprint(col("text"))).as("n_fp"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"))
+    }),
+
+    // exact n-gram Jaccard near-dup pairs (5-gram shingles, tau=0.5)
+    "qd03_ngram_jaccard" -> ((s, d) => {
+      graft.dedup.Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+          shingleK = 5, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // MinHash+LSH candidate pairs (128 hashes, 32 bands) — hash-based, no SQL
+    // oracle; driver records rows-only. Near-dup docs share banded buckets.
+    "qd04_minhash_pairs" -> ((s, d) => {
+      graft.dedup.Dedup.minhashPairs(t(s, d, "documents"), "doc_id", "text",
+          numHashes = 128, bands = 32, shingleK = 5, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash near-dup pairs (4-chunk pigeonhole blocking, hamming <= 3)
+    "qd05_simhash_pairs" -> ((s, d) => {
+      graft.dedup.Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
+          chunks = 4, maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // heuristic language ID (stopword scoring; oracle generated from the
+    // same dictionaries — see langIdOracleSql)
+    "qd06_langid" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          graft.functions.TextFunctions.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // token counting: whitespace + BPE-ish regex pre-tokenizer
+    "qd07_token_stats" -> ((s, d) => {
+      val T = graft.functions.TextFunctions
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          T.tokenCount(col("text")).cast("long").as("n_tokens"),
+          T.bpeTokenCount(col("text")).cast("long").as("n_bpe"),
+          T.nChars(col("text")).cast("long").as("n_chars"),
+          T.meanTokenLen(col("text")).as("mean_tok_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // quality scoring: length/alnum/stopword signals + composite
+    "qd08_quality" -> ((s, d) => {
+      val T = graft.functions.TextFunctions
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          T.alnumRatio(col("text")).as("alnum_ratio"),
+          T.stopwordRatio(col("text")).as("stop_ratio"),
+          T.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // embedding near-dup pairs: exact cosine >= 0.35 within label blocks
+    "qd09_embedding_dedup" -> ((s, d) => {
+      graft.dedup.Dedup.embeddingCosinePairs(t(s, d, "embeddings"), "vec_id",
+          "embedding", "label", threshold = 0.35)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // similarity search: exact brute-force cosine top-5 for 10 query vectors
+    "qs01_cosine_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      graft.similarity.Ann.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ANN via sign-LSH bucketing + multiprobe — approximate by construction,
+    // rows-only check (recall vs qs01 asserted in ScalaTest)
+    "qs02_ann_lsh" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      // nBits sizes the bucket count to the corpus: 2^4 buckets over ~5k
+      // vectors keeps ~recall/cost balance; at 100 TB you raise bits with
+      // corpus size so bucket cardinality stays bounded
+      graft.similarity.Ann.lshTopK(e, e.filter(col("vec_id") < 10), k = 5, dim = 64,
+          nBits = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // multimodal: binary payload + sniffed metadata (SQL-mirrorable part)
+    "qm01_media_meta" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("bin", col("text").cast("binary"))
+      graft.multimodal.Multimodal.asMediaTable(docs, "doc_id", "bin")
+        .select(col("media_id"), col("meta.format").as("format"),
+          col("meta.n_bytes").as("n_bytes"))
+        .orderBy(col("media_id"))
+    }),
+
+    // multimodal decode plumbing: partition-parallel STUB decoder over binary
+    // payloads (deterministic fake features) — rows-only check
+    "qm02_decode_features" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("bin", col("text").cast("binary"))
+      val media = graft.multimodal.Multimodal.asMediaTable(docs, "doc_id", "bin")
+      graft.multimodal.Multimodal.decodeFeatures(media, featureDim = 16)
+        .select(col("media_id"), size(col("features")).as("n_features"),
+          element_at(col("features"), 1).as("f0"))
+        .orderBy(col("media_id"))
+    }),
   )
 
   // ------------------------------------------------------------- oracle SQL
 
+  /** DuckDB mirror of TextFunctions.langScore — generated from the SAME
+    * dictionaries so Spark and oracle can never drift. */
+  private def langScoreSql(lang: String): String = {
+    val words = graft.functions.TextFunctions.Stopwords.toMap.apply(lang)
+      .map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x IN ($words)))"
+  }
+
+  private def langIdOracleSql: String = {
+    val langs = graft.functions.TextFunctions.Stopwords.map(_._1)
+    val scoreCols = langs.map(l => s"${langScoreSql(l)} AS s_$l").mkString(",\n  ")
+    val allZero = langs.map(l => s"s_$l = 0").mkString(" AND ")
+    val branches = langs.map { l =>
+      val isMax = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $isMax THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH s AS (SELECT doc_id, lang,
+       |  $scoreCols
+       |FROM documents)
+       |SELECT doc_id, lang,
+       |  CASE WHEN $allZero THEN 'und'
+       |    $branches
+       |    ELSE 'und' END AS lang_pred
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** Shared DuckDB shingle CTE (5-gram, whitespace tokens) mirroring
+    * TextFunctions.tokens + shingles. */
+  private val shingleCte =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+      |  FROM documents
+      |),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(w) >= 5
+      |    THEN [list_aggregate(w[i:i+4], 'string_agg', ' ') FOR i IN range(1, len(w) - 3)]
+      |    ELSE [list_aggregate(w, 'string_agg', ' ')] END) AS s
+      |  FROM toks
+      |)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "qd01_dedup_exact" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+        |  FROM documents
+        |) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "qd02_fingerprint" ->
+      """SELECT lang,
+        |  count(DISTINCT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS n_fp,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "qd03_ngram_jaccard" ->
+      s"""$shingleCte,
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id_a, id_b, CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) AS jaccard
+         |FROM pairs JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+         |WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "qd06_langid" -> langIdOracleSql,
+
+    "qd07_token_stats" -> {
+      val bpe = graft.functions.TextFunctions.BpePattern.replace("'", "''")
+      s"""SELECT doc_id,
+         |  len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens,
+         |  len(regexp_extract_all(text, '$bpe')) AS n_bpe,
+         |  length(text) AS n_chars,
+         |  CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         |    / len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS mean_tok_len
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "qd08_quality" -> {
+      val enScore = langScoreSql("en")
+      s"""SELECT doc_id,
+         |  CAST(length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) AS alnum_ratio,
+         |  CAST($enScore AS DOUBLE)
+         |    / len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS stop_ratio,
+         |  (CASE WHEN len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) BETWEEN 10 AND 100000
+         |        THEN 1.0 ELSE 0.0 END * 0.4)
+         |  + (CAST(length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) * 0.4)
+         |  + (least(CAST($enScore AS DOUBLE)
+         |      / len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) * 10.0, 1.0) * 0.2) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "qd09_embedding_dedup" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+        |SELECT id_a, id_b, cosine FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+        |      / sqrt(list_sum(list_transform(a.v, x -> x * x)) * list_sum(list_transform(b.v, x -> x * x))) AS cosine
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |) WHERE cosine >= 0.35 ORDER BY id_a, id_b""".stripMargin,
+
+    "qs01_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT query_id, e.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(qv, e.v), x -> x[1] * x[2]))
+        |      / sqrt(list_sum(list_transform(qv, x -> x * x)) * list_sum(list_transform(e.v, x -> x * x))) AS cosine
+        |  FROM q JOIN e ON e.vec_id <> q.query_id
+        |)
+        |SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+        |  FROM scored
+        |) WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "qm01_media_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN starts_with(substr(text, 1, 4), 'PNG') THEN 'png'
+        |       WHEN starts_with(substr(text, 1, 4), 'RIFF') THEN 'riff'
+        |       ELSE 'raw' END AS format,
+        |  octet_length(encode(text)) AS n_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
+
     "q01_groupby_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for large-scale training-data pipelines: token
+  * counting, language ID, quality scoring, document fingerprinting.
+  *
+  * Everything here composes Spark built-ins (codegen'd, fully distributed, no
+  * UDFs), and each op is designed so a DuckDB oracle can mirror it exactly:
+  * literal-space tokenization, integer scores, and sequential-fold arithmetic.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (regex \s+), empty-trailing removed. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= lit(""))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-word token count: a GPT-2-style pre-tokenizer regex —
+    * contractions, letter runs, digit runs, punctuation runs. A real BPE
+    * merge table would refine these counts; the regex pass is the
+    * distributed-scan part and is what runs over 100 TB. */
+  val BpePattern = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
+  /** Language-ID stopword dictionaries (top function words per language —
+    * public-knowledge lists). Deterministic and tiny by design so the scoring
+    * is SQL-mirrorable. */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "auf", "zu"),
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "it", "was", "for"),
+    "es" -> Seq("el", "los", "las", "de", "y", "en", "que", "una", "es", "por"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "un", "une", "est", "dans", "que"),
+    "zh" -> Seq("的", "是", "在", "了", "我", "有", "和", "就", "不", "人"),
+  )
+
+  /** Per-language stopword hit count over lowercased tokens. */
+  def langScore(text: Column, lang: String): Column = {
+    val dict = Stopwords.toMap.apply(lang)
+    size(filter(tokens(lower(text)), t => t.isin(dict.map(lit): _*)))
+  }
+
+  /** Heuristic language ID: the first language (in fixed de<en<es<fr<zh
+    * order) whose stopword score is maximal; "und" (undetermined) when all
+    * scores are zero. */
+  def langId(text: Column): Column = {
+    val scores = Stopwords.map { case (lang, _) => lang -> langScore(text, lang) }
+    val allZero = scores.map(_._2 === 0).reduce(_ && _)
+    val chain = scores.foldRight(lit("und")) { case ((lang, s), elseC) =>
+      val isMax = scores.filter(_._1 != lang).map(o => s >= o._2).reduce(_ && _)
+      when(isMax && !allZero, lit(lang)).otherwise(elseC)
+    }
+    chain
+  }
+
+  /** Quality-score components (all deterministic ratios):
+    * n_chars, n_tokens, mean token length, alnum-space ratio,
+    * English-stopword ratio. */
+  def nChars(text: Column): Column = length(text)
+  def alnumRatio(text: Column): Column =
+    length(regexp_replace(text, "[^A-Za-z0-9 ]", "")).cast("double") / length(text)
+  def stopwordRatio(text: Column): Column =
+    langScore(text, "en").cast("double") / tokenCount(text)
+  def meanTokenLen(text: Column): Column =
+    length(regexp_replace(text, "\\s+", "")).cast("double") / tokenCount(text)
+
+  /** Composite quality score in [0,1]: weighted blend of the component
+    * signals, the shape a Gopher/C4-style filter uses. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = when(tokenCount(text).between(10, 100000), lit(1.0)).otherwise(lit(0.0))
+    val alnum = alnumRatio(text)
+    val stop = least(stopwordRatio(text) * lit(10.0), lit(1.0))
+    (lenScore * lit(0.4)) + (alnum * lit(0.4)) + (stop * lit(0.2))
+  }
+
+  /** Normalized text for fingerprinting: lowercase, collapse whitespace,
+    * strip non-alphanumerics. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))
+
+  /** 64-bit document fingerprint over normalized text (xxhash64). Equal
+    * fingerprints ⇔ equal normalized text (modulo 2^-64 collisions). */
+  def fingerprint(text: Column): Column = xxhash64(normalized(text))
+
+  /** Word k-shingles from a token array; documents shorter than k yield one
+    * whole-document shingle. */
+  def shingles(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - lit(k)),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
+      .otherwise(array(concat_ws(" ", toks)))
+}

@@ -1,0 +1,77 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorFunctions => V}
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  *  - `bruteForceTopK`: broadcast the (small) query set against the corpus,
+  *    score every pair, per-query top-k via window. Exact; the baseline and
+  *    the within-bucket kernel of every ANN variant. The corpus side never
+  *    shuffles — queries are broadcast to the corpus partitions.
+  *  - `lshTopK`: random-hyperplane (sign) LSH — deterministic seeded planes,
+  *    bucket corpus and queries by sign bits, search only matching buckets
+  *    (multi-probe over single-bit flips widens recall). At 100 TB this is
+  *    the difference between scanning the corpus per query and scanning
+  *    1/2^bits of it.
+  */
+object Ann {
+
+  /** Exact top-k: every query row against every corpus row.
+    * Deterministic tie-break on neighbor id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     queryIdCol: String = "query_id"): DataFrame = {
+    val q = queries.select(col(idCol).as(queryIdCol), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = c.join(broadcast(q), col(queryIdCol) =!= col("neighbor_id"))
+      .withColumn("cosine", V.cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cosine").desc_nulls_last, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Deterministic ±1 hyperplanes derived from a seed (no RNG at execution
+    * time — plan-build-time literals). */
+  private def planes(dim: Int, nBits: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nBits)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** Sign-LSH bucket id for a vector column. */
+  def lshBucket(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
+    val ps = planes(dim, nBits, seed)
+    (0 until nBits).map { b =>
+      val dotSign = V.dot(vec, typedlit(ps(b)))
+      when(dotSign >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** ANN top-k via sign-LSH bucketing with single-bit multi-probe.
+    * Recall < 1 by construction; exactness is bruteForceTopK's job. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              nBits: Int = 8, seed: Long = 42L,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              queryIdCol: String = "query_id"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__bucket", lshBucket(col("__cv"), dim, nBits, seed))
+    // multi-probe: each query probes its own bucket plus all 1-bit flips
+    val probes = array((lit(0L) +: (0 until nBits).map(b => lit(1L << b))): _*)
+    val q = queries.select(col(idCol).as(queryIdCol), col(vecCol).as("__qv"))
+      .withColumn("__qbucket", lshBucket(col("__qv"), dim, nBits, seed))
+      .withColumn("__probe", explode(probes))
+      .withColumn("__bucket", col("__qbucket").bitwiseXOR(col("__probe")))
+    val scored = c.join(broadcast(q), Seq("__bucket"))
+      .filter(col(queryIdCol) =!= col("neighbor_id"))
+      .withColumn("cosine", V.cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cosine").desc_nulls_last, col("neighbor_id"))
+    scored.select(col(queryIdCol), col("neighbor_id"), col("cosine")).distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}
