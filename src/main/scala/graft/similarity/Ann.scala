@@ -54,13 +54,23 @@ object Ann {
   /** ANN top-k via sign-LSH bucketing with single-bit multi-probe.
     * Recall < 1 by construction; exactness is bruteForceTopK's job. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-              nBits: Int = 8, seed: Long = 42L,
+              nBits: Int = 8, seed: Long = 42L, probeRadius: Int = 1,
               idCol: String = "vec_id", vecCol: String = "embedding",
               queryIdCol: String = "query_id"): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .withColumn("__bucket", lshBucket(col("__cv"), dim, nBits, seed))
-    // multi-probe: each query probes its own bucket plus all 1-bit flips
-    val probes = array((lit(0L) +: (0 until nBits).map(b => lit(1L << b))): _*)
+    // multi-probe: each query probes its own bucket plus all bit-flip
+    // combinations up to probeRadius (recall/cost dial: radius 1 scans
+    // ~(1+bits)/2^bits of the corpus, radius 2 adds bits-choose-2 buckets)
+    val flipMasks: Seq[Long] = {
+      val single = (0 until nBits).map(b => 1L << b)
+      val double =
+        if (probeRadius >= 2)
+          for (i <- 0 until nBits; j <- i + 1 until nBits) yield (1L << i) | (1L << j)
+        else Seq.empty
+      0L +: (single ++ double)
+    }
+    val probes = array(flipMasks.map(lit): _*)
     val q = queries.select(col(idCol).as(queryIdCol), col(vecCol).as("__qv"))
       .withColumn("__qbucket", lshBucket(col("__qv"), dim, nBits, seed))
       .withColumn("__probe", explode(probes))

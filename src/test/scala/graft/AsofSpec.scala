@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AsofJoin
+
+/** As-of join golden tests on the reference's trades/quotes scenario
+  * (FIXTURES.md F3; README.md:44-58; ComplexTests.fs:475). */
+class AsofSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private lazy val trades = Seq(
+    (ts("2024-01-01 10:00:03"), "A", 100.0),
+    (ts("2024-01-01 10:00:05"), "A", 101.0),
+    (ts("2024-01-01 10:00:05"), "B", 50.0),
+    (ts("2024-01-01 09:59:00"), "B", 49.0))
+    .toDF("time", "symbol", "price")
+
+  private lazy val quotes = Seq(
+    (ts("2024-01-01 10:00:01"), "A", 99.5),
+    (ts("2024-01-01 10:00:04"), "A", 100.5),
+    (ts("2024-01-01 10:00:05"), "B", 50.5),
+    (ts("2024-01-01 10:00:10"), "A", 101.5))
+    .toDF("time", "symbol", "bid")
+
+  test("backward: most recent quote at-or-before each trade, by symbol") {
+    val got = AsofJoin.join(trades, quotes, "time", "time", Seq(("symbol", "symbol")))
+      .orderBy("symbol", "time").select("symbol", "price", "bid").collect()
+    // order: A 10:00:03, A 10:00:05, B 09:59, B 10:00:05
+    assert(got(0).getDouble(1) == 100.0 && got(0).getDouble(2) == 99.5)
+    assert(got(1).getDouble(1) == 101.0 && got(1).getDouble(2) == 100.5)
+    // B 09:59 has no quote <= it -> null; B 10:00:05 matches 50.5 (eq allowed)
+    assert(got(2).getDouble(1) == 49.0 && got(2).isNullAt(2))
+    assert(got(3).getDouble(1) == 50.0 && got(3).getDouble(2) == 50.5)
+  }
+
+  test("allowEq=false excludes equal timestamps") {
+    val got = AsofJoin.join(trades, quotes, "time", "time", Seq(("symbol", "symbol")),
+        allowEq = false)
+      .orderBy("symbol", "time").select("symbol", "price", "bid").collect()
+    // B 10:00:05 quote is at the same instant -> excluded -> null
+    assert(got(3).getDouble(1) == 50.0 && got(3).isNullAt(2))
+  }
+
+  test("forward: earliest quote at-or-after") {
+    val got = AsofJoin.join(trades, quotes, "time", "time", Seq(("symbol", "symbol")),
+        strategy = AsofJoin.Forward)
+      .orderBy("symbol", "time").select("symbol", "price", "bid").collect()
+    // A 10:00:03 -> 10:00:04 quote (100.5); A 10:00:05 -> 10:00:10 (101.5)
+    assert(got(0).getDouble(2) == 100.5)
+    assert(got(1).getDouble(2) == 101.5)
+    // B 09:59 -> 10:00:05 (50.5); B 10:00:05 -> same instant (eq allowed)
+    assert(got(2).getDouble(2) == 50.5)
+    assert(got(3).getDouble(2) == 50.5)
+  }
+
+  test("nearest picks closer side; tie goes backward") {
+    val got = AsofJoin.join(trades, quotes, "time", "time", Seq(("symbol", "symbol")),
+        strategy = AsofJoin.Nearest)
+      .orderBy("symbol", "time").select("symbol", "price", "bid").collect()
+    // A 10:00:03: backward 10:00:01 (2s), forward 10:00:04 (1s) -> forward 100.5
+    assert(got(0).getDouble(2) == 100.5)
+    // A 10:00:05: backward 10:00:04 (1s), forward 10:00:10 (5s) -> backward 100.5
+    assert(got(1).getDouble(2) == 100.5)
+    // B 09:59: only forward exists -> 50.5; B 10:00:05: backward at 0s -> 50.5
+    assert(got(2).getDouble(2) == 50.5)
+    assert(got(3).getDouble(2) == 50.5)
+  }
+
+  test("tolerance nulls matches farther than the bound") {
+    val got = AsofJoin.join(trades, quotes, "time", "time", Seq(("symbol", "symbol")),
+        tolerance = Some("2s"))
+      .orderBy("symbol", "time").select("symbol", "price", "bid").collect()
+    // A 10:00:03 matched 10:00:01 exactly 2s away -> kept (<=); B 09:59 null
+    assert(got(0).getDouble(2) == 99.5)
+    assert(got(2).isNullAt(2))
+  }
+
+  test("no by-groups: global as-of ordering") {
+    val l = Seq((1L, 10L), (2L, 25L)).toDF("id", "t")
+    val r = Seq((5L, 100.0), (20L, 200.0)).toDF("t", "v")
+    val got = AsofJoin.join(
+        l.select(col("id"), timestamp_micros(col("t")).as("t")),
+        r.select(timestamp_micros(col("t")).as("t"), col("v")),
+        "t", "t")
+      .orderBy("id").select("v").collect()
+    assert(got(0).getDouble(0) == 100.0 && got(1).getDouble(0) == 200.0)
+  }
+}

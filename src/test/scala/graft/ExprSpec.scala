@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import graft.api.syntax._
+
+/** Golden-value expression tests mirroring the reference's ExprTests
+  * (Polars.CSharp.Tests/ExprTests.cs; fixtures FIXTURES.md F4/F5/F7). */
+class ExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("string ops: case, slice, replace, extract, strip (F7)") {
+    val df = Seq("  Hello World  ", "http://example.com/page", "Brand#42 item")
+      .toDF("raw")
+    val got = df.select(
+      col("raw").str.toUppercase.as("up"),
+      col("raw").str.stripChars().as("stripped"),
+      col("raw").str.stripPrefix("http://").as("noproto"),
+      col("raw").str.extract("Brand#(\\d+)", 1).as("brand"),
+      col("raw").str.slice(2, 5).as("sliced"),
+      col("raw").str.replaceAll("o", "0", useRegex = false).as("zeroed"),
+    ).collect()
+    assert(got(0).getString(0) == "  HELLO WORLD  ")
+    assert(got(0).getString(1) == "Hello World")
+    assert(got(1).getString(2) == "example.com/page")
+    assert(got(2).getString(3) == "42")
+    assert(got(0).getString(4) == "Hello")
+    assert(got(1).getString(5) == "http://example.c0m/page".replace("o", "0") || got(1).getString(5) == "http://example.com/page".replace("o", "0"))
+  }
+
+  test("string to_date with chrono format; null on parse failure") {
+    val df = Seq("2024-01-15", "not a date").toDF("s")
+    val got = df.select(col("s").str.toDate("%Y-%m-%d").as("d")).collect()
+    assert(got(0).getDate(0).toString == "2024-01-15")
+    assert(got(1).isNullAt(0))
+  }
+
+  test("temporal components: weekday is 1-7 Monday-based (expr.rs:251)") {
+    // 2024-01-01 is a Monday
+    val df = Seq(java.sql.Timestamp.valueOf("2024-01-01 13:45:30")).toDF("ts")
+    val got = df.select(
+      col("ts").dt.year, col("ts").dt.month, col("ts").dt.day,
+      col("ts").dt.weekday, col("ts").dt.hour, col("ts").dt.ordinalDay).collect()(0)
+    assert(got.getInt(0) == 2024 && got.getInt(1) == 1 && got.getInt(2) == 1)
+    assert(got.getInt(3) == 1) // Monday = 1
+    assert(got.getInt(4) == 13 && got.getInt(5) == 1)
+  }
+
+  test("dt truncate/round/offset on arbitrary durations") {
+    val df = Seq(java.sql.Timestamp.valueOf("2024-03-15 10:22:45")).toDF("ts")
+    val got = df.select(
+      col("ts").dt.truncate("15m").cast("string"),
+      col("ts").dt.round("1h").cast("string"),
+      col("ts").dt.offsetBy("90m").cast("string")).collect()(0)
+    assert(got.getString(0) == "2024-03-15 10:15:00")
+    assert(got.getString(1) == "2024-03-15 10:00:00")
+    assert(got.getString(2) == "2024-03-15 11:52:45")
+  }
+
+  test("list namespace: get/sort/contains/join/len/sum/mean (F4)") {
+    val df = Seq((1, Seq(3L, 1L, 2L)), (2, Seq(10L, 20L, 30L))).toDF("id", "xs")
+    val got = df.orderBy("id").select(
+      col("xs").list.get(0), col("xs").list.get(-1),
+      col("xs").list.sort(descending = true),
+      col("xs").list.contains(lit(2L)),
+      col("xs").list.join(","),
+      col("xs").list.len, col("xs").list.sumLong, col("xs").list.mean).collect()
+    assert(got(0).getLong(0) == 3L && got(0).getLong(1) == 2L)
+    assert(got(0).getSeq[Long](2) == Seq(3L, 2L, 1L))
+    assert(got(0).getBoolean(3) && !got(1).getBoolean(3))
+    assert(got(1).getString(4) == "10,20,30")
+    assert(got(0).getInt(5) == 3 && got(1).getLong(6) == 60L)
+    assert(got(1).getDouble(7) == 20.0)
+  }
+
+  test("list.get out of bounds is null, not error (expr.rs:744-754)") {
+    val df = Seq(Seq(1, 2)).toDF("xs")
+    val got = df.select(col("xs").list.get(5)).collect()(0)
+    assert(got.isNullAt(0))
+  }
+
+  test("struct namespace: as_struct, field access, json_encode (F4)") {
+    val df = Seq(("alice", 30)).toDF("name", "age")
+    val got = df.select(
+      asStruct(col("name"), col("age")).struct_.jsonEncode.as("j"),
+      asStruct(col("name").as("n"), col("age").as("a")).struct_.fieldByName("n").as("f"))
+      .collect()(0)
+    assert(got.getString(0) == """{"name":"alice","age":30}""")
+    assert(got.getString(1) == "alice")
+  }
+
+  test("fillNull/fillNan/ifElse/isBetween/floorDiv") {
+    val df = Seq[(java.lang.Double, java.lang.Double)]((null, 1.0), (Double.NaN, 2.0), (7.0, 2.0))
+      .toDF("a", "b")
+    val got = df.select(
+      col("a").fillNull(lit(-1.0)),
+      col("a").fillNan(lit(-2.0)),
+      ifElse(col("b") > 1.5, lit("big"), lit("small")),
+      col("b").isBetween(lit(1.0), lit(2.0)),
+      col("a").floorDiv(col("b"))).collect()
+    assert(got(0).getDouble(0) == -1.0)
+    assert(got(1).getDouble(1) == -2.0)
+    assert(got(0).getString(2) == "small" && got(1).getString(2) == "big")
+    assert(got(0).getBoolean(3) && got(1).getBoolean(3))
+    assert(got(2).getLong(4) == 3L)
+  }
+
+  test("castLenient gives null on bad cast; castStrict keeps valid casts") {
+    val df = Seq("12", "oops").toDF("s")
+    val got = df.select(col("s").castLenient("int")).collect()
+    assert(got(0).getInt(0) == 12 && got(1).isNullAt(0))
+  }
+
+  test("selectors resolve against schema with set algebra (SURVEY 2.12)") {
+    import graft.api.{Selectors => S}
+    import graft.api.frame._
+    val df = Seq((1L, 2.0, "x", 3.0)).toDF("id", "sales_q1", "name_first", "sales_q2")
+    assert(df.selectSel(S.startsWith("sales_")).columns.toSeq == Seq("sales_q1", "sales_q2"))
+    assert(df.selectSel(S.numeric & !S.startsWith("sales_")).columns.toSeq == Seq("id"))
+    assert(df.selectSel(S.all - S.byName("id")).columns.toSeq == Seq("sales_q1", "name_first", "sales_q2"))
+    assert(df.selectSel(S.string | S.byName("id")).columns.toSeq == Seq("id", "name_first"))
+    assert(df.selectSel(S.matches("q[12]$")).columns.toSeq == Seq("sales_q1", "sales_q2"))
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.frame._
+import graft.api.syntax._
+
+/** Frame-op tests mirroring the reference's DataFrameTests/LazyFrameTests
+  * (fixtures F1/F6/F8), plus the driver tables. */
+class FrameSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val people = Seq(
+    ("Alice", 25L, 50000L, "eng"), ("Bob", 30L, 60000L, "eng"),
+    ("Charlie", 35L, 70000L, "sales"), ("David", 40L, 80000L, "sales"))
+    .toDF("name", "age", "salary", "department")
+
+  test("filter+select basics: F1 golden (DataFrameTests.cs:8-48)") {
+    val got = people.filter(col("age") > 30).select("name").as[String].collect().sorted
+    assert(got.toSeq == Seq("Charlie", "David"))
+  }
+
+  test("README query: groupBy avg salary + len, sorted desc (README.md:20-38)") {
+    val got = people.filter(col("age") > lit(18))
+      .groupBy(col("department"))
+      .agg(avg(col("salary")).as("avg_salary"), graft.api.syntax.len().as("count"))
+      .orderBy(col("avg_salary").desc)
+      .collect()
+    assert(got(0).getString(0) == "sales" && got(0).getDouble(1) == 75000.0 && got(0).getLong(2) == 2L)
+    assert(got(1).getString(0) == "eng" && got(1).getDouble(1) == 55000.0)
+  }
+
+  test("joinCoalesced keeps ONE key column and suffixes collisions (SURVEY 2.4)") {
+    val l = Seq((1, "a", 10), (2, "b", 20)).toDF("id", "tag", "v")
+    val r = Seq((1, "x", 77), (3, "y", 99)).toDF("rid", "tag", "w")
+    val inner = l.joinCoalesced(r, Seq("id"), Seq("rid"), JoinHow.Inner)
+    assert(inner.columns.toSeq == Seq("id", "tag", "v", "tag_right", "w"))
+    assert(inner.count() == 1)
+    val full = l.joinCoalesced(r, Seq("id"), Seq("rid"), JoinHow.Full)
+    assert(full.columns.toSeq == Seq("id", "tag", "v", "tag_right", "w"))
+    assert(full.select("id").as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+  }
+
+  test("concat vertical/diagonal/horizontal (lazy.rs:410-457)") {
+    val a = Seq((1, "x")).toDF("id", "s")
+    val b = Seq((2, "y")).toDF("id", "s")
+    assert(a.concatVertical(b).count() == 2)
+    val c = Seq((3, 1.5)).toDF("id", "f")
+    val diag = a.concatDiagonal(c)
+    assert(diag.columns.toSeq == Seq("id", "s", "f") && diag.count() == 2)
+    val h = a.concatHorizontal(Seq(9.9).toDF("z"))
+    assert(h.columns.toSeq == Seq("id", "s", "z"))
+    val row = h.collect()(0)
+    assert(row.getInt(0) == 1 && row.getDouble(2) == 9.9)
+  }
+
+  test("explode + explodeOuter keep empty-list rows as null") {
+    val df = Seq((1, Seq("a", "b")), (2, Seq.empty[String])).toDF("id", "xs")
+    assert(df.explodeCol("xs").count() == 2)
+    val outer = df.explodeOuter("xs")
+    assert(outer.count() == 3)
+    assert(outer.filter(col("id") === 2).collect()(0).isNullAt(1))
+  }
+
+  test("unnest flattens struct columns (eager.rs:707-731)") {
+    val df = Seq((1, ("bob", 42))).toDF("id", "p")
+      .select(col("id"), col("p._1").as("name"), col("p._2").as("age"))
+      .select(col("id"), struct(col("name"), col("age")).as("profile"))
+    val got = df.unnest("profile")
+    assert(got.columns.toSeq == Seq("id", "name", "age"))
+    assert(got.collect()(0).getString(1) == "bob")
+  }
+
+  test("pivot/unpivot round shape (eager.rs:553-661)") {
+    val df = Seq(("a", "q1", 1.0), ("a", "q2", 2.0), ("b", "q1", 3.0))
+      .toDF("id", "quarter", "v")
+    val wide = df.pivotOn(Seq("id"), "quarter", "v", "sum").orderBy("id")
+    assert(wide.columns.toSeq == Seq("id", "q1", "q2"))
+    assert(wide.collect()(0).getDouble(1) == 1.0)
+    val long = wide.unpivotOn(Seq("id"), Seq("q1", "q2"))
+    assert(long.count() == 4) // includes b/q2 null
+  }
+
+  test("dropNulls/rename/sample determinism") {
+    val df = Seq[(java.lang.Integer, String)]((1, "a"), (null, "b")).toDF("x", "s")
+    assert(df.dropNulls("x").count() == 1)
+    assert(df.rename("x", "y").columns.contains("y"))
+    val li = sf("lineitem")
+    val s1 = li.sampleN(100, seed = 7).agg(sum("l_orderkey")).collect()(0).getLong(0)
+    val s2 = li.sampleN(100, seed = 7).agg(sum("l_orderkey")).collect()(0).getLong(0)
+    assert(s1 == s2)
+    assert(li.sampleN(100, seed = 7).count() == 100)
+  }
+
+  test("describe produces the reference stat set (DataFrame.cs:665-727)") {
+    val d = people.describeAll().collect()
+    val stats = d.map(_.getString(0)).toSeq
+    assert(stats == Seq("count", "null_count", "mean", "std", "min", "25%", "50%", "75%", "max"))
+    val mean = d(2)
+    assert(mean.getString(2).toDouble == 32.5) // mean age
+  }
+
+  test("SqlContext facade registers and queries (sql.rs:12-65)") {
+    val ctx = graft.api.SqlContext(spark)
+    ctx.register("people_t", people)
+    val got = ctx.execute("SELECT count(*) AS n FROM people_t WHERE age > 30").collect()(0)
+    assert(got.getLong(0) == 2L)
+    ctx.unregister("people_t")
+  }
+
+  test("IO: csv/json round-trip with schema override (io.rs:16-155)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_io").toString
+    graft.sources.IO.sinkCsv(people, s"$dir/people_csv")
+    val back = graft.sources.IO.scanCsv(spark, s"$dir/people_csv")
+    assert(back.count() == 4)
+    assert(back.schema("age").dataType == org.apache.spark.sql.types.IntegerType ||
+      back.schema("age").dataType == org.apache.spark.sql.types.LongType)
+    graft.sources.IO.sinkJson(people, s"$dir/people_json")
+    assert(graft.sources.IO.scanNdjson(spark, s"$dir/people_json").count() == 4)
+  }
+}

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions => V}
+
+/** Dedup / similarity / text / multimodal operator tests. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 0
+    (2L, "completely different content about spark catalyst optimizer rules here"),
+    (3L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps smallest id per duplicate group") {
+    val got = graft.dedup.Dedup.exact(docs, Seq("text"), "doc_id")
+    assert(got.count() == 3)
+    assert(!got.select("doc_id").as[Long].collect().contains(3L))
+  }
+
+  test("fingerprint dedup collapses case/punct/whitespace variants") {
+    val variants = Seq((0L, "Hello,   World!"), (1L, "hello world"), (2L, "other")).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.byFingerprint(variants, "text", "doc_id")
+    assert(got.count() == 2)
+  }
+
+  test("minhash LSH finds near-dup and exact-dup pairs, not distinct docs") {
+    val pairs = graft.dedup.Dedup.minhashPairs(docs, "doc_id", "text",
+        numHashes = 64, bands = 16, shingleK = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L))) // exact dup: est = 1.0
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 3L))) // near-dup
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("simhash hamming ~0 for near-dups, large for distinct") {
+    val sims = docs.select(col("doc_id"), H.simhash64(T.tokens(col("text"))).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(java.lang.Long.bitCount(sims(0L) ^ sims(3L)) == 0)
+    assert(java.lang.Long.bitCount(sims(0L) ^ sims(1L)) <= 12)
+    assert(java.lang.Long.bitCount(sims(0L) ^ sims(2L)) > 12)
+  }
+
+  test("ngram jaccard exact pairs match hand-computed value") {
+    val pairs = graft.dedup.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleK = 3, threshold = 0.3)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 3L)) == 1.0)
+    // doc0 vs doc1: 13 tokens, 11 3-shingles each, 10 shared -> 10/12
+    assert(math.abs(pairs((0L, 1L)) - 10.0 / 12.0) < 1e-12)
+  }
+
+  test("langId picks the dominant stopword language deterministically") {
+    val df = Seq(
+      "the cat sat on the mat and it was happy",
+      "der hund ist nicht auf der couch und das ist gut",
+      "xyzzy plugh qwerty").toDF("text")
+    val got = df.select(T.langId(col("text"))).as[String].collect()
+    assert(got(0) == "en" && got(1) == "de" && got(2) == "und")
+  }
+
+  test("token counts: whitespace vs BPE-ish regex") {
+    val df = Seq("Hello world, it's 2024!").toDF("text")
+    val got = df.select(T.tokenCount(col("text")), T.bpeTokenCount(col("text"))).collect()(0)
+    assert(got.getInt(0) == 4)
+    // Hello| world|,| it|'s| 2024|! -> 7
+    assert(got.getInt(1) == 7)
+  }
+
+  test("quality score ranges and orders sensibly") {
+    val df = Seq(
+      ("good", "the cat sat on the mat and it was very happy today friends"),
+      ("bad", "!!! ??? ### $$$ %%%")).toDF("tag", "text")
+    val got = df.select(col("tag"), T.qualityScore(col("text")).as("q"))
+      .as[(String, Double)].collect().toMap
+    assert(got("good") > 0.8 && got("bad") < 0.5)
+    assert(got.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("cosine: HOF vs native codegen expression agree bit-exactly") {
+    val e = sf("embeddings")
+    val pairs = e.alias("a").join(e.alias("b"),
+        col("a.vec_id") + 100 === col("b.vec_id"))
+      .select(V.cosine(col("a.embedding"), col("b.embedding")).as("hof"),
+        call_function("graft_cosine", col("a.embedding"), col("b.embedding")).as("native"))
+    assert(pairs.filter(col("hof") =!= col("native")).count() == 0)
+    assert(pairs.count() > 100)
+  }
+
+  test("brute-force top-k is exact and deterministic") {
+    val e = sf("embeddings")
+    val got = graft.similarity.Ann.bruteForceTopK(e, e.filter(col("vec_id") === 0), k = 3)
+    val rows = got.orderBy("rank").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getInt(3)).toSeq == Seq(1, 2, 3))
+    assert(rows(0).getDouble(2) >= rows(1).getDouble(2))
+  }
+
+  test("LSH ANN recall improves with probe radius; radius-2 >= 50%") {
+    val e = sf("embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    val exact = graft.similarity.Ann.bruteForceTopK(e, q, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallAt(radius: Int): Double = {
+      val approx = graft.similarity.Ann.lshTopK(e, q, k = 5, dim = 64, nBits = 4,
+          probeRadius = radius)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    val r1 = recallAt(1); val r2 = recallAt(2)
+    assert(r2 >= r1, s"r1=$r1 r2=$r2")
+    assert(r2 >= 0.5, s"radius-2 recall $r2")
+  }
+
+  test("multimodal: media table + partition-parallel stub decode") {
+    val media = graft.multimodal.Multimodal.asMediaTable(
+      docs.withColumn("bin", col("text").cast("binary")), "doc_id", "bin")
+    assert(media.schema.fieldNames.toSeq == Seq("media_id", "payload", "meta"))
+    val feats = graft.multimodal.Multimodal.decodeFeatures(media, featureDim = 8)
+    val rows = feats.select(col("media_id"), col("features")).collect()
+    assert(rows.forall(_.getSeq[Float](1).length == 8))
+    // deterministic: same payload -> same features (docs 0 and 3 identical)
+    val byId = rows.map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(byId(0L) == byId(3L))
+    val frames = graft.multimodal.Multimodal.sampleFrames(media, 4)
+    assert(frames.count() == 16)
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{DynamicGroupBy, Fill, Rolling}
+
+/** Time-series semantics mirroring the reference's TimeSeriesTests
+  * (Polars.CSharp.Tests/TimeSeriesTests.cs:8-46 — fixture F2). */
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 6 points at 10-min spacing from 10:00, Val = i
+  private lazy val series = (0 until 6).map { i =>
+    (java.sql.Timestamp.valueOf(f"2024-01-01 10:${i * 10}%02d:00"), i)
+  }.toDF("Time", "Val")
+
+  test("30-min tumble closed=Left: sums {3,12}, counts {3,3} (F2 golden)") {
+    val got = DynamicGroupBy(series, "Time", every = "30m")(
+        sum(col("Val")).as("SumVal"), count(lit(1)).as("Cnt"))
+      .orderBy("Time").collect()
+    assert(got.length == 2)
+    assert(got(0).getLong(1) == 3L && got(0).getLong(2) == 3L)
+    assert(got(1).getLong(1) == 12L && got(1).getLong(2) == 3L)
+    assert(got(0).getAs[java.sql.Timestamp](0).toString.startsWith("2024-01-01 10:00"))
+  }
+
+  test("closed=Right shifts boundary points into the earlier window") {
+    // boundary point at 10:30 belongs to (10:00,10:30] under Right
+    val got = DynamicGroupBy(series, "Time", every = "30m",
+        closed = DynamicGroupBy.ClosedRight)(sum(col("Val")).as("s"))
+      .orderBy("Time").collect()
+    // windows keyed by [start,end) of t-1us: 10:00 point -> 09:30 window
+    assert(got.length == 3)
+    assert(got(0).getLong(1) == 0L)     // {10:00}
+    assert(got(1).getLong(1) == 1 + 2 + 3) // {10:10,10:20,10:30}
+    assert(got(2).getLong(1) == 4 + 5)  // {10:40,10:50}
+  }
+
+  test("sliding windows: every=30m period=1h") {
+    val got = DynamicGroupBy(series, "Time", every = "30m", period = Some("1h"))(
+        sum(col("Val")).as("s"))
+      .orderBy("Time").collect()
+    // windows starting 09:30,10:00,10:30: sums {3, 15, 12}
+    assert(got.map(_.getLong(1)).toSeq == Seq(3L, 15L, 12L))
+  }
+
+  test("rolling fixed 3-row mean with min_periods (expr.rs:102-141)") {
+    val df = (1 to 5).map(i => (i, i.toDouble)).toDF("id", "v")
+    val spec = Rolling.fixedSpec("3i", Seq(col("id")))
+    val got = df.withColumn("m", Rolling.rollingMean(col("v"), spec, minPeriods = 3))
+      .orderBy("id").select("m").collect()
+    assert(got(0).isNullAt(0) && got(1).isNullAt(0))
+    assert(got(2).getDouble(0) == 2.0 && got(4).getDouble(0) == 4.0)
+  }
+
+  test("rolling time-based 3-min count closed=Right (ComplexTests.fs:419)") {
+    val df = (0 until 10).map { i =>
+      (java.sql.Timestamp.valueOf(s"2024-01-01 10:0$i:00"), 1)
+    }.toDF("t", "one")
+    val spec = Rolling.timeSpec("3m", col("t"))
+    val got = df.withColumn("c", Rolling.rollingCount(col("one"), spec))
+      .orderBy("t").select("c").collect()
+    // (t-3m, t]: counts 1,2,3,3,3,...
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 3L, 3L, 3L, 3L, 3L, 3L, 3L))
+  }
+
+  test("forward fill with limit bounds the fill distance") {
+    val df = Seq((1, Some(10.0)), (2, None), (3, None), (4, None), (5, Some(50.0)))
+      .toDF("id", "v")
+    val unlimited = df.withColumn("f", Fill.forwardFill(col("v"), Seq(col("id"))))
+      .orderBy("id").select("f").collect()
+    assert(unlimited.map(r => if (r.isNullAt(0)) -1.0 else r.getDouble(0)).toSeq ==
+      Seq(10.0, 10.0, 10.0, 10.0, 50.0))
+    val limited = df.withColumn("f", Fill.forwardFill(col("v"), Seq(col("id")), limit = Some(2)))
+      .orderBy("id").select("f").collect()
+    assert(limited.map(r => if (r.isNullAt(0)) -1.0 else r.getDouble(0)).toSeq ==
+      Seq(10.0, 10.0, 10.0, -1.0, 50.0))
+  }
+
+  test("streaming twin: windowed agg over memory sink matches batch") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    series.write.mode("overwrite").parquet(dir)
+    val schema = StructType(Seq(StructField("Time", TimestampType), StructField("Val", IntegerType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val agg = graft.streaming.StreamOps.windowedAgg(stream, "Time", every = "30m")(
+      sum(col("Val")).as("SumVal"))
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("graft_stream_test").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT SumVal FROM graft_stream_test ORDER BY Time").collect()
+      assert(got.map(_.getLong(0)).toSeq == Seq(3L, 12L))
+    } finally q.stop()
+  }
+}
