@@ -39,17 +39,28 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 128, bands: Int = 32, shingleK: Int = 5,
                    threshold: Double = 0.8): DataFrame = {
+    graft.plans.SketchExprs.register(df.sparkSession)
+    // native sketch expression (tight loop) + persist: the signature scan
+    // runs ONCE; only (id, band, bucket) flows through the self-join shuffle,
+    // and signatures re-attach by id for the estimate.
     val sigs = df.select(col(idCol).as("id"),
-        H.minhashSignature(array_distinct(T.shingles(T.tokens(col(textCol)), shingleK)), numHashes)
+        call_function("graft_minhash",
+          array_distinct(T.shingles(T.tokens(col(textCol)), shingleK)), lit(numHashes))
           .as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandsDf = sigs
       .withColumn("bh", explode(H.bandHashes(col("sig"), numHashes, bands)))
-      .select(col("id"), col("sig"), col("bh.band"), col("bh.bucket"))
-    val a = sigs.alias("a"); val b = sigs.alias("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        H.minhashJaccardEstimate(col("a.sig"), col("b.sig")).as("jaccard_est"))
+      .select(col("id"), col("bh.band"), col("bh.bucket"))
+    val a = bandsDf.alias("a"); val b = bandsDf.alias("b")
+    val cand = a.join(b, col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("__sa")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("__sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        H.minhashJaccardEstimate(col("__sa"), col("__sb")).as("jaccard_est"))
       .filter(col("jaccard_est") >= threshold)
   }
 
@@ -69,7 +80,9 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    chunks: Int = 4, maxHamming: Int = 3): DataFrame = {
     require(maxHamming < chunks, "pigeonhole blocking needs maxHamming < chunks")
-    val sims = df.select(col(idCol).as("id"), H.simhash64(T.tokens(lower(col(textCol)))).as("sim"))
+    graft.plans.SketchExprs.register(df.sparkSession)
+    val sims = df.select(col(idCol).as("id"),
+        call_function("graft_simhash", T.tokens(lower(col(textCol)))).as("sim"))
       .withColumn("blk", explode(H.simhashBlocks(col("sim"), chunks)))
       .select(col("id"), col("sim"), col("blk.chunk"), col("blk.key"))
     val a = sims.alias("a"); val b = sims.alias("b")
@@ -106,11 +119,14 @@ object Dedup {
     * cross scan — quadratic, only for small corpora or after LSH). */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                            blockCol: String, threshold: Double): DataFrame = {
+    // native codegen cosine: bit-identical to the HOF fold (PipelineSpec
+    // asserts it), ~64x less per-element interpreter overhead
+    graft.plans.CosineSimilarityExpr.register(df.sparkSession)
     val e = df.select(col(idCol).as("id"), col(blockCol).as("blk"), col(vecCol).as("v"))
     e.alias("a")
       .join(e.alias("b"), col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        V.cosine(col("a.v"), col("b.v")).as("cosine"))
+        call_function("graft_cosine", col("a.v"), col("b.v")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

@@ -24,10 +24,11 @@ object Ann {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      queryIdCol: String = "query_id"): DataFrame = {
+    graft.plans.CosineSimilarityExpr.register(corpus.sparkSession)
     val q = queries.select(col(idCol).as(queryIdCol), col(vecCol).as("__qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val scored = c.join(broadcast(q), col(queryIdCol) =!= col("neighbor_id"))
-      .withColumn("cosine", V.cosine(col("__qv"), col("__cv")))
+      .withColumn("cosine", call_function("graft_cosine", col("__qv"), col("__cv")))
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col("cosine").desc_nulls_last, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -75,9 +76,10 @@ object Ann {
       .withColumn("__qbucket", lshBucket(col("__qv"), dim, nBits, seed))
       .withColumn("__probe", explode(probes))
       .withColumn("__bucket", col("__qbucket").bitwiseXOR(col("__probe")))
+    graft.plans.CosineSimilarityExpr.register(corpus.sparkSession)
     val scored = c.join(broadcast(q), Seq("__bucket"))
       .filter(col(queryIdCol) =!= col("neighbor_id"))
-      .withColumn("cosine", V.cosine(col("__qv"), col("__cv")))
+      .withColumn("cosine", call_function("graft_cosine", col("__qv"), col("__cv")))
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col("cosine").desc_nulls_last, col("neighbor_id"))
     scored.select(col(queryIdCol), col("neighbor_id"), col("cosine")).distinct()
