@@ -477,6 +477,92 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // §2.13 typed scalar UDFs (Expr.Map parity): dtype-changing int->string
+    // map + double arithmetic map, both optimizer barriers like the reference
+    "q29_udf_map" -> ((s, d) => {
+      val priceBump = graft.functions.Udfs.map((x: Double) => x * 1.1)
+      val sizeTag = graft.functions.Udfs.map((n: Int) => s"size_$n")
+      t(s, d, "part")
+        .select(col("p_partkey"),
+          priceBump(col("p_retailprice")).as("bumped"),
+          sizeTag(col("p_size")).as("size_tag"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // §2.11 str extras: byte length, char strip sets, prefix strip, split+join
+    "q30_str_extra" -> ((s, d) => {
+      t(s, d, "part")
+        .select(col("p_partkey"),
+          col("p_name").str.lenBytes.cast("long").as("n_bytes"),
+          col("p_brand").str.stripPrefix("Brand#").as("brand_id"),
+          col("p_name").str.stripChars("aeiou ").as("consonant_trim"),
+          col("p_type").str.split(" ").list.join("-").as("type_dashed"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // §2.11 dt extras: strftime, time-of-day nanos, epoch ms
+    "q31_dt_extra" -> ((s, d) => {
+      t(s, d, "events")
+        .select(col("event_id"),
+          col("ts").dt.toString("%Y-%m-%d %H:%M").as("formatted"),
+          col("ts").dt.time.as("tod_nanos"),
+          col("ts").dt.timestamp("ms").as("epoch_ms"),
+          col("ts").dt.date.as("d"))
+        .orderBy(col("event_id"))
+    }),
+
+    // §2.11 list namespace over real array data
+    "q32_list_ops" -> ((s, d) => {
+      t(s, d, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").list.get(0).as("f0"),
+          col("embedding").list.len.cast("long").as("dim"),
+          col("embedding").list.min.as("vmin"),
+          col("embedding").list.max.as("vmax"),
+          graft.functions.VectorFunctions.dot(
+            slice(col("embedding"), 1, 4), slice(col("embedding"), 1, 4)).as("head_sq"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // §2.11 struct namespace: as_struct + field access + json encode
+    "q33_struct_ops" -> ((s, d) => {
+      val st = asStruct(col("c_name").as("name"),
+        (dec2(col("c_acctbal")) * 100).cast("long").as("bal_cents"))
+      t(s, d, "customer")
+        .select(col("c_custkey"),
+          st.struct_.fieldByName("name").as("name"),
+          st.struct_.jsonEncode.as("as_json"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // §2.8 horizontal concat: positional zip of two differently-ordered
+    // projections (row-index join under the hood)
+    "q34_concat_horizontal" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val a = c.orderBy(col("c_custkey")).select(col("c_custkey"), col("c_name"))
+      val b = c.orderBy(col("c_custkey").desc).select(col("c_acctbal").as("rev_bal"))
+      a.concatHorizontal(b).orderBy(col("c_custkey"))
+    }),
+
+    // §2.5 group_by_dynamic label=Right + include_boundaries
+    "q35_gbd_boundaries" -> ((s, d) => {
+      graft.operators.DynamicGroupBy(t(s, d, "events"), "ts", every = "12h",
+          label = graft.operators.DynamicGroupBy.LabelRight,
+          includeBoundaries = true)(
+          count(lit(1)).as("n"))
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+        .withColumn("_lower_boundary", col("_lower_boundary").cast("timestamp_ntz"))
+        .withColumn("_upper_boundary", col("_upper_boundary").cast("timestamp_ntz"))
+        .orderBy(col("ts"))
+    }),
+
+    // §2.3 deterministic seeded sampling (hash-ranked exact-n) — rows-only
+    "q36_sample" -> ((s, d) => {
+      t(s, d, "orders").sampleN(100, seed = 7)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // multimodal decode plumbing: partition-parallel STUB decoder over binary
     // payloads (deterministic fake features) — rows-only check
     "qm02_decode_features" -> ((s, d) => {
@@ -607,6 +693,55 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
         |  FROM scored
         |) WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q29_udf_map" ->
+      """SELECT p_partkey, p_retailprice * 1.1 AS bumped,
+        |  'size_' || CAST(p_size AS VARCHAR) AS size_tag
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q30_str_extra" ->
+      """SELECT p_partkey,
+        |  strlen(p_name) AS n_bytes,
+        |  CASE WHEN starts_with(p_brand, 'Brand#') THEN substr(p_brand, 7) ELSE p_brand END AS brand_id,
+        |  trim(p_name, 'aeiou ') AS consonant_trim,
+        |  list_aggregate(string_split(p_type, ' '), 'string_agg', '-') AS type_dashed
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q31_dt_extra" ->
+      """SELECT event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M') AS formatted,
+        |  (epoch_us(ts) - epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP))) * 1000 AS tod_nanos,
+        |  epoch_ms(ts) AS epoch_ms,
+        |  CAST(ts AS DATE) AS d
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q32_list_ops" ->
+      """SELECT vec_id,
+        |  embedding[1] AS f0,
+        |  len(embedding) AS dim,
+        |  list_min(embedding) AS vmin,
+        |  list_max(embedding) AS vmax,
+        |  list_sum(list_transform(embedding[1:4], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS head_sq
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q33_struct_ops" ->
+      """SELECT c_custkey, c_name AS name,
+        |  CAST(to_json(struct_pack(name := c_name,
+        |    bal_cents := CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))) AS VARCHAR) AS as_json
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q34_concat_horizontal" ->
+      """WITH a AS (SELECT c_custkey, c_name, row_number() OVER (ORDER BY c_custkey) AS rn FROM customer),
+        |b AS (SELECT c_acctbal AS rev_bal, row_number() OVER (ORDER BY c_custkey DESC) AS rn FROM customer)
+        |SELECT a.c_custkey, a.c_name, b.rev_bal FROM a JOIN b USING (rn)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q35_gbd_boundaries" ->
+      """SELECT time_bucket(INTERVAL '12 hours', ts) + INTERVAL 12 HOURS AS ts,
+        |  time_bucket(INTERVAL '12 hours', ts) AS _lower_boundary,
+        |  time_bucket(INTERVAL '12 hours', ts) + INTERVAL 12 HOURS AS _upper_boundary,
+        |  count(*) AS n
+        |FROM events GROUP BY 1, 2, 3 ORDER BY ts""".stripMargin,
 
     "qm01_media_meta" ->
       """SELECT doc_id AS media_id,

@@ -1,0 +1,81 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Eager-feeling `Series` facade — the reference's fundamental 1-D
+  * abstraction (reference: native_shim/src/types.rs:24-26, series.rs;
+  * Polars.CSharp/Series.cs: named typed columnar array with vectorized
+  * arith/compare/agg at series.rs:559-753).
+  *
+  * Spark has no standalone columnar vector; a Series here is a named
+  * single-column DataFrame, so every op stays a distributed plan and two
+  * Series of the same length zip positionally (the reference's alignment
+  * semantics) via the row-index join used by horizontal concat. Aggregations
+  * return scalars eagerly like the reference's `sum()`/`mean()` getters.
+  */
+final class Series private (val name: String, private val df: DataFrame) {
+
+  private def unary(f: Column => Column, newName: String = name): Series =
+    new Series(newName, df.select(f(col(name)).as(newName)))
+
+  def rename(newName: String): Series = unary(identity, newName)
+  def cast(t: String): Series = unary(_.cast(t))
+  def abs: Series = unary(org.apache.spark.sql.functions.abs)
+  def sqrt: Series = unary(org.apache.spark.sql.functions.sqrt)
+  def exp: Series = unary(org.apache.spark.sql.functions.exp)
+  def isNull: Series = unary(_.isNull)
+  def isNotNull: Series = unary(_.isNotNull)
+
+  /** Vectorized binary op against a scalar. */
+  def +(v: Double): Series = unary(_ + lit(v))
+  def -(v: Double): Series = unary(_ - lit(v))
+  def *(v: Double): Series = unary(_ * lit(v))
+  def /(v: Double): Series = unary(_ / lit(v))
+
+  /** Positional zip with another Series (reference series arithmetic). */
+  def zipWith(other: Series, f: (Column, Column) => Column, newName: String): Series = {
+    import graft.api.frame._
+    val joined = df.concatHorizontal(other.df.select(col(other.name).as("__other")))
+    new Series(newName, joined.select(f(col(name), col("__other")).as(newName)))
+  }
+  def +(other: Series): Series = zipWith(other, _ + _, name)
+  def -(other: Series): Series = zipWith(other, _ - _, name)
+  def *(other: Series): Series = zipWith(other, _ * _, name)
+
+  // eager scalar aggregations (series.rs:559-753)
+  def len(): Long = df.count()
+  def sum(): Double = agg(org.apache.spark.sql.functions.sum(col(name)))
+  def mean(): Double = agg(avg(col(name)))
+  def min(): Double = agg(org.apache.spark.sql.functions.min(col(name)).cast("double"))
+  def max(): Double = agg(org.apache.spark.sql.functions.max(col(name)).cast("double"))
+  def nullCount(): Long =
+    df.agg(org.apache.spark.sql.functions.sum(when(col(name).isNull, 1L).otherwise(0L)))
+      .collect()(0).getLong(0)
+
+  private def agg(c: Column): Double = {
+    val r = df.agg(c.cast("double")).collect()(0)
+    if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
+  }
+
+  /** Materialize (reference per-cell getters, series.rs:439-553). */
+  def toSeq[T: scala.reflect.ClassTag]: Seq[T] = df.collect().map(_.getAs[T](0)).toSeq
+  def toFrame: DataFrame = df
+}
+
+object Series {
+  def apply(name: String, values: Seq[Any])(implicit spark: SparkSession): Series = {
+    import spark.implicits._
+    val df = values.headOption match {
+      case Some(_: Int) => values.map(_.asInstanceOf[Int]).toDF(name)
+      case Some(_: Long) => values.map(_.asInstanceOf[Long]).toDF(name)
+      case Some(_: Double) => values.map(_.asInstanceOf[Double]).toDF(name)
+      case Some(_: String) => values.map(_.asInstanceOf[String]).toDF(name)
+      case Some(_: Boolean) => values.map(_.asInstanceOf[Boolean]).toDF(name)
+      case other => throw new IllegalArgumentException(s"unsupported series type: $other")
+    }
+    new Series(name, df)
+  }
+  def fromColumn(name: String, df: DataFrame): Series =
+    new Series(name, df.select(col(name)))
+}
