@@ -556,6 +556,22 @@ object SparkEntry {
         .orderBy(col("ts"))
     }),
 
+    // §2.5 quantile interpolation modes (nearest/higher/lower/midpoint/
+    // linear — expr.rs:1156-1176) via sorted-group-list composition
+    "q37_quantile_modes" -> ((s, d) => {
+      val Q = graft.functions.Quantiles
+      val v = col("l_quantity")
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          Q.quantile(v, 0.35, Q.Lower).as("q_lower"),
+          Q.quantile(v, 0.35, Q.Higher).as("q_higher"),
+          Q.quantile(v, 0.35, Q.Nearest).as("q_nearest"),
+          Q.quantile(v, 0.35, Q.Midpoint).as("q_midpoint"),
+          Q.quantile(v, 0.35, Q.Linear).as("q_linear"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // §2.3 deterministic seeded sampling (hash-ranked exact-n) — rows-only
     "q36_sample" -> ((s, d) => {
       t(s, d, "orders").sampleN(100, seed = 7)
@@ -742,6 +758,23 @@ object SparkEntry {
         |  time_bucket(INTERVAL '12 hours', ts) + INTERVAL 12 HOURS AS _upper_boundary,
         |  count(*) AS n
         |FROM events GROUP BY 1, 2, 3 ORDER BY ts""".stripMargin,
+
+    "q37_quantile_modes" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, list_sort(list(CAST(l_quantity AS DOUBLE))) AS xs
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT l_returnflag,
+        |  xs[CAST(floor(0.35 * (len(xs) - 1)) AS INT) + 1] AS q_lower,
+        |  xs[CAST(ceil(0.35 * (len(xs) - 1)) AS INT) + 1] AS q_higher,
+        |  xs[CAST(floor(0.35 * (len(xs) - 1) + 0.5) AS INT) + 1] AS q_nearest,
+        |  (xs[CAST(floor(0.35 * (len(xs) - 1)) AS INT) + 1]
+        |   + xs[CAST(ceil(0.35 * (len(xs) - 1)) AS INT) + 1]) / 2.0 AS q_midpoint,
+        |  xs[CAST(floor(0.35 * (len(xs) - 1)) AS INT) + 1]
+        |   + (0.35 * (len(xs) - 1) - floor(0.35 * (len(xs) - 1)))
+        |     * (xs[CAST(ceil(0.35 * (len(xs) - 1)) AS INT) + 1]
+        |        - xs[CAST(floor(0.35 * (len(xs) - 1)) AS INT) + 1]) AS q_linear
+        |FROM s ORDER BY l_returnflag""".stripMargin,
 
     "qm01_media_meta" ->
       """SELECT doc_id AS media_id,

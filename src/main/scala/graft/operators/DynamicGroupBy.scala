@@ -33,17 +33,34 @@ object DynamicGroupBy {
   case object LabelLeft extends Label
   case object LabelRight extends Label
 
+  /** StartBy (lazy.rs window StartBy): WindowBound aligns the grid to the
+    * epoch (+offset); Weekday(d) aligns window starts to that weekday
+    * (1=Monday..7=Sunday) — meaningful for weekly ("1w") grids. The epoch
+    * 1970-01-01 is a Thursday, so Monday alignment shifts the grid by +4d. */
+  sealed trait StartBy
+  case object WindowBound extends StartBy
+  final case class Weekday(isoDay: Int) extends StartBy {
+    require(isoDay >= 1 && isoDay <= 7, "isoDay in 1..7 (Mon..Sun)")
+  }
+
   def apply(df: DataFrame, timeCol: String,
             every: String, period: Option[String] = None, offset: Option[String] = None,
             by: Seq[String] = Seq.empty,
             closed: Closed = ClosedLeft,
             label: Label = LabelLeft,
-            includeBoundaries: Boolean = false)
+            includeBoundaries: Boolean = false,
+            startBy: StartBy = WindowBound)
            (aggs: Column*): DataFrame = {
 
     val everyUs = Durations.parseMicros(every)
     val periodUs = period.map(Durations.parseMicros).getOrElse(everyUs)
-    val offsetUs = offset.map(Durations.parseMicros).getOrElse(0L)
+    val dayUs = 86400000000L
+    val startByUs = startBy match {
+      case WindowBound => 0L
+      // epoch day 0 = Thursday (ISO 4); shift grid so windows start on isoDay
+      case Weekday(d) => ((d - 4 + 7) % 7).toLong * dayUs
+    }
+    val offsetUs = offset.map(Durations.parseMicros).getOrElse(0L) + startByUs
 
     // closed-bound nudge: Spark assigns t ∈ [start, end). For (start, end]
     // membership, assign by t-1µs; Both/None are only exact for tumbling

@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.functions.Quantiles
+import graft.operators.DynamicGroupBy
+
+/** Fidelity-corner tests: quantile interpolation modes, start_by weekday
+  * alignment, stateful sessionization, type mapping. */
+class FidelitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quantile modes on a known vector (expr.rs:1156-1176)") {
+    // values 10,20,30,40; q=0.35 -> h = 1.05
+    val df = Seq(10.0, 40.0, 20.0, 30.0).toDF("v")
+    val got = df.agg(
+      Quantiles.quantile(col("v"), 0.35, Quantiles.Lower).as("lo"),
+      Quantiles.quantile(col("v"), 0.35, Quantiles.Higher).as("hi"),
+      Quantiles.quantile(col("v"), 0.35, Quantiles.Nearest).as("near"),
+      Quantiles.quantile(col("v"), 0.35, Quantiles.Midpoint).as("mid"),
+      Quantiles.quantile(col("v"), 0.35, Quantiles.Linear).as("lin")).collect()(0)
+    assert(got.getDouble(0) == 20.0) // lower: idx 1
+    assert(got.getDouble(1) == 30.0) // higher: idx 2
+    assert(got.getDouble(2) == 20.0) // nearest: round(1.05)=1
+    assert(got.getDouble(3) == 25.0)
+    assert(math.abs(got.getDouble(4) - 20.5) < 1e-12) // 20 + 0.05*10
+  }
+
+  test("linear mode matches Spark's built-in percentile") {
+    val li = sf("lineitem")
+    val got = li.agg(
+      Quantiles.quantile(col("l_quantity"), 0.25, Quantiles.Linear).as("mine"),
+      percentile(col("l_quantity"), lit(0.25)).as("spark")).collect()(0)
+    assert(got.getDouble(0) == got.getDouble(1))
+  }
+
+  test("start_by=Monday aligns weekly windows to Mondays") {
+    // 2024-01-01 is a Monday; events over 3 weeks
+    val df = (0 until 21).map(i =>
+      (Timestamp.valueOf(f"2024-01-${i + 1}%02d 12:00:00"), 1)).toDF("t", "one")
+    val got = DynamicGroupBy(df, "t", every = "1w",
+        startBy = DynamicGroupBy.Weekday(1))(count(lit(1)).as("n"))
+      .orderBy("t").collect()
+    assert(got.length == 3)
+    got.foreach { r =>
+      val start = r.getAs[Timestamp](0).toLocalDateTime
+      assert(start.getDayOfWeek == java.time.DayOfWeek.MONDAY, s"window start $start")
+      assert(r.getLong(1) == 7L)
+    }
+  }
+
+  test("stateful sessionization closes sessions on event-time gaps") {
+    import graft.streaming.Sessionize
+    implicit val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    // user 1: two sessions (gap > 30m); user 2: one session
+    Seq(
+      Sessionize.Event(1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      Sessionize.Event(1L, Timestamp.valueOf("2024-01-01 10:10:00"), 2.0),
+      Sessionize.Event(1L, Timestamp.valueOf("2024-01-01 12:00:00"), 3.0),
+      Sessionize.Event(2L, Timestamp.valueOf("2024-01-01 09:00:00"), 5.0),
+      // late sentinel advances the watermark far enough to time out all state
+      Sessionize.Event(99L, Timestamp.valueOf("2024-01-02 00:00:00"), 0.0),
+    ).toDS().write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(
+      org.apache.spark.sql.Encoders.product[Sessionize.Event].schema)
+      .parquet(dir).as[Sessionize.Event]
+    val q = Sessionize.sessions(stream, gap = "30m", watermarkDelay = "0 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("graft_sessions").start()
+    try {
+      q.processAllAvailable()
+      // feed an empty batch so event-time timeouts fire after watermark moves
+      Seq.empty[Sessionize.Event].toDS().write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT userId, nEvents, sumValue FROM graft_sessions WHERE userId < 90 ORDER BY userId, sessionStart")
+        .collect()
+      assert(got.length >= 2, got.mkString(";"))
+      val u1 = got.filter(_.getLong(0) == 1L)
+      assert(u1.head.getLong(1) == 2L && u1.head.getDouble(2) == 3.0)
+    } finally q.stop()
+  }
+
+  test("type mapping widens unsigned and preserves µs datetimes (SURVEY 1.2)") {
+    import org.apache.spark.sql.types._
+    assert(graft.api.TypeMapping.byName("uint8") == ShortType)
+    assert(graft.api.TypeMapping.byName("uint64") == DecimalType(20, 0))
+    assert(graft.api.TypeMapping.byName("datetime") == TimestampNTZType)
+    assert(graft.api.TypeMapping.byName("time") == LongType)
+    assert(graft.api.TypeMapping.byKind(22) == DecimalType(38, 9))
+  }
+}

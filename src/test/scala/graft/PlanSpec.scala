@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Physical-plan quality gates — the properties that decide whether these
+  * operators survive a 100 TB cluster, asserted on the actual planned
+  * output of the production queries:
+  *   - filters/projections reach the parquet scan (no full-table reads),
+  *   - small dimensions broadcast (no shuffle of the big side),
+  *   - hot expression paths stay inside whole-stage codegen,
+  *   - as-of join plans exactly ONE shuffle of the union (no range
+  *     explosion, no per-row nested loops).
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def formatted(df: DataFrame): String = {
+    val qe = df.queryExecution
+    qe.executedPlan.treeString
+  }
+
+  test("filter + projection push down to the parquet scan (q02)") {
+    val df = SparkEntry.queries("q02_filter_project")(spark, "/root/testdata/sf0.001")
+    val scanLine = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    assert(scanLine.contains("PushedFilters: ["), s"no pushed filters in:\n$scanLine")
+    assert(scanLine.contains("l_quantity") && scanLine.contains("l_discount"))
+    // pruned read schema: only the 6 needed columns, not all 11
+    assert(!scanLine.contains("l_returnflag"), "projection not pruned")
+  }
+
+  test("3-table join broadcasts the small sides (q03)") {
+    val df = SparkEntry.queries("q03_join_inner")(spark, "/root/testdata/sf0.001")
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("whole-stage codegen covers the scan->filter->project pipeline") {
+    // AQE reports 0 codegen subtrees before stages finalize; plan without it
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q02_filter_project")(spark, "/root/testdata/sf0.001")
+      val codegen = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.CodegenMode)
+      assert(codegen.contains("WholeStageCodegen subtrees"), codegen.take(500))
+      assert(!codegen.startsWith("Found 0 WholeStageCodegen"), codegen.take(200))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("as-of join plans exactly one exchange for the union (q21 shape)") {
+    val ev = SparkEntry.t(spark, "/root/testdata/sf0.001", "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value").as("click_value"))
+    val joined = graft.operators.AsofJoin.join(p, c, "ts", "ts", Seq(("user_id", "user_id")))
+    val plan = planOf(joined)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("groupBy agg does partial (map-side) aggregation before the shuffle (q01)") {
+    val df = SparkEntry.queries("q01_groupby_agg")(spark, "/root/testdata/sf0.001")
+    val plan = planOf(df)
+    // two HashAggregate nodes around one exchange = partial + final
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
+  }
+
+  test("minhash pairs: signatures scan once (cached), bands shuffle only ids") {
+    val docs = SparkEntry.t(spark, "/root/testdata/sf0.001", "documents")
+    val pairs = graft.dedup.Dedup.minhashPairs(docs, "doc_id", "text",
+      numHashes = 32, bands = 8, shingleK = 3, threshold = 0.5)
+    val plan = planOf(pairs)
+    assert(plan.contains("InMemoryTableScan"), "signatures not cached")
+  }
+}
