@@ -62,24 +62,39 @@ object DynamicGroupBy {
     }
     val offsetUs = offset.map(Durations.parseMicros).getOrElse(0L) + startByUs
 
-    // closed-bound nudge: Spark assigns t ∈ [start, end). For (start, end]
-    // membership, assign by t-1µs; Both/None are only exact for tumbling
-    // windows where boundary points belong to two windows — we document
-    // Left/Right as the supported matrix (the reference default is Left).
+    // closed-bound handling: Spark assigns t ∈ [start, end).
+    //  Left  (reference default): native.
+    //  Right ((start, end]): assign by t−1µs (timestamps are µs-resolution,
+    //        so the nudge is exact).
+    //  Both  ([start, end]): grid-boundary points belong to TWO windows —
+    //        explode each such row into both assignments (tumbling only).
+    //  None  ((start, end)): grid-boundary points belong to NO window —
+    //        drop them from their left-assigned window (tumbling only).
     val t = col(timeCol).cast("timestamp")
-    val assignT = closed match {
-      case ClosedLeft => t
-      case ClosedRight => timestamp_micros(unix_micros(t) - lit(1L))
-      case ClosedBoth => t // boundary duplication unsupported; falls back to Left
-      case ClosedNone => timestamp_micros(unix_micros(t) - lit(1L)) // falls back to Right
+    val u = unix_micros(t)
+    val onBoundary = ((u - lit(offsetUs)) % lit(everyUs)) === 0
+    if ((closed == ClosedBoth || closed == ClosedNone) && periodUs != everyUs)
+      throw new IllegalArgumentException(
+        "closed=Both/None is defined for tumbling windows (period == every)")
+
+    val prepared = closed match {
+      case ClosedLeft => df.withColumn("__assign_t", t)
+      case ClosedRight => df.withColumn("__assign_t", timestamp_micros(u - lit(1L)))
+      case ClosedBoth =>
+        // boundary rows assign to both [t, ...) and (..., t]
+        df.withColumn("__assign_t",
+            explode(when(onBoundary, array(t, timestamp_micros(u - lit(1L))))
+              .otherwise(array(t))))
+      case ClosedNone =>
+        df.filter(!onBoundary).withColumn("__assign_t", t)
     }
 
-    val win = window(assignT,
+    val win = window(col("__assign_t"),
       Durations.microsToSparkInterval(periodUs),
       Durations.microsToSparkInterval(everyUs),
       Durations.microsToSparkInterval(offsetUs))
 
-    val grouped = df
+    val grouped = prepared
       .withColumn("__w", win)
       .groupBy((col("__w") +: by.map(col)).toIndexedSeq: _*)
       .agg(aggs.head, aggs.tail: _*)

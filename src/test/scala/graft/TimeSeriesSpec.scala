@@ -35,6 +35,24 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(2).getLong(1) == 4 + 5)  // {10:40,10:50}
   }
 
+  test("closed=Both duplicates boundary points into both windows") {
+    val got = DynamicGroupBy(series, "Time", every = "30m",
+        closed = DynamicGroupBy.ClosedBoth)(sum(col("Val")).as("s"))
+      .orderBy("Time").collect()
+    // boundary points 10:00 (val 0) and 10:30 (val 3) belong to two windows:
+    // [09:30,10:00]: {0}; [10:00,10:30]: {0,1,2,3}; [10:30,11:00]: {3,4,5}
+    assert(got.map(_.getLong(1)).toSeq == Seq(0L, 6L, 12L))
+  }
+
+  test("closed=None drops boundary points entirely (tumbling)") {
+    val got = DynamicGroupBy(series, "Time", every = "30m",
+        closed = DynamicGroupBy.ClosedNone)(sum(col("Val")).as("s"))
+      .orderBy("Time").collect()
+    // 10:00 and 10:30 are on the grid -> dropped; (10:00,10:30): {1,2};
+    // (10:30,11:00): {4,5}
+    assert(got.map(_.getLong(1)).toSeq == Seq(3L, 9L))
+  }
+
   test("sliding windows: every=30m period=1h") {
     val got = DynamicGroupBy(series, "Time", every = "30m", period = Some("1h"))(
         sum(col("Val")).as("s"))
