@@ -449,6 +449,25 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // duplicate-cluster resolution: connected components (iterative min-label
+    // propagation) over the exact-Jaccard near-dup graph
+    "qd10_dedup_components" -> ((s, d) => {
+      val pairs = graft.dedup.Dedup.ngramJaccardPairs(t(s, d, "documents"),
+        "doc_id", "text", shingleK = 5, threshold = 0.5)
+      graft.dedup.ConnectedComponents.components(pairs)
+        .orderBy(col("id"))
+    }),
+
+    // IVF-flat ANN: Voronoi cells around sampled centroids, nprobe search —
+    // approximate, rows-only (recall asserted vs exact in ScalaTest)
+    "qs03_ann_ivf" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val (centroids, assigned) = graft.similarity.Ivf.buildIndex(e, nlist = 16)
+      graft.similarity.Ivf.search(assigned, centroids, e.filter(col("vec_id") < 10),
+          k = 5, nprobe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // similarity search: exact brute-force cosine top-5 for 10 query vectors
     "qs01_cosine_topk" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -633,6 +652,21 @@ object SparkEntry {
       |  FROM toks
       |)""".stripMargin
 
+  /** The qd03 exact-Jaccard pair query as a nestable subquery (DuckDB allows
+    * CTEs inside FROM subqueries) — reused by the connected-components
+    * oracle so the edge list cannot drift from qd03's. */
+  private lazy val jaccardPairsSql: String =
+    s"""$shingleCte,
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT id_a, id_b
+       |FROM p JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+       |WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.5""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "qd01_dedup_exact" ->
       """SELECT doc_id, lang, source FROM (
@@ -695,6 +729,22 @@ object SparkEntry {
         |      / sqrt(list_sum(list_transform(a.v, x -> x * x)) * list_sum(list_transform(b.v, x -> x * x))) AS cosine
         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |) WHERE cosine >= 0.35 ORDER BY id_a, id_b""".stripMargin,
+
+    "qd10_dedup_components" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT id_a, id_b FROM ($jaccardPairsSql)
+         |),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs
+         |),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |)
+         |SELECT src AS id, least(src, min(dst)) AS component
+         |FROM reach GROUP BY src ORDER BY id""".stripMargin,
 
     "qs01_cosine_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -239,9 +239,11 @@ object frame {
           s(avg(c)).as(s"${n}__mean"),
           s(stddev_samp(c)).as(s"${n}__std"),
           min(c).cast("string").as(s"${n}__min"),
-          s(percentile_approx(c, lit(0.25), lit(10000))).as(s"${n}__p25"),
-          s(percentile_approx(c, lit(0.5), lit(10000))).as(s"${n}__p50"),
-          s(percentile_approx(c, lit(0.75), lit(10000))).as(s"${n}__p75"),
+          // exact nearest-interpolation quantiles — the reference's
+          // Describe() uses "nearest" (DataFrame.cs:686-688)
+          s(graft.functions.Quantiles.quantile(c, 0.25, graft.functions.Quantiles.Nearest)).as(s"${n}__p25"),
+          s(graft.functions.Quantiles.quantile(c, 0.5, graft.functions.Quantiles.Nearest)).as(s"${n}__p50"),
+          s(graft.functions.Quantiles.quantile(c, 0.75, graft.functions.Quantiles.Nearest)).as(s"${n}__p75"),
           max(c).cast("string").as(s"${n}__max"))
       }
       val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)

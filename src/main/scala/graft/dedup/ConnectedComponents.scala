@@ -1,0 +1,58 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution: connected components over a candidate-pair
+  * edge list by iterative min-label propagation.
+  *
+  * One LSH pass gives PAIRS; real dedup needs CLUSTERS (a~b, b~c ⇒ a,b,c
+  * share one representative even if a,c never shared a bucket). Large-scale
+  * standard approach: iterate `label(v) ← min(label(v), min(label(neighbors)))`
+  * to a fixed point. Each iteration is two shuffles on vertex id; diameters
+  * of near-dup clusters are tiny (chains of copies), so `maxIter` ~ 5
+  * converges in practice and the loop stops early when stable.
+  */
+object ConnectedComponents {
+
+  /** pairs: (id_a, id_b) edges. Returns (id, component) with component =
+    * min id reachable. Only vertices appearing in pairs are returned. */
+  def components(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), first(col("src"))).as("component"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // propagate: each vertex takes the min of its own and neighbors' labels
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("component", "nlabel"), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("nlabel")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Full near-dup dedup: LSH pairs → components → keep each component's
+    * minimum id (plus all unpaired rows untouched). */
+  def dedupByComponents(df: DataFrame, idCol: String, pairs: DataFrame,
+                        maxIter: Int = 10): DataFrame = {
+    val comp = components(pairs, maxIter)
+    val drops = comp.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol)).distinct()
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** DSv2 iterator source (pushdown contract), connected-components dedup,
+  * IVF ANN. */
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("iterator source scans with projection + limit pushdown (lazy.rs:707-715)") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("v", DoubleType)))
+    var calls = 0
+    val df = graft.sources.IteratorSource.scan(spark, "t1", schema, () => {
+      calls += 1
+      (1L to 100L).iterator.map(i => Row(i, s"row$i", i * 1.5))
+    })
+    assert(df.count() == 100)
+    // projection pushdown: scan description shows only requested columns
+    val pruned = df.select("name")
+    val scanDesc = pruned.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scanDesc.contains("cols=[name]"), scanDesc)
+    assert(pruned.collect().map(_.getString(0)).take(3).toSeq == Seq("row1", "row2", "row3"))
+    // limit pushdown reaches the scan
+    val limited = df.limit(7)
+    val limDesc = limited.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(limDesc.contains("limit=7"), limDesc)
+    assert(limited.count() == 7)
+    // factory re-invoked per scan (re-scannable like ScanDatabase)
+    assert(calls >= 2)
+  }
+
+  test("connected components collapse transitive duplicate chains") {
+    // edges: 1-2, 2-3 (one cluster), 7-9 (another)
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val comp = graft.dedup.ConnectedComponents.components(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L)
+    assert(comp(7L) == 7L && comp(9L) == 7L)
+    val docs = Seq(1L, 2L, 3L, 5L, 7L, 9L).toDF("doc_id")
+    val kept = graft.dedup.ConnectedComponents.dedupByComponents(docs, "doc_id", pairs)
+      .as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 5L, 7L))
+  }
+
+  test("IVF index + search: one corpus shuffle, recall comparable to LSH") {
+    val e = sf("embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    val (centroids, assigned) = graft.similarity.Ivf.buildIndex(e, nlist = 16)
+    assert(centroids.count() == 16)
+    assert(assigned.columns.contains("cell"))
+    // every corpus row lands in exactly one cell
+    assert(assigned.count() == e.count())
+    val got = graft.similarity.Ivf.search(assigned, centroids, q, k = 5, nprobe = 4)
+    val exact = graft.similarity.Ann.bruteForceTopK(e, q, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = got.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(got.groupBy("query_id").count().filter(col("count") > 5).count() == 0)
+    assert(recall >= 0.3, s"recall $recall") // nprobe 4/16 cells on random vectors
+  }
+
+  test("describe uses exact nearest quantiles (reference Describe semantics)") {
+    import graft.api.frame._
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 5.0).toDF("v")
+    val d = df.describeAll().collect()
+    val p50 = d.find(_.getString(0) == "50%").get.getString(1).toDouble
+    assert(p50 == 3.0)
+  }
+}
