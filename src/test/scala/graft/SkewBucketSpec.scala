@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+
+/** Skew salting + bucketed co-located join — the manual scale levers. */
+class SkewBucketSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedAgg matches plain agg on a hot-key distribution") {
+    val df = ((1 to 10000).map(_ => ("hot", 1.0)) ++ (1 to 100).map(i => (s"k$i", 2.0)))
+      .toDF("k", "v")
+    val plain = df.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("total"))
+      .orderBy("k").collect()
+    val salted = Skew.saltedAgg(df, Seq("k"), nSalts = 8)(
+        ("n", count(lit(1)), sum), ("total", sum(col("v")), sum))
+      .orderBy("k").collect()
+    assert(plain.length == salted.length)
+    plain.zip(salted).foreach { case (p, s) =>
+      assert(p.getString(0) == s.getString(0))
+      assert(p.getLong(1) == s.getLong(1))
+      assert(p.getDouble(2) == s.getDouble(2))
+    }
+    // phase-1 plan really aggregates on (key, salt): 2 exchanges, 4 aggregates
+    val plan = Skew.saltedAgg(df, Seq("k"), 8)(("n", count(lit(1)), sum))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 2, plan)
+  }
+
+  test("saltedJoin matches plain join and spreads the hot key") {
+    val left = ((1 to 5000).map(_ => 1L) ++ (2L to 50L)).toDF("id")
+    val right = (1L to 50L).map(i => (i, s"dim$i")).toDF("id", "name")
+    val plain = left.join(right, "id").groupBy("name").count().orderBy("name").collect()
+    val salted = Skew.saltedJoin(left, right, "id", nSalts = 4)
+      .groupBy("name").count().orderBy("name").collect()
+    assert(plain.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      salted.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
+  test("bucketed tables join without a shuffle (co-located join)") {
+    val a = (1L to 1000L).map(i => (i, i * 2.0)).toDF("id", "x")
+    val b = (1L to 1000L).map(i => (i, s"n$i")).toDF("id", "name")
+    spark.sql("DROP TABLE IF EXISTS graft_buck_a")
+    spark.sql("DROP TABLE IF EXISTS graft_buck_b")
+    try {
+      a.write.bucketBy(8, "id").sortBy("id").saveAsTable("graft_buck_a")
+      b.write.bucketBy(8, "id").sortBy("id").saveAsTable("graft_buck_b")
+      val joined = spark.table("graft_buck_a").join(spark.table("graft_buck_b"), "id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == 1000)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_buck_a")
+      spark.sql("DROP TABLE IF EXISTS graft_buck_b")
+    }
+  }
+}
