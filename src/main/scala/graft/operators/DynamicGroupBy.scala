@@ -32,6 +32,8 @@ object DynamicGroupBy {
   sealed trait Label
   case object LabelLeft extends Label
   case object LabelRight extends Label
+  /** Label each group with its first (minimum) data point's time. */
+  case object LabelDataPoint extends Label
 
   /** StartBy (lazy.rs window StartBy): WindowBound aligns the grid to the
     * epoch (+offset); Weekday(d) aligns window starts to that weekday
@@ -42,6 +44,10 @@ object DynamicGroupBy {
   final case class Weekday(isoDay: Int) extends StartBy {
     require(isoDay >= 1 && isoDay <= 7, "isoDay in 1..7 (Mon..Sun)")
   }
+  /** Align the grid to the first data point (Polars StartBy::DataPoint).
+    * Requires one min() pre-pass over the time column — the same eager step
+    * the reference performs. */
+  case object DataPoint extends StartBy
 
   def apply(df: DataFrame, timeCol: String,
             every: String, period: Option[String] = None, offset: Option[String] = None,
@@ -59,6 +65,14 @@ object DynamicGroupBy {
       case WindowBound => 0L
       // epoch day 0 = Thursday (ISO 4); shift grid so windows start on isoDay
       case Weekday(d) => ((d - 4 + 7) % 7).toLong * dayUs
+      case DataPoint =>
+        val minT = df.agg(org.apache.spark.sql.functions.min(
+          unix_micros(col(timeCol).cast("timestamp")))).collect()(0)
+        if (minT.isNullAt(0)) 0L
+        else {
+          val m = minT.getLong(0) % everyUs
+          if (m < 0) m + everyUs else m
+        }
     }
     val offsetUs = offset.map(Durations.parseMicros).getOrElse(0L) + startByUs
 
@@ -94,21 +108,25 @@ object DynamicGroupBy {
       Durations.microsToSparkInterval(everyUs),
       Durations.microsToSparkInterval(offsetUs))
 
+    val allAggs =
+      if (label == LabelDataPoint) min(col(timeCol)).as("__first_t") +: aggs else aggs
     val grouped = prepared
       .withColumn("__w", win)
       .groupBy((col("__w") +: by.map(col)).toIndexedSeq: _*)
-      .agg(aggs.head, aggs.tail: _*)
+      .agg(allAggs.head, allAggs.tail.toIndexedSeq: _*)
 
     val labelCol = label match {
       case LabelLeft => col("__w.start").as(timeCol)
       case LabelRight => col("__w.end").as(timeCol)
+      case LabelDataPoint => col("__first_t").as(timeCol)
     }
     val bounds =
       if (includeBoundaries)
         Seq(col("__w.start").as("_lower_boundary"), col("__w.end").as("_upper_boundary"))
       else Seq.empty
 
-    val aggNames = grouped.columns.filterNot(c => c == "__w" || by.contains(c)).map(col).toSeq
+    val aggNames = grouped.columns
+      .filterNot(c => c == "__w" || c == "__first_t" || by.contains(c)).map(col).toSeq
     grouped.select((labelCol +: (bounds ++ by.map(col) ++ aggNames)).toIndexedSeq: _*)
   }
 }

@@ -49,6 +49,23 @@ class FidelitySpec extends SparkSpec {
     }
   }
 
+  test("start_by=DataPoint aligns the grid to the first sample; label=DataPoint") {
+    // points at 10:07, 10:17, ..., 10:57 — DataPoint grid starts at 10:07
+    val df = (0 until 6).map(i =>
+      (Timestamp.valueOf(f"2024-01-01 10:${7 + i * 10}%02d:00"), i)).toDF("t", "v")
+    val got = DynamicGroupBy(df, "t", every = "30m",
+        startBy = DynamicGroupBy.DataPoint)(sum(col("v")).as("s"))
+      .orderBy("t").collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[Timestamp](0).toString.startsWith("2024-01-01 10:07"))
+    assert(got(0).getLong(1) == 3L && got(1).getLong(1) == 12L)
+    val labeled = DynamicGroupBy(df, "t", every = "30m",
+        startBy = DynamicGroupBy.DataPoint,
+        label = DynamicGroupBy.LabelDataPoint)(sum(col("v")).as("s"))
+      .orderBy("t").collect()
+    assert(labeled(1).getAs[Timestamp](0).toString.startsWith("2024-01-01 10:37"))
+  }
+
   test("stateful sessionization closes sessions on event-time gaps") {
     import graft.streaming.Sessionize
     implicit val s = spark
