@@ -98,8 +98,11 @@ object Dedup {
     * on distinct shingles, |A∩B| / (|A|+|B|−|A∩B|) >= threshold. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 5, threshold: Double = 0.5): DataFrame = {
+    // the exploded shingle set feeds three consumers (both self-join sides
+    // and the per-doc counts) — materialize it once
     val sh = df.select(col(idCol).as("id"),
         explode(array_distinct(T.shingles(T.tokens(col(textCol)), shingleK))).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val shared = sh.alias("a")
       .join(sh.alias("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
