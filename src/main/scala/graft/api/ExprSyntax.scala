@@ -37,6 +37,8 @@ object syntax {
     /** strict cast toggles ANSI behavior; non-strict = try_cast → null (expr.rs:1015-1033). */
     def castStrict(t: String): Column = c.cast(t)
     def castLenient(t: String): Column = c.try_cast(t)
+    /** log with arbitrary base (expr.rs:852-863). */
+    def logBase(base: Double): Column = log(base, c)
 
     def str: StrNamespace = new StrNamespace(c)
     def dt: DtNamespace = new DtNamespace(c)
@@ -174,7 +176,10 @@ object syntax {
     def reverse: Column = org.apache.spark.sql.functions.reverse(c)
   }
 
-  /** Struct namespace (reference: expr.rs:918-992 `struct_*`). */
+  /** Struct namespace (reference: expr.rs:918-992 `struct_*`).
+    * field_by_index / rename_fields need the struct's schema — they live on
+    * the frame (`graft.api.frame.GraftFrame.structFieldByIndex` /
+    * `renameStructFields`), where the resolved StructType is available. */
   final class StructNamespace(private val c: Column) {
     def fieldByName(name: String): Column = c.getField(name)
     def jsonEncode: Column = to_json(c)

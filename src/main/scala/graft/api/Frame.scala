@@ -216,6 +216,25 @@ object frame {
       df.unpivot(index.map(col).toArray, onCols.map(col).toArray, variableName, valueName)
     }
 
+    // ----- struct schema ops (expr.rs:932-982) -----
+
+    /** field_by_index — resolves the field name from the frame's schema. */
+    def structFieldByIndex(structCol: String, idx: Int): Column = {
+      val st = df.schema(structCol).dataType.asInstanceOf[StructType]
+      col(structCol).getField(st.fieldNames(idx))
+    }
+
+    /** rename_fields — rebuild the struct with new field names (positional). */
+    def renameStructFields(structCol: String, newNames: String*): DataFrame = {
+      val st = df.schema(structCol).dataType.asInstanceOf[StructType]
+      require(newNames.length == st.fields.length,
+        s"expected ${st.fields.length} names, got ${newNames.length}")
+      val rebuilt = struct(st.fieldNames.zip(newNames).map { case (old, nw) =>
+        col(structCol).getField(old).as(nw)
+      }.toIndexedSeq: _*)
+      df.withColumn(structCol, rebuilt)
+    }
+
     // ----- metadata / describe (SURVEY §2.15) -----
 
     def height: Long = df.count()

@@ -89,6 +89,24 @@ class ExprSpec extends SparkSpec {
     assert(got.getString(1) == "alice")
   }
 
+  test("struct field_by_index and rename_fields via frame schema (expr.rs:932-982)") {
+    import graft.api.frame._
+    val df = Seq(("alice", 30)).toDF("name", "age")
+      .select(struct(col("name"), col("age")).as("p"))
+    val byIdx = df.select(df.structFieldByIndex("p", 1)).collect()(0)
+    assert(byIdx.getInt(0) == 30)
+    val renamed = df.renameStructFields("p", "n", "a")
+    assert(renamed.schema("p").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("n", "a"))
+    assert(renamed.select(col("p").struct_.jsonEncode).collect()(0).getString(0) ==
+      """{"n":"alice","a":30}""")
+  }
+
+  test("logBase matches log(base, x)") {
+    val df = Seq(8.0).toDF("x")
+    assert(df.select(col("x").logBase(2.0)).collect()(0).getDouble(0) == 3.0)
+  }
+
   test("fillNull/fillNan/ifElse/isBetween/floorDiv") {
     val df = Seq[(java.lang.Double, java.lang.Double)]((null, 1.0), (Double.NaN, 2.0), (7.0, 2.0))
       .toDF("a", "b")
