@@ -591,6 +591,31 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // §2.12 selector algebra driving a projection: numeric columns of part
+    // minus the key, via set operations resolved against the schema
+    "q38_selectors" -> ((s, d) => {
+      import graft.api.{Selectors => Sel}
+      t(s, d, "part")
+        .selectSel((Sel.numeric - Sel.byName("p_partkey")) | Sel.matches("^p_partkey$"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // §2.15 describe-style stats as typed columns (count/null_count/mean/
+    // min/quantiles/max — the reference Describe stat set, DataFrame.cs:665-727)
+    "q39_describe_stats" -> ((s, d) => {
+      val Q = graft.functions.Quantiles
+      val v = col("p_retailprice")
+      t(s, d, "part").agg(
+        count(v).as("cnt"),
+        sum(when(v.isNull, 1L).otherwise(0L)).as("null_count"),
+        (sum(dec2(v)).cast("double") / count(v)).as("mean"),
+        min(v).as("vmin"),
+        Q.quantile(v, 0.25, Q.Nearest).as("q25"),
+        Q.quantile(v, 0.5, Q.Nearest).as("q50"),
+        Q.quantile(v, 0.75, Q.Nearest).as("q75"),
+        max(v).as("vmax"))
+    }),
+
     // §2.3 deterministic seeded sampling (hash-ranked exact-n) — rows-only
     "q36_sample" -> ((s, d) => {
       t(s, d, "orders").sampleN(100, seed = 7)
@@ -808,6 +833,22 @@ object SparkEntry {
         |  time_bucket(INTERVAL '12 hours', ts) + INTERVAL 12 HOURS AS _upper_boundary,
         |  count(*) AS n
         |FROM events GROUP BY 1, 2, 3 ORDER BY ts""".stripMargin,
+
+    "q38_selectors" ->
+      """SELECT p_partkey, p_size, p_retailprice FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q39_describe_stats" ->
+      """WITH s AS (SELECT list_sort(list(CAST(p_retailprice AS DOUBLE))) AS xs FROM part)
+        |SELECT
+        |  (SELECT count(p_retailprice) FROM part) AS cnt,
+        |  (SELECT sum(CASE WHEN p_retailprice IS NULL THEN 1 ELSE 0 END) FROM part) AS null_count,
+        |  (SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(p_retailprice) FROM part) AS mean,
+        |  (SELECT min(p_retailprice) FROM part) AS vmin,
+        |  xs[CAST(floor(0.25 * (len(xs) - 1) + 0.5) AS INT) + 1] AS q25,
+        |  xs[CAST(floor(0.5 * (len(xs) - 1) + 0.5) AS INT) + 1] AS q50,
+        |  xs[CAST(floor(0.75 * (len(xs) - 1) + 0.5) AS INT) + 1] AS q75,
+        |  (SELECT max(p_retailprice) FROM part) AS vmax
+        |FROM s""".stripMargin,
 
     "q37_quantile_modes" ->
       """WITH s AS (
