@@ -167,6 +167,21 @@ object SparkEntry {
         .orderBy(col("p_partkey"))
     }),
 
+    // §2.11 lenient cast semantics (expr.rs:1015-1033 strict=false):
+    // overflow and unparseable input → null, matching TRY_CAST on the oracle
+    // side. The strict twin (castStrict, ANSI raise) is spec-verified in
+    // ExprSpec — an oracle can't observe a thrown error.
+    "q40_try_cast" -> ((s, d) => {
+      t(s, d, "part")
+        .select(
+          col("p_partkey"),
+          col("p_partkey").castLenient("tinyint").as("small_key"),
+          col("p_name").castLenient("double").as("name_num"),
+          concat(lit("BAD"), col("p_brand")).castLenient("date").as("bad_date"),
+          col("p_size").castLenient("smallint").as("size_small"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // §2.11 string namespace — upper/lower/len/contains/slice/extract/
     // replace/starts/ends (expr.rs:262-499)
     "q12_str_funcs" -> ((s, d) => {
@@ -841,7 +856,7 @@ object SparkEntry {
       """WITH s AS (SELECT list_sort(list(CAST(p_retailprice AS DOUBLE))) AS xs FROM part)
         |SELECT
         |  (SELECT count(p_retailprice) FROM part) AS cnt,
-        |  (SELECT sum(CASE WHEN p_retailprice IS NULL THEN 1 ELSE 0 END) FROM part) AS null_count,
+        |  (SELECT CAST(sum(CASE WHEN p_retailprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM part) AS null_count,
         |  (SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(p_retailprice) FROM part) AS mean,
         |  (SELECT min(p_retailprice) FROM part) AS vmin,
         |  xs[CAST(floor(0.25 * (len(xs) - 1) + 0.5) AS INT) + 1] AS q25,
@@ -954,6 +969,14 @@ object SparkEntry {
         |  abs(p_size - 25) AS size_dist,
         |  sqrt(CAST(p_size AS DOUBLE)) AS size_sqrt,
         |  pow(CAST(p_size AS DOUBLE), 2.0) AS size_sq
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q40_try_cast" ->
+      """SELECT p_partkey,
+        |  TRY_CAST(p_partkey AS TINYINT) AS small_key,
+        |  TRY_CAST(p_name AS DOUBLE) AS name_num,
+        |  TRY_CAST('BAD' || p_brand AS DATE) AS bad_date,
+        |  TRY_CAST(p_size AS SMALLINT) AS size_small
         |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q12_str_funcs" ->

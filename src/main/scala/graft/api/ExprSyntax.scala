@@ -34,11 +34,26 @@ object syntax {
     /** Polars is_finite / is_infinite (series.rs:719-753). */
     def isFinite: Column = !isnan(c) && c =!= lit(Double.PositiveInfinity) && c =!= lit(Double.NegativeInfinity)
     def isInfinite: Column = c === lit(Double.PositiveInfinity) || c === lit(Double.NegativeInfinity)
-    /** strict cast toggles ANSI behavior; non-strict = try_cast → null (expr.rs:1015-1033). */
-    def castStrict(t: String): Column = c.cast(t)
+    /** strict cast = ANSI (raises on overflow/unparseable, expr.rs:1015-1033),
+      * pinned on the Cast node so session `spark.sql.ansi.enabled` can't
+      * weaken it; non-strict = try_cast → null. */
+    def castStrict(t: String): Column = {
+      graft.plans.CastExprs.register(org.apache.spark.sql.SparkSession.active)
+      call_function("graft_cast_ansi", c, lit(t))
+    }
     def castLenient(t: String): Column = c.try_cast(t)
     /** log with arbitrary base (expr.rs:852-863). */
     def logBase(base: Double): Column = log(base, c)
+    /** shift(n) over an explicit window (expr.rs:1035-1047): positive =
+      * values move forward (lag), negative = backward (lead), null fill.
+      * Polars' implied frame order is the window's ORDER BY here — Spark has
+      * no ambient row order, so the caller names it (partition keys keep the
+      * op parallel; see q20 for the proven composition). */
+    def shift(n: Int, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+      if (n >= 0) lag(c, n).over(w) else lead(c, -n).over(w)
+    /** diff(n) = x - x.shift(n) (expr.rs:1049-1062, null_behavior=ignore). */
+    def diff(n: Int, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+      c - shift(n, w)
 
     def str: StrNamespace = new StrNamespace(c)
     def dt: DtNamespace = new DtNamespace(c)

@@ -26,12 +26,38 @@ final class Series private (val name: String, private val df: DataFrame) {
   def exp: Series = unary(org.apache.spark.sql.functions.exp)
   def isNull: Series = unary(_.isNull)
   def isNotNull: Series = unary(_.isNotNull)
+  /** NaN family (series.rs:719-753); NaN ≠ null, matching the reference. */
+  def isNan: Series = unary(c => c.isNotNull && isnan(c))
+  def isNotNan: Series = unary(c => c.isNull || !isnan(c))
+  def isFinite: Series =
+    unary(c => !isnan(c) && c =!= lit(Double.PositiveInfinity) && c =!= lit(Double.NegativeInfinity))
+  def isInfinite: Series =
+    unary(c => c === lit(Double.PositiveInfinity) || c === lit(Double.NegativeInfinity))
 
   /** Vectorized binary op against a scalar. */
   def +(v: Double): Series = unary(_ + lit(v))
   def -(v: Double): Series = unary(_ - lit(v))
   def *(v: Double): Series = unary(_ * lit(v))
   def /(v: Double): Series = unary(_ / lit(v))
+
+  /** Vectorized compare against a scalar (series.rs:559-633). */
+  def eq(v: Any): Series = unary(_ === lit(v))
+  def neq(v: Any): Series = unary(_ =!= lit(v))
+  def lt(v: Any): Series = unary(_ < lit(v))
+  def ltEq(v: Any): Series = unary(_ <= lit(v))
+  def gt(v: Any): Series = unary(_ > lit(v))
+  def gtEq(v: Any): Series = unary(_ >= lit(v))
+
+  /** Positional compare/boolean ops vs another Series (series.rs:559-717). */
+  def eq(other: Series): Series = zipWith(other, _ === _, name)
+  def neq(other: Series): Series = zipWith(other, _ =!= _, name)
+  def lt(other: Series): Series = zipWith(other, _ < _, name)
+  def ltEq(other: Series): Series = zipWith(other, _ <= _, name)
+  def gt(other: Series): Series = zipWith(other, _ > _, name)
+  def gtEq(other: Series): Series = zipWith(other, _ >= _, name)
+  def and(other: Series): Series = zipWith(other, _ && _, name)
+  def or(other: Series): Series = zipWith(other, _ || _, name)
+  def xor(other: Series): Series = zipWith(other, _ =!= _, name)
 
   /** Positional zip with another Series (reference series arithmetic). */
   def zipWith(other: Series, f: (Column, Column) => Column, newName: String): Series = {
@@ -42,6 +68,7 @@ final class Series private (val name: String, private val df: DataFrame) {
   def +(other: Series): Series = zipWith(other, _ + _, name)
   def -(other: Series): Series = zipWith(other, _ - _, name)
   def *(other: Series): Series = zipWith(other, _ * _, name)
+  def /(other: Series): Series = zipWith(other, _ / _, name)
 
   // eager scalar aggregations (series.rs:559-753)
   def len(): Long = df.count()

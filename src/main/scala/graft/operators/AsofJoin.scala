@@ -113,13 +113,17 @@ object AsofJoin {
     // sort: time asc; at equal time, right rows first iff equality allowed
     // (so last() sees them); reversed for forward via descending time order.
     val sideOrder = if (allowEq) col("__side").asc else col("__side").desc
-    val w0 = if (by.nonEmpty) Window.partitionBy(byOut.map(col).toIndexedSeq: _*) else Window.partitionBy()
-    val w =
-      (if (backward) w0.orderBy(col("__t").asc, sideOrder)
-       else w0.orderBy(col("__t").desc, sideOrder))
-        .rowsBetween(Window.unboundedPreceding, 0)
+    val tOrd = if (backward) col("__t").asc else col("__t").desc
 
-    val matched = unioned.withColumn("__match", last(col("__rstruct"), ignoreNulls = true).over(w))
+    val matched =
+      if (by.nonEmpty) {
+        val w = Window.partitionBy(byOut.map(col).toIndexedSeq: _*)
+          .orderBy(tOrd, sideOrder)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        unioned.withColumn("__match", last(col("__rstruct"), ignoreNulls = true).over(w))
+      } else {
+        unkeyedCarry(unioned, tOrd, sideOrder, backward, allowEq)
+      }
     val onlyLeft = matched.filter(col("__side") === 1)
 
     // tolerance: null the match when |l.t - r.t| > tol
@@ -135,5 +139,49 @@ object AsofJoin {
       payloadCols.map(c => col(s"__match.$c").as(outName(c))) ++
       matchTimeCol.map(mt => col("__match.__rt").as(mt)).toSeq
     withTol.select(base.toIndexedSeq: _*)
+  }
+
+  /** Scale path for as-of WITHOUT `by` keys (legal in the reference,
+    * lazy.rs:501-569). A bare `Window.partitionBy()` would serialize the
+    * whole dataset through one task; instead:
+    *
+    *   1. range-partition on the order key — every partition computes its
+    *      running carry (`last(__rstruct, ignoreNulls)`) in parallel, keyed
+    *      on `spark_partition_id()`;
+    *   2. a per-partition "final carry" frame (≤ shuffle-partitions rows)
+    *      gets a prefix window — the boundary value each partition inherits
+    *      from all earlier ones — and is broadcast back onto the rows.
+    *
+    * Two shuffles of the data (range + pid hash, both fully parallel) plus
+    * one tiny single-partition window over P rows; the range exchange is
+    * shared by both branches via Spark's ReuseExchange. The equality guard
+    * on the boundary handles an equal-time row pair straddling a partition
+    * boundary under allowEq=false.
+    */
+  private def unkeyedCarry(unioned: DataFrame, tOrd: Column, sideOrder: Column,
+                           backward: Boolean, allowEq: Boolean): DataFrame = {
+    val parted = unioned.repartitionByRange(tOrd, sideOrder)
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy("__pid").orderBy(tOrd, sideOrder)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val running = parted.withColumn("__match", last(col("__rstruct"), ignoreNulls = true).over(w))
+
+    // per-partition final carry: the extreme-time right row of each pid
+    // (struct compares field-by-field, so (t, rstruct) picks by time first)
+    val pick = when(col("__side") === 0, struct(col("__t"), col("__rstruct")))
+    val carryAgg = if (backward) max(pick) else min(pick)
+    val prefixW = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    val boundaries = parted.groupBy("__pid").agg(carryAgg.as("__c"))
+      .withColumn("__bnd", last(col("__c"), ignoreNulls = true).over(prefixW))
+      .select(col("__pid"), col("__bnd"))
+
+    val joined = running.join(broadcast(boundaries), Seq("__pid"), "left")
+    val bT = col("__bnd.__t")
+    val bndOk =
+      if (backward) { if (allowEq) bT <= col("__t") else bT < col("__t") }
+      else { if (allowEq) bT >= col("__t") else bT > col("__t") }
+    joined
+      .withColumn("__match", coalesce(col("__match"), when(bndOk, col("__bnd.__rstruct"))))
+      .drop("__pid", "__bnd")
   }
 }

@@ -87,4 +87,47 @@ class AsofSpec extends SparkSpec {
       .orderBy("id").select("v").collect()
     assert(got(0).getDouble(0) == 100.0 && got(1).getDouble(0) == 200.0)
   }
+
+  // Unkeyed as-of must match the keyed plan's semantics while staying
+  // parallel (lazy.rs:501-569 — no `by` is legal). Equivalence oracle: the
+  // same join with a constant by-key takes the keyed single-group window
+  // path; results must be identical row-for-row across the full strategy ×
+  // allowEq × tolerance matrix, on data wide enough to span many range
+  // partitions (boundary-carry rows exercised).
+  test("unkeyed as-of matches constant-key as-of across strategies (boundary carry)") {
+    val l = (0 until 4000).map(i => (i.toLong, i.toLong * 7 + 3)).toDF("id", "tl")
+      .select(col("id"), timestamp_micros(col("tl")).as("t"), lit(1).as("k"))
+    val r = (0 until 1500).map(i => (i.toLong * 17 + 5, i.toDouble)).toDF("tr", "v")
+      .select(timestamp_micros(col("tr")).as("t"), col("v"), lit(1).as("k"))
+    for {
+      strat <- Seq(AsofJoin.Backward, AsofJoin.Forward, AsofJoin.Nearest)
+      eq <- Seq(true, false)
+      tol <- Seq(None, Some("40us"))
+    } {
+      val unkeyed = AsofJoin.join(l.drop("k"), r.drop("k"), "t", "t",
+          strategy = strat, allowEq = eq, tolerance = tol)
+        .orderBy("id").select("id", "v").collect()
+      val keyed = AsofJoin.join(l, r, "t", "t", by = Seq(("k", "k")),
+          strategy = strat, allowEq = eq, tolerance = tol)
+        .orderBy("id").select("id", "v").collect()
+      assert(unkeyed.toSeq == keyed.toSeq, s"strategy=$strat allowEq=$eq tol=$tol")
+    }
+  }
+
+  test("unkeyed as-of stays multi-partition (no global window collapse)") {
+    val l = (0 until 4000).map(i => (i.toLong, i.toLong * 7 + 3)).toDF("id", "tl")
+      .select(col("id"), timestamp_micros(col("tl")).as("t"))
+    val r = (0 until 1500).map(i => (i.toLong * 17 + 5, i.toDouble)).toDF("tr", "v")
+      .select(timestamp_micros(col("tr")).as("t"), col("v"))
+    // AQE rightly coalesces a tiny shuffle to 1 partition; disable coalescing
+    // so the assertion reflects what a real-size input would plan.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val joined = AsofJoin.join(l, r, "t", "t")
+      assert(joined.rdd.getNumPartitions > 1,
+        "unkeyed as-of must range-partition, not collapse to one task")
+      assert(joined.queryExecution.executedPlan.toString.contains("rangepartitioning"),
+        "expected a range exchange in the unkeyed as-of plan")
+    } finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+  }
 }

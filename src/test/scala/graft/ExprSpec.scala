@@ -129,6 +129,43 @@ class ExprSpec extends SparkSpec {
     assert(got(0).getInt(0) == 12 && got(1).isNullAt(0))
   }
 
+  test("castStrict raises on unparseable/overflow; lenient nulls (expr.rs:1015-1033)") {
+    // strict: valid values pass through
+    val ok = Seq("12", "34").toDF("s").select(col("s").castStrict("int")).collect()
+    assert(ok.map(_.getInt(0)).toSeq == Seq(12, 34))
+    // strict: malformed string raises (SparkNumberFormatException et al.
+    // implement SparkThrowable without extending SparkException)
+    intercept[org.apache.spark.SparkThrowable] {
+      Seq("oops").toDF("s").select(col("s").castStrict("int")).collect()
+    }
+    // strict: integer overflow raises — even with session ANSI off
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      intercept[org.apache.spark.SparkThrowable] {
+        Seq(1000).toDF("n").select(col("n").castStrict("tinyint")).collect()
+      }
+      // and the lenient twin still nulls under the same config
+      val l = Seq(1000, 7).toDF("n").select(col("n").castLenient("tinyint")).collect()
+      assert(l(0).isNullAt(0) && l(1).getByte(0) == 7.toByte)
+    } finally spark.conf.unset("spark.sql.ansi.enabled")
+  }
+
+  test("shift/diff expr helpers match lag composition (expr.rs:1035-1062)") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(("a", 1, 10.0), ("a", 2, 13.0), ("a", 3, 11.0), ("b", 1, 5.0), ("b", 2, 9.0))
+      .toDF("g", "i", "v")
+    val w = Window.partitionBy("g").orderBy("i")
+    val got = df.select(col("g"), col("i"),
+        col("v").shift(1, w).as("prev"),
+        col("v").shift(-1, w).as("next"),
+        col("v").diff(1, w).as("d"))
+      .orderBy(col("g"), col("i")).collect()
+    assert(got(0).isNullAt(2) && got(1).getDouble(2) == 10.0)     // shift(1)
+    assert(got(0).getDouble(3) == 13.0 && got(2).isNullAt(3))     // shift(-1)
+    assert(got(1).getDouble(4) == 3.0 && got(2).getDouble(4) == -2.0) // diff
+    assert(got(3).isNullAt(2) && got(4).getDouble(4) == 4.0)      // partition reset
+  }
+
   test("selectors resolve against schema with set algebra (SURVEY 2.12)") {
     import graft.api.{Selectors => S}
     import graft.api.frame._

@@ -24,6 +24,32 @@ class SeriesUdfSpec extends SparkSpec {
     assert((b - a).toSeq[Double] == Seq(9.0, 18.0, 27.0))
   }
 
+  test("series vectorized compare vs scalar and vs series (series.rs:559-717)") {
+    implicit val s = spark
+    val a = Series("a", Seq(1.0, 2.0, 3.0))
+    val b = Series("b", Seq(3.0, 2.0, 1.0))
+    assert(a.gt(1.5).toSeq[Boolean] == Seq(false, true, true))
+    assert(a.ltEq(2.0).toSeq[Boolean] == Seq(true, true, false))
+    assert(a.eq(b).toSeq[Boolean] == Seq(false, true, false))
+    assert(a.lt(b).toSeq[Boolean] == Seq(true, false, false))
+    assert(a.gtEq(b).toSeq[Boolean] == Seq(false, true, true))
+    val p = Series("p", Seq(true, true, false))
+    val q = Series("q", Seq(true, false, false))
+    assert(p.xor(q).toSeq[Boolean] == Seq(false, true, false))
+    assert(p.and(q).toSeq[Boolean] == Seq(true, false, false))
+    assert(p.or(q).toSeq[Boolean] == Seq(true, true, false))
+  }
+
+  test("series NaN family distinguishes NaN from null (series.rs:719-753)") {
+    implicit val s = spark
+    val a = Series("a", Seq(1.0, Double.NaN, Double.PositiveInfinity))
+    assert(a.isNan.toSeq[Boolean] == Seq(false, true, false))
+    assert(a.isNotNan.toSeq[Boolean] == Seq(true, false, true))
+    assert(a.isFinite.toSeq[Boolean] == Seq(true, false, false))
+    assert(a.isInfinite.toSeq[Boolean] == Seq(false, false, true))
+    assert((a / Series("b", Seq(2.0, 1.0, 1.0))).toSeq[Double].head == 0.5)
+  }
+
   test("series from a frame column; cast and null count") {
     import spark.implicits._
     val df = Seq[(java.lang.Integer, String)]((1, "x"), (null, "y"), (3, "z")).toDF("n", "s")

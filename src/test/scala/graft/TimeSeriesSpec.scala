@@ -94,6 +94,33 @@ class TimeSeriesSpec extends SparkSpec {
       Seq(10.0, 10.0, 10.0, -1.0, 50.0))
   }
 
+  test("fillGlobal matches single-window fill and stays multi-partition") {
+    // nulls everywhere except every 37th row → fills regularly cross the
+    // range-partition boundaries; oracle = the (single-partition) column API
+    val df = (0 until 5000).map(i => (i, if (i % 37 == 0) Some(i.toDouble) else None))
+      .toDF("id", "v").repartition(8)
+    def vals(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => if (r.isNullAt(0)) null else r.getDouble(0)).toSeq
+    for {
+      fwd <- Seq(true, false)
+      lim <- Seq(None, Some(10))
+    } {
+      val fast = Fill.fillGlobal(df, Seq("v"), Seq(col("id")), forward = fwd, limit = lim)
+      val slowCol = if (fwd) Fill.forwardFill(col("v"), Seq(col("id")), limit = lim)
+                    else Fill.backwardFill(col("v"), Seq(col("id")), limit = lim)
+      val slow = df.withColumn("v", slowCol)
+      assert(vals(fast.orderBy("id").select("v").collect()) ==
+             vals(slow.orderBy("id").select("v").collect()), s"forward=$fwd limit=$lim")
+    }
+    // AQE coalesces the tiny test shuffle; disable to assert the real plan shape
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val fast = Fill.fillGlobal(df, Seq("v"), Seq(col("id")))
+      assert(fast.rdd.getNumPartitions > 1, "fillGlobal must not collapse to one task")
+      assert(fast.queryExecution.executedPlan.toString.contains("rangepartitioning"))
+    } finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+  }
+
   test("streaming twin: windowed agg over memory sink matches batch") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
