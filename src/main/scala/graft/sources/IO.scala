@@ -29,15 +29,22 @@ object IO {
       .option("inferSchema", "true")
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss").option("dateFormat", "yyyy-MM-dd")
     schema.foreach(s => r = r.schema(s))
-    val df = r.csv(path)
-    // skip_rows: the reference drops N physical leading rows before the
-    // header. Spark CSV has no skipRows option; emulate by filtering on a
-    // monotonic index only when requested (rare path).
+    // skip_rows drops N PHYSICAL lines before header parsing (io.rs:16-92:
+    // the header itself shifts down). Spark CSV has no skipLines option;
+    // read as text, drop N from the file head — which is partition 0 of a
+    // Hadoop text read (splits are created in file-offset order) — then
+    // parse the line dataset with the same CSV options. Only the head task
+    // drops lines; every other partition streams through untouched, so the
+    // scan stays fully parallel (the old emulation was a global one-task
+    // window — a scale-killer).
     if (skipRows > 0) {
-      import org.apache.spark.sql.functions._
-      val w = org.apache.spark.sql.expressions.Window.orderBy(monotonically_increasing_id())
-      df.withColumn("__rn", row_number().over(w)).filter(col("__rn") > skipRows).drop("__rn")
-    } else df
+      import spark.implicits._
+      val lines = spark.sparkContext.textFile(path)
+        .mapPartitionsWithIndex(
+          (i, it) => if (i == 0) it.drop(skipRows) else it,
+          preservesPartitioning = true)
+      r.csv(spark.createDataset(lines))
+    } else r.csv(path)
   }
 
   /** Parquet scan (io.rs:96-124). */

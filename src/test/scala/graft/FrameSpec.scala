@@ -117,4 +117,20 @@ class FrameSpec extends SparkSpec {
     graft.sources.IO.sinkJson(people, s"$dir/people_json")
     assert(graft.sources.IO.scanNdjson(spark, s"$dir/people_json").count() == 4)
   }
+
+  test("IO: csv skip_rows drops physical lines before the header, no global window") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_skip").toString
+    // 2 junk preamble lines, then the REAL header, then 5000 rows — enough
+    // that a single-partition plan would be visible in the plan shape
+    val body = (1 to 5000).map(i => s"$i,v$i").mkString("\n")
+    java.nio.file.Files.writeString(java.nio.file.Path.of(s"$dir/f.csv"),
+      s"junk preamble\n# another comment line\nid,name\n$body\n")
+    val df = graft.sources.IO.scanCsv(spark, s"$dir/f.csv", skipRows = 2)
+    assert(df.columns.toSeq == Seq("id", "name"), "header must be the line AFTER the skipped ones")
+    assert(df.count() == 5000)
+    val got = df.orderBy("id").head()
+    assert(got.getInt(0) == 1 && got.getString(1) == "v1") // inferSchema saw ints
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"),
+      "skip_rows must not plan a global window")
+  }
 }
