@@ -16,11 +16,25 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** pairs: (id_a, id_b) edges. Returns (id, component) with component =
-    * min id reachable. Only vertices appearing in pairs are returned. */
-  def components(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    * min id reachable. Only vertices appearing in pairs are returned.
+    *
+    * Fault-tolerance at scale: the label plan grows by two joins per
+    * iteration, so a late task retry would otherwise recompute the whole
+    * chain back to the (possibly expensive — LSH/Jaccard) edge derivation.
+    * Every `checkpointInterval` iterations the labels are checkpointed —
+    * to the session's reliable checkpoint dir when one is set (survives
+    * executor loss; the 100 TB setting), else `localCheckpoint` (truncates
+    * lineage in local/test runs). The edge list itself is materialized
+    * exactly once up front. */
+  def components(pairs: DataFrame, maxIter: Int = 10, checkpointInterval: Int = 3): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count() // force ONE evaluation of the upstream pair computation
+
+    val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
 
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), first(col("src"))).as("component"))
@@ -33,9 +47,11 @@ object ConnectedComponents {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("component", "nlabel"), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nlabel")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val next0 = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val next =
+        if (checkpointInterval > 0 && (iter + 1) % checkpointInterval == 0) truncate(next0)
+        else next0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
         .filter(col("component") =!= col("old")).limit(1).count()
       labels.unpersist()

@@ -46,6 +46,18 @@ class ScaleOpsSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 5L, 7L))
   }
 
+  test("components checkpointing truncates lineage (no edge recompute in final plan)") {
+    // a chain needs ~length iterations (labels travel one hop per pass)
+    val pairs = (0L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = graft.dedup.ConnectedComponents.components(pairs, maxIter = 12,
+      checkpointInterval = 2)
+    assert(comp.as[(Long, Long)].collect().forall(_._2 == 0L))
+    // after a checkpoint the label plan must bottom out in a materialized
+    // RDD scan, not the per-iteration join chain back to `pairs`
+    val leaves = comp.queryExecution.optimizedPlan.collectLeaves().map(_.nodeName)
+    assert(leaves.exists(_.contains("LogicalRDD")), leaves.mkString(","))
+  }
+
   test("IVF index + search: one corpus shuffle, recall comparable to LSH") {
     val e = sf("embeddings")
     val q = e.filter(col("vec_id") < 10)
