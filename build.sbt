@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Arrow's netty-based allocator (IPC read/write) needs this on JDK 17+,
+  // same as spark-submit's launcher sets.
+  "-Dio.netty.tryReflectionSetAccessible=true",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -58,6 +58,12 @@ object IO {
   def scanNdjson(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
+  /** Arrow IPC (Feather v2) scan/sink (io.rs:159-179, 308-319) — see
+    * [[ArrowIpc]] for the batch-granular parallel read and per-partition
+    * streamed write. */
+  def scanIpc(spark: SparkSession, path: String): DataFrame = ArrowIpc.read(spark, path)
+  def sinkIpc(df: DataFrame, path: String): Unit = ArrowIpc.write(df, path)
+
   /** JDBC source — covers ReadDatabase/ScanDatabase (DataFrame.cs:204-230,
     * LazyFrame.cs:173-200); naturally re-scannable and partitionable. */
   def scanJdbc(spark: SparkSession, url: String, table: String,

@@ -1,7 +1,6 @@
 package graft.sources
 
 import java.util.{Map => JMap}
-import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
@@ -21,24 +20,37 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `SupportsPushDownRequiredColumns` (projection pushdown) and
   * `SupportsPushDownLimit` (slice pushdown) — both wired here, so
   * `df.select(a).limit(n)` over this source reads only column `a` and stops
-  * after n rows per factory, exactly like the reference's flags. The row
-  * factory is registered process-wide by name (the C ABI's `user_data`
-  * pointer ≙ a registry key), re-invoked per scan — multi-pass like
-  * `ScanDatabase`'s factory re-use (LazyFrame.cs:173-200).
+  * after n rows per factory, exactly like the reference's flags.
+  *
+  * Cluster-safety: the name registry is DRIVER-side only — planning embeds
+  * each factory closure into its `InputPartition`, which Spark serializes to
+  * the executors. Factories must therefore be serializable closures (capture
+  * plain values, not connections); they are re-invoked per scan — multi-pass
+  * like `ScanDatabase`'s factory re-use (LazyFrame.cs:173-200).
+  *
+  * Parallelism: the reference's anonymous scan is a single stream; `scan`
+  * keeps that parity (one partition). `scanPartitioned` takes N factories —
+  * one input partition each — for genuinely parallel ingest.
   */
 object IteratorSource {
   type Factory = () => Iterator[Row]
 
-  private val registry = new java.util.concurrent.ConcurrentHashMap[String, (StructType, Factory)]()
+  private val registry = new java.util.concurrent.ConcurrentHashMap[String, (StructType, Seq[Factory])]()
 
-  /** Register a named row factory; returns a lazy frame over it. */
-  def scan(spark: SparkSession, name: String, schema: StructType, factory: Factory): DataFrame = {
-    registry.put(name, (schema, factory))
+  /** Register a named single-stream factory; returns a lazy frame over it. */
+  def scan(spark: SparkSession, name: String, schema: StructType, factory: Factory): DataFrame =
+    scanPartitioned(spark, name, schema, Seq(factory))
+
+  /** N factories → N input partitions, scanned in parallel. */
+  def scanPartitioned(spark: SparkSession, name: String, schema: StructType,
+                      factories: Seq[Factory]): DataFrame = {
+    require(factories.nonEmpty, "scanPartitioned needs at least one factory")
+    registry.put(name, (schema, factories))
     spark.read.format(classOf[IteratorSourceProvider].getName)
       .option("factory", name).load()
   }
 
-  private[sources] def lookup(name: String): (StructType, Factory) = {
+  private[sources] def lookup(name: String): (StructType, Seq[Factory]) = {
     val e = registry.get(name)
     require(e != null, s"no iterator factory registered under '$name'")
     e
@@ -80,25 +92,29 @@ private class IteratorScanBuilder(factoryName: String, fullSchema: StructType)
   override def build(): Scan = new Scan with Batch {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
-    override def planInputPartitions(): Array[InputPartition] =
-      Array(IteratorPartition(factoryName, required.fieldNames, limit))
+    override def planInputPartitions(): Array[InputPartition] = {
+      // driver-side: resolve the registry HERE and ship the closures with
+      // the partitions, so executors never need the (driver-JVM) registry
+      val (schema, factories) = IteratorSource.lookup(factoryName)
+      factories.map(f => IteratorPartition(f, schema, required.fieldNames, limit): InputPartition).toArray
+    }
     override def createReaderFactory(): PartitionReaderFactory = new IteratorReaderFactory
     override def description(): String =
-      s"GraftIteratorScan(factory=$factoryName, cols=[${required.fieldNames.mkString(",")}], limit=$limit)"
+      s"GraftIteratorScan(factory=$factoryName, parts=${IteratorSource.lookup(factoryName)._2.size}, cols=[${required.fieldNames.mkString(",")}], limit=$limit)"
   }
 }
 
-private case class IteratorPartition(factoryName: String, cols: Array[String], limit: Int)
+private case class IteratorPartition(factory: IteratorSource.Factory, schema: StructType,
+                                     cols: Array[String], limit: Int)
   extends InputPartition
 
-private class IteratorReaderFactory extends PartitionReaderFactory {
+private class IteratorReaderFactory extends PartitionReaderFactory with Serializable {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[IteratorPartition]
-    val (schema, factory) = IteratorSource.lookup(p.factoryName)
-    val idx = p.cols.map(schema.fieldIndex)
-    val prunedSchema = StructType(p.cols.map(schema.apply))
+    val idx = p.cols.map(p.schema.fieldIndex)
+    val prunedSchema = StructType(p.cols.map(p.schema.apply))
     val toInternal = ExpressionEncoder(RowEncoder.encoderFor(prunedSchema)).createSerializer()
-    val base = factory()
+    val base = p.factory()
     val limited = if (p.limit >= 0) base.take(p.limit) else base
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _

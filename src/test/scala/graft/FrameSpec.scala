@@ -118,6 +118,41 @@ class FrameSpec extends SparkSpec {
     assert(graft.sources.IO.scanNdjson(spark, s"$dir/people_json").count() == 4)
   }
 
+  test("IO: Arrow IPC round-trip across the type matrix (io.rs:159-179, 308-319)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ipc").toString + "/t"
+    val df = spark.range(0, 1000).select(
+      col("id"),
+      col("id").cast("int").as("i32"),
+      col("id").cast("smallint").as("i16"),
+      (col("id") * 1.5).cast("float").as("f32"),
+      (col("id") * 2.5).as("f64"),
+      concat(lit("s"), col("id")).as("s"),
+      (col("id") % 2 === 0).as("b"),
+      when(col("id") % 7 =!= 0, col("id") * 10).as("nullable_l"), // nulls
+      to_date(lit("2024-03-01")).as("d"),
+      timestamp_micros(col("id") * 1000000L + 123456L).as("ts"),
+      col("id").cast("decimal(12,2)").as("dec"),
+      array(col("id").cast("float"), col("id").cast("float") * 2f).as("vec"),
+      encode(concat(lit("b"), col("id")), "UTF-8").as("bin"))
+      .repartition(4)
+    graft.sources.ArrowIpc.write(df, dir, batchSize = 100)
+    // 4 partitions x ceil(250/100) batches = 12 parallel read tasks
+    val back = graft.sources.ArrowIpc.read(spark, dir)
+    assert(back.schema == df.schema ||
+      back.schema.map(f => (f.name, f.dataType)) == df.schema.map(f => (f.name, f.dataType)),
+      s"schema mismatch:\n${back.schema}\n${df.schema}")
+    assert(back.count() == 1000)
+    val a = df.orderBy("id").collect()
+    val b = back.orderBy("id").collect()
+    assert(a.zip(b).forall { case (x, y) => x == y }, s"first diff: ${a.zip(b).find { case (x, y) => x != y }}")
+    // empty frame round-trips schema
+    val edir = java.nio.file.Files.createTempDirectory("graft_ipc_e").toString + "/e"
+    graft.sources.ArrowIpc.write(df.filter(lit(false)), edir)
+    val eback = graft.sources.ArrowIpc.read(spark, edir)
+    assert(eback.count() == 0 && eback.schema.fieldNames.sameElements(df.schema.fieldNames))
+  }
+
   test("IO: csv skip_rows drops physical lines before the header, no global window") {
     val dir = java.nio.file.Files.createTempDirectory("graft_skip").toString
     // 2 junk preamble lines, then the REAL header, then 5000 rows — enough

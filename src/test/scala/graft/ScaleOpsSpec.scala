@@ -33,6 +33,19 @@ class ScaleOpsSpec extends SparkSpec {
     assert(calls >= 2)
   }
 
+  test("iterator source: N factories -> N input partitions, pushdown intact") {
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", DoubleType)))
+    val ranges = Seq(0L until 100L, 100L until 250L, 250L until 300L)
+    val df = graft.sources.IteratorSource.scanPartitioned(spark, "tp", schema,
+      ranges.map(r => () => r.iterator.map(i => Row(i, i * 0.5))))
+    assert(df.rdd.getNumPartitions == 3)
+    assert(df.count() == 300)
+    assert(df.agg(sum("id")).head().getLong(0) == (0L until 300L).sum)
+    val pruned = df.select("v")
+    val desc = pruned.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(desc.contains("cols=[v]") && desc.contains("parts=3"), desc)
+  }
+
   test("connected components collapse transitive duplicate chains") {
     // edges: 1-2, 2-3 (one cluster), 7-9 (another)
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
