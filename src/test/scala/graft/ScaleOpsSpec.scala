@@ -4,6 +4,12 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** JVM-global invocation counter — reachable statically from deserialized
+  * task closures, unlike a captured local var. */
+object FactoryProbe {
+  val calls = new java.util.concurrent.atomic.AtomicInteger()
+}
+
 /** DSv2 iterator source (pushdown contract), connected-components dedup,
   * IVF ANN. */
 class ScaleOpsSpec extends SparkSpec {
@@ -13,9 +19,12 @@ class ScaleOpsSpec extends SparkSpec {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("name", StringType),
       StructField("v", DoubleType)))
-    var calls = 0
+    // factories now serialize into their InputPartition (cluster-safe), so
+    // a captured local var would mutate a task-side COPY — count invocations
+    // through a JVM-global probe (same JVM under local[*])
+    FactoryProbe.calls.set(0)
     val df = graft.sources.IteratorSource.scan(spark, "t1", schema, () => {
-      calls += 1
+      FactoryProbe.calls.incrementAndGet()
       (1L to 100L).iterator.map(i => Row(i, s"row$i", i * 1.5))
     })
     assert(df.count() == 100)
@@ -30,7 +39,7 @@ class ScaleOpsSpec extends SparkSpec {
     assert(limDesc.contains("limit=7"), limDesc)
     assert(limited.count() == 7)
     // factory re-invoked per scan (re-scannable like ScanDatabase)
-    assert(calls >= 2)
+    assert(FactoryProbe.calls.get() >= 2)
   }
 
   test("iterator source: N factories -> N input partitions, pushdown intact") {
