@@ -384,6 +384,42 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // §2.4 as-of WITHOUT by-keys (lazy.rs:501-569 allows it) — exercises the
+    // range-partitioned boundary-carry path, oracle'd by DuckDB global ASOF.
+    // The right side is pre-deduped to unique ts (max value) so ties are
+    // deterministic on both engines.
+    "q41_asof_unkeyed" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .groupBy(col("ts"))
+        .agg(max(dec4(col("value"))).cast("double").as("click_value"))
+      graft.operators.AsofJoin.join(p, c, "ts", "ts")
+        .orderBy(col("event_id"))
+    }),
+
+    // §2.6 unkeyed whole-frame forward fill — Fill.fillGlobal's
+    // range-partition + broadcast-carry plan vs a DuckDB global window.
+    "q42_fill_global" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .withColumn("value_ffill", when(col("event_type") =!= "error", col("value")))
+      graft.operators.Fill.fillGlobal(ev, Seq("value_ffill"), Seq(col("ts"), col("event_id")))
+        .select(col("event_id"), col("value_ffill"))
+        .orderBy(col("event_id"))
+    }),
+
+    // §2.5 calendar-true monthly group_by_dynamic ("1mo" = real month
+    // boundaries, not 30-day grids) vs DuckDB date_trunc('month').
+    "q43_calendar_month" -> ((s, d) => {
+      graft.operators.DynamicGroupBy(t(s, d, "events"), "ts", every = "1mo",
+          by = Seq("event_type"))(
+          sum(dec4(col("value"))).cast("double").as("sum_value"),
+          count(lit(1)).as("n"))
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+        .orderBy(col("ts"), col("event_type"))
+    }),
+
     // ---- training-data pipeline operators (driver north-star extensions) ----
 
     // exact dedup: deterministic keep-first per key group
@@ -1122,5 +1158,27 @@ object SparkEntry {
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
         |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS value_bfill
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q41_asof_unkeyed" ->
+      """SELECT p.event_id, p.ts, c.click_value
+        |FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (
+        |  SELECT ts, CAST(max(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY ts) c
+        |  ON p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q42_fill_global" ->
+      """SELECT event_id,
+        |  last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+        |    OVER (ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS value_ffill
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q43_calendar_month" ->
+      """SELECT date_trunc('month', ts) AS ts, event_type,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY ts, event_type""".stripMargin,
   )
 }

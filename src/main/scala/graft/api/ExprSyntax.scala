@@ -137,11 +137,23 @@ object syntax {
       ((unix_micros(uc) - unix_micros(to_date(c).cast("timestamp"))) * 1000L).cast("long")
     /** strftime (expr.rs:550-564). */
     def toString(chronoFmt: String): Column = date_format(c, ChronoFormat.toJava(chronoFmt))
-    /** truncate to arbitrary duration (expr.rs:568-579): floor on unix micros. */
+    /** truncate to arbitrary duration (expr.rs:568-579): floor on unix micros;
+      * calendar units (mo/q/y) floor to real month boundaries. */
     def truncate(every: String): Column = {
-      val us = graft.functions.Durations.parseMicros(every)
-      val u = unix_micros(uc)
-      timestamp_micros(u - (u % lit(us))) // long % long stays long
+      val D = graft.functions.Durations
+      if (D.isCalendar(every)) {
+        val (months, usPart) = D.parseMonthsAndMicros(every)
+        require(usPart == 0L, s"calendar truncate must be whole months: '$every'")
+        val F = org.apache.spark.sql.functions // `year`/`month` here are the
+        val epoch = to_date(lit("1970-01-01")) // namespace's own members
+        val mse = (F.year(uc) - lit(1970)) * lit(12) + (F.month(uc) - lit(1))
+        val idx = ((mse - pmod(mse, lit(months))) / lit(months)).cast("int")
+        add_months(epoch, idx * lit(months.toInt)).cast("timestamp")
+      } else {
+        val us = D.parseMicros(every)
+        val u = unix_micros(uc)
+        timestamp_micros(u - (u % lit(us))) // long % long stays long
+      }
     }
     /** round to nearest window (expr.rs:582-591) = truncate(t + every/2). */
     def round(every: String): Column = {
@@ -149,10 +161,19 @@ object syntax {
       val u = unix_micros(uc) + lit(us / 2)
       timestamp_micros(u - (u % lit(us)))
     }
-    /** offset_by duration string (expr.rs:595-605). */
+    /** offset_by duration string (expr.rs:595-605). Calendar units (mo/q/y)
+      * use true month arithmetic — day-of-month clamped to the target month's
+      * end (Jan 31 + 1mo = Feb 29 in a leap year), time-of-day preserved —
+      * matching Polars; the fixed part adds exact µs. */
     def offsetBy(dur: String): Column = {
-      val us = graft.functions.Durations.parseMicros(dur)
-      timestamp_micros(unix_micros(uc) + us)
+      val (months, us) = graft.functions.Durations.parseMonthsAndMicros(dur)
+      if (months == 0L) timestamp_micros(unix_micros(uc) + us)
+      else {
+        val d = to_date(uc)
+        val tod = unix_micros(uc) - unix_micros(d.cast("timestamp"))
+        timestamp_micros(
+          unix_micros(add_months(d, months.toInt).cast("timestamp")) + tod + lit(us))
+      }
     }
     /** epoch timestamp in the given unit (expr.rs:609-623). */
     def timestamp(unit: String = "us"): Column = unit match {
@@ -163,8 +184,15 @@ object syntax {
     }
     /** convert_time_zone — same instant, new wall time (expr.rs:636-653). */
     def convertTimeZone(tz: String): Column = from_utc_timestamp(c, tz)
-    /** replace_time_zone — reinterpret wall time in tz → UTC instant (expr.rs:658-700). */
-    def replaceTimeZone(tz: String): Column = to_utc_timestamp(c, tz)
+    /** replace_time_zone — reinterpret wall time in tz → UTC instant with the
+      * reference's DST policies (expr.rs:658-700): `ambiguous` ∈
+      * raise|earliest|latest|null, `nonExistent` ∈ raise|null (defaults =
+      * raise, matching Polars). */
+    def replaceTimeZone(tz: String, ambiguous: String = "raise",
+                        nonExistent: String = "raise"): Column = {
+      graft.plans.TimeZoneExprs.register(org.apache.spark.sql.SparkSession.active)
+      call_function("graft_replace_tz", uc, lit(tz), lit(ambiguous), lit(nonExistent))
+    }
   }
 
   /** List namespace (reference: expr.rs:266-291, 744-847 `list_*`). */

@@ -19,7 +19,7 @@ object Durations {
   /** Physical time duration in microseconds. */
   final case class Micros(us: Long) extends Duration { def isRows = false }
 
-  private val token = "([+-]?\\d+)(ns|us|ms|mo|[smhdwiy])".r
+  private val token = "([+-]?\\d+)(ns|us|ms|mo|[smhdwiyq])".r
 
   private val unitMicros: Map[String, Double] = Map(
     "ns" -> 1e-3,
@@ -30,12 +30,16 @@ object Durations {
     "h"  -> 3600e6,
     "d"  -> 86400e6,
     "w"  -> 7 * 86400e6,
-    // calendar-approximate units; the reference treats mo/y calendar-aware in
-    // some contexts — for fixed-width windows we use the conventional fixed
-    // sizes (30d / 365d), documented deviation.
+    // calendar units in a FIXED-WIDTH context (rolling range windows, as-of
+    // tolerance) use the conventional fixed sizes — same split Polars makes;
+    // calendar-true month arithmetic lives in parseMonthsAndMicros, used by
+    // group_by_dynamic and offset_by.
     "mo" -> 30 * 86400e6,
+    "q"  -> 91 * 86400e6,
     "y"  -> 365 * 86400e6,
   )
+
+  private val unitMonths: Map[String, Long] = Map("mo" -> 1L, "q" -> 3L, "y" -> 12L)
 
   /** Parse a Polars duration string ("1h30m", "3i", "-2d") into a Duration. */
   def parse(s: String): Duration = {
@@ -70,4 +74,31 @@ object Durations {
 
   /** Render microseconds as a Spark SQL interval string, e.g. for window(). */
   def microsToSparkInterval(us: Long): String = s"$us microseconds"
+
+  /** Calendar-aware split: mo/q/y tokens accumulate MONTHS, everything else
+    * microseconds — `"1y2mo3d"` → (14 months, 3 days of µs). Callers doing
+    * calendar arithmetic (group_by_dynamic month grids, offset_by) apply the
+    * month part with real month-add (variable length, day-clamped) and the
+    * remainder as fixed µs. Row-count durations are rejected. */
+  def parseMonthsAndMicros(s: String): (Long, Long) = {
+    val trimmed = s.trim
+    require(trimmed.nonEmpty, "empty duration string")
+    val toks = token.findAllMatchIn(trimmed).toSeq
+    val consumed = toks.map(_.matched.length).sum
+    require(consumed == trimmed.length, s"cannot parse duration: '$s'")
+    require(!toks.exists(_.group(2) == "i"), s"expected a time duration, got row count: '$s'")
+    var months = 0L
+    var us = 0.0
+    toks.foreach { m =>
+      val n = m.group(1).toLong
+      unitMonths.get(m.group(2)) match {
+        case Some(mo) => months += n * mo
+        case None     => us += n * unitMicros(m.group(2))
+      }
+    }
+    (months, us.round)
+  }
+
+  /** True when the duration has a calendar (month-based) component. */
+  def isCalendar(s: String): Boolean = parseMonthsAndMicros(s)._1 != 0L
 }

@@ -58,6 +58,10 @@ object DynamicGroupBy {
             startBy: StartBy = WindowBound)
            (aggs: Column*): DataFrame = {
 
+    if (Durations.isCalendar(every))
+      return applyCalendar(df, timeCol, every, period, offset, by, closed, label,
+        includeBoundaries, startBy)(aggs: _*)
+
     val everyUs = Durations.parseMicros(every)
     val periodUs = period.map(Durations.parseMicros).getOrElse(everyUs)
     val dayUs = 86400000000L
@@ -108,10 +112,91 @@ object DynamicGroupBy {
       Durations.microsToSparkInterval(everyUs),
       Durations.microsToSparkInterval(offsetUs))
 
+    finish(prepared.withColumn("__w", win), timeCol, by, label, includeBoundaries)(aggs: _*)
+  }
+
+  /** Calendar-true month grids — `every`/`period` in whole months
+    * (`"1mo"`, `"1q"`, `"1y"`): windows start on real month boundaries
+    * (Feb is 28/29 days, not a 30-day approximation), matching Polars'
+    * calendar-aware group_by_dynamic (lazy.rs:186-273 with month `every`).
+    *
+    * A row's window index is pure month arithmetic on the (closed-nudged,
+    * offset-translated) assignment time — codegen'd year/month extraction,
+    * no UDFs, same single shuffle on (keys, window) as the fixed-width path.
+    * Sliding (period > every) explodes each row into its ⌈period/every⌉
+    * candidate windows. `offset` may add whole months and/or a fixed-µs
+    * translation of the grid.
+    */
+  private def applyCalendar(df: DataFrame, timeCol: String,
+                            every: String, period: Option[String], offset: Option[String],
+                            by: Seq[String],
+                            closed: Closed, label: Label,
+                            includeBoundaries: Boolean, startBy: StartBy)
+                           (aggs: Column*): DataFrame = {
+    val (everyMo, everyUsPart) = Durations.parseMonthsAndMicros(every)
+    require(everyUsPart == 0L && everyMo > 0,
+      s"calendar 'every' must be whole positive months (1mo/1q/1y...), got '$every'")
+    val (periodMo, periodUsPart) = period.map(Durations.parseMonthsAndMicros).getOrElse((everyMo, 0L))
+    require(periodUsPart == 0L && periodMo > 0,
+      s"calendar 'period' must be whole positive months, got '$period'")
+    val (offMo, offUs) = offset.map(Durations.parseMonthsAndMicros).getOrElse((0L, 0L))
+    require(startBy == WindowBound, "calendar grids support start_by=WindowBound")
+    if ((closed == ClosedBoth || closed == ClosedNone) && periodMo != everyMo)
+      throw new IllegalArgumentException(
+        "closed=Both/None is defined for tumbling windows (period == every)")
+
+    val epoch = to_date(lit("1970-01-01"))
+    val t = col(timeCol).cast("timestamp")
+    val u = unix_micros(t)
+
+    // translate out the fixed-µs offset, apply the closed nudge, then work in
+    // whole months: mse = months since epoch of the assignment time
+    def mse(ts: Column): Column = (year(ts) - lit(1970)) * lit(12) + (month(ts) - lit(1))
+    // Column./ is double division; the numerator is exactly divisible, so the
+    // int cast is exact (pmod keeps pre-epoch rows correct: floor, not trunc)
+    def floorDiv(a: Column, b: Long): Column = ((a - pmod(a, lit(b))) / lit(b)).cast("int")
+    def boundaryTs(totalMonths: Column): Column =
+      timestamp_micros(unix_micros(add_months(epoch, totalMonths.cast("int")).cast("timestamp")) + lit(offUs))
+
+    val uShift = u - lit(offUs)
+    val gridPos = mse(timestamp_micros(uShift)) - lit(offMo) // month position on the grid
+    val baseIdx = floorDiv(gridPos, everyMo)
+    val onBoundary = unix_micros(boundaryTs(baseIdx * lit(everyMo) + lit(offMo))) === u
+
+    val prepared0 = closed match {
+      case ClosedLeft  => df.withColumn("__au", uShift)
+      case ClosedRight => df.withColumn("__au", uShift - lit(1L))
+      case ClosedBoth  =>
+        df.withColumn("__au",
+          explode(when(onBoundary, array(uShift, uShift - lit(1L))).otherwise(array(uShift))))
+      case ClosedNone  => df.filter(!onBoundary).withColumn("__au", uShift)
+    }
+
+    val m = mse(timestamp_micros(col("__au"))) - lit(offMo)
+    val base = floorDiv(m, everyMo)
+    val nW = ((periodMo + everyMo - 1) / everyMo).toInt
+    val withIdx =
+      if (nW == 1) prepared0.withColumn("__idx", base)
+      else prepared0
+        .withColumn("__k", explode(sequence(lit(0), lit(nW - 1))))
+        .withColumn("__idx", base - col("__k"))
+        // window [idx*every, idx*every+period) must still contain the row
+        .filter(m < col("__idx") * lit(everyMo) + lit(periodMo))
+        .drop("__k")
+
+    val prepared = withIdx.withColumn("__w", struct(
+      boundaryTs(col("__idx") * lit(everyMo) + lit(offMo)).as("start"),
+      boundaryTs(col("__idx") * lit(everyMo) + lit(offMo) + lit(periodMo)).as("end")))
+
+    finish(prepared, timeCol, by, label, includeBoundaries)(aggs: _*)
+  }
+
+  /** Shared tail: group on (__w, by), apply label + boundary selection. */
+  private def finish(prepared: DataFrame, timeCol: String, by: Seq[String],
+                     label: Label, includeBoundaries: Boolean)(aggs: Column*): DataFrame = {
     val allAggs =
       if (label == LabelDataPoint) min(col(timeCol)).as("__first_t") +: aggs else aggs
     val grouped = prepared
-      .withColumn("__w", win)
       .groupBy((col("__w") +: by.map(col)).toIndexedSeq: _*)
       .agg(allAggs.head, allAggs.tail.toIndexedSeq: _*)
 

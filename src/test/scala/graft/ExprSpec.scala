@@ -166,6 +166,39 @@ class ExprSpec extends SparkSpec {
     assert(got(3).isNullAt(2) && got(4).getDouble(4) == 4.0)      // partition reset
   }
 
+  test("replace_time_zone DST policies: ambiguous earliest/latest/null/raise, gap null/raise (expr.rs:658-700)") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // Europe/Berlin 2024: clocks fall back 03:00->02:00 on Oct 27 (02:30 is
+    // ambiguous); spring forward 02:00->03:00 on Mar 31 (02:30 doesn't exist)
+    val amb = Seq(ts("2024-10-27 02:30:00")).toDF("t")
+    def instant(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(unix_micros(col("r"))).head().getLong(0)
+    val early = instant(amb.withColumn("r", col("t").dt.replaceTimeZone("Europe/Berlin", ambiguous = "earliest")))
+    val late = instant(amb.withColumn("r", col("t").dt.replaceTimeZone("Europe/Berlin", ambiguous = "latest")))
+    assert(late - early == 3600L * 1000000L, "latest is exactly one hour after earliest")
+    assert(early == java.time.Instant.parse("2024-10-27T00:30:00Z").toEpochMilli * 1000L)
+    assert(amb.withColumn("r", col("t").dt.replaceTimeZone("Europe/Berlin", ambiguous = "null"))
+      .select("r").head().isNullAt(0))
+    val eAmb = intercept[Exception] {
+      amb.withColumn("r", col("t").dt.replaceTimeZone("Europe/Berlin")).select("r").collect()
+    }
+    assert(eAmb.getMessage.contains("ambiguous") ||
+      Option(eAmb.getCause).exists(_.getMessage.contains("ambiguous")))
+    val gap = Seq(ts("2024-03-31 02:30:00")).toDF("t")
+    assert(gap.withColumn("r", col("t").dt.replaceTimeZone("Europe/Berlin", nonExistent = "null"))
+      .select("r").head().isNullAt(0))
+    val eGap = intercept[Exception] {
+      gap.withColumn("r", col("t").dt.replaceTimeZone("Europe/Berlin")).select("r").collect()
+    }
+    assert(eGap.getMessage.contains("does not exist") ||
+      Option(eGap.getCause).exists(_.getMessage.contains("does not exist")))
+    // unambiguous wall time resolves like to_utc_timestamp
+    val plain = Seq(ts("2024-06-15 12:00:00")).toDF("t")
+    val got = instant(plain.withColumn("r", col("t").dt.replaceTimeZone("Europe/Berlin")))
+    val want = plain.select(unix_micros(to_utc_timestamp(col("t"), "Europe/Berlin"))).head().getLong(0)
+    assert(got == want)
+  }
+
   test("selectors resolve against schema with set algebra (SURVEY 2.12)") {
     import graft.api.{Selectors => S}
     import graft.api.frame._

@@ -94,6 +94,59 @@ class TimeSeriesSpec extends SparkSpec {
       Seq(10.0, 10.0, 10.0, -1.0, 50.0))
   }
 
+  test("calendar 1mo/1q dynamic grids hit true month boundaries (leap Feb)") {
+    // daily points Jan 1 .. Apr 30 of leap-year 2024
+    val df = (0 until 121).map { i =>
+      (java.sql.Timestamp.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).atStartOfDay), 1)
+    }.toDF("t", "one")
+    val mo = DynamicGroupBy(df, "t", every = "1mo", includeBoundaries = true)(
+        count(lit(1)).as("n"))
+      .orderBy("t").collect()
+    assert(mo.map(_.getLong(3)).toSeq == Seq(31L, 29L, 31L, 30L),
+      "month lengths must be calendar-true, not 30-day grids")
+    assert(mo.map(_.getAs[java.sql.Timestamp](0).toString.take(10)).toSeq ==
+      Seq("2024-01-01", "2024-02-01", "2024-03-01", "2024-04-01"))
+    // _upper_boundary is the real next month start (Feb 1 -> Mar 1 = 29 days)
+    assert(mo(1).getAs[java.sql.Timestamp](2).toString.take(10) == "2024-03-01")
+    val q = DynamicGroupBy(df, "t", every = "1q")(count(lit(1)).as("n"))
+      .orderBy("t").collect()
+    assert(q.map(_.getLong(1)).toSeq == Seq(91L, 30L)) // Q1 2024 = 91 days
+    // closed=Right: Feb 1 00:00 belongs to the January window
+    val right = DynamicGroupBy(df, "t", every = "1mo",
+        closed = DynamicGroupBy.ClosedRight)(count(lit(1)).as("n"))
+      .orderBy("t").collect()
+    assert(right.map(_.getLong(1)).toSeq == Seq(1L, 31L, 29L, 31L, 29L))
+  }
+
+  test("calendar sliding: every=1mo period=2mo double-counts interior months") {
+    val df = (0 until 121).map { i =>
+      (java.sql.Timestamp.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).atStartOfDay), 1)
+    }.toDF("t", "one")
+    val got = DynamicGroupBy(df, "t", every = "1mo", period = Some("2mo"))(
+        count(lit(1)).as("n")).orderBy("t").collect()
+    // windows: [Dec,Feb)=31, [Jan,Mar)=60, [Feb,Apr)=60, [Mar,May)=61, [Apr,Jun)=30
+    assert(got.map(_.getLong(1)).toSeq == Seq(31L, 60L, 60L, 61L, 30L))
+  }
+
+  test("offset_by and truncate with calendar months clamp and floor correctly") {
+    import graft.api.syntax._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(ts("2024-01-31 12:34:56"), ts("2024-02-29 08:00:00"), ts("2024-05-10 00:00:01"))
+      .toDF("t")
+    val got = df.select(
+        col("t").dt.offsetBy("1mo").as("p1mo"),
+        col("t").dt.offsetBy("1y").as("p1y"),
+        col("t").dt.offsetBy("1mo2d").as("mixed"),
+        col("t").dt.truncate("1mo").as("tmo"),
+        col("t").dt.truncate("1q").as("tq"))
+      .collect().map(r => (0 until 5).map(i => r.getAs[java.sql.Timestamp](i).toString).toList)
+    assert(got(0)(0).startsWith("2024-02-29 12:34:56")) // Jan 31 +1mo clamps, keeps time
+    assert(got(1)(1).startsWith("2025-02-28 08:00:00")) // leap day +1y clamps
+    assert(got(0)(2).startsWith("2024-03-02 12:34:56")) // clamp then +2d
+    assert(got(2)(3).startsWith("2024-05-01 00:00:00"))
+    assert(got(2)(4).startsWith("2024-04-01 00:00:00")) // Q2 floor
+  }
+
   test("fillGlobal matches single-window fill and stays multi-partition") {
     // nulls everywhere except every 37th row → fills regularly cross the
     // range-partition boundaries; oracle = the (single-partition) column API
