@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
 import graft.functions.Durations
@@ -59,5 +59,86 @@ object Rolling {
 
   private def base(partitionBy: Seq[Column]): WindowSpec =
     if (partitionBy.nonEmpty) Window.partitionBy(partitionBy.toIndexedSeq: _*)
-    else Window.partitionBy() // global rolling: single ordered partition (Polars semantics)
+    else Window.partitionBy() // global rolling: single ordered partition —
+    // fine inside tests/small frames; the scale path for UNKEYED rolling is
+    // fixedGlobal/timeGlobal below (range partition + boundary context).
+
+  // ---- unkeyed rolling at scale ------------------------------------------
+  //
+  // A Polars rolling over the whole frame has no partition key, and a bare
+  // Window.partitionBy() serializes everything through one task. Instead:
+  // range-partition on the order key, then DUPLICATE each partition's look-
+  // back margin (last n−1 rows / last `window` µs) into the next partition(s)
+  // as context rows. Every partition then computes its windows locally —
+  // context rows get wrong (prefix-truncated) results but are dropped before
+  // returning. Margins come from a P-row broadcast of per-partition offsets,
+  // so the only data shuffles are the range exchange and the (tiny) context
+  // duplication; all window computation is fully parallel.
+
+  /** Unkeyed fixed-row rolling ("3i") over the whole frame.
+    * `aggs`: output column name → aggregate over the rolling spec. */
+  def fixedGlobal(df: DataFrame, windowSize: String, order: Seq[Column],
+                  aggs: Seq[(String, WindowSpec => Column)]): DataFrame = {
+    val n = Durations.parseRows(windowSize)
+    val ordered = order.toIndexedSeq
+    val parted = df.repartitionByRange(ordered: _*).withColumn("__pid", spark_partition_id())
+    val w0 = Window.partitionBy("__pid").orderBy(ordered: _*)
+    val withRn = parted.withColumn("__rn", row_number().over(w0).cast("long"))
+    val prefix = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    val bounds = withRn.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(prefix), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val withGrn = withRn.join(broadcast(bounds), Seq("__pid"))
+      .withColumn("__grn", col("__rn") + col("__off"))
+
+    // a row is context for partition q when it falls in q's n−1-row lookback
+    val targets = bounds.select(col("__pid").as("__tq"), col("__off").as("__toff"))
+    val ctx = withGrn.join(broadcast(targets),
+        col("__tq") > col("__pid") &&
+        col("__grn") >= col("__toff") - lit(n - 1) && col("__grn") <= col("__toff"))
+      .withColumn("__tpid", col("__tq")).drop("__tq", "__toff")
+      .withColumn("__ctx", lit(true))
+    val own = withGrn.withColumn("__tpid", col("__pid")).withColumn("__ctx", lit(false))
+    val all = own.unionByName(ctx.select(own.columns.map(col).toIndexedSeq: _*))
+
+    finishGlobal(all, df.columns,
+      Window.partitionBy("__tpid").orderBy(ordered: _*).rowsBetween(-(n - 1), 0), aggs)
+  }
+
+  /** Unkeyed time-based rolling over the whole frame. */
+  def timeGlobal(df: DataFrame, windowSize: String, timeCol: Column,
+                 closed: Closed = Right,
+                 aggs: Seq[(String, WindowSpec => Column)]): DataFrame = {
+    val us = Durations.parseMicros(windowSize)
+    val u = unix_micros(timeCol.cast("timestamp"))
+    val parted = df.withColumn("__u", u).repartitionByRange(col("__u"))
+      .withColumn("__pid", spark_partition_id())
+    val prefixBounds = parted.groupBy("__pid").agg(min(col("__u")).as("__lo"))
+    val ctx = parted.join(broadcast(prefixBounds.select(col("__pid").as("__tq"), col("__lo"))),
+        col("__tq") > col("__pid") &&
+        col("__u") >= col("__lo") - lit(us) && col("__u") < col("__lo"))
+      .withColumn("__tpid", col("__tq")).drop("__tq", "__lo")
+      .withColumn("__ctx", lit(true))
+    val own = parted.withColumn("__tpid", col("__pid")).withColumn("__ctx", lit(false))
+    val all = own.unionByName(ctx.select(own.columns.map(col).toIndexedSeq: _*))
+
+    val (lo, hi) = closed match {
+      case Right => (-(us - 1), 0L)
+      case Both  => (-us, 0L)
+      case Left  => (-us, -1L)
+      case NoneC => (-(us - 1), -1L)
+    }
+    finishGlobal(all, df.columns,
+      Window.partitionBy("__tpid").orderBy(col("__u")).rangeBetween(lo, hi), aggs)
+  }
+
+  private def finishGlobal(all: DataFrame, keep: Array[String],
+                           spec: WindowSpec,
+                           aggs: Seq[(String, WindowSpec => Column)]): DataFrame = {
+    val withAggs = aggs.foldLeft(all) { case (acc, (name, f)) =>
+      acc.withColumn(name, f(spec))
+    }
+    withAggs.filter(!col("__ctx"))
+      .select((keep.map(col) ++ aggs.map(a => col(a._1))).toIndexedSeq: _*)
+  }
 }

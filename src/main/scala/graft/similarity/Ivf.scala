@@ -19,16 +19,42 @@ import org.apache.spark.sql.functions._
 object Ivf {
 
   /** Build the cell index: returns (centroids, assigned corpus).
-    * assigned = corpus + `cell` column, repartitioned by cell. */
+    * assigned = corpus + `cell` column, repartitioned by cell.
+    *
+    * `lloydIters` > 0 runs that many Lloyd (k-means) refinement rounds over
+    * the sampled seeds before the final assignment: assign → element-wise
+    * mean per cell → re-assign. Each round is two shuffles (the assignment
+    * cross-join is broadcast; the mean reduces corpus×dim exploded elements
+    * with map-side partial aggregation); empty cells keep their previous
+    * centroid. Better-balanced cells mean fewer over-full probes at search
+    * time — the classic IVF build trade: pay once at index time. */
   def buildIndex(corpus: DataFrame, nlist: Int, seed: Long = 42L,
-                 idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 lloydIters: Int = 0): (DataFrame, DataFrame) = {
     graft.plans.CosineSimilarityExpr.register(corpus.sparkSession)
     // deterministic sample: hash-rank rows, take nlist as centroids
-    val centroids = corpus
+    var centroids = corpus
       .withColumn("__r", xxhash64(col(idCol), lit(seed)))
       .orderBy(col("__r")).limit(nlist)
       .select(monotonically_increasing_id().as("cell"), col(vecCol).as("__centroid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    for (_ <- 0 until lloydIters) {
+      val members = assignCells(corpus, centroids, 1, idCol, vecCol)
+      val means = members
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("__p", "__x")))
+        .groupBy(col("cell"), col("__p")).agg(avg(col("__x")).as("__m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("__p"), col("__m")))).as("__pm"))
+        .select(col("cell"),
+          transform(col("__pm"), s => s.getField("__m").cast("float")).as("__newc"))
+      val next = centroids.join(means, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("__newc"), col("__centroid")).as("__centroid"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before unpersisting the previous round
+      centroids.unpersist()
+      centroids = next
+    }
 
     val assigned = assignCells(corpus, centroids, 1, idCol, vecCol)
       .repartition(col("cell"))

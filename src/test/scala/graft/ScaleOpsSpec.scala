@@ -95,6 +95,19 @@ class ScaleOpsSpec extends SparkSpec {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(got.groupBy("query_id").count().filter(col("count") > 5).count() == 0)
     assert(recall >= 0.3, s"recall $recall") // nprobe 4/16 cells on random vectors
+
+    // Lloyd refinement: centroids move off the sampled seeds, cell count and
+    // corpus coverage preserved, recall at least in the same band
+    val (c2, a2) = graft.similarity.Ivf.buildIndex(e, nlist = 16, lloydIters = 2)
+    assert(c2.count() == 16 && a2.count() == e.count())
+    val moved = centroids.withColumnRenamed("__centroid", "__c0")
+      .join(c2, "cell")
+      .filter(col("__c0") =!= col("__centroid")).count()
+    assert(moved > 0, "refined centroids should differ from sampled seeds")
+    val got2 = graft.similarity.Ivf.search(a2, c2, q, k = 5, nprobe = 4)
+    val approx2 = got2.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall2 = (exact & approx2).size.toDouble / exact.size
+    assert(recall2 >= 0.3, s"refined recall $recall2")
   }
 
   test("describe uses exact nearest quantiles (reference Describe semantics)") {

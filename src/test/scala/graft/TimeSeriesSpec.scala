@@ -174,6 +174,41 @@ class TimeSeriesSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
   }
 
+  test("global rolling (rows + time) matches single-window results, stays parallel") {
+    val df = (0 until 4000).map { i =>
+      (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(i.toLong * 67)), i.toLong, (i % 97).toDouble)
+    }.toDF("t", "id", "v").repartition(8)
+    def nums(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (if (r.isNullAt(0)) -1.0 else r.getDouble(0), r.getLong(1))).toSeq
+
+    // fixed 25-row window
+    val fastR = Rolling.fixedGlobal(df, "25i", Seq(col("id")),
+      Seq("rsum" -> (w => sum(col("v")).over(w)), "rn" -> (w => count(lit(1)).over(w))))
+    val slowSpecR = Rolling.fixedSpec("25i", Seq(col("id")))
+    val slowR = df.withColumn("rsum", sum(col("v")).over(slowSpecR))
+      .withColumn("rn", count(lit(1)).over(slowSpecR))
+    assert(nums(fastR.orderBy("id").select("rsum", "rn").collect()) ==
+           nums(slowR.orderBy("id").select("rsum", "rn").collect()))
+
+    // time 10-minute window, closed matrix
+    for (closed <- Seq(Rolling.Right, Rolling.Both, Rolling.Left, Rolling.NoneC)) {
+      val fastT = Rolling.timeGlobal(df, "10m", col("t"), closed,
+        Seq("rsum" -> (w => sum(col("v")).over(w)), "rn" -> (w => count(lit(1)).over(w))))
+      val slowSpecT = Rolling.timeSpec("10m", col("t"), closed = closed)
+      val slowT = df.withColumn("rsum", sum(col("v")).over(slowSpecT))
+        .withColumn("rn", count(lit(1)).over(slowSpecT))
+      assert(nums(fastT.orderBy("id").select("rsum", "rn").collect()) ==
+             nums(slowT.orderBy("id").select("rsum", "rn").collect()), s"closed=$closed")
+    }
+
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val fast = Rolling.fixedGlobal(df, "25i", Seq(col("id")),
+        Seq("rsum" -> (w => sum(col("v")).over(w))))
+      assert(fast.rdd.getNumPartitions > 1, "global rolling must not collapse to one task")
+    } finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+  }
+
   test("streaming twin: windowed agg over memory sink matches batch") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
