@@ -81,38 +81,44 @@ object DynamicGroupBy {
     val offsetUs = offset.map(Durations.parseMicros).getOrElse(0L) + startByUs
 
     // closed-bound handling: Spark assigns t ∈ [start, end).
-    //  Left  (reference default): native.
+    //  Left  (reference default): native window().
     //  Right ((start, end]): assign by t−1µs (timestamps are µs-resolution,
-    //        so the nudge is exact).
-    //  Both  ([start, end]): grid-boundary points belong to TWO windows —
-    //        explode each such row into both assignments (tumbling only).
-    //  None  ((start, end)): grid-boundary points belong to NO window —
-    //        drop them from their left-assigned window (tumbling only).
+    //        so the nudge is exact), native window().
+    //  Both  ([start, end]) / None ((start, end)): boundary membership can't
+    //        be expressed by a nudge alone for sliding grids — switch to
+    //        explicit grid-index math: explode each row into its candidate
+    //        window indexes and filter by the inclusive/exclusive bounds.
+    //        Tumbling grids degenerate to ≤2 candidates; codegen throughout.
     val t = col(timeCol).cast("timestamp")
     val u = unix_micros(t)
-    val onBoundary = ((u - lit(offsetUs)) % lit(everyUs)) === 0
-    if ((closed == ClosedBoth || closed == ClosedNone) && periodUs != everyUs)
-      throw new IllegalArgumentException(
-        "closed=Both/None is defined for tumbling windows (period == every)")
 
-    val prepared = closed match {
-      case ClosedLeft => df.withColumn("__assign_t", t)
-      case ClosedRight => df.withColumn("__assign_t", timestamp_micros(u - lit(1L)))
-      case ClosedBoth =>
-        // boundary rows assign to both [t, ...) and (..., t]
-        df.withColumn("__assign_t",
-            explode(when(onBoundary, array(t, timestamp_micros(u - lit(1L))))
-              .otherwise(array(t))))
-      case ClosedNone =>
-        df.filter(!onBoundary).withColumn("__assign_t", t)
+    closed match {
+      case ClosedLeft | ClosedRight =>
+        val assignT = if (closed == ClosedLeft) t else timestamp_micros(u - lit(1L))
+        val win = window(assignT,
+          Durations.microsToSparkInterval(periodUs),
+          Durations.microsToSparkInterval(everyUs),
+          Durations.microsToSparkInterval(offsetUs))
+        finish(df.withColumn("__w", win), timeCol, by, label, includeBoundaries)(aggs: _*)
+
+      case ClosedBoth | ClosedNone =>
+        val uAdj = u - lit(offsetUs)
+        def fd(a: Column, b: Long): Column = ((a - pmod(a, lit(b))) / lit(b)).cast("long")
+        // largest window index whose start admits this row
+        val hi = if (closed == ClosedBoth) fd(uAdj, everyUs) else fd(uAdj - lit(1L), everyUs)
+        val nW = (periodUs / everyUs).toInt + 1
+        val endOk =
+          if (closed == ClosedBoth) (idx: Column) => uAdj <= idx * lit(everyUs) + lit(periodUs)
+          else (idx: Column) => uAdj < idx * lit(everyUs) + lit(periodUs)
+        val withIdx = df
+          .withColumn("__idx", explode(transform(sequence(lit(0), lit(nW - 1)), k => hi - k)))
+          .filter(endOk(col("__idx")))
+        val prepared = withIdx.withColumn("__w", struct(
+            timestamp_micros(col("__idx") * lit(everyUs) + lit(offsetUs)).as("start"),
+            timestamp_micros(col("__idx") * lit(everyUs) + lit(offsetUs) + lit(periodUs)).as("end")))
+          .drop("__idx")
+        finish(prepared, timeCol, by, label, includeBoundaries)(aggs: _*)
     }
-
-    val win = window(col("__assign_t"),
-      Durations.microsToSparkInterval(periodUs),
-      Durations.microsToSparkInterval(everyUs),
-      Durations.microsToSparkInterval(offsetUs))
-
-    finish(prepared.withColumn("__w", win), timeCol, by, label, includeBoundaries)(aggs: _*)
   }
 
   /** Calendar-true month grids — `every`/`period` in whole months

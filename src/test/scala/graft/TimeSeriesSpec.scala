@@ -94,6 +94,21 @@ class TimeSeriesSpec extends SparkSpec {
       Seq(10.0, 10.0, 10.0, -1.0, 50.0))
   }
 
+  test("sliding windows with closed=Both/None (every=30m period=1h)") {
+    // Both [s, s+1h]: boundary points join every window whose edge touches them
+    val both = DynamicGroupBy(series, "Time", every = "30m", period = Some("1h"),
+        closed = DynamicGroupBy.ClosedBoth)(sum(col("Val")).as("s"))
+      .orderBy("Time").collect()
+    assert(both.map(r => (r.getAs[java.sql.Timestamp](0).toString.substring(11, 16), r.getLong(1))).toSeq ==
+      Seq("09:00" -> 0L, "09:30" -> 6L, "10:00" -> 15L, "10:30" -> 12L))
+    // None (s, s+1h): start AND end points excluded; empty windows not emitted
+    val none = DynamicGroupBy(series, "Time", every = "30m", period = Some("1h"),
+        closed = DynamicGroupBy.ClosedNone)(sum(col("Val")).as("s"))
+      .orderBy("Time").collect()
+    assert(none.map(r => (r.getAs[java.sql.Timestamp](0).toString.substring(11, 16), r.getLong(1))).toSeq ==
+      Seq("09:30" -> 3L, "10:00" -> 15L, "10:30" -> 9L))
+  }
+
   test("calendar 1mo/1q dynamic grids hit true month boundaries (leap Feb)") {
     // daily points Jan 1 .. Apr 30 of leap-year 2024
     val df = (0 until 121).map { i =>
