@@ -34,4 +34,28 @@ object StreamOps {
       .withColumn(timeCol, col("__w.start"))
       .drop("__w")
   }
+
+  /** Streaming exact dedup — the continuous twin of `Dedup.exact`. Keeps
+    * first-seen per key; per-key state is dropped once the watermark passes
+    * it, so state stays bounded at any ingest volume (the property a
+    * 100 TB/day dedup needs — an unbounded `dropDuplicates` would OOM its
+    * state store). */
+  def dedupStream(stream: DataFrame, keys: Seq[String], timeCol: String,
+                  watermark: String = "10 minutes"): DataFrame =
+    stream.withWatermark(timeCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Streaming file sinks (reference io.rs:391-479 streaming sink_csv/
+    * parquet/json): append mode, exactly-once per partition via the
+    * checkpoint + file-sink commit log. Returns the running query. */
+  def sinkFileStream(stream: DataFrame, format: String, path: String,
+                     checkpoint: String,
+                     trigger: org.apache.spark.sql.streaming.Trigger =
+                       org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.format(format)
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
 }

@@ -240,4 +240,29 @@ class TimeSeriesSpec extends SparkSpec {
       assert(got.map(_.getLong(0)).toSeq == Seq(3L, 12L))
     } finally q.stop()
   }
+
+  test("streaming dedup within watermark + streaming parquet sink") {
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+    // 3 distinct keys, each duplicated
+    val dup = Seq(
+      ("k1", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1),
+      ("k1", java.sql.Timestamp.valueOf("2024-01-01 10:00:05"), 2),
+      ("k2", java.sql.Timestamp.valueOf("2024-01-01 10:01:00"), 3),
+      ("k2", java.sql.Timestamp.valueOf("2024-01-01 10:01:30"), 4),
+      ("k3", java.sql.Timestamp.valueOf("2024-01-01 10:02:00"), 5),
+      ("k3", java.sql.Timestamp.valueOf("2024-01-01 10:02:00"), 6))
+      .toDF("k", "ts", "v")
+    dup.write.mode("overwrite").parquet(s"$base/in")
+    val schema = StructType(Seq(StructField("k", StringType),
+      StructField("ts", TimestampType), StructField("v", IntegerType)))
+    val stream = spark.readStream.schema(schema).parquet(s"$base/in")
+    val deduped = graft.streaming.StreamOps.dedupStream(stream, Seq("k"), "ts", "5 minutes")
+    val q = graft.streaming.StreamOps.sinkFileStream(deduped, "parquet",
+      s"$base/out", s"$base/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(s"$base/out")
+    assert(got.count() == 3, "one survivor per key within the watermark")
+    assert(got.select("k").as[String].collect().sorted.toSeq == Seq("k1", "k2", "k3"))
+  }
 }
