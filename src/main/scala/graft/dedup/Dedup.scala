@@ -132,4 +132,28 @@ object Dedup {
         call_function("graft_cosine", col("a.v"), col("b.v")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Embedding near-duplicate pairs with NO precomputed block column:
+    * banded sign-LSH candidates (any-band match, see
+    * [[graft.similarity.Ann.lshBandBuckets]]) verified by exact cosine —
+    * candidates below `threshold` never survive, so precision is exact;
+    * only recall is probabilistic. The self-join shuffle is keyed on
+    * (band,bucket) so AQE can split hot buckets; per-band bucket count
+    * 2^bandBits bounds pair work. Dials: more `bandBits` = cheaper + lower
+    * recall at moderate similarity; more `bands` = recall back up at
+    * proportional cost (the same banding trade MinHash makes). */
+  def embeddingLshPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                        threshold: Double, bandBits: Int = 8, bands: Int = 4,
+                        seed: Long = 42L): DataFrame = {
+    graft.plans.CosineSimilarityExpr.register(df.sparkSession)
+    val e = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("blk", explode(
+        graft.similarity.Ann.lshBandBuckets(col("v"), dim, bandBits, bands, seed)))
+    e.alias("a")
+      .join(e.alias("b"), col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        call_function("graft_cosine", col("a.v"), col("b.v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .distinct() // a pair can match in several bands
+  }
 }

@@ -39,4 +39,12 @@ object Quantiles {
     }
     when(n > 0, out)
   }
+
+  /** Sketch-based quantile for groups too large to buffer exactly — the
+    * 100 TB twin of [[quantile]] (a superset of the reference's exact-only
+    * surface). Wraps Spark's `percentile_approx` (KLL-style sketch, bounded
+    * memory, map-side mergeable partials). `accuracy` trades memory for
+    * error: rank error ≤ 1/accuracy. */
+  def quantileApprox(c: Column, q: Double, accuracy: Int = 10000): Column =
+    percentile_approx(c.cast("double"), lit(q), lit(accuracy))
 }

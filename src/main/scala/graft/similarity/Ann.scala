@@ -52,6 +52,23 @@ object Ann {
     }.reduce(_ + _)
   }
 
+  /** Banded sign-LSH buckets: `bands` independent buckets of `bandBits`
+    * planes each (band index folded into the bucket id, so buckets never
+    * collide across bands). Two vectors are candidates when ANY band
+    * matches — the OR-of-ANDs construction that keeps recall useful at
+    * moderate similarity, where a single wide bucket's all-bits-agree
+    * probability collapses (p_bit^16 ≈ 0 vs 1−(1−p_bit^4)^4). */
+  def lshBandBuckets(vec: Column, dim: Int, bandBits: Int, bands: Int,
+                     seed: Long = 42L): Column = {
+    val ps = planes(dim, bandBits * bands, seed)
+    array((0 until bands).map { k =>
+      val bits = (0 until bandBits).map { j =>
+        when(V.dot(vec, typedlit(ps(k * bandBits + j))) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      lit(k.toLong * (1L << bandBits)) + bits
+    }: _*)
+  }
+
   /** ANN top-k via sign-LSH bucketing with single-bit multi-probe.
     * Recall < 1 by construction; exactness is bruteForceTopK's job. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,

@@ -115,6 +115,32 @@ class PipelineSpec extends SparkSpec {
     assert(r2 >= 0.5, s"radius-2 recall $r2")
   }
 
+  test("embeddingLshPairs: exact precision, useful recall without block column") {
+    val e = sf("embeddings")
+    // exact reference: all-pairs cosine over a constant block
+    val exact = graft.dedup.Dedup.embeddingCosinePairs(
+        e.withColumn("__one", lit(1)), "vec_id", "embedding", "__one", 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = graft.dedup.Dedup.embeddingLshPairs(e, "vec_id", "embedding",
+        dim = 64, threshold = 0.35, bandBits = 2, bands = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "precision must be exact (cosine filter)")
+    assert(exact.nonEmpty)
+    val recall = (exact & lsh).size.toDouble / exact.size
+    // p_bit(cos .35) ≈ .614 → per-band .38, any-of-4 ≈ .85 expected
+    assert(recall >= 0.6, s"recall $recall with 4 bands x 2 bits on tau=0.35 pairs")
+  }
+
+  test("quantileApprox tracks exact quantile within sketch error") {
+    val df = (1 to 10000).map(_.toDouble).toDF("v")
+    val got = df.agg(
+      graft.functions.Quantiles.quantile(col("v"), 0.5).as("exact"),
+      graft.functions.Quantiles.quantileApprox(col("v"), 0.5).as("approx"))
+      .collect()(0)
+    assert(math.abs(got.getDouble(0) - got.getDouble(1)) <= 10.0,
+      s"exact=${got.getDouble(0)} approx=${got.getDouble(1)}")
+  }
+
   test("multimodal: media table + partition-parallel stub decode") {
     val media = graft.multimodal.Multimodal.asMediaTable(
       docs.withColumn("bin", col("text").cast("binary")), "doc_id", "bin")
