@@ -420,6 +420,23 @@ object SparkEntry {
         .orderBy(col("ts"), col("event_type"))
     }),
 
+    // §2.11 calendar-true offset_by / truncate (mo/q units) — DuckDB's
+    // INTERVAL month arithmetic clamps day-of-month exactly like Polars'
+    // offset_by, so both sides are deterministic and comparable.
+    "q44_calendar_offset" -> ((s, d) => {
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          col("o_orderdate").cast("timestamp").as("ts0"))
+        .select(col("o_orderkey"),
+          col("ts0").dt.offsetBy("1mo").cast("timestamp_ntz").as("plus_1mo"),
+          col("ts0").dt.offsetBy("1q").cast("timestamp_ntz").as("plus_1q"),
+          col("ts0").dt.offsetBy("-1y").cast("timestamp_ntz").as("minus_1y"),
+          col("ts0").dt.offsetBy("1mo2d").cast("timestamp_ntz").as("plus_mixed"),
+          col("ts0").dt.truncate("1mo").cast("timestamp_ntz").as("trunc_mo"),
+          col("ts0").dt.truncate("1q").cast("timestamp_ntz").as("trunc_q"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ---- training-data pipeline operators (driver north-star extensions) ----
 
     // exact dedup: deterministic keep-first per key group
@@ -1180,5 +1197,15 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
         |  count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY ts, event_type""".stripMargin,
+
+    "q44_calendar_offset" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS TIMESTAMP) + INTERVAL 1 MONTH AS plus_1mo,
+        |  CAST(o_orderdate AS TIMESTAMP) + INTERVAL 3 MONTH AS plus_1q,
+        |  CAST(o_orderdate AS TIMESTAMP) - INTERVAL 12 MONTH AS minus_1y,
+        |  CAST(o_orderdate AS TIMESTAMP) + INTERVAL 1 MONTH + INTERVAL 2 DAY AS plus_mixed,
+        |  date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS trunc_mo,
+        |  date_trunc('quarter', CAST(o_orderdate AS TIMESTAMP)) AS trunc_q
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
   )
 }
