@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.types.DataType
+
+/** SparkSessionExtensions packaging for the library's native expressions.
+  *
+  * The idiomatic way to ship custom Catalyst expressions with a Spark
+  * library: users add
+  *
+  * {{{
+  *   spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * (or `.withExtensions(new GraftExtensions)`) and every `graft_*` function
+  * is available in SQL and `call_function` from session start — on every
+  * session of the cluster, with no per-session `register()` calls. The
+  * per-object `register` methods remain for ad-hoc/local use; this class is
+  * the deployment path.
+  *
+  * Injected functions:
+  *  - `graft_cosine(a, b)`           — codegen cosine similarity
+  *  - `graft_minhash(shingles, k)`   — k-permutation MinHash signature
+  *  - `graft_simhash(tokens)`        — 64-bit SimHash sketch
+  *  - `graft_cast_ansi(x, 'type')`   — strict cast, ANSI pinned on the node
+  *  - `graft_replace_tz(ts, tz, ambiguous, non_existent)` — DST-policy
+  *    wall-time reinterpretation
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two numeric arrays"),
+      (exprs: Seq[Expression]) => plans.CosineSimilarityExpr(exprs(0), exprs(1))))
+
+    ext.injectFunction((FunctionIdentifier("graft_minhash"),
+      info("graft_minhash", "graft_minhash(shingles, k) - k-permutation MinHash signature"),
+      (exprs: Seq[Expression]) =>
+        plans.MinHashSignatureExpr(exprs(0), exprs(1).eval().asInstanceOf[Int])))
+
+    ext.injectFunction((FunctionIdentifier("graft_simhash"),
+      info("graft_simhash", "graft_simhash(tokens) - 64-bit SimHash sketch"),
+      (exprs: Seq[Expression]) => plans.SimHash64Expr(exprs(0))))
+
+    ext.injectFunction((FunctionIdentifier("graft_cast_ansi"),
+      info("graft_cast_ansi", "graft_cast_ansi(x, 'ddl-type') - strict cast (raises on overflow/malformed)"),
+      (exprs: Seq[Expression]) => org.apache.spark.sql.catalyst.expressions.Cast(
+        exprs(0), DataType.fromDDL(exprs(1).eval().toString), None,
+        org.apache.spark.sql.catalyst.expressions.EvalMode.ANSI)))
+
+    ext.injectFunction((FunctionIdentifier("graft_replace_tz"),
+      info("graft_replace_tz",
+        "graft_replace_tz(ts, tz, ambiguous, non_existent) - wall-time reinterpretation with DST policies"),
+      (exprs: Seq[Expression]) => plans.ReplaceTimeZoneExpr(exprs(0),
+        exprs(1).eval().toString, exprs(2).eval().toString, exprs(3).eval().toString)))
+  }
+}

@@ -77,4 +77,30 @@ class PlanSpec extends SparkSpec {
     val plan = planOf(pairs)
     assert(plan.contains("InMemoryTableScan"), "signatures not cached")
   }
+
+  test("GraftExtensions: graft_* functions available from session start (no register)") {
+    import org.apache.spark.sql.SparkSession
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // fresh session over the same SparkContext, extension wired at build
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      val cos = s2.sql("SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+        .head().getDouble(0)
+      assert(cos == 1.0)
+      val strict = s2.sql("SELECT graft_cast_ansi('12', 'int') AS v").head().getInt(0)
+      assert(strict == 12)
+      val tz = s2.sql(
+        """SELECT graft_replace_tz(TIMESTAMP'2024-10-27 02:30:00', 'Europe/Berlin',
+          |'earliest', 'raise') AS t""".stripMargin).head().getTimestamp(0)
+      assert(tz != null)
+      assert(s2.sql("SELECT size(graft_minhash(array('a','b','c'), 16)) AS n").head().getInt(0) == 16)
+      assert(!s2.sql("SELECT graft_simhash(array('a','b')) AS h").head().isNullAt(0))
+    } finally {
+      prev.foreach { p => SparkSession.setDefaultSession(p); SparkSession.setActiveSession(p) }
+    }
+  }
 }
