@@ -98,6 +98,22 @@ class FidelitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cleaning trio: lenient cast → fill_nan → fill_null (CleaningTests.cs:75-110)") {
+    import graft.api.syntax._
+    // mixed junk column: parseable numbers, garbage, literal "NaN", null —
+    // lenient cast nulls the garbage but parses "NaN" to the NaN VALUE
+    // (distinct from null, same as Polars), so both fills are needed
+    val df = Seq("100", "200.5", "NotANumber", "NaN", null).toDF("raw")
+    val cleaned = df.select(
+      col("raw").castLenient("double").fillNan(lit(0.0)).fillNull(lit(0.0)).as("cleaned"))
+    assert(cleaned.collect().map(_.getDouble(0)).toSeq == Seq(100.0, 200.5, 0.0, 0.0, 0.0))
+    // and without fillNan, the "NaN" row stays NaN — proving the cast parsed
+    // it as a value rather than nulling it
+    val noNanFill = df.select(col("raw").castLenient("double").fillNull(lit(0.0)).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(noNanFill(3).isNaN && noNanFill(2) == 0.0)
+  }
+
   test("type mapping widens unsigned and preserves µs datetimes (SURVEY 1.2)") {
     import org.apache.spark.sql.types._
     assert(graft.api.TypeMapping.byName("uint8") == ShortType)
