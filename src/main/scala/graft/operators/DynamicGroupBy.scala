@@ -126,12 +126,17 @@ object DynamicGroupBy {
     * (Feb is 28/29 days, not a 30-day approximation), matching Polars'
     * calendar-aware group_by_dynamic (lazy.rs:186-273 with month `every`).
     *
-    * A row's window index is pure month arithmetic on the (closed-nudged,
-    * offset-translated) assignment time — codegen'd year/month extraction,
-    * no UDFs, same single shuffle on (keys, window) as the fixed-width path.
-    * Sliding (period > every) explodes each row into its ⌈period/every⌉
-    * candidate windows. `offset` may add whole months and/or a fixed-µs
-    * translation of the grid.
+    * Membership is decided by comparing against the window's REAL boundary
+    * instants (computed with clamped month-adds), not by a nudge trick:
+    * each row explodes into its ≤ ⌈period/every⌉+2 candidate window indexes
+    * around the month-arithmetic guess and keeps those whose
+    * [start, end) / (start, end] / [start, end] / (start, end) bound —
+    * per `closed` — contains it. That one mechanism supports the full
+    * closed matrix, sliding grids, and both anchors: `start_by=WindowBound`
+    * (epoch month grid) and `start_by=DataPoint` (grid anchored at the
+    * first sample's instant, day-of-month clamped forward, same eager min
+    * pre-pass as the fixed path). All codegen'd month arithmetic, no UDFs,
+    * same single shuffle on (keys, window).
     */
   private def applyCalendar(df: DataFrame, timeCol: String,
                             every: String, period: Option[String], offset: Option[String],
@@ -146,53 +151,56 @@ object DynamicGroupBy {
     require(periodUsPart == 0L && periodMo > 0,
       s"calendar 'period' must be whole positive months, got '$period'")
     val (offMo, offUs) = offset.map(Durations.parseMonthsAndMicros).getOrElse((0L, 0L))
-    require(startBy == WindowBound, "calendar grids support start_by=WindowBound")
-    if ((closed == ClosedBoth || closed == ClosedNone) && periodMo != everyMo)
-      throw new IllegalArgumentException(
-        "closed=Both/None is defined for tumbling windows (period == every)")
 
-    val epoch = to_date(lit("1970-01-01"))
     val t = col(timeCol).cast("timestamp")
     val u = unix_micros(t)
-
-    // translate out the fixed-µs offset, apply the closed nudge, then work in
-    // whole months: mse = months since epoch of the assignment time
     def mse(ts: Column): Column = (year(ts) - lit(1970)) * lit(12) + (month(ts) - lit(1))
     // Column./ is double division; the numerator is exactly divisible, so the
-    // int cast is exact (pmod keeps pre-epoch rows correct: floor, not trunc)
+    // int cast is exact (pmod keeps pre-anchor rows correct: floor, not trunc)
     def floorDiv(a: Column, b: Long): Column = ((a - pmod(a, lit(b))) / lit(b)).cast("int")
-    def boundaryTs(totalMonths: Column): Column =
-      timestamp_micros(unix_micros(add_months(epoch, totalMonths.cast("int")).cast("timestamp")) + lit(offUs))
 
-    val uShift = u - lit(offUs)
-    val gridPos = mse(timestamp_micros(uShift)) - lit(offMo) // month position on the grid
-    val baseIdx = floorDiv(gridPos, everyMo)
-    val onBoundary = unix_micros(boundaryTs(baseIdx * lit(everyMo) + lit(offMo))) === u
-
-    val prepared0 = closed match {
-      case ClosedLeft  => df.withColumn("__au", uShift)
-      case ClosedRight => df.withColumn("__au", uShift - lit(1L))
-      case ClosedBoth  =>
-        df.withColumn("__au",
-          explode(when(onBoundary, array(uShift, uShift - lit(1L))).otherwise(array(uShift))))
-      case ClosedNone  => df.filter(!onBoundary).withColumn("__au", uShift)
+    // grid anchor: epoch month grid, or the first data point's instant
+    // (eager min pre-pass — the same step the reference performs)
+    val (anchorDate: java.time.LocalDate, anchorTod: Long) = startBy match {
+      case WindowBound => (java.time.LocalDate.of(1970, 1, 1), 0L)
+      case DataPoint =>
+        val row = df.agg(min(unix_micros(t))).collect()(0)
+        if (row.isNullAt(0)) (java.time.LocalDate.of(1970, 1, 1), 0L)
+        else {
+          val us = row.getLong(0)
+          val ldt = java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC)
+          (ldt.toLocalDate, us - ldt.toLocalDate.toEpochDay * 86400000000L)
+        }
+      case Weekday(_) => throw new IllegalArgumentException(
+        "start_by=Weekday is a weekly-grid concept; calendar month grids use WindowBound or DataPoint")
     }
+    val anchorMse = (anchorDate.getYear - 1970) * 12 + (anchorDate.getMonthValue - 1)
+    val anchor = to_date(lit(anchorDate.toString))
 
-    val m = mse(timestamp_micros(col("__au"))) - lit(offMo)
-    val base = floorDiv(m, everyMo)
+    def boundary(totalMonths: Column): Column =
+      timestamp_micros(unix_micros(add_months(anchor, totalMonths.cast("int")).cast("timestamp"))
+        + lit(anchorTod + offUs))
+
+    // candidate window indexes around the month-arithmetic guess; the exact
+    // boundary compare below settles day/time-of-month and clamping effects
+    val mA = mse(t) - lit(anchorMse) - lit(offMo)
+    val kGuess = floorDiv(mA, everyMo)
     val nW = ((periodMo + everyMo - 1) / everyMo).toInt
-    val withIdx =
-      if (nW == 1) prepared0.withColumn("__idx", base)
-      else prepared0
-        .withColumn("__k", explode(sequence(lit(0), lit(nW - 1))))
-        .withColumn("__idx", base - col("__k"))
-        // window [idx*every, idx*every+period) must still contain the row
-        .filter(m < col("__idx") * lit(everyMo) + lit(periodMo))
-        .drop("__k")
-
-    val prepared = withIdx.withColumn("__w", struct(
-      boundaryTs(col("__idx") * lit(everyMo) + lit(offMo)).as("start"),
-      boundaryTs(col("__idx") * lit(everyMo) + lit(offMo) + lit(periodMo)).as("end")))
+    val withIdx = df.withColumn("__idx",
+      explode(transform(sequence(lit(-1), lit(nW)), i => kGuess - i)))
+    val s = boundary(col("__idx") * lit(everyMo) + lit(offMo))
+    val e = boundary(col("__idx") * lit(everyMo) + lit(offMo) + lit(periodMo))
+    val member = closed match {
+      case ClosedLeft  => s <= t && t < e
+      case ClosedRight => s < t && t <= e
+      case ClosedBoth  => s <= t && t <= e
+      case ClosedNone  => s < t && t < e
+    }
+    val prepared = withIdx.filter(member)
+      .withColumn("__w", struct(s.as("start"), e.as("end")))
+      .drop("__idx")
 
     finish(prepared, timeCol, by, label, includeBoundaries)(aggs: _*)
   }

@@ -133,6 +133,37 @@ class TimeSeriesSpec extends SparkSpec {
     assert(right.map(_.getLong(1)).toSeq == Seq(1L, 31L, 29L, 31L, 29L))
   }
 
+  test("calendar start_by=DataPoint anchors the month grid at the first sample") {
+    // daily points Jan 15 .. Apr 30 → windows [Jan15,Feb15) [Feb15,Mar15) ...
+    val df = (0 until 107).map { i =>
+      (java.sql.Timestamp.valueOf(java.time.LocalDate.of(2024, 1, 15).plusDays(i.toLong).atStartOfDay), 1)
+    }.toDF("t", "one")
+    val got = DynamicGroupBy(df, "t", every = "1mo",
+        startBy = DynamicGroupBy.DataPoint)(count(lit(1)).as("n"))
+      .orderBy("t").collect()
+    assert(got.map(r => (r.getAs[java.sql.Timestamp](0).toString.take(10), r.getLong(1))).toSeq ==
+      Seq("2024-01-15" -> 31L, "2024-02-15" -> 29L, "2024-03-15" -> 31L, "2024-04-15" -> 16L))
+  }
+
+  test("calendar closed=Both/None work on sliding month grids") {
+    val df = (0 until 121).map { i =>
+      (java.sql.Timestamp.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).atStartOfDay), 1)
+    }.toDF("t", "one")
+    // Both on every=1mo period=2mo: month-boundary points join 3 windows
+    val both = DynamicGroupBy(df, "t", every = "1mo", period = Some("2mo"),
+        closed = DynamicGroupBy.ClosedBoth)(count(lit(1)).as("n"))
+      .orderBy("t").collect()
+    // [Nov1,Jan1]={Jan1}=1, [Dec1,Feb1]=32 (Jan + Feb1), [Jan1,Mar1]=61,
+    // [Feb1,Apr1]=61, [Mar1,May1]=61, [Apr1,Jun1]=30
+    assert(both.map(_.getLong(1)).toSeq == Seq(1L, 32L, 61L, 61L, 61L, 30L))
+    val none = DynamicGroupBy(df, "t", every = "1mo", period = Some("2mo"),
+        closed = DynamicGroupBy.ClosedNone)(count(lit(1)).as("n"))
+      .orderBy("t").collect()
+    // (Dec1,Feb1)=31, (Jan1,Mar1)=59 (Jan2..Feb29 minus boundaries),
+    // (Feb1,Apr1)=59, (Mar1,May1)=60, (Apr1,Jun1)=29
+    assert(none.map(_.getLong(1)).toSeq == Seq(31L, 59L, 59L, 60L, 29L))
+  }
+
   test("calendar sliding: every=1mo period=2mo double-counts interior months") {
     val df = (0 until 121).map { i =>
       (java.sql.Timestamp.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).atStartOfDay), 1)
