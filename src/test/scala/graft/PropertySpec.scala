@@ -34,4 +34,21 @@ class PropertySpec extends AnyFunSuite {
       Durations.parseRows(s"${n}i") == n
     })
   }
+
+  test("calendar split: mo/q/y accumulate months, rest microseconds") {
+    check(Prop.forAll(Gen.choose(1L, 1000L), Gen.choose(1L, 1000L)) { (n, d) =>
+      Durations.parseMonthsAndMicros(s"${n}mo") == (n, 0L) &&
+      Durations.parseMonthsAndMicros(s"${n}q") == (3 * n, 0L) &&
+      Durations.parseMonthsAndMicros(s"${n}y") == (12 * n, 0L) &&
+      Durations.parseMonthsAndMicros(s"${n}mo${d}d") == (n, d * 86400000000L)
+    })
+  }
+
+  test("isCalendar exactly when a month unit is present") {
+    check(Prop.forAll(Gen.choose(1L, 1000L), unitGen) { (n, u) =>
+      !Durations.isCalendar(s"$n${u._1}") &&
+      Durations.isCalendar(s"${n}mo") &&
+      Durations.isCalendar(s"$n${u._1}1mo")
+    })
+  }
 }
