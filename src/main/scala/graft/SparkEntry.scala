@@ -701,6 +701,20 @@ object SparkEntry {
           element_at(col("features"), 1).as("f0"))
         .orderBy(col("media_id"))
     }),
+
+    // multimodal frame sampling: deterministic byte-offset "frames" — the
+    // explode + offset arithmetic is plain SQL, so this one IS oracle-able
+    // (frame payload bytes themselves stay out of the compare; the plumbing
+    // and offsets are the testable part)
+    "qm03_frame_sample" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("bin", col("text").cast("binary"))
+      val media = graft.multimodal.Multimodal.asMediaTable(docs, "doc_id", "bin")
+      graft.multimodal.Multimodal.sampleFrames(media, n = 4)
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("frame_offset"),
+          octet_length(col("frame")).cast("long").as("frame_len"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -942,6 +956,14 @@ object SparkEntry {
         |       ELSE 'raw' END AS format,
         |  octet_length(encode(text)) AS n_bytes
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "qm03_frame_sample" ->
+      """SELECT doc_id AS media_id, CAST(f.frame_idx AS BIGINT) AS frame_idx,
+        |  (f.frame_idx * octet_length(encode(text))) // 4 AS frame_offset,
+        |  CAST(GREATEST(LEAST(16, octet_length(encode(text))
+        |    - (f.frame_idx * octet_length(encode(text))) // 4), 0) AS BIGINT) AS frame_len
+        |FROM documents CROSS JOIN (SELECT unnest(range(4)) AS frame_idx) f
+        |ORDER BY media_id, frame_idx""".stripMargin,
 
     "q01_groupby_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -240,6 +240,13 @@ object frame {
     def height: Long = df.count()
     def width: Int = df.columns.length
 
+    /** Plan rendering — pl_lazy_explain(optimized) (lazy.rs:605-613):
+      * optimized=false shows the declared (analyzed) plan, true the
+      * Catalyst-optimized one. */
+    def explainPlan(optimized: Boolean = true): String =
+      if (optimized) df.queryExecution.optimizedPlan.toString
+      else df.queryExecution.analyzed.toString
+
     /** describe(): count, null_count, mean, std, min, 25%, 50%, 75%, max —
       * the reference composes this client-side from Select/Concat
       * (DataFrame.cs:665-727); we compose one distributed aggregation.

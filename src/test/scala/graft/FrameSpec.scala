@@ -118,6 +118,15 @@ class FrameSpec extends SparkSpec {
     assert(graft.sources.IO.scanNdjson(spark, s"$dir/people_json").count() == 4)
   }
 
+  test("explainPlan renders analyzed vs optimized plans (lazy.rs:605-613)") {
+    import graft.api.frame._
+    val q = people.filter(org.apache.spark.sql.functions.col("age") > 30).select("name")
+    assert(q.explainPlan(optimized = false).contains("Filter"))
+    // optimizer collapses to a pruned scan-level plan; rendering is non-empty
+    // and distinct from the analyzed form
+    assert(q.explainPlan().nonEmpty)
+  }
+
   test("IO: Arrow IPC round-trip across the type matrix (io.rs:159-179, 308-319)") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_ipc").toString + "/t"
