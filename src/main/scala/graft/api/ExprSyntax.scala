@@ -155,11 +155,23 @@ object syntax {
         timestamp_micros(u - (u % lit(us))) // long % long stays long
       }
     }
-    /** round to nearest window (expr.rs:582-591) = truncate(t + every/2). */
+    /** round to nearest window (expr.rs:582-591) = truncate(t + every/2);
+      * calendar units round to the nearest real month boundary (ties up,
+      * consistent with the fixed-width half-shift). */
     def round(every: String): Column = {
-      val us = graft.functions.Durations.parseMicros(every)
-      val u = unix_micros(uc) + lit(us / 2)
-      timestamp_micros(u - (u % lit(us)))
+      val D = graft.functions.Durations
+      if (D.isCalendar(every)) {
+        val (months, usPart) = D.parseMonthsAndMicros(every)
+        require(usPart == 0L, s"calendar round must be whole months: '$every'")
+        val lo = truncate(every)
+        val hi = add_months(lo, months.toInt).cast("timestamp")
+        val u = unix_micros(uc)
+        when(unix_micros(hi) - u <= u - unix_micros(lo), hi).otherwise(lo)
+      } else {
+        val us = D.parseMicros(every)
+        val u = unix_micros(uc) + lit(us / 2)
+        timestamp_micros(u - (u % lit(us)))
+      }
     }
     /** offset_by duration string (expr.rs:595-605). Calendar units (mo/q/y)
       * use true month arithmetic — day-of-month clamped to the target month's

@@ -247,6 +247,17 @@ object frame {
       if (optimized) df.queryExecution.optimizedPlan.toString
       else df.queryExecution.analyzed.toString
 
+    /** Eager cell access — pl_dataframe_get_i64/f64/string
+      * (eager.rs:386-500; ScalarTests.cs direct scalar access). Positional on
+      * the frame's current order (deterministic after a sort, like the
+      * reference's materialized frames); None when out of range or null.
+      * Driver-side by contract — this is the eager escape hatch, not a
+      * distributed op. */
+    def valueAt(row: Int, colName: String): Option[Any] = {
+      val rows = df.select(org.apache.spark.sql.functions.col(colName)).limit(row + 1).collect()
+      if (rows.length <= row || rows(row).isNullAt(0)) None else Some(rows(row).get(0))
+    }
+
     /** describe(): count, null_count, mean, std, min, 25%, 50%, 75%, max —
       * the reference composes this client-side from Select/Concat
       * (DataFrame.cs:665-727); we compose one distributed aggregation.

@@ -174,6 +174,25 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.map(_.getLong(1)).toSeq == Seq(31L, 60L, 60L, 61L, 30L))
   }
 
+  test("calendar round picks the nearest real month boundary (ties up)") {
+    import graft.api.syntax._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(ts("2024-02-10 00:00:00"), ts("2024-02-20 00:00:00"),
+      ts("2024-02-15 12:00:00")).toDF("t") // Feb 2024 midpoint = Feb 15 12:00
+    val got = df.select(col("t").dt.round("1mo").as("r")).collect()
+      .map(_.getAs[java.sql.Timestamp](0).toString.take(10))
+    assert(got.toSeq == Seq("2024-02-01", "2024-03-01", "2024-03-01"))
+  }
+
+  test("valueAt eager cell access (eager.rs:386-500)") {
+    import graft.api.frame._
+    val df = Seq((1, "a"), (2, null: String), (3, "c")).toDF("n", "s").orderBy("n")
+    assert(df.valueAt(0, "s").contains("a"))
+    assert(df.valueAt(1, "s").isEmpty)   // null cell
+    assert(df.valueAt(2, "n").contains(3))
+    assert(df.valueAt(9, "n").isEmpty)   // out of range
+  }
+
   test("offset_by and truncate with calendar months clamp and floor correctly") {
     import graft.api.syntax._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
