@@ -37,6 +37,44 @@ import org.apache.spark.sql.types._
   */
 object ArrowIpc {
 
+  // ---- filesystem access ---------------------------------------------------
+  // All IO goes through the Hadoop FileSystem API so paths work on any
+  // cluster store (file:/, hdfs:/, s3a:/ ...), not just the local disk; the
+  // Configuration is built per use-site (driver or task), nothing serialized.
+
+  private def fsFor(path: String): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(new org.apache.hadoop.conf.Configuration()), p)
+  }
+
+  /** SeekableByteChannel over FSDataInputStream — what ArrowFileReader needs
+    * to seek straight to a record batch on any Hadoop filesystem. */
+  private class HadoopSeekableChannel(in: org.apache.hadoop.fs.FSDataInputStream, len: Long)
+      extends java.nio.channels.SeekableByteChannel {
+    private var open = true
+    override def read(dst: java.nio.ByteBuffer): Int = {
+      val tmp = new Array[Byte](dst.remaining())
+      val n = in.read(tmp, 0, tmp.length)
+      if (n > 0) dst.put(tmp, 0, n)
+      n
+    }
+    override def write(src: java.nio.ByteBuffer): Int = throw new UnsupportedOperationException
+    override def position(): Long = in.getPos
+    override def position(newPosition: Long): java.nio.channels.SeekableByteChannel = {
+      in.seek(newPosition); this
+    }
+    override def size(): Long = len
+    override def truncate(size: Long): java.nio.channels.SeekableByteChannel =
+      throw new UnsupportedOperationException
+    override def isOpen: Boolean = open
+    override def close(): Unit = { open = false; in.close() }
+  }
+
+  private def openChannel(path: String): java.nio.channels.SeekableByteChannel = {
+    val (fs, p) = fsFor(path)
+    new HadoopSeekableChannel(fs.open(p), fs.getFileStatus(p).getLen)
+  }
+
   // ---- schema mapping ------------------------------------------------------
 
   private[sources] def toArrowField(f: StructField): Field = {
@@ -131,15 +169,16 @@ object ArrowIpc {
     * always writes, so an empty frame still round-trips its schema). */
   def write(df: DataFrame, path: String, batchSize: Int = 4096): Unit = {
     val schema = df.schema // StructType serializes; Arrow Field does not —
-    new java.io.File(path).mkdirs() // build the Arrow schema inside the task
+    fsFor(path) match { case (fs, p) => fs.mkdirs(p) } // build Arrow schema in the task
     val n = df.rdd.mapPartitionsWithIndex { (idx, rows) =>
       if (rows.isEmpty && idx != 0) Iterator.single(0L)
       else {
         val arrowFields = schema.fields.map(toArrowField).toList
         val allocator = new RootAllocator()
         val root = VectorSchemaRoot.create(new ASchema(arrowFields.asJava), allocator)
-        val out = new java.io.FileOutputStream(f"$path/part-$idx%05d.arrow")
-        val writer = new ArrowFileWriter(root, null, out.getChannel)
+        val (fs, _) = fsFor(path)
+        val out = fs.create(new org.apache.hadoop.fs.Path(f"$path/part-$idx%05d.arrow"), true)
+        val writer = new ArrowFileWriter(root, null, java.nio.channels.Channels.newChannel(out))
         writer.start()
         var written = 0L
         try {
@@ -205,25 +244,26 @@ object ArrowIpc {
   /** Reads a directory written by [[write]] (or a single `.arrow` file).
     * One task per (file, record-batch range); only footers touch the driver. */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val f = new java.io.File(path)
+    val (fs, p) = fsFor(path)
     val files: Seq[String] =
-      if (f.isDirectory) f.listFiles().filter(_.getName.endsWith(".arrow")).map(_.getAbsolutePath)
-        .sorted.toSeq
-      else Seq(f.getAbsolutePath)
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(_.getPath.getName.endsWith(".arrow"))
+          .map(_.getPath.toString).sorted.toSeq
+      else Seq(p.toString)
     require(files.nonEmpty, s"ArrowIpc.read: no .arrow files under $path")
 
     // footer-only pass: schema + per-file batch counts
     val allocator = new RootAllocator()
     val (schema, batches) = try {
       var sparkSchema: StructType = null
-      val perFile = files.map { p =>
-        val in = new java.io.FileInputStream(p)
-        val reader = new ArrowFileReader(in.getChannel, allocator)
+      val perFile = files.map { f =>
+        val ch = openChannel(f)
+        val reader = new ArrowFileReader(ch, allocator)
         try {
           if (sparkSchema == null)
             sparkSchema = toSparkSchema(reader.getVectorSchemaRoot.getSchema)
-          p -> reader.getRecordBlocks.size()
-        } finally { reader.close(); in.close() }
+          f -> reader.getRecordBlocks.size()
+        } finally { reader.close(); ch.close() }
       }
       (sparkSchema, perFile)
     } finally allocator.close()
@@ -233,10 +273,10 @@ object ArrowIpc {
     val taskRdd = spark.sparkContext.parallelize(tasks, math.max(tasks.size, 1))
 
     val rowRdd = taskRdd.mapPartitions { it =>
-      it.flatMap { case (p, blockIdx) =>
+      it.flatMap { case (file, blockIdx) =>
         val alloc = new RootAllocator()
-        val in = new java.io.FileInputStream(p)
-        val reader = new ArrowFileReader(in.getChannel, alloc)
+        val ch = openChannel(file)
+        val reader = new ArrowFileReader(ch, alloc)
         val block = reader.getRecordBlocks.get(blockIdx)
         reader.loadRecordBatch(block)
         val root = reader.getVectorSchemaRoot
@@ -245,7 +285,7 @@ object ArrowIpc {
         val out = (0 until root.getRowCount).map { i =>
           Row.fromSeq(vecs.indices.map(j => if (vecs(j).isNull(i)) null else gets(j)(i)))
         }
-        reader.close(); in.close(); alloc.close()
+        reader.close(); ch.close(); alloc.close()
         out
       }
     }
