@@ -409,6 +409,24 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // §2.6 UNKEYED whole-frame rolling — the boundary-context scale path
+    // (Rolling.fixedGlobal / timeGlobal) vs DuckDB global window frames.
+    "q45_rolling_global_rows" -> ((s, d) => {
+      graft.operators.Rolling.fixedGlobal(
+          t(s, d, "orders"), "25i", Seq(col("o_orderkey")),
+          Seq("roll_sum" -> (w => sum(dec2(col("o_totalprice"))).over(w).cast("double")),
+              "roll_n" -> (w => count(lit(1)).over(w))))
+        .select(col("o_orderkey"), col("roll_sum"), col("roll_n"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q46_rolling_global_time" -> ((s, d) => {
+      graft.operators.Rolling.timeGlobal(t(s, d, "events"), "3d", col("ts"),
+          aggs = Seq("roll_sum" -> (w => sum(dec4(col("value"))).over(w).cast("double"))))
+        .select(col("event_id"), col("roll_sum"))
+        .orderBy(col("event_id"))
+    }),
+
     // §2.5 calendar-true monthly group_by_dynamic ("1mo" = real month
     // boundaries, not 30-day grids) vs DuckDB date_trunc('month').
     "q43_calendar_month" -> ((s, d) => {
@@ -1213,6 +1231,21 @@ object SparkEntry {
         |    OVER (ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS value_ffill
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q45_rolling_global_rows" ->
+      """SELECT o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_sum,
+        |  count(*) OVER w AS roll_n
+        |FROM orders
+        |WINDOW w AS (ORDER BY o_orderkey ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q46_rolling_global_time" ->
+      """SELECT event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS roll_sum
+        |FROM events
+        |WINDOW w AS (ORDER BY ts RANGE BETWEEN INTERVAL 3 DAYS PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "q43_calendar_month" ->
       """SELECT date_trunc('month', ts) AS ts, event_type,
