@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoder, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Continuous (event-time) as-of join — the streaming twin of
+  * `graft.operators.AsofJoin` (backward strategy), and a superset of the
+  * reference's batch-only surface (its "streaming" is out-of-core batch,
+  * SURVEY §2.10).
+  *
+  * Semantics: for every left event at time t, emit the left row joined with
+  * the LATEST right row at rt <= t within the same `by` key — exactly batch
+  * backward as-of — emitted once the watermark guarantees the match is
+  * final (no right event that could change it can still arrive).
+  *
+  * Scale/state design (`flatMapGroupsWithState`, the pattern the brief
+  * prescribes for custom streaming state):
+  *  - state per key = pending lefts (not yet past the watermark) + the
+  *    right-side frontier: rights newer than the watermark plus ONE
+  *    finalized right (the newest older-than-watermark one — the only old
+  *    right a future left can still match, since any future left has
+  *    t >= watermark and prefers newer rights). Everything else is evicted
+  *    → state is bounded by in-flight lateness, not stream length.
+  *  - event-time timeout fires on watermark advance so pending lefts flush
+  *    even when their key receives no further traffic.
+  */
+object AsofStream {
+
+  /** Per-key state (public: the kryo encoder requires a public class). */
+  case class Buf(lefts: Vector[(Long, Seq[Any])], rights: Vector[(Long, Seq[Any])])
+
+  def asofStream(left: DataFrame, right: DataFrame,
+                 leftOn: String, rightOn: String,
+                 by: Seq[(String, String)],
+                 watermark: String = "10 minutes"): DataFrame = {
+    val spark = left.sparkSession
+    val byL = by.map(_._1)
+
+    // normalize to (by..., __t, __side, __lpay, __rpay) and union
+    val lPayCols = left.columns.toSeq
+    val rPayCols = right.columns.filterNot(c => c == rightOn || by.map(_._2).contains(c)).toSeq
+    val leftNames = left.columns.toSet
+    val outName: Map[String, String] =
+      rPayCols.map(c => c -> (if (leftNames.contains(c)) s"${c}_right" else c)).toMap
+
+    val lPrep = left.select(
+      (byL.map(col) :+ col(leftOn).cast("timestamp").as("__t") :+ lit(1).as("__side") :+
+        struct(lPayCols.map(col).toIndexedSeq: _*).as("__lpay") :+
+        lit(null).cast(StructType(rPayCols.map(c => right.schema(c)))).as("__rpay")).toIndexedSeq: _*)
+    val rPrep = right.select(
+      (by.map { case (lb, rb) => col(rb).as(lb) } :+
+        col(rightOn).cast("timestamp").as("__t") :+ lit(0).as("__side") :+
+        lit(null).cast(lPrep.schema("__lpay").dataType).as("__lpay") :+
+        struct(rPayCols.map(col).toIndexedSeq: _*).as("__rpay")).toIndexedSeq: _*)
+    val unioned = lPrep.unionByName(rPrep).withWatermark("__t", watermark)
+
+    val keySchema = StructType(byL.map(n => unioned.schema(n)))
+    val outSchema = StructType(
+      left.schema.fields ++ rPayCols.map(c => right.schema(c).copy(name = outName(c), nullable = true)))
+    val keyEnc: Encoder[Row] = RowEncoder.encoderFor(keySchema)
+    val outEnc: Encoder[Row] = RowEncoder.encoderFor(outSchema)
+    val bufEnc: Encoder[Buf] = org.apache.spark.sql.Encoders.kryo[Buf]
+
+    val byIdx = byL.map(unioned.schema.fieldIndex)
+    val tIdx = unioned.schema.fieldIndex("__t")
+    val sideIdx = unioned.schema.fieldIndex("__side")
+    val lIdx = unioned.schema.fieldIndex("__lpay")
+    val rIdx = unioned.schema.fieldIndex("__rpay")
+    val nRight = rPayCols.length
+
+    def us(r: Row): Long = {
+      val ts = r.getAs[java.sql.Timestamp](tIdx)
+      val i = ts.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+
+    unioned
+      .groupByKey(r => Row.fromSeq(byIdx.map(r.get)))(keyEnc)
+      .flatMapGroupsWithState[Buf, Row](OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Row, it: Iterator[Row], state: GroupState[Buf]) =>
+          var buf = state.getOption.getOrElse(Buf(Vector.empty, Vector.empty))
+          it.foreach { r =>
+            val t = us(r)
+            if (r.getInt(sideIdx) == 1)
+              buf = buf.copy(lefts = buf.lefts :+ (t -> r.getStruct(lIdx).toSeq))
+            else
+              buf = buf.copy(rights = buf.rights :+ (t -> r.getStruct(rIdx).toSeq))
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // a left at t is final once wm > t: late rights (rt < wm) are
+          // dropped by the watermark, surviving future rights have rt >= wm > t
+          val (ready, pending) = buf.lefts.partition(_._1 < wmUs)
+          val sortedRights = buf.rights.sortBy(_._1)
+          val out = ready.sortBy(_._1).map { case (t, lvals) =>
+            val m = sortedRights.takeWhile(_._1 <= t).lastOption
+            Row.fromSeq(lvals ++ m.map(_._2).getOrElse(Seq.fill[Any](nRight)(null)))
+          }
+          // evict finalized rights except the newest one (frontier carry)
+          val (young, old) = sortedRights.partition(_._1 >= wmUs)
+          buf = Buf(pending, (old.lastOption.toVector ++ young))
+          if (buf.lefts.isEmpty && buf.rights.isEmpty) state.remove()
+          else {
+            state.update(buf)
+            // flush pending lefts on the next watermark advance
+            state.setTimeoutTimestamp(wmUs / 1000L + 1L)
+          }
+          out.iterator
+      }(bufEnc, outEnc)
+      .toDF()
+  }
+}

@@ -291,6 +291,42 @@ class TimeSeriesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of join matches batch backward as-of (flatMapGroupsWithState)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // trades (left) and quotes (right) across two keys
+    val trades = Seq(("A", ts(3), 100.0), ("A", ts(5), 101.0), ("B", ts(5), 50.0), ("B", ts(1), 49.0))
+    val quotes = Seq(("A", ts(1), 99.5), ("A", ts(4), 100.5), ("B", ts(5), 50.5), ("A", ts(10), 101.5))
+
+    val lStream = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val rStream = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val lDf = lStream.toDF.toDF("symbol", "t", "price")
+    val rDf = rStream.toDF.toDF("symbol", "t", "bid")
+    val joined = graft.streaming.AsofStream.asofStream(lDf, rDf, "t", "t",
+      by = Seq(("symbol", "symbol")), watermark = "1 minute")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("graft_asof_stream").start()
+    try {
+      lStream.addData(trades: _*); rStream.addData(quotes: _*)
+      q.processAllAvailable()
+      // push the watermark past every left event so all matches finalize
+      rStream.addData(("Z", ts(59), 0.0))
+      q.processAllAvailable()
+      lStream.addData(("Z", ts(59), 0.0)) // second advance flushes timeouts
+      q.processAllAvailable()
+      val got = spark.table("graft_asof_stream")
+        .filter(col("symbol") =!= "Z")
+        .orderBy("symbol", "t").select("symbol", "price", "bid").collect()
+      val want = graft.operators.AsofJoin.join(
+          trades.toDF("symbol", "t", "price"), quotes.toDF("symbol", "t", "bid"),
+          "t", "t", Seq(("symbol", "symbol")))
+        .orderBy("symbol", "t").select("symbol", "price", "bid").collect()
+      assert(got.map(_.toString).toSeq == want.map(_.toString).toSeq,
+        s"stream=${got.mkString(",")} batch=${want.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark + streaming parquet sink") {
     import org.apache.spark.sql.types._
     val base = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
