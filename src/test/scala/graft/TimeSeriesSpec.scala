@@ -255,10 +255,14 @@ class TimeSeriesSpec extends SparkSpec {
     assert(nums(fastR.orderBy("id").select("rsum", "rn").collect()) ==
            nums(slowR.orderBy("id").select("rsum", "rn").collect()))
 
-    // time 10-minute window, closed matrix
+    // time 10-minute window, closed matrix; rsum through the O(n)
+    // running-difference path (must equal the sliding frame bit-for-bit on
+    // a decimal view), rn through the generic sliding frame
     for (closed <- Seq(Rolling.Right, Rolling.Both, Rolling.Left, Rolling.NoneC)) {
       val fastT = Rolling.timeGlobal(df, "10m", col("t"), closed,
-        Seq("rsum" -> (w => sum(col("v")).over(w)), "rn" -> (w => count(lit(1)).over(w))))
+        aggs = Seq("rn" -> (w => count(lit(1)).over(w))),
+        diffSums = Seq("rsum" -> col("v").cast("decimal(18,4)")))
+        .withColumn("rsum", col("rsum").cast("double"))
       val slowSpecT = Rolling.timeSpec("10m", col("t"), closed = closed)
       val slowT = df.withColumn("rsum", sum(col("v")).over(slowSpecT))
         .withColumn("rn", count(lit(1)).over(slowSpecT))
