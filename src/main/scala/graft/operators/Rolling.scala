@@ -49,6 +49,29 @@ object Rolling {
 
   def rollingSum(c: Column, spec: WindowSpec, minPeriods: Int = 1): Column =
     withMinPeriods(sum(c), c, spec, minPeriods)
+
+  /** O(n) time-rolling SUM for the keyed API — Spark evaluates a sliding
+    * range frame by rebuilding its buffer per row (O(n·w) per group, a
+    * problem once a group's window spans thousands of rows). Sum is
+    * subtractable, so compute cum(≤ upper) − cum(≤ lower−1) over two
+    * unbounded-preceding frames instead; both are maintained incrementally.
+    * Pass a DECIMAL view of `c` for exact subtraction, cast after. */
+  def rollingSumByTime(c: Column, timeCol: Column, windowSize: String,
+                       partitionBy: Seq[Column] = Seq.empty,
+                       closed: Closed = Right): Column = {
+    val us = Durations.parseMicros(windowSize)
+    val (lo, hi) = closed match {
+      case Right => (-(us - 1), 0L)
+      case Both  => (-us, 0L)
+      case Left  => (-us, -1L)
+      case NoneC => (-(us - 1), -1L)
+    }
+    val b = base(partitionBy).orderBy(unix_micros(timeCol.cast("timestamp")))
+    val cumHi = b.rangeBetween(Window.unboundedPreceding, hi)
+    val cumLo = b.rangeBetween(Window.unboundedPreceding, lo - 1)
+    when(count(c).over(cumHi) - coalesce(count(c).over(cumLo), lit(0L)) > 0,
+      sum(c).over(cumHi) - coalesce(sum(c).over(cumLo), lit(0)))
+  }
   def rollingMean(c: Column, spec: WindowSpec, minPeriods: Int = 1): Column =
     withMinPeriods(avg(c), c, spec, minPeriods)
   def rollingMin(c: Column, spec: WindowSpec, minPeriods: Int = 1): Column =

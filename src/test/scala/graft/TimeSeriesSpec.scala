@@ -81,6 +81,23 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 3L, 3L, 3L, 3L, 3L, 3L, 3L))
   }
 
+  test("rollingSumByTime (running-difference) equals the sliding-frame sum, keyed") {
+    val df = (0 until 3000).map { i =>
+      ((i % 3).toString, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(i.toLong * 41)),
+        (i % 53).toDouble)
+    }.toDF("k", "t", "v")
+    for (closed <- Seq(Rolling.Right, Rolling.Both, Rolling.Left, Rolling.NoneC)) {
+      val slide = Rolling.timeSpec("30m", col("t"), Seq(col("k")), closed)
+      val slow = df.withColumn("s", sum(col("v").cast("decimal(18,4)")).over(slide))
+      val fast = df.withColumn("s", Rolling.rollingSumByTime(
+        col("v").cast("decimal(18,4)"), col("t"), "30m", Seq(col("k")), closed))
+      def vals(x: org.apache.spark.sql.DataFrame) =
+        x.orderBy("k", "t").select("s").collect()
+          .map(r => if (r.isNullAt(0)) null else r.getDecimal(0)).toSeq
+      assert(vals(fast) == vals(slow), s"closed=$closed")
+    }
+  }
+
   test("forward fill with limit bounds the fill distance") {
     val df = Seq((1, Some(10.0)), (2, None), (3, None), (4, None), (5, Some(50.0)))
       .toDF("id", "v")
