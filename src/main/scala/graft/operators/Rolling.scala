@@ -72,6 +72,18 @@ object Rolling {
     when(count(c).over(cumHi) - coalesce(count(c).over(cumLo), lit(0L)) > 0,
       sum(c).over(cumHi) - coalesce(sum(c).over(cumLo), lit(0)))
   }
+  /** Row-window twin of [[rollingSumByTime]]: O(n) sum over the last n rows
+    * via cum(0) − cum(−n) unbounded-preceding frames. */
+  def rollingSumByRows(c: Column, windowSize: String, order: Seq[Column],
+                       partitionBy: Seq[Column] = Seq.empty): Column = {
+    val n = Durations.parseRows(windowSize)
+    val b = base(partitionBy).orderBy(order.toIndexedSeq: _*)
+    val cumHi = b.rowsBetween(Window.unboundedPreceding, 0)
+    val cumLo = b.rowsBetween(Window.unboundedPreceding, -n)
+    when(count(c).over(cumHi) - coalesce(count(c).over(cumLo), lit(0L)) > 0,
+      sum(c).over(cumHi) - coalesce(sum(c).over(cumLo), lit(0)))
+  }
+
   def rollingMean(c: Column, spec: WindowSpec, minPeriods: Int = 1): Column =
     withMinPeriods(avg(c), c, spec, minPeriods)
   def rollingMin(c: Column, spec: WindowSpec, minPeriods: Int = 1): Column =

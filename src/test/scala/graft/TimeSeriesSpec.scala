@@ -81,6 +81,18 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 3L, 3L, 3L, 3L, 3L, 3L, 3L))
   }
 
+  test("rollingSumByRows (running-difference) equals the sliding ROWS frame") {
+    val df = (0 until 2000).map(i => ((i % 2).toString, i, (i % 31).toDouble))
+      .toDF("k", "i", "v")
+    val slide = Rolling.fixedSpec("50i", Seq(col("i")), Seq(col("k")))
+    val slow = df.withColumn("s", sum(col("v").cast("decimal(18,4)")).over(slide))
+    val fast = df.withColumn("s", Rolling.rollingSumByRows(
+      col("v").cast("decimal(18,4)"), "50i", Seq(col("i")), Seq(col("k"))))
+    def vals(x: org.apache.spark.sql.DataFrame) =
+      x.orderBy("k", "i").select("s").collect().map(_.getDecimal(0)).toSeq
+    assert(vals(fast) == vals(slow))
+  }
+
   test("rollingSumByTime (running-difference) equals the sliding-frame sum, keyed") {
     val df = (0 until 3000).map { i =>
       ((i % 3).toString, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(i.toLong * 41)),
