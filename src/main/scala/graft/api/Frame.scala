@@ -157,32 +157,38 @@ object frame {
 
     /** Horizontal concat — zip frames row-by-row (lazy.rs:447).
       *
-      * No Spark primitive; implemented as a join on per-partition-computed
-      * global row index. zipWithIndex needs one extra pass per input but no
-      * extra shuffle beyond the final index join. At 100 TB you'd co-partition
-      * the inputs first; at reference scale this mirrors Polars' semantics
-      * exactly (row order of each input preserved).
+      * No Spark primitive. Two plans:
+      *
+      *   - FAST PATH (co-partitioned): when both inputs are projection-only
+      *     views of the same underlying plan — the common case, e.g. zipping
+      *     two column subsets of one parent — their partitions line up
+      *     one-to-one and `zipPartitions` merges them in a single narrow
+      *     pass: no extra job, no shuffle, no row index.
+      *   - FALLBACK (unaligned): a join on a per-partition-computed global
+      *     row index. zipWithIndex needs one extra pass per input plus the
+      *     final index shuffle, but it is the only correct plan when the
+      *     inputs have genuinely different row orders (e.g. two different
+      *     sorts), since positional identity then only exists globally.
       */
-    def concatHorizontal(others: DataFrame*): DataFrame =
-      others.foldLeft(withRowIndex(df)) { (acc, o) =>
-        val oNamed = withRowIndex(o)
-        val leftNames = acc.columns.toSet
-        val renamed = oNamed.columns.foldLeft(oNamed) { (a, n) =>
-          if (n != "__idx" && leftNames.contains(n)) a.withColumnRenamed(n, s"${n}_right") else a
-        }
-        acc.join(renamed, Seq("__idx"), "full")
-      }.drop("__idx")
-
-    /** Stable global row index without collapsing to one partition:
-      * zipWithIndex computes per-partition offsets with one lightweight
-      * count-per-partition job, preserving partition-parallelism. */
-    private def withRowIndex(d: DataFrame): DataFrame = {
-      val spark = d.sparkSession
-      val schema = StructType(StructField("__idx", LongType, nullable = false) +: d.schema.fields)
-      val rdd = d.rdd.zipWithIndex.map { case (row, i) =>
-        org.apache.spark.sql.Row.fromSeq(i +: row.toSeq)
-      }
-      spark.createDataFrame(rdd, schema)
+    def concatHorizontal(others: DataFrame*): DataFrame = {
+      // resolve name collisions up front (cumulative "_right" suffixing)
+      val renamedOthers = others.foldLeft((Vector.empty[DataFrame], df.columns.toSet)) {
+        case ((acc, used), o) =>
+          val r = o.columns.foldLeft(o) { (a, n) =>
+            if (used.contains(n)) a.withColumnRenamed(n, s"${n}_right") else a
+          }
+          (acc :+ r, used ++ r.columns)
+      }._1
+      // the plan choice is all-or-nothing: once any input is unaligned, every
+      // frame must carry the SAME global index or 3-way pairing breaks
+      if (renamedOthers.forall(o => frame.partitionAligned(df, o)))
+        // zipAligned preserves df's partition structure, so alignment with df
+        // carries through the fold without re-checking
+        renamedOthers.foldLeft(df)(frame.zipAligned)
+      else
+        renamedOthers.foldLeft(frame.withRowIndex(df)) { (acc, o) =>
+          acc.join(frame.withRowIndex(o), Seq("__idx"), "full")
+        }.drop("__idx")
     }
 
     // ----- reshape (eager.rs:553-661; lazy.rs:345-406) -----
@@ -295,4 +301,55 @@ object frame {
 
   private def joinCond(l: DataFrame, r: DataFrame, leftOn: Seq[String], rightOn: Seq[String]): Column =
     leftOn.zip(rightOn).map { case (lk, rk) => l(lk) === r(rk) }.reduce(_ && _)
+
+  // ----- concatHorizontal internals -----
+
+  /** True when both frames are projection-only views of the same plan: strip
+    * Project/SubqueryAlias layers (per-row, order-preserving — they cannot
+    * change which row lands where) and compare what remains canonically.
+    * Sorts/filters/joins are NOT stripped: a different sort means positional
+    * identity only exists globally, and the index-join fallback is required. */
+  private[api] def partitionAligned(a: DataFrame, b: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
+    @annotation.tailrec
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case Project(_, child) => strip(child)
+      case SubqueryAlias(_, child) => strip(child)
+      case other => other
+    }
+    strip(a.queryExecution.analyzed).sameResult(strip(b.queryExecution.analyzed)) &&
+      a.rdd.getNumPartitions == b.rdd.getNumPartitions
+  }
+
+  /** Narrow one-pass merge of co-partitioned frames: partition i of `a` zips
+    * with partition i of `b` row-by-row. No shuffle, no extra job, no index.
+    * Guarded by [[partitionAligned]]; a mid-partition length mismatch means
+    * the alignment premise broke, so fail loudly rather than mis-zip. */
+  private[api] def zipAligned(a: DataFrame, b: DataFrame): DataFrame = {
+    val schema = StructType(a.schema.fields ++ b.schema.fields)
+    val zipped = a.rdd.zipPartitions(b.rdd) { (ia, ib) =>
+      new Iterator[org.apache.spark.sql.Row] {
+        def hasNext: Boolean = ia.hasNext || ib.hasNext
+        def next(): org.apache.spark.sql.Row = {
+          if (!ia.hasNext || !ib.hasNext)
+            throw new IllegalStateException(
+              "concatHorizontal fast path: per-partition row counts diverged")
+          org.apache.spark.sql.Row.fromSeq(ia.next().toSeq ++ ib.next().toSeq)
+        }
+      }
+    }
+    a.sparkSession.createDataFrame(zipped, schema)
+  }
+
+  /** Stable global row index without collapsing to one partition:
+    * zipWithIndex computes per-partition offsets with one lightweight
+    * count-per-partition job, preserving partition-parallelism. */
+  private[api] def withRowIndex(d: DataFrame): DataFrame = {
+    val spark = d.sparkSession
+    val schema = StructType(StructField("__idx", LongType, nullable = false) +: d.schema.fields)
+    val rdd = d.rdd.zipWithIndex.map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(i +: row.toSeq)
+    }
+    spark.createDataFrame(rdd, schema)
+  }
 }

@@ -21,6 +21,12 @@ import graft.functions.Durations
   * (earliest right.time >= left.time), nearest (closer of the two; ties →
   * backward, matching Polars). `allowEq=false` makes the comparisons strict.
   * Tolerance (duration string or µs) nulls out matches farther than the bound.
+  *
+  * Nearest runs as ONE window pass too: the backward match is
+  * `last(__rstruct) over range(-inf, 0]` and the forward match
+  * `first(__rstruct) over range[0, +inf)` on the SAME (by, __t) sort — Spark
+  * plans both frames into a single WindowExec, so nearest costs one exchange
+  * like backward, not two plans + an id join.
   */
 object AsofJoin {
 
@@ -48,42 +54,20 @@ object AsofJoin {
 
     strategy match {
       case Nearest =>
-        // two directional passes merged column-wise on a stable row id
-        val withId = left.withColumn("__row_id", monotonically_increasing_id())
-        val b = directional(withId, right, leftOn, rightOn, by, backward = true, tolUs, allowEq,
-          payloadCols, outName, matchTimeCol = Some("__bt"))
-        val f = directional(withId, right, leftOn, rightOn, by, backward = false, tolUs, allowEq,
-          payloadCols, outName, matchTimeCol = Some("__ft"))
-        val fSel = f.select((Seq(col("__row_id").as("__rid2"), col("__ft")) ++
-          payloadCols.map(c => col(outName(c)).as(s"__f_${outName(c)}"))).toIndexedSeq: _*)
-        val merged = b.join(fSel, col("__row_id") === col("__rid2"), "inner").drop("__row_id", "__rid2")
-        val lt = col(leftOn).cast("timestamp")
-        val bDist = abs(unix_micros(lt) - unix_micros(col("__bt").cast("timestamp")))
-        val fDist = abs(unix_micros(lt) - unix_micros(col("__ft").cast("timestamp")))
-        val useB = col("__ft").isNull || (col("__bt").isNotNull && bDist <= fDist)
-        val outCols = left.columns.map(col).toSeq ++ payloadCols.map { c =>
-          when(useB, col(outName(c))).otherwise(col(s"__f_${outName(c)}")).as(outName(c))
-        }
-        merged.select(outCols.toIndexedSeq: _*)
+        nearest(left, right, leftOn, rightOn, by, tolUs, allowEq, payloadCols, outName)
       case _ =>
         directional(left, right, leftOn, rightOn, by, strategy == Backward, tolUs, allowEq,
-          payloadCols, outName, matchTimeCol = None)
+          payloadCols, outName)
     }
   }
 
-  /** One directional pass (backward or forward) of the union+window plan. */
-  private def directional(left: DataFrame, right: DataFrame,
-                          leftOn: String, rightOn: String,
-                          by: Seq[(String, String)],
-                          backward: Boolean,
-                          tolUs: Option[Long],
-                          allowEq: Boolean,
-                          payloadCols: Seq[String],
-                          outName: Map[String, String],
-                          matchTimeCol: Option[String]): DataFrame = {
+  /** Union both sides into one frame shaped (by..., __t µs, __side, __rstruct,
+    * left columns) — the shared prep for every strategy. */
+  private def unionPrep(left: DataFrame, right: DataFrame,
+                        leftOn: String, rightOn: String,
+                        by: Seq[(String, String)],
+                        payloadCols: Seq[String]): DataFrame = {
     val byOut = by.map(_._1)
-
-    // normalize both sides to (on-key µs, by..., side, payload-struct, left cols)
     val tUs = (c: Column) => unix_micros(c.cast("timestamp"))
 
     val lPrep = left
@@ -108,7 +92,21 @@ object AsofJoin {
     val rSel = rPrep.select((commonSel.map(col) ++ Seq(col("__rstruct")) ++
       lCols.filterNot(byOut.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c))).toIndexedSeq: _*)
 
-    val unioned = lSel.unionByName(rSel)
+    lSel.unionByName(rSel)
+  }
+
+  /** One directional pass (backward or forward) of the union+window plan. */
+  private def directional(left: DataFrame, right: DataFrame,
+                          leftOn: String, rightOn: String,
+                          by: Seq[(String, String)],
+                          backward: Boolean,
+                          tolUs: Option[Long],
+                          allowEq: Boolean,
+                          payloadCols: Seq[String],
+                          outName: Map[String, String]): DataFrame = {
+    val byOut = by.map(_._1)
+    val lCols = left.columns.toSeq
+    val unioned = unionPrep(left, right, leftOn, rightOn, by, payloadCols)
 
     // sort: time asc; at equal time, right rows first iff equality allowed
     // (so last() sees them); reversed for forward via descending time order.
@@ -136,9 +134,100 @@ object AsofJoin {
     }
 
     val base = lCols.map(col) ++
-      payloadCols.map(c => col(s"__match.$c").as(outName(c))) ++
-      matchTimeCol.map(mt => col("__match.__rt").as(mt)).toSeq
+      payloadCols.map(c => col(s"__match.$c").as(outName(c)))
     withTol.select(base.toIndexedSeq: _*)
+  }
+
+  /** Nearest = backward ∧ forward over ONE exchange. Both matches are window
+    * columns on the same (by, __t asc) sort with RANGE frames — range bounds
+    * (not the rows+side-tag trick) express allow_eq directly, because a frame
+    * edge at offset 0 vs ±1 µs includes/excludes equal-time right rows no
+    * matter where they land in the tie order. Spark collapses both frames
+    * into one WindowExec, so this costs exactly one shuffle+sort — the same
+    * as a single backward pass (the old implementation ran the whole plan
+    * twice and re-joined on monotonically_increasing_id: 3 shuffles + an id
+    * join).
+    */
+  private def nearest(left: DataFrame, right: DataFrame,
+                      leftOn: String, rightOn: String,
+                      by: Seq[(String, String)],
+                      tolUs: Option[Long],
+                      allowEq: Boolean,
+                      payloadCols: Seq[String],
+                      outName: Map[String, String]): DataFrame = {
+    val byOut = by.map(_._1)
+    val lCols = left.columns.toSeq
+    val unioned = unionPrep(left, right, leftOn, rightOn, by, payloadCols)
+
+    val bEdge = if (allowEq) 0L else -1L // µs offsets on the __t range frame
+    val fEdge = if (allowEq) 0L else 1L
+
+    val matched =
+      if (by.nonEmpty) {
+        val w = Window.partitionBy(byOut.map(col).toIndexedSeq: _*).orderBy(col("__t"))
+        unioned
+          .withColumn("__bm", last(col("__rstruct"), ignoreNulls = true)
+            .over(w.rangeBetween(Window.unboundedPreceding, bEdge)))
+          .withColumn("__fm", first(col("__rstruct"), ignoreNulls = true)
+            .over(w.rangeBetween(fEdge, Window.unboundedFollowing)))
+      } else {
+        unkeyedNearest(unioned, bEdge, fEdge)
+      }
+
+    val onlyLeft = matched.filter(col("__side") === 1)
+
+    // tolerance nulls each directional candidate independently, then the
+    // nearer survivor wins (ties → backward, matching Polars)
+    def dist(m: Column) = abs(col("__t") - unix_micros(m.getField("__rt").cast("timestamp")))
+    val withTol = tolUs match {
+      case Some(us) =>
+        onlyLeft
+          .withColumn("__bm", when(dist(col("__bm")) <= lit(us), col("__bm")))
+          .withColumn("__fm", when(dist(col("__fm")) <= lit(us), col("__fm")))
+      case None => onlyLeft
+    }
+    val useB = col("__fm").isNull ||
+      (col("__bm").isNotNull && dist(col("__bm")) <= dist(col("__fm")))
+    val out = lCols.map(col) ++ payloadCols.map { c =>
+      when(useB, col("__bm").getField(c)).otherwise(col("__fm").getField(c)).as(outName(c))
+    }
+    withTol.select(out.toIndexedSeq: _*)
+  }
+
+  /** Unkeyed nearest scale path: range-partition on __t (ties never split —
+    * RangePartitioner keys equal values to one partition), compute both range
+    * frames per partition in parallel, then patch partition edges with a
+    * broadcast ≤P-row boundary frame carrying each partition's extreme right
+    * rows in both directions. Mirrors [[unkeyedCarry]], which does the same
+    * for one direction. */
+  private def unkeyedNearest(unioned: DataFrame, bEdge: Long, fEdge: Long): DataFrame = {
+    val parted = unioned.repartitionByRange(col("__t"))
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy("__pid").orderBy(col("__t"))
+    val running = parted
+      .withColumn("__bm", last(col("__rstruct"), ignoreNulls = true)
+        .over(w.rangeBetween(Window.unboundedPreceding, bEdge)))
+      .withColumn("__fm", first(col("__rstruct"), ignoreNulls = true)
+        .over(w.rangeBetween(fEdge, Window.unboundedFollowing)))
+
+    // per-partition extreme right rows; (t, rstruct) structs compare by time
+    // first, so max/min pick the latest/earliest right row of the partition
+    val pick = when(col("__side") === 0, struct(col("__t"), col("__rstruct")))
+    val wPrev = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.orderBy("__pid").rowsBetween(1, Window.unboundedFollowing)
+    val bounds = parted.groupBy("__pid").agg(max(pick).as("__maxr"), min(pick).as("__minr"))
+      .withColumn("__bbnd", last(col("__maxr"), ignoreNulls = true).over(wPrev))
+      .withColumn("__fbnd", first(col("__minr"), ignoreNulls = true).over(wNext))
+      .select(col("__pid"), col("__bbnd"), col("__fbnd"))
+
+    // range partitioning on __t alone ⇒ earlier pids hold strictly smaller
+    // times, so the boundary rows always satisfy the allow_eq edge; no guard
+    // predicate needed (unlike unkeyedCarry, which range-partitions on two
+    // keys and can split an equal-time pair).
+    running.join(broadcast(bounds), Seq("__pid"), "left")
+      .withColumn("__bm", coalesce(col("__bm"), col("__bbnd.__rstruct")))
+      .withColumn("__fm", coalesce(col("__fm"), col("__fbnd.__rstruct")))
+      .drop("__pid", "__bbnd", "__fbnd")
   }
 
   /** Scale path for as-of WITHOUT `by` keys (legal in the reference,

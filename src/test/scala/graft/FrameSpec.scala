@@ -51,6 +51,11 @@ class FrameSpec extends SparkSpec {
     assert(h.columns.toSeq == Seq("id", "s", "z"))
     val row = h.collect()(0)
     assert(row.getInt(0) == 1 && row.getDouble(2) == 9.9)
+    // height mismatch (fallback index join): longer frame keeps its tail,
+    // shorter side null-padded — Polars hstack behavior
+    val long = Seq((1, "x"), (2, "y")).toDF("id", "s")
+    val pad = long.concatHorizontal(Seq(7.7).toDF("z")).orderBy("id").collect()
+    assert(pad.length == 2 && pad(0).getDouble(2) == 7.7 && pad(1).isNullAt(2))
   }
 
   test("explode + explodeOuter keep empty-list rows as null") {

@@ -63,6 +63,43 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("as-of NEAREST: one exchange, one window, no id join (q24 shape)") {
+    val ev = SparkEntry.t(spark, "/root/testdata/sf0.001", "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value").as("near_value"))
+    val joined = graft.operators.AsofJoin.join(p, c, "ts", "ts",
+      Seq(("user_id", "user_id")), strategy = graft.operators.AsofJoin.Nearest)
+    val plan = planOf(joined)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$plan")
+    // both directional range frames must land in a single WindowExec
+    val windows = "\\bWindow\\b".r.findAllIn(plan).length
+    assert(windows == 1, s"expected 1 Window node, got $windows:\n$plan")
+    assert(!plan.contains("Join"), s"nearest must not plan any join:\n$plan")
+    assert(!plan.contains("monotonically_increasing_id"), plan)
+  }
+
+  test("concatHorizontal: co-partitioned projections zip with no exchange, no join") {
+    import graft.api.frame._
+    val cust = SparkEntry.t(spark, "/root/testdata/sf0.001", "customer")
+    val a = cust.select(col("c_custkey"), col("c_name"))
+    val b = cust.select(col("c_acctbal").as("bal"))
+    val z = a.concatHorizontal(b)
+    val plan = planOf(z)
+    assert(plan.contains("Scan ExistingRDD"), s"fast path not taken:\n$plan")
+    assert(!plan.contains("Exchange"), s"fast path must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"fast path must not join:\n$plan")
+    // positional pairing is row-faithful: each custkey carries its own acctbal
+    val expected = cust.select(col("c_custkey"), col("c_acctbal")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = z.collect()
+    assert(got.length == expected.size)
+    got.foreach(r => assert(r.getDouble(2) == expected(r.getLong(0)),
+      s"row pairing broke for custkey ${r.getLong(0)}"))
+  }
+
   test("groupBy agg does partial (map-side) aggregation before the shuffle (q01)") {
     val df = SparkEntry.queries("q01_groupby_agg")(spark, "/root/testdata/sf0.001")
     val plan = planOf(df)
