@@ -735,6 +735,21 @@ object SparkEntry {
           octet_length(col("frame")).cast("long").as("frame_len"))
         .orderBy(col("media_id"), col("frame_idx"))
     }),
+
+    // §2.1/§2.2 database round-trip e2e: write customer to an embedded Derby
+    // DB (real JDBC engine, IntegrationTests.cs intent), scan it back
+    // partitioned — the oracle sees only the parquet, so any fidelity loss in
+    // the DB hop (types, nulls, values) breaks the hash
+    "q47_jdbc_roundtrip" -> ((s, d) => {
+      System.setProperty("derby.system.home", System.getProperty("java.io.tmpdir"))
+      val url = "jdbc:derby:memory:graft_q47;create=true"
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      graft.sources.IO.writeJdbc(cust, url, "q47_customer")
+      graft.sources.IO.scanJdbcPartitioned(s, url, "q47_customer",
+          "c_custkey", 1L, 150000L, 8)
+        .orderBy(col("c_custkey"))
+    }),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -984,6 +999,10 @@ object SparkEntry {
         |    - (f.frame_idx * octet_length(encode(text))) // 4), 0) AS BIGINT) AS frame_len
         |FROM documents CROSS JOIN (SELECT unnest(range(4)) AS frame_idx) f
         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    "q47_jdbc_roundtrip" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q01_groupby_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -13,6 +13,19 @@ import org.apache.spark.sql.types.StructType
   */
 object IO {
 
+  /** Minimal DuckDB JDBC dialect: Spark's generic dialect rethrows the
+    * table-existence probe's SQLException unless the dialect recognizes it as
+    * object-not-found (JdbcUtils.tableExists), and DuckDB reports catalog
+    * misses with its own message shape and no SQLState. URL-match only — no
+    * compile dependency on the driver. */
+  private object DuckDbDialect extends org.apache.spark.sql.jdbc.JdbcDialect {
+    override def canHandle(url: String): Boolean = url.startsWith("jdbc:duckdb")
+    override def isObjectNotFoundException(e: java.sql.SQLException): Boolean =
+      e.getMessage != null &&
+        (e.getMessage.contains("does not exist") || e.getMessage.contains("Catalog Error"))
+  }
+  org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(DuckDbDialect)
+
   /** CSV scan with reference options (io.rs:16-92): optional schema override,
     * header flag, separator, skip_rows, try_parse_dates. */
   def scanCsv(spark: SparkSession, path: String,
@@ -69,6 +82,23 @@ object IO {
   def scanJdbc(spark: SparkSession, url: String, table: String,
                props: java.util.Properties = new java.util.Properties()): DataFrame =
     spark.read.jdbc(url, table, props)
+
+  /** Partitioned JDBC scan — the 100 TB-shaped variant: N executors each pull
+    * a stride of the partition column concurrently instead of one connection
+    * streaming the whole table (the reference reads through a single
+    * DbDataReader, DbToArrowStream.cs:10-57 — this strictly dominates it). */
+  def scanJdbcPartitioned(spark: SparkSession, url: String, table: String,
+                          partitionCol: String, lower: Long, upper: Long,
+                          numPartitions: Int,
+                          props: java.util.Properties = new java.util.Properties()): DataFrame =
+    spark.read.jdbc(url, table, partitionCol, lower, upper, numPartitions, props)
+
+  /** JDBC sink — WriteTo/SqlBulkCopy egress (DataFrame.cs:634-660); each
+    * partition writes through its own batched connection. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                props: java.util.Properties = new java.util.Properties(),
+                mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).jdbc(url, table, props)
 
   /** Sinks (io.rs:274-334 eager, io.rs:391-479 streaming): Spark writes are
     * already pipelined + distributed; one path covers both. */
