@@ -58,6 +58,22 @@ class FrameSpec extends SparkSpec {
     assert(pad.length == 2 && pad(0).getDouble(2) == 7.7 && pad(1).isNullAt(2))
   }
 
+  test("profile(): executes and returns per-node timings (Polars profile twin)") {
+    val q = sf("lineitem").filter(col("l_quantity") > 10)
+      .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("s"))
+    val (rows, timings) = graft.api.Profile.profile(q)
+    assert(rows.nonEmpty)
+    val t = timings.collect()
+    assert(t.length >= 3, s"expected a multi-node profile, got:\n${t.mkString("\n")}")
+    val names = t.map(_.getString(1))
+    assert(names.exists(_.contains("HashAggregate")), names.mkString(","))
+    assert(names.exists(_.toLowerCase.contains("scan")), names.mkString(","))
+    // the agg's metered output rows reflect the actual group count
+    val aggRows = t.filter(_.getString(1).contains("HashAggregate"))
+      .flatMap(r => Option(r.get(2)).map(_.asInstanceOf[Long]))
+    assert(aggRows.exists(_ >= rows.length), s"agg rows metered: ${aggRows.toSeq}")
+  }
+
   test("explode + explodeOuter keep empty-list rows as null") {
     val df = Seq((1, Seq("a", "b")), (2, Seq.empty[String])).toDF("id", "xs")
     assert(df.explodeCol("xs").count() == 2)

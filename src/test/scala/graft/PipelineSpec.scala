@@ -154,4 +154,42 @@ class PipelineSpec extends SparkSpec {
     val frames = graft.multimodal.Multimodal.sampleFrames(media, 4)
     assert(frames.count() == 16)
   }
+
+  test("multimodal: REAL image decode via javax.imageio (2x2 PNG + JPEG)") {
+    import java.awt.image.BufferedImage
+    // 2x2 checkerboard: white/black on the top row, black/white below
+    val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFFFFFF); img.setRGB(1, 0, 0x000000)
+    img.setRGB(0, 1, 0x000000); img.setRGB(1, 1, 0xFFFFFF)
+    def bytes(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val df = Seq((1L, bytes("png")), (2L, bytes("jpg")), (3L, "not an image".getBytes))
+      .toDF("id", "bin")
+    val media = graft.multimodal.Multimodal.asMediaTable(df, "id", "bin")
+
+    // format sniff from real magic bytes; PNG dims parsed from IHDR in SQL
+    val meta = media.select(col("media_id"), col("meta.format"),
+      col("meta.width"), col("meta.height")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), if (r.isNullAt(2)) -1 else r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3))).toMap
+    assert(meta(1L) == ("png", 2, 2), s"png meta: ${meta(1L)}")
+    assert(meta(2L)._1 == "jpeg" && meta(3L)._1 == "raw")
+
+    // decoded features: [w, h, mean lum, quadrant means...]
+    val feats = graft.multimodal.Multimodal.decodeFeatures(media, featureDim = 8)
+      .select(col("media_id"), col("features")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val png = feats(1L)
+    assert(png(0) == 2f && png(1) == 2f, s"decoded dims: $png")
+    assert(math.abs(png(2) - 0.5f) < 0.01f, s"mean luminance: $png")
+    // quadrants: (0,0)=white, (1,0)=black, (0,1)=black, (1,1)=white
+    assert(png(3) > 0.95f && png(4) < 0.05f && png(5) < 0.05f && png(6) > 0.95f, png.toString)
+    val jpg = feats(2L)
+    assert(jpg(0) == 2f && jpg(1) == 2f, s"jpeg decoded dims: $jpg")
+    // non-image falls back to the deterministic hash stub
+    assert(feats(3L) == graft.multimodal.Multimodal.fakeDecode("not an image".getBytes, 8).toSeq)
+  }
 }
