@@ -750,6 +750,43 @@ object SparkEntry {
           "c_custkey", 1L, 150000L, 8)
         .orderBy(col("c_custkey"))
     }),
+
+    // composite pipeline: scan → keyed as-of join → group_by_dynamic (1d
+    // tumble, by user bucket) → pivot buckets to columns. Exercises operator
+    // INTERACTION (as-of payload feeding a dynamic grid feeding a reshape),
+    // which single-op queries can't catch
+    "q48_pipeline_asof_pivot" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value").as("click_value"))
+      val asof = graft.operators.AsofJoin.join(p, c, "ts", "ts",
+        Seq(("user_id", "user_id")))
+      val bucketed = asof.withColumn("bucket", (col("user_id") % 3).cast("int"))
+      graft.operators.DynamicGroupBy(bucketed, "ts", every = "1d",
+          by = Seq("bucket"))(
+          sum(dec4(col("click_value"))).cast("double").as("v"))
+        .pivotOn(index = Seq("ts"), columns = "bucket", values = "v")
+        .withColumnRenamed("0", "b0").withColumnRenamed("1", "b1")
+        .withColumnRenamed("2", "b2")
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+        .orderBy(col("ts"))
+    }),
+
+    // composite pipeline: near-dup pairs → connected components → keeper per
+    // cluster (min id) → anti-join the corpus down to the keep-list — the
+    // full dedup flow a training-data pipeline runs
+    "q49_pipeline_dedup_keeplist" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = graft.dedup.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleK = 5, threshold = 0.5)
+      val comps = graft.dedup.ConnectedComponents.components(pairs)
+      val losers = comps.filter(col("id") =!= col("component")).select(col("id"))
+      docs.join(losers, docs("doc_id") === losers("id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -1003,6 +1040,58 @@ object SparkEntry {
     "q47_jdbc_roundtrip" ->
       """SELECT c_custkey, c_name, c_acctbal
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q48_pipeline_asof_pivot" ->
+      """WITH aj AS (
+        |  SELECT p.event_id, p.user_id, p.ts, c.value AS click_value
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id AND p.ts >= c.ts
+        |)
+        |SELECT time_bucket(INTERVAL '1 day', ts) AS ts,
+        |  CAST(sum(CASE WHEN user_id % 3 = 0 THEN CAST(click_value AS DECIMAL(18,4)) END) AS DOUBLE) AS b0,
+        |  CAST(sum(CASE WHEN user_id % 3 = 1 THEN CAST(click_value AS DECIMAL(18,4)) END) AS DOUBLE) AS b1,
+        |  CAST(sum(CASE WHEN user_id % 3 = 2 THEN CAST(click_value AS DECIMAL(18,4)) END) AS DOUBLE) AS b2
+        |FROM aj GROUP BY 1 ORDER BY ts""".stripMargin,
+
+    "q49_pipeline_dedup_keeplist" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(w) >= 5
+        |    THEN [list_aggregate(w[i:i+4], 'string_agg', ' ') FOR i IN range(1, len(w) - 3)]
+        |    ELSE [list_aggregate(w, 'string_agg', ' ')] END) AS s
+        |  FROM toks
+        |),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |),
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM p JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+        |  WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.5
+        |),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |),
+        |comp AS (
+        |  SELECT src AS id, least(src, min(dst)) AS component
+        |  FROM reach GROUP BY src
+        |)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+        |ORDER BY doc_id""".stripMargin,
 
     "q01_groupby_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -37,6 +37,44 @@ class SkewBucketSpec extends SparkSpec {
       salted.map(r => (r.getString(0), r.getLong(1))).toSeq)
   }
 
+  test("AQE skew-join splits the hot key of a shingle-shaped self-join") {
+    // the realistic 100 TB failure mode of ngramJaccardPairs/LSH buckets: one
+    // hot shingle/bucket key dwarfs the rest of the shuffle. With AQE's skew
+    // handling, the hot partition is split into advisory-sized chunks at
+    // runtime — assert the executed plan actually did it (skew=true).
+    val conf = spark.conf
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // pad must survive shuffle compression, so make it incompressible
+      val rnd = new scala.util.Random(7)
+      val left = ((1 to 8000).map(i => ("hot", i.toLong)) ++
+        (1 to 2000).map(i => (s"s$i", i.toLong))).map { case (k, i) =>
+        (k, i, rnd.alphanumeric.take(96).mkString)
+      }.toDF("shingle", "id", "pad")
+      val right = ((1 to 40).map(i => ("hot", i.toLong)) ++
+        (1 to 2000).map(i => (s"s$i", i.toLong))).toDF("shingle", "rid")
+      val joined = left.join(right, "shingle")
+      // execute THIS plan (not a derived count plan) so AQE finalizes it
+      val n = joined.queryExecution.toRdd.count()
+      assert(n == 8000L * 40 + 2000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE did not split the skewed join:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     val a = (1L to 1000L).map(i => (i, i * 2.0)).toDF("id", "x")
     val b = (1L to 1000L).map(i => (i, s"n$i")).toDF("id", "name")
