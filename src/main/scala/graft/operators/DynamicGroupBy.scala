@@ -45,6 +45,10 @@ object DynamicGroupBy {
     require(isoDay >= 1 && isoDay <= 7, "isoDay in 1..7 (Mon..Sun)")
   }
   /** Align the grid to the first data point (Polars StartBy::DataPoint).
+    * NOTE: semantically requires an eager `min(timeCol)` pre-pass (the
+    * reference anchors on the first sample too) — one extra full scan of the
+    * time column before the windowed aggregation. At scale, `.cache()` the
+    * input first if you use DataPoint anchoring, so the scan is paid once.
     * Requires one min() pre-pass over the time column — the same eager step
     * the reference performs. */
   case object DataPoint extends StartBy
