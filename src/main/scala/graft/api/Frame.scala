@@ -318,27 +318,33 @@ object frame {
       case other => other
     }
     strip(a.queryExecution.analyzed).sameResult(strip(b.queryExecution.analyzed)) &&
-      a.rdd.getNumPartitions == b.rdd.getNumPartitions
+      a.queryExecution.toRdd.getNumPartitions == b.queryExecution.toRdd.getNumPartitions
   }
 
   /** Narrow one-pass merge of co-partitioned frames: partition i of `a` zips
-    * with partition i of `b` row-by-row. No shuffle, no extra job, no index.
-    * Guarded by [[partitionAligned]]; a mid-partition length mismatch means
-    * the alignment premise broke, so fail loudly rather than mis-zip. */
+    * with partition i of `b` row-by-row — on SERIALIZED InternalRows
+    * (`JoinedRow` over the two sides), never boxing into external Rows; the
+    * result re-enters SQL as a LogicalRDD scan whose unsafe projection feeds
+    * codegen. No shuffle, no extra job, no index. Guarded by
+    * [[partitionAligned]]; a mid-partition length mismatch means the
+    * alignment premise broke, so fail loudly rather than mis-zip. */
   private[api] def zipAligned(a: DataFrame, b: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.InternalBridge
     val schema = StructType(a.schema.fields ++ b.schema.fields)
-    val zipped = a.rdd.zipPartitions(b.rdd) { (ia, ib) =>
-      new Iterator[org.apache.spark.sql.Row] {
-        def hasNext: Boolean = ia.hasNext || ib.hasNext
-        def next(): org.apache.spark.sql.Row = {
-          if (!ia.hasNext || !ib.hasNext)
-            throw new IllegalStateException(
-              "concatHorizontal fast path: per-partition row counts diverged")
-          org.apache.spark.sql.Row.fromSeq(ia.next().toSeq ++ ib.next().toSeq)
+    val zipped = InternalBridge.toInternalRdd(a)
+      .zipPartitions(InternalBridge.toInternalRdd(b)) { (ia, ib) =>
+        val jr = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+        new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+          def hasNext: Boolean = ia.hasNext || ib.hasNext
+          def next(): org.apache.spark.sql.catalyst.InternalRow = {
+            if (!ia.hasNext || !ib.hasNext)
+              throw new IllegalStateException(
+                "concatHorizontal fast path: per-partition row counts diverged")
+            jr(ia.next(), ib.next())
+          }
         }
       }
-    }
-    a.sparkSession.createDataFrame(zipped, schema)
+    InternalBridge.fromInternalRdd(a, zipped, schema)
   }
 
   /** Stable global row index without collapsing to one partition:

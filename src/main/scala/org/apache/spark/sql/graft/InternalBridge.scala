@@ -1,0 +1,25 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.StructType
+
+/** Narrow bridge into Spark's `private[sql]` surface (hence the package):
+  * lets operators stay on serialized `InternalRow`s end-to-end instead of
+  * round-tripping through external `Row` boxing when they must drop to RDD
+  * level (e.g. `concatHorizontal`'s co-partitioned zip). The output re-enters
+  * SQL as a `LogicalRDD` scan, where `RDDScanExec` applies its own unsafe
+  * projection — so downstream codegen sees the same row format as any scan.
+  */
+object InternalBridge {
+
+  /** The frame's execution as serialized rows — no deserializer appended. */
+  def toInternalRdd(df: DataFrame): RDD[InternalRow] = df.queryExecution.toRdd
+
+  /** Wrap an InternalRow RDD back into a DataFrame (LogicalRDD). */
+  def fromInternalRdd(df: DataFrame, rdd: RDD[InternalRow], schema: StructType): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(rdd, schema)
+  }
+}
