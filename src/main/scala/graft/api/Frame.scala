@@ -171,13 +171,22 @@ object frame {
       *     sorts), since positional identity then only exists globally.
       */
     def concatHorizontal(others: DataFrame*): DataFrame = {
-      // resolve name collisions up front (cumulative "_right" suffixing)
-      val renamedOthers = others.foldLeft((Vector.empty[DataFrame], df.columns.toSet)) {
+      // resolve name collisions up front: each colliding column takes the
+      // first FREE "_right"-suffixed name (repeating the suffix if a later
+      // input collides on an already-taken "<n>_right"), so a 3-way concat
+      // never yields duplicate output columns
+      val renamedOthers = others.foldLeft((Vector.empty[DataFrame], collection.mutable.Set(df.columns: _*))) {
         case ((acc, used), o) =>
           val r = o.columns.foldLeft(o) { (a, n) =>
-            if (used.contains(n)) a.withColumnRenamed(n, s"${n}_right") else a
+            if (!used.contains(n)) { used += n; a }
+            else {
+              var nn = s"${n}_right"
+              while (used.contains(nn)) nn = s"${nn}_right"
+              used += nn
+              a.withColumnRenamed(n, nn)
+            }
           }
-          (acc :+ r, used ++ r.columns)
+          (acc :+ r, used)
       }._1
       // the plan choice is all-or-nothing: once any input is unaligned, every
       // frame must carry the SAME global index or 3-way pairing breaks
@@ -304,20 +313,42 @@ object frame {
 
   // ----- concatHorizontal internals -----
 
-  /** True when both frames are projection-only views of the same plan: strip
+  /** True when both frames are projection-only views of the same plan AND
+    * that plan replays with deterministic per-partition row order: strip
     * Project/SubqueryAlias layers (per-row, order-preserving — they cannot
     * change which row lands where) and compare what remains canonically.
-    * Sorts/filters/joins are NOT stripped: a different sort means positional
-    * identity only exists globally, and the index-join fallback is required. */
-  private[api] def partitionAligned(a: DataFrame, b: DataFrame): Boolean = {
-    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
+    *
+    * The remainder must additionally be a deterministic-replay chain
+    * (Filter over a scan leaf): the two sides execute as INDEPENDENT
+    * physical queries, so any node whose intra-partition order depends on
+    * runtime fetch order — aggregates, joins, sorts-with-ties, anything
+    * downstream of an exchange — could pair row i of one run with a
+    * different row i of the other without tripping the length check. Those
+    * parents (and any other node) take the index-join fallback, which is
+    * order-exact by construction. The leaf-only rule also keeps the
+    * partition-count probe job-free: scan chains carry no exchange, so
+    * `toRdd` here only plans, never runs, stages. */
+  private[graft] def partitionAligned(a: DataFrame, b: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
     @annotation.tailrec
     def strip(p: LogicalPlan): LogicalPlan = p match {
       case Project(_, child) => strip(child)
       case SubqueryAlias(_, child) => strip(child)
       case other => other
     }
-    strip(a.queryExecution.analyzed).sameResult(strip(b.queryExecution.analyzed)) &&
+    @annotation.tailrec
+    def deterministicReplay(p: LogicalPlan): Boolean = p match {
+      case Filter(cond, child) if cond.deterministic => deterministicReplay(child)
+      case _: LogicalRelation | _: DataSourceV2Relation | _: LocalRelation |
+          _: LogicalRDD | _: Range => true
+      case r if r.nodeName == "InMemoryRelation" => true // cached: order frozen
+      case _ => false
+    }
+    val (sa, sb) = (strip(a.queryExecution.analyzed), strip(b.queryExecution.analyzed))
+    sa.sameResult(sb) && deterministicReplay(sa) &&
       a.queryExecution.toRdd.getNumPartitions == b.queryExecution.toRdd.getNumPartitions
   }
 

@@ -43,6 +43,9 @@ object Multimodal {
     val magic = substring(b, 1, 4).cast("string")
     val isPng = hex(substring(b, 1, 8)) === lit("89504E470D0A1A0A")
     val isJpeg = hex(substring(b, 1, 3)) === lit("FFD8FF")
+    // IHDR dims live at bytes 17-24; a truncated PNG must yield null dims,
+    // not whatever conv() makes of a short hex string
+    val hasIhdr = isPng && octet_length(b) >= lit(24)
     df.select(
       col(idCol).cast("long").as("media_id"),
       b.as("payload"),
@@ -51,9 +54,9 @@ object Multimodal {
           .when(magic.startsWith("PNG"), "png")
           .when(magic.startsWith("RIFF"), "riff")
           .otherwise("raw").as("format"),
-        when(isPng, conv(hex(substring(b, 17, 4)), 16, 10).cast("int"))
+        when(hasIhdr, conv(hex(substring(b, 17, 4)), 16, 10).cast("int"))
           .otherwise(lit(null).cast("int")).as("width"),
-        when(isPng, conv(hex(substring(b, 21, 4)), 16, 10).cast("int"))
+        when(hasIhdr, conv(hex(substring(b, 21, 4)), 16, 10).cast("int"))
           .otherwise(lit(null).cast("int")).as("height"),
         octet_length(b).cast("long").as("n_bytes"),
       ).as("meta"))

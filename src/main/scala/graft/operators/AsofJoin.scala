@@ -138,15 +138,21 @@ object AsofJoin {
     withTol.select(base.toIndexedSeq: _*)
   }
 
-  /** Nearest = backward ∧ forward over ONE exchange. Both matches are window
-    * columns on the same (by, __t asc) sort with RANGE frames — range bounds
-    * (not the rows+side-tag trick) express allow_eq directly, because a frame
-    * edge at offset 0 vs ±1 µs includes/excludes equal-time right rows no
-    * matter where they land in the tie order. Spark collapses both frames
-    * into one WindowExec, so this costs exactly one shuffle+sort — the same
-    * as a single backward pass (the old implementation ran the whole plan
-    * twice and re-joined on monotonically_increasing_id: 3 shuffles + an id
-    * join).
+  /** Nearest = backward ∧ forward over ONE exchange. Both matches are the
+    * SAME running carry the directional passes use (`last(__rstruct) over
+    * rows[-inf, 0]` with the (time, side-tag) sort — proven by the q21/q23
+    * oracles), computed as two window columns whose orderings differ only in
+    * time direction. Same partition keys ⇒ Spark plans ONE exchange with a
+    * re-sort between the two WindowExecs — nearest costs a single shuffle
+    * like backward (the old implementation ran the whole plan twice and
+    * re-joined on monotonically_increasing_id: 3 shuffles + an id join).
+    *
+    * Running rows-frames are load-bearing here: the tempting one-sort
+    * formulation — forward as `first() over range[0, +inf)` — plans an
+    * UnboundedFollowing frame, which Spark evaluates by rebuilding the
+    * aggregate buffer from each row to partition end: O(n²) per partition,
+    * exactly the sliding-frame trap README documents. Two O(n) running
+    * frames + one extra sort beat one quadratic frame at any useful size.
     */
   private def nearest(left: DataFrame, right: DataFrame,
                       leftOn: String, rightOn: String,
@@ -159,19 +165,22 @@ object AsofJoin {
     val lCols = left.columns.toSeq
     val unioned = unionPrep(left, right, leftOn, rightOn, by, payloadCols)
 
-    val bEdge = if (allowEq) 0L else -1L // µs offsets on the __t range frame
-    val fEdge = if (allowEq) 0L else 1L
+    // at equal time, right rows enter the carry iff equality is allowed —
+    // identical tie rule to the directional passes
+    val sideOrder = if (allowEq) col("__side").asc else col("__side").desc
 
     val matched =
       if (by.nonEmpty) {
-        val w = Window.partitionBy(byOut.map(col).toIndexedSeq: _*).orderBy(col("__t"))
+        val byCols = byOut.map(col).toIndexedSeq
+        val wB = Window.partitionBy(byCols: _*).orderBy(col("__t").asc, sideOrder)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wF = Window.partitionBy(byCols: _*).orderBy(col("__t").desc, sideOrder)
+          .rowsBetween(Window.unboundedPreceding, 0)
         unioned
-          .withColumn("__bm", last(col("__rstruct"), ignoreNulls = true)
-            .over(w.rangeBetween(Window.unboundedPreceding, bEdge)))
-          .withColumn("__fm", first(col("__rstruct"), ignoreNulls = true)
-            .over(w.rangeBetween(fEdge, Window.unboundedFollowing)))
+          .withColumn("__bm", last(col("__rstruct"), ignoreNulls = true).over(wB))
+          .withColumn("__fm", last(col("__rstruct"), ignoreNulls = true).over(wF))
       } else {
-        unkeyedNearest(unioned, bEdge, fEdge)
+        unkeyedNearest(unioned, sideOrder)
       }
 
     val onlyLeft = matched.filter(col("__side") === 1)
@@ -195,20 +204,22 @@ object AsofJoin {
   }
 
   /** Unkeyed nearest scale path: range-partition on __t (ties never split —
-    * RangePartitioner keys equal values to one partition), compute both range
-    * frames per partition in parallel, then patch partition edges with a
-    * broadcast ≤P-row boundary frame carrying each partition's extreme right
-    * rows in both directions. Mirrors [[unkeyedCarry]], which does the same
-    * for one direction. */
-  private def unkeyedNearest(unioned: DataFrame, bEdge: Long, fEdge: Long): DataFrame = {
+    * RangePartitioner keys equal values to one partition, so the in-partition
+    * (time, side) sort resolves allow_eq exactly like the keyed path), run
+    * both running carries per partition in parallel, then patch partition
+    * edges with a broadcast ≤P-row boundary frame carrying each partition's
+    * extreme right rows in both directions. Mirrors [[unkeyedCarry]], which
+    * does the same for one direction. */
+  private def unkeyedNearest(unioned: DataFrame, sideOrder: Column): DataFrame = {
     val parted = unioned.repartitionByRange(col("__t"))
       .withColumn("__pid", spark_partition_id())
-    val w = Window.partitionBy("__pid").orderBy(col("__t"))
+    val wB = Window.partitionBy("__pid").orderBy(col("__t").asc, sideOrder)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wF = Window.partitionBy("__pid").orderBy(col("__t").desc, sideOrder)
+      .rowsBetween(Window.unboundedPreceding, 0)
     val running = parted
-      .withColumn("__bm", last(col("__rstruct"), ignoreNulls = true)
-        .over(w.rangeBetween(Window.unboundedPreceding, bEdge)))
-      .withColumn("__fm", first(col("__rstruct"), ignoreNulls = true)
-        .over(w.rangeBetween(fEdge, Window.unboundedFollowing)))
+      .withColumn("__bm", last(col("__rstruct"), ignoreNulls = true).over(wB))
+      .withColumn("__fm", last(col("__rstruct"), ignoreNulls = true).over(wF))
 
     // per-partition extreme right rows; (t, rstruct) structs compare by time
     // first, so max/min pick the latest/earliest right row of the partition

@@ -58,6 +58,20 @@ class FrameSpec extends SparkSpec {
     assert(pad.length == 2 && pad(0).getDouble(2) == 7.7 && pad(1).isNullAt(2))
   }
 
+  test("concatHorizontal: shuffle-parent views take the order-exact fallback") {
+    // two projections of an AGGREGATE share a plan, but the fast zip would
+    // pair rows from two independent executions whose intra-partition order
+    // after a shuffle is fetch-order-dependent — must use the index join
+    val agg = sf("customer").groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("keysum"))
+    assert(!graft.api.frame.partitionAligned(
+      agg.select(col("c_mktsegment")), agg.select(col("n"))))
+    val z = agg.select(col("c_mktsegment"), col("n")).concatHorizontal(agg.select(col("keysum")))
+    // pairing must still be row-faithful whichever path ran
+    val direct = agg.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    z.collect().foreach(r => assert(direct(r.getString(0)) == r.getLong(1)))
+  }
+
   test("profile(): executes and returns per-node timings (Polars profile twin)") {
     val q = sf("lineitem").filter(col("l_quantity") > 10)
       .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("s"))

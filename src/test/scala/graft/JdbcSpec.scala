@@ -58,7 +58,9 @@ class JdbcSpec extends SparkSpec {
   }
 
   test("Derby: filters push down into the JDBC scan (not post-filtered in Spark)") {
-    val filtered = IO.scanJdbc(spark, derbyUrl, "cust_part")
+    IO.writeJdbc(sf("customer").select(col("c_custkey"), col("c_name")),
+      derbyUrl, "cust_push")
+    val filtered = IO.scanJdbc(spark, derbyUrl, "cust_push")
       .filter(col("c_custkey") > 100L)
     val scan = filtered.queryExecution.executedPlan.collectLeaves()
       .map(_.toString).mkString("\n")

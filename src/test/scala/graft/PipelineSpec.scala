@@ -166,7 +166,9 @@ class PipelineSpec extends SparkSpec {
       javax.imageio.ImageIO.write(img, fmt, bos)
       bos.toByteArray
     }
-    val df = Seq((1L, bytes("png")), (2L, bytes("jpg")), (3L, "not an image".getBytes))
+    val pngSig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    val df = Seq((1L, bytes("png")), (2L, bytes("jpg")), (3L, "not an image".getBytes),
+        (4L, pngSig ++ Array[Byte](0, 1))) // truncated PNG: no IHDR to parse
       .toDF("id", "bin")
     val media = graft.multimodal.Multimodal.asMediaTable(df, "id", "bin")
 
@@ -177,6 +179,9 @@ class PipelineSpec extends SparkSpec {
         if (r.isNullAt(3)) -1 else r.getInt(3))).toMap
     assert(meta(1L) == ("png", 2, 2), s"png meta: ${meta(1L)}")
     assert(meta(2L)._1 == "jpeg" && meta(3L)._1 == "raw")
+    // truncated PNG: sniffed as png, dims null (no IHDR bytes to parse),
+    // decode falls back to the deterministic stub (ImageIO fails cleanly)
+    assert(meta(4L) == ("png", -1, -1), s"truncated png meta: ${meta(4L)}")
 
     // decoded features: [w, h, mean lum, quadrant means...]
     val feats = graft.multimodal.Multimodal.decodeFeatures(media, featureDim = 8)

@@ -74,9 +74,12 @@ class PlanSpec extends SparkSpec {
     val plan = planOf(joined)
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$plan")
-    // both directional range frames must land in a single WindowExec
+    // two RUNNING window frames (asc + desc re-sort) over the one exchange;
+    // no UnboundedFollowing frame (that variant is O(n^2) per partition)
     val windows = "\\bWindow\\b".r.findAllIn(plan).length
-    assert(windows == 1, s"expected 1 Window node, got $windows:\n$plan")
+    assert(windows == 2, s"expected 2 Window nodes on one exchange, got $windows:\n$plan")
+    assert(!plan.contains("unboundedfollowing"),
+      s"nearest must not plan an UnboundedFollowing frame:\n$plan")
     assert(!plan.contains("Join"), s"nearest must not plan any join:\n$plan")
     assert(!plan.contains("monotonically_increasing_id"), plan)
   }
@@ -89,12 +92,31 @@ class PlanSpec extends SparkSpec {
     val z = a.concatHorizontal(b)
     val plan = planOf(z)
     assert(plan.contains("Scan ExistingRDD"), s"fast path not taken:\n$plan")
-    assert(!plan.contains("Exchange"), s"fast path must not shuffle:\n$plan")
-    assert(!plan.contains("Join"), s"fast path must not join:\n$plan")
+    // the result plan hides the zipped lineage, so the real no-shuffle proof
+    // is runtime: the whole collect must run as ONE stage (a shuffle would
+    // submit map stages first)
+    val stages = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageSubmitted(
+          s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        stages.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val got =
+      try {
+        val rows = z.collect()
+        // listener events post asynchronously; wait for the bus to settle
+        var last = -1
+        var settleTries = 0
+        while (settleTries < 40 && last != stages.get()) {
+          last = stages.get(); Thread.sleep(50); settleTries += 1
+        }
+        rows
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(stages.get() == 1, s"fast path ran ${stages.get()} stages; a shuffle snuck in")
     // positional pairing is row-faithful: each custkey carries its own acctbal
     val expected = cust.select(col("c_custkey"), col("c_acctbal")).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val got = z.collect()
     assert(got.length == expected.size)
     got.foreach(r => assert(r.getDouble(2) == expected(r.getLong(0)),
       s"row pairing broke for custkey ${r.getLong(0)}"))
