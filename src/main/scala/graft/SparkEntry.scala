@@ -767,7 +767,10 @@ object SparkEntry {
       graft.operators.DynamicGroupBy(bucketed, "ts", every = "1d",
           by = Seq("bucket"))(
           sum(dec4(col("click_value"))).cast("double").as("v"))
-        .pivotOn(index = Seq("ts"), columns = "bucket", values = "v")
+        // bucket values pinned: total schema even if a bucket is empty at
+        // some scale, and no eager distinct-values scan
+        .pivotOn(index = Seq("ts"), columns = "bucket", values = "v",
+          columnValues = Seq(0, 1, 2))
         .withColumnRenamed("0", "b0").withColumnRenamed("1", "b1")
         .withColumnRenamed("2", "b2")
         .withColumn("ts", col("ts").cast("timestamp_ntz"))

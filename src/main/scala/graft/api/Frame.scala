@@ -172,21 +172,26 @@ object frame {
       */
     def concatHorizontal(others: DataFrame*): DataFrame = {
       // resolve name collisions up front: each colliding column takes the
-      // first FREE "_right"-suffixed name (repeating the suffix if a later
-      // input collides on an already-taken "<n>_right"), so a 3-way concat
-      // never yields duplicate output columns
+      // first "_right"-suffixed name that is free in BOTH the output so far
+      // and the input's own not-yet-visited columns, applied positionally via
+      // toDF (withColumnRenamed would rename every same-named attribute), so
+      // no input combination can yield duplicate output columns
       val renamedOthers = others.foldLeft((Vector.empty[DataFrame], collection.mutable.Set(df.columns: _*))) {
         case ((acc, used), o) =>
-          val r = o.columns.foldLeft(o) { (a, n) =>
-            if (!used.contains(n)) { used += n; a }
-            else {
-              var nn = s"${n}_right"
-              while (used.contains(nn)) nn = s"${nn}_right"
-              used += nn
-              a.withColumnRenamed(n, nn)
-            }
+          val pending = collection.mutable.Set(o.columns: _*)
+          val newNames = o.columns.map { n =>
+            pending -= n
+            val target =
+              if (!used.contains(n)) n
+              else {
+                var nn = s"${n}_right"
+                while (used.contains(nn) || pending.contains(nn)) nn = s"${nn}_right"
+                nn
+              }
+            used += target
+            target
           }
-          (acc :+ r, used)
+          (acc :+ o.toDF(newNames.toIndexedSeq: _*), used)
       }._1
       // the plan choice is all-or-nothing: once any input is unaligned, every
       // frame must carry the SAME global index or 3-way pairing breaks
@@ -204,9 +209,13 @@ object frame {
 
     /** pivot (eager-only in the reference because the output schema depends on
       * the data — same in Spark: groupBy().pivot() triggers a values scan).
-      * agg ∈ {first,sum,min,max,mean,median,count,len,last} (eager.rs:579-589). */
+      * agg ∈ {first,sum,min,max,mean,median,count,len,last} (eager.rs:579-589).
+      * `columnValues`, when given, pins the output columns up front: a total
+      * schema regardless of which values occur in the data, AND no eager
+      * distinct-values job (the scale path for pivots on known categories). */
     def pivotOn(index: Seq[String], columns: String, values: String,
-                aggName: String = "first"): DataFrame = {
+                aggName: String = "first",
+                columnValues: Seq[Any] = Nil): DataFrame = {
       val v = col(values)
       val aggExpr = aggName match {
         case "first" => first(v, ignoreNulls = false)
@@ -220,7 +229,11 @@ object frame {
         case "len" => count(lit(1))
         case other => throw new IllegalArgumentException(s"bad pivot agg: $other")
       }
-      df.groupBy(index.map(col).toIndexedSeq: _*).pivot(columns).agg(aggExpr)
+      val grouped = df.groupBy(index.map(col).toIndexedSeq: _*)
+      val pivoted =
+        if (columnValues.nonEmpty) grouped.pivot(columns, columnValues)
+        else grouped.pivot(columns)
+      pivoted.agg(aggExpr)
     }
 
     /** unpivot/melt; empty `on` = all non-index columns (lazy.rs:374-379). */
@@ -330,7 +343,6 @@ object frame {
     * `toRdd` here only plans, never runs, stages. */
   private[graft] def partitionAligned(a: DataFrame, b: DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical._
-    import org.apache.spark.sql.execution.LogicalRDD
     import org.apache.spark.sql.execution.datasources.LogicalRelation
     import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
     @annotation.tailrec
@@ -342,9 +354,12 @@ object frame {
     @annotation.tailrec
     def deterministicReplay(p: LogicalPlan): Boolean = p match {
       case Filter(cond, child) if cond.deterministic => deterministicReplay(child)
+      // file/local/range scans replay partitions in identical order; NOT
+      // LogicalRDD (can wrap shuffle lineage whose intra-partition order is
+      // fetch-dependent) and NOT cached plans (evicted blocks recompute with
+      // the same hazard) — those take the order-exact index-join fallback
       case _: LogicalRelation | _: DataSourceV2Relation | _: LocalRelation |
-          _: LogicalRDD | _: Range => true
-      case r if r.nodeName == "InMemoryRelation" => true // cached: order frozen
+          _: Range => true
       case _ => false
     }
     val (sa, sb) = (strip(a.queryExecution.analyzed), strip(b.queryExecution.analyzed))

@@ -21,6 +21,11 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO defaults to a disk-backed stream cache: every read of an
+  // in-memory payload would create/write/delete a temp file on the executor.
+  // Payloads here are always byte arrays, so cache in memory.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Canonical media-table schema: id + opaque payload + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

@@ -56,6 +56,11 @@ class FrameSpec extends SparkSpec {
     val long = Seq((1, "x"), (2, "y")).toDF("id", "s")
     val pad = long.concatHorizontal(Seq(7.7).toDF("z")).orderBy("id").collect()
     assert(pad.length == 2 && pad(0).getDouble(2) == 7.7 && pad(1).isNullAt(2))
+    // an input already holding BOTH a colliding name and its _right variant
+    // must still come out with all-unique columns
+    val tricky = a.concatHorizontal(Seq((8, 9)).toDF("s", "s_right"))
+    assert(tricky.columns.distinct.length == tricky.columns.length,
+      tricky.columns.mkString(","))
   }
 
   test("concatHorizontal: shuffle-parent views take the order-exact fallback") {
@@ -113,6 +118,12 @@ class FrameSpec extends SparkSpec {
     assert(wide.collect()(0).getDouble(1) == 1.0)
     val long = wide.unpivotOn(Seq("id"), Seq("q1", "q2"))
     assert(long.count() == 4) // includes b/q2 null
+    // pinned column values: total schema (absent q3 present as nulls) and no
+    // eager distinct-values scan
+    val pinned = df.pivotOn(Seq("id"), "quarter", "v", "sum",
+      columnValues = Seq("q1", "q2", "q3")).orderBy("id")
+    assert(pinned.columns.toSeq == Seq("id", "q1", "q2", "q3"))
+    assert(pinned.collect().forall(_.isNullAt(3)))
   }
 
   test("dropNulls/rename/sample determinism") {
