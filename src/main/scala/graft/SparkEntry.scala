@@ -777,6 +777,20 @@ object SparkEntry {
         .orderBy(col("ts"))
     }),
 
+    // §1.2 Categorical (datatypes.rs:76): dictionary-encode, aggregate on the
+    // dense int codes (the compute-side win of a physical categorical), then
+    // decode through the broadcast dictionary
+    "q50_categorical" -> ((s, d) => {
+      val (enc, dict) = graft.functions.Categorical.encode(
+        t(s, d, "customer"), "c_mktsegment", "seg_code")
+      enc.groupBy(col("seg_code"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("c_acctbal"))).cast("double").as("bal_sum"))
+        .join(broadcast(dict), Seq("seg_code"))
+        .select(col("c_mktsegment"), col("seg_code"), col("n"), col("bal_sum"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // composite pipeline: near-dup pairs → connected components → keeper per
     // cluster (min id) → anti-join the corpus down to the keep-list — the
     // full dedup flow a training-data pipeline runs
@@ -1043,6 +1057,17 @@ object SparkEntry {
     "q47_jdbc_roundtrip" ->
       """SELECT c_custkey, c_name, c_acctbal
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q50_categorical" ->
+      """WITH g AS (
+        |  SELECT c_mktsegment, count(*) AS n,
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+        |  FROM customer GROUP BY 1
+        |)
+        |SELECT c_mktsegment,
+        |  CAST(row_number() OVER (ORDER BY c_mktsegment) - 1 AS INT) AS seg_code,
+        |  n, bal_sum
+        |FROM g ORDER BY c_mktsegment""".stripMargin,
 
     "q48_pipeline_asof_pivot" ->
       """WITH aj AS (

@@ -126,6 +126,31 @@ class FrameSpec extends SparkSpec {
     assert(pinned.collect().forall(_.isNullAt(3)))
   }
 
+  test("Categorical: dict-encode round-trips, codes dense+deterministic, joins broadcast") {
+    val df = Seq((1L, "b"), (2L, "a"), (3L, "b"), (4L, null), (5L, "c"))
+      .toDF("id", "cat")
+    val (enc, dict) = graft.functions.Categorical.encode(df, "cat", "code")
+    // dense 0-based codes in category sort order
+    assert(dict.orderBy("code").collect().map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("a", 0), ("b", 1), ("c", 2)))
+    // null category -> null code; decode restores the original frame exactly
+    assert(enc.filter(col("id") === 4L).collect()(0).isNullAt(enc.columns.indexOf("code")))
+    val back = graft.functions.Categorical.decode(enc, dict, "code")
+    assert(back.collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet ==
+      df.collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet)
+    // compute on codes == compute on strings
+    val byCode = enc.groupBy("code").count()
+    val decoded = graft.functions.Categorical.decode(byCode, dict, "code")
+      .collect().map(r => Option(r.getString(1)).getOrElse("NULL") -> r.getLong(0)).toMap
+    val byString = df.groupBy("cat").count()
+      .collect().map(r => Option(r.getString(0)).getOrElse("NULL") -> r.getLong(1)).toMap
+    assert(decoded == byString)
+    // the dictionary joins must broadcast (never shuffle the data side)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("dropNulls/rename/sample determinism") {
     val df = Seq[(java.lang.Integer, String)]((1, "a"), (null, "b")).toDF("x", "s")
     assert(df.dropNulls("x").count() == 1)
