@@ -130,4 +130,55 @@ class AsofSpec extends SparkSpec {
         "expected a range exchange in the unkeyed as-of plan")
     } finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
   }
+
+  test("randomized brute-force equivalence: strategies x allow_eq x tolerance (seeded)") {
+    // seeded generated data with heavy left/right timestamp ties, compared
+    // against an in-memory O(n^2)-style reference — catches semantic drift
+    // the fixed golden scenarios and the (tie-deduped) oracle cannot
+    val rnd = new scala.util.Random(2024)
+    val keyPool = Array("a", "b", "c")
+    def tstamp(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    for (trial <- 1 to 2) {
+      val leftRows = (1 to 40).map(i => (i.toLong, keyPool(rnd.nextInt(3)), 1000L + rnd.nextInt(120)))
+      // right unique per (k, t) so the matched VALUE is unambiguous even
+      // where the engine's intra-tie pick is arbitrary
+      val rightRaw = (1 to 60).map(_ => (keyPool(rnd.nextInt(3)), 1000L + rnd.nextInt(120)))
+        .distinct.map { case (k, t) => (k, t, rnd.nextDouble()) }
+      val left = leftRows.map { case (id, k, t) => (id, k, tstamp(t)) }.toDF("id", "k", "t")
+      val right = rightRaw.map { case (k, t, v) => (k, tstamp(t), v) }.toDF("k", "t", "rv")
+      val byKey: Map[String, Seq[(Long, Double)]] =
+        rightRaw.groupBy(_._1).map { case (k, xs) => k -> xs.map(x => (x._2, x._3)).sortBy(_._1) }
+      for {
+        strat <- Seq(AsofJoin.Backward, AsofJoin.Forward, AsofJoin.Nearest)
+        allowEq <- Seq(true, false)
+        tolSec <- Seq(None, Some(30L))
+      } {
+        def expected(k: String, t: Long): Option[Double] = {
+          val cands = byKey.getOrElse(k, Nil)
+          val b = cands.filter(c => if (allowEq) c._1 <= t else c._1 < t).lastOption
+            .filter(c => tolSec.forall(t - c._1 <= _))
+          val f = cands.filter(c => if (allowEq) c._1 >= t else c._1 > t).headOption
+            .filter(c => tolSec.forall(c._1 - t <= _))
+          strat match {
+            case AsofJoin.Backward => b.map(_._2)
+            case AsofJoin.Forward => f.map(_._2)
+            case AsofJoin.Nearest => (b, f) match {
+              case (Some(bb), Some(ff)) =>
+                Some(if (t - bb._1 <= ff._1 - t) bb._2 else ff._2) // tie -> backward
+              case (x, y) => x.orElse(y).map(_._2)
+            }
+          }
+        }
+        val got = AsofJoin.join(left, right, "t", "t", Seq(("k", "k")),
+            strategy = strat, tolerance = tolSec.map(s => s"${s}s"), allowEq = allowEq)
+          .select(col("id"), col("rv")).collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+        leftRows.foreach { case (id, k, t) =>
+          assert(got(id) == expected(k, t),
+            s"trial=$trial strat=$strat allowEq=$allowEq tol=$tolSec id=$id k=$k t=$t: " +
+              s"got=${got(id)} want=${expected(k, t)}")
+        }
+      }
+    }
+  }
 }
