@@ -786,7 +786,9 @@ object SparkEntry {
       enc.groupBy(col("seg_code"))
         .agg(count(lit(1)).as("n"),
           sum(dec2(col("c_acctbal"))).cast("double").as("bal_sum"))
-        .join(broadcast(dict), Seq("seg_code"))
+        // left join: a null-category group (null code) must survive decode,
+        // matching the oracle's GROUP BY null-row semantics
+        .join(broadcast(dict), Seq("seg_code"), "left")
         .select(col("c_mktsegment"), col("seg_code"), col("n"), col("bal_sum"))
         .orderBy(col("c_mktsegment"))
     }),

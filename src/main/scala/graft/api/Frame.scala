@@ -212,7 +212,9 @@ object frame {
       * agg ∈ {first,sum,min,max,mean,median,count,len,last} (eager.rs:579-589).
       * `columnValues`, when given, pins the output columns up front: a total
       * schema regardless of which values occur in the data, AND no eager
-      * distinct-values job (the scale path for pivots on known categories). */
+      * distinct-values job (the scale path for pivots on known categories).
+      * CAUTION: rows whose pivot value is NOT in the list are silently
+      * dropped (Spark pivot semantics) — pin only closed domains. */
     def pivotOn(index: Seq[String], columns: String, values: String,
                 aggName: String = "first",
                 columnValues: Seq[Any] = Nil): DataFrame = {

@@ -24,17 +24,25 @@ import org.apache.spark.sql.functions._
   */
 object Categorical {
 
-  /** Returns (encoded frame, dictionary). The encoded frame carries
-    * `codeCol: int` in place of `column`; null categories get null codes.
-    * Dictionary schema: (column, codeCol). */
+  /** Returns (encoded frame, dictionary). The encoded frame drops `column`
+    * and carries `codeCol: int` as its LAST column (join-appended — select
+    * afterwards if positional layout matters); null categories get null
+    * codes. Dictionary schema: (column, codeCol). */
   def encode(df: DataFrame, column: String, codeCol: String): (DataFrame, DataFrame) = {
+    require(!df.columns.contains(codeCol),
+      s"code column '$codeCol' already exists in the frame")
     val dict = df.select(col(column)).where(col(column).isNotNull).distinct()
       .withColumn(codeCol, row_number().over(Window.orderBy(col(column))) - 1)
     val encoded = df.join(broadcast(dict), Seq(column), "left").drop(column)
     (encoded, dict)
   }
 
-  /** Re-attach the category values for `codeCol` (dropping the codes). */
-  def decode(df: DataFrame, dict: DataFrame, codeCol: String): DataFrame =
+  /** Re-attach the category values for `codeCol` (dropping the codes; null
+    * codes stay as null categories via the left join). */
+  def decode(df: DataFrame, dict: DataFrame, codeCol: String): DataFrame = {
+    val categoryCol = dict.columns.filterNot(_ == codeCol).head
+    require(!df.columns.contains(categoryCol),
+      s"category column '$categoryCol' already exists in the frame")
     df.join(broadcast(dict), Seq(codeCol), "left").drop(codeCol)
+  }
 }
