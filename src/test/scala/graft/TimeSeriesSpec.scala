@@ -384,4 +384,52 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.count() == 3, "one survivor per key within the watermark")
     assert(got.select("k").as[String].collect().sorted.toSeq == Seq("k1", "k2", "k3"))
   }
+
+  test("randomized brute-force: running-difference rolling sums (seeded, ties, all closed modes)") {
+    // the O(n) cum-difference formulation vs an in-memory reference on random
+    // data with heavy timestamp ties — the existing tests compare against
+    // Spark's own sliding frames on fixed data; this pins the closed-bound
+    // arithmetic and decimal exactness independently
+    val rnd = new scala.util.Random(77)
+    val keyPool = Array("a", "b")
+    val rows = (1 to 150).map(i => (i.toLong, keyPool(rnd.nextInt(2)),
+      1000L + rnd.nextInt(100), rnd.nextInt(1000) / 100.0))
+    val df = rows.map { case (id, k, t, v) =>
+      (id, k, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(t)), v)
+    }.toDF("id", "k", "t", "v")
+    val w = 30L
+    for (closed <- Seq(Rolling.Right, Rolling.Both, Rolling.Left, Rolling.NoneC)) {
+      val got = df.withColumn("s",
+          Rolling.rollingSumByTime(col("v").cast("decimal(18,2)"), col("t"), s"${w}s",
+            Seq(col("k")), closed).cast("double"))
+        .select(col("id"), col("s")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      rows.foreach { case (id, k, t, _) =>
+        val inWin: Long => Boolean = closed match {
+          case Rolling.Right => rt => rt > t - w && rt <= t
+          case Rolling.Both  => rt => rt >= t - w && rt <= t
+          case Rolling.Left  => rt => rt >= t - w && rt < t
+          case Rolling.NoneC => rt => rt > t - w && rt < t
+        }
+        val sel = rows.filter(r => r._2 == k && inWin(r._3))
+          .map(r => BigDecimal(r._4).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+        val want = if (sel.isEmpty) None else Some(sel.sum.toDouble)
+        assert(got(id) == want, s"closed=$closed id=$id t=$t k=$k: got=${got(id)} want=$want")
+      }
+    }
+    // row-window twin: last-5-rows sum per key ordered by unique id
+    val gotRows = df.withColumn("s",
+        Rolling.rollingSumByRows(col("v").cast("decimal(18,2)"), "5i",
+          Seq(col("id")), Seq(col("k"))).cast("double"))
+      .select(col("id"), col("s")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.groupBy(_._2).foreach { case (_, ks) =>
+      val ordered = ks.sortBy(_._1)
+      ordered.zipWithIndex.foreach { case ((id, _, _, _), i) =>
+        val want = ordered.slice(math.max(0, i - 4), i + 1)
+          .map(r => BigDecimal(r._4).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+        assert(gotRows(id) == want, s"rows-window id=$id: got=${gotRows(id)} want=$want")
+      }
+    }
+  }
 }
