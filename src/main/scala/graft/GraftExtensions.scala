@@ -24,6 +24,7 @@ import org.apache.spark.sql.types.DataType
   *  - `graft_cosine(a, b)`           — codegen cosine similarity
   *  - `graft_minhash(shingles, k)`   — k-permutation MinHash signature
   *  - `graft_simhash(tokens)`        — 64-bit SimHash sketch
+  *  - `graft_shingles(tokens, k, distinct)` — word k-shingles, one loop/row
   *  - `graft_cast_ansi(x, 'type')`   — strict cast, ANSI pinned on the node
   *  - `graft_replace_tz(ts, tz, ambiguous, non_existent)` — DST-policy
   *    wall-time reinterpretation
@@ -46,6 +47,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_simhash"),
       info("graft_simhash", "graft_simhash(tokens) - 64-bit SimHash sketch"),
       (exprs: Seq[Expression]) => plans.SimHash64Expr(exprs(0))))
+
+    ext.injectFunction((FunctionIdentifier("graft_shingles"),
+      info("graft_shingles", "graft_shingles(tokens, k, distinct) - word k-shingles, optionally deduped"),
+      (exprs: Seq[Expression]) => plans.ShinglesExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Boolean])))
 
     ext.injectFunction((FunctionIdentifier("graft_cast_ansi"),
       info("graft_cast_ansi", "graft_cast_ansi(x, 'ddl-type') - strict cast (raises on overflow/malformed)"),

@@ -36,28 +36,38 @@ object ConnectedComponents {
     def truncate(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
 
-    var labels = edges.groupBy(col("src").as("id"))
+    val initial = edges.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), first(col("src"))).as("component"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = initial
+    var cached = initial // the frame actually holding the persist/checkpoint
 
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // propagate: each vertex takes the min of its own and neighbors' labels
+      // propagate: each vertex takes the min of its own and neighbors' labels.
+      // The OLD label rides along so convergence is decided by the SAME job
+      // that materializes the new labels — one pass per iteration, and the
+      // full-count agg (not limit(1)) guarantees the cache is fully populated
+      // so no partition ever recomputes through the join lineage.
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("component", "nlabel"), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nlabel")).as("nmin"))
       val next0 = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+        .select(col("id"), col("component").as("__old"),
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
       val next =
         if (checkpointInterval > 0 && (iter + 1) % checkpointInterval == 0) truncate(next0)
         else next0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old")).limit(1).count()
-      labels.unpersist()
-      labels = next
+      val changed = next.agg(count(when(col("component") =!= col("__old"), 1)))
+        .first().getLong(0)
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("id"), col("component"))
       converged = changed == 0
       iter += 1
+      if (sys.props.contains("graft.cc.verbose"))
+        println(s"[components] iter=$iter changed=$changed")
     }
     labels
   }

@@ -22,6 +22,14 @@ import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions 
   */
 object Dedup {
 
+  /** Distinct word k-shingles of a text column via the native
+    * [[graft.plans.ShinglesExpr]] loop (semantics of
+    * `array_distinct(T.shingles(T.tokens(text), k))`, ~10× faster — the HOF
+    * formulation was the dominant cost of every shingle-based op).
+    * Callers must have run `SketchExprs.register` on the session. */
+  private def distinctShingles(text: Column, k: Int): Column =
+    call_function("graft_shingles", T.tokens(text), lit(k), lit(true))
+
   /** Exact dedup: keep the row with the smallest `orderCol` per duplicate
     * group (deterministic, unlike dropDuplicates). */
   def exact(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
@@ -40,12 +48,12 @@ object Dedup {
                    numHashes: Int = 128, bands: Int = 32, shingleK: Int = 5,
                    threshold: Double = 0.8): DataFrame = {
     graft.plans.SketchExprs.register(df.sparkSession)
-    // native sketch expression (tight loop) + persist: the signature scan
+    // native sketch expressions (tight loops) + persist: the signature scan
     // runs ONCE; only (id, band, bucket) flows through the self-join shuffle,
     // and signatures re-attach by id for the estimate.
     val sigs = df.select(col(idCol).as("id"),
         call_function("graft_minhash",
-          array_distinct(T.shingles(T.tokens(col(textCol)), shingleK)), lit(numHashes))
+          distinctShingles(col(textCol), shingleK), lit(numHashes))
           .as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandsDf = sigs
@@ -98,10 +106,11 @@ object Dedup {
     * on distinct shingles, |A∩B| / (|A|+|B|−|A∩B|) >= threshold. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 5, threshold: Double = 0.5): DataFrame = {
+    graft.plans.SketchExprs.register(df.sparkSession)
     // the exploded shingle set feeds three consumers (both self-join sides
     // and the per-doc counts) — materialize it once
     val sh = df.select(col(idCol).as("id"),
-        explode(array_distinct(T.shingles(T.tokens(col(textCol)), shingleK))).as("s"))
+        explode(distinctShingles(col(textCol), shingleK)).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val shared = sh.alias("a")
@@ -113,6 +122,64 @@ object Dedup {
       .join(counts.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
       .withColumn("jaccard",
         col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard pairs via PREFIX FILTERING (AllPairs/PPJoin
+    * family: Bayardo et al. WWW'07, Xiao et al. WWW'08) — same results as
+    * [[ngramJaccardPairs]], different candidate generation:
+    *
+    *  1. global shingle document-frequencies (one groupBy)
+    *  2. each doc's shingle set sorted ascending by (df, shingle) — rarest
+    *     first under one global order
+    *  3. candidates join only on each doc's PREFIX: the first
+    *     `n − ⌈t·n⌉ + 1` shingles. For any pair with J ≥ t, the
+    *     minimum-ranked common shingle provably lies in BOTH prefixes, so
+    *     no qualifying pair is missed; a length filter `t·n_a ≤ n_b` prunes
+    *     further (candidates are generated with id_a < id_b only).
+    *  4. exact verification: `array_intersect` on the full sorted sets.
+    *
+    * Why it scales where co-occurrence counting doesn't: the shuffle fanout
+    * of a shingle-keyed self-join is Σ_s df(s)² over ALL shingles — hot
+    * shingles (boilerplate n-grams) explode quadratically. Here only the
+    * RAREST shingles of each doc enter the join, exactly the ones with
+    * bounded df, and the full-set verification touches only surviving
+    * candidates. At 100 TB this is the difference between a bounded
+    * candidate set and a runaway shuffle.
+    */
+  def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                              shingleK: Int = 5, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold must be in (0,1], got $threshold")
+    graft.plans.SketchExprs.register(df.sparkSession)
+    val sh = df.select(col(idCol).as("id"),
+      explode(distinctShingles(col(textCol), shingleK)).as("s"))
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // per-doc sorted shingle array (rarest-first global order) + set size;
+    // feeds candidate generation AND verification — materialize once
+    val sets = sh.join(dfreq, "s")
+      .groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("df"), col("s")))),
+        x => x("s")).as("arr"),
+        count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // prefix length n - ceil(t*n) + 1 (>= 1). The epsilon keeps a borderline
+    // real-valued t*n from rounding UP past an integer boundary and shrinking
+    // the prefix below what the proof needs (pruning must only ever relax).
+    val p = (col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + lit(1)).cast("int")
+    val pref = sets.select(col("id"), col("n"), explode(slice(col("arr"), lit(1), p)).as("s"))
+    val cand = pref.alias("a")
+      .join(pref.alias("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+        col("b.n").cast("double") >= lit(threshold) * col("a.n") - lit(1e-9) &&
+        col("a.n").cast("double") >= lit(threshold) * col("b.n") - lit(1e-9))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("id").as("id_a"), col("arr").as("__aa"), col("n").as("n_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("arr").as("__ab"), col("n").as("n_b")), "id_b")
+      .withColumn("__inter", size(array_intersect(col("__aa"), col("__ab"))))
+      .withColumn("jaccard",
+        col("__inter").cast("double") / (col("n_a") + col("n_b") - col("__inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

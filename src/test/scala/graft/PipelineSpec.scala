@@ -53,6 +53,48 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(pairs((0L, 1L)) - 10.0 / 12.0) < 1e-12)
   }
 
+  test("prefix-filtered exact Jaccard == co-occurrence exact Jaccard (randomized)") {
+    // docs built from a small vocabulary so shingles collide often (hot
+    // shingles stress the prefix filter's exactness, boundary sizes stress
+    // the length filter), plus exact dups and empty/short docs
+    val rnd = new scala.util.Random(11)
+    val words = Vector("a", "b", "c", "d", "e", "f")
+    val base = (0L until 80L).map { i =>
+      (i, (0 until 3 + rnd.nextInt(18)).map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    val docs2 = (base ++ Seq((80L, base(0)._2), (81L, "solo"), (82L, "a b")))
+      .toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.8, 1.0); k <- Seq(2, 3)) {
+      def norm(df0: org.apache.spark.sql.DataFrame) =
+        df0.select("id_a", "id_b", "jaccard").collect()
+          .map(r => ((r.getLong(0), r.getLong(1)), math.round(r.getDouble(2) * 1e12)))
+          .toMap
+      val co = norm(graft.dedup.Dedup.ngramJaccardPairs(docs2, "doc_id", "text", k, t))
+      val pf = norm(graft.dedup.Dedup.ngramJaccardPairsPrefix(docs2, "doc_id", "text", k, t))
+      assert(co == pf, s"t=$t k=$k: cooccur ${co.size} pairs vs prefix ${pf.size}; " +
+        s"only-co=${co.keySet -- pf.keySet} only-pf=${pf.keySet -- co.keySet}")
+    }
+  }
+
+  test("native graft_shingles == HOF shingles (randomized, incl. short docs)") {
+    graft.plans.SketchExprs.register(spark)
+    val rnd = new scala.util.Random(7)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "x", "yy")
+    val texts = (0 until 60).map { i =>
+      // lengths 0..20 straddle the k boundary on both sides
+      (0 until rnd.nextInt(21)).map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+    } :+ "" :+ "one" :+ "one two three four five"
+    for (k <- Seq(1, 3, 5)) {
+      val df = texts.toDF("text").select(
+        T.shingles(T.tokens(col("text")), k).as("hof"),
+        call_function("graft_shingles", T.tokens(col("text")), lit(k), lit(false)).as("nat"),
+        array_sort(array_distinct(T.shingles(T.tokens(col("text")), k))).as("hof_d"),
+        array_sort(call_function("graft_shingles", T.tokens(col("text")), lit(k), lit(true))).as("nat_d"))
+      val bad = df.filter(col("hof") =!= col("nat") || col("hof_d") =!= col("nat_d"))
+      assert(bad.count() == 0, s"k=$k mismatch: ${bad.collect().mkString("; ")}")
+    }
+  }
+
   test("langId picks the dominant stopword language deterministically") {
     val df = Seq(
       "the cat sat on the mat and it was happy",
