@@ -30,6 +30,14 @@ object Dedup {
   private def distinctShingles(text: Column, k: Int): Column =
     call_function("graft_shingles", T.tokens(text), lit(k), lit(true))
 
+  /** Distinct word k-shingle XXH64 values ([[graft.plans.ShingleHashesExpr]]):
+    * every shuffle keyed on a shingle moves 8 bytes instead of the shingle
+    * string, and no shingle string is ever materialized. Same seed as the
+    * minhash-internal shingle hash, so `graft_minhash` over these values
+    * equals `graft_minhash` over the string shingles. */
+  private def distinctShingleHashes(text: Column, k: Int): Column =
+    call_function("graft_shingle_hashes", T.tokens(text), lit(k))
+
   /** Exact dedup: keep the row with the smallest `orderCol` per duplicate
     * group (deterministic, unlike dropDuplicates). */
   def exact(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
@@ -53,7 +61,7 @@ object Dedup {
     // and signatures re-attach by id for the estimate.
     val sigs = df.select(col(idCol).as("id"),
         call_function("graft_minhash",
-          distinctShingles(col(textCol), shingleK), lit(numHashes))
+          distinctShingleHashes(col(textCol), shingleK), lit(numHashes))
           .as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandsDf = sigs
@@ -108,9 +116,11 @@ object Dedup {
                         shingleK: Int = 5, threshold: Double = 0.5): DataFrame = {
     graft.plans.SketchExprs.register(df.sparkSession)
     // the exploded shingle set feeds three consumers (both self-join sides
-    // and the per-doc counts) — materialize it once
+    // and the per-doc counts) — materialize it once. Shingles travel as
+    // 8-byte hashes: the self-join shuffle is the cost center and its key
+    // width dominates exchange volume.
     val sh = df.select(col(idCol).as("id"),
-        explode(distinctShingles(col(textCol), shingleK)).as("s"))
+        explode(distinctShingleHashes(col(textCol), shingleK)).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val shared = sh.alias("a")
@@ -131,8 +141,9 @@ object Dedup {
     * [[ngramJaccardPairs]], different candidate generation:
     *
     *  1. global shingle document-frequencies (one groupBy)
-    *  2. each doc's shingle set sorted ascending by (df, shingle) — rarest
-    *     first under one global order
+    *  2. each doc's shingle set sorted ascending by (df, shingle-hash) —
+    *     rarest first under one global order (any consistent total order
+    *     satisfies the prefix-filter proof)
     *  3. candidates join only on each doc's PREFIX: the first
     *     `n − ⌈t·n⌉ + 1` shingles. For any pair with J ≥ t, the
     *     minimum-ranked common shingle provably lies in BOTH prefixes, so
@@ -153,7 +164,7 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold must be in (0,1], got $threshold")
     graft.plans.SketchExprs.register(df.sparkSession)
     val sh = df.select(col(idCol).as("id"),
-      explode(distinctShingles(col(textCol), shingleK)).as("s"))
+      explode(distinctShingleHashes(col(textCol), shingleK)).as("s"))
     val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     // per-doc sorted shingle array (rarest-first global order) + set size;
     // feeds candidate generation AND verification — materialize once

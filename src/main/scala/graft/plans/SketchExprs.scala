@@ -28,7 +28,13 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(s"minhash expects array<string>, got $other")
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"minhash expects array<string|long>, got $other")
+  }
+
+  private lazy val preHashed = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
   }
 
   // deterministic odd multiply-add constants (splitmix-style stream)
@@ -47,8 +53,10 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+      val h = if (preHashed) arr.getLong(i) else {
+        val s = arr.getUTF8String(i)
+        XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+      }
       var j = 0
       while (j < numHashes) {
         val m = mulA(j) * h + addB(j)
@@ -164,6 +172,62 @@ case class ShinglesExpr(child: Expression, k: Int, distinct: Boolean)
     copy(child = newChild)
 }
 
+/** Distinct word k-shingle XXH64 hashes (seed 42, same as
+  * [[MinHashSignatureExpr]]'s internal shingle hash) from a token array —
+  * `array<long>` out, one loop per row.
+  *
+  * The candidate-generation shuffles of the exact-Jaccard joins key on the
+  * shingle value; shuffling the ~(5·word) byte shingle STRING pays its
+  * serialization + comparison on every exchange row. Hashing at the source
+  * makes every downstream key a fixed 8 bytes — the join/groupBy semantics
+  * are unchanged absent 64-bit collisions (for pair counting a collision
+  * additionally needs BOTH colliding shingles inside the same candidate
+  * pair; at 2^-64 per pair this is below any practical corpus size).
+  * Fusing shingle→hash here also skips materializing the shingle strings
+  * entirely (no concat allocation survives the loop).
+  */
+case class ShingleHashesExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, s"shingle size must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"shingle_hashes expects array<string>, got $other")
+  }
+
+  private val Sep = UTF8String.fromString(" ")
+
+  private def hash(s: UTF8String): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { toks(i) = arr.getUTF8String(i); i += 1 }
+    if (n < k) {
+      new GenericArrayData(Array[Any](hash(UTF8String.concatWs(Sep, toks.toIndexedSeq: _*))))
+    } else {
+      val window = new Array[UTF8String](k)
+      val m = n - k + 1
+      val seen = new java.util.LinkedHashSet[java.lang.Long](m * 2)
+      var j = 0
+      while (j < m) {
+        System.arraycopy(toks, j, window, 0, k)
+        seen.add(hash(UTF8String.concatWs(Sep, window.toIndexedSeq: _*)))
+        j += 1
+      }
+      new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SketchExprs {
   /** Register SQL-callable forms: graft_minhash(shingles, k),
     * graft_simhash(tokens), graft_shingles(tokens, k, distinct). */
@@ -177,5 +241,8 @@ object SketchExprs {
       "graft_shingles", exprs => ShinglesExpr(exprs(0),
         exprs(1).eval().asInstanceOf[Int],
         exprs(2).eval().asInstanceOf[Boolean]), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingle_hashes", exprs => ShingleHashesExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
   }
 }

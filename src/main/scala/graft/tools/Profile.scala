@@ -1,0 +1,50 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev profiling harness: time named sub-pipelines repeatedly in one warm
+  * session to separate cold (JIT/codegen) cost from steady-state cost.
+  * Usage: sbt "runMain graft.tools.Profile <sfDir> <reps> <name1> <name2> ..."
+  */
+object Profile {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    s.read.parquet(s"$dir/$n.parquet")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 1) args(1).toInt else 2
+    val names = if (args.length > 2) args.drop(2).toSeq else Seq()
+    val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+
+    val pipelines: Seq[(String, () => DataFrame)] = Seq(
+      "jaccard_cooc" -> (() => graft.dedup.Dedup.ngramJaccardPairs(
+        t(spark, sfDir, "documents"), "doc_id", "text", 5, 0.5)),
+      "jaccard_prefix" -> (() => graft.dedup.Dedup.ngramJaccardPairsPrefix(
+        t(spark, sfDir, "documents"), "doc_id", "text", 5, 0.5)),
+      "components" -> (() => graft.dedup.ConnectedComponents.components(
+        graft.dedup.Dedup.ngramJaccardPairs(t(spark, sfDir, "documents"), "doc_id", "text", 5, 0.5))),
+      "q49" -> (() => {
+        val docs = t(spark, sfDir, "documents")
+        val pairs = graft.dedup.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.5)
+        val comps = graft.dedup.ConnectedComponents.components(pairs)
+        val losers = comps.filter(col("id") =!= col("component")).select(col("id"))
+        docs.join(losers, docs("doc_id") === losers("id"), "left_anti")
+          .select(col("doc_id"), col("lang"), col("source")).orderBy(col("doc_id"))
+      }),
+      "minhash" -> (() => graft.dedup.Dedup.minhashPairs(
+        t(spark, sfDir, "documents"), "doc_id", "text", 128, 32, 5, 0.5)),
+      "q12_str" -> (() => graft.SparkEntry.queries("q12_str_funcs")(spark, sfDir)),
+      "q45_roll" -> (() => graft.SparkEntry.queries("q45_rolling_global_rows")(spark, sfDir)),
+      "q41_asof" -> (() => graft.SparkEntry.queries("q41_asof_unkeyed")(spark, sfDir)),
+    ).filter { case (n, _) => names.isEmpty || names.contains(n) }
+
+    for ((name, mk) <- pipelines; r <- 1 to reps) {
+      val t0 = System.nanoTime()
+      mk().write.mode("overwrite").format("noop").save()
+      println(f"[profile] $name rep$r: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}

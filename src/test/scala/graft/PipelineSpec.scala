@@ -95,6 +95,29 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("graft_shingle_hashes == xxhash64 of string shingles; fused minhash identical") {
+    graft.plans.SketchExprs.register(spark)
+    val rnd = new scala.util.Random(11)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val texts = (0 until 40).map { _ =>
+      (0 until rnd.nextInt(15)).map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+    } :+ "" :+ "one" :+ "one two three"
+    for (k <- Seq(1, 3, 5)) {
+      val df = texts.toDF("text").select(
+        array_sort(call_function("graft_shingle_hashes", T.tokens(col("text")), lit(k))).as("h"),
+        // xxhash64(col) seeds with 42 like the expression's internal hash
+        array_sort(array_distinct(transform(
+          call_function("graft_shingles", T.tokens(col("text")), lit(k), lit(false)),
+          s => xxhash64(s)))).as("ref"),
+        call_function("graft_minhash",
+          call_function("graft_shingle_hashes", T.tokens(col("text")), lit(k)), lit(32)).as("sig_h"),
+        call_function("graft_minhash",
+          call_function("graft_shingles", T.tokens(col("text")), lit(k), lit(true)), lit(32)).as("sig_s"))
+      val bad = df.filter(col("h") =!= col("ref") || col("sig_h") =!= col("sig_s"))
+      assert(bad.count() == 0, s"k=$k: ${bad.collect().take(3).mkString("; ")}")
+    }
+  }
+
   test("langId picks the dominant stopword language deterministically") {
     val df = Seq(
       "the cat sat on the mat and it was happy",
