@@ -546,6 +546,64 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // Gopher-style repetition signals: duplicate-line ratios + top-n-gram
+    // count shares, and the combined keep/drop gate
+    "qd11_repetition" -> ((s, d) => {
+      val T = graft.functions.TextFunctions
+      graft.plans.SketchExprs.register(s)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          T.dupLineFraction(col("text")).as("dup_line_frac"),
+          T.dupLineCharFraction(col("text")).as("dup_line_char_frac"),
+          T.topNgramShare(col("text"), 2).as("top2_share"),
+          T.topNgramShare(col("text"), 3).as("top3_share"),
+          T.repetitionOk(col("text")).as("rep_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // URL canonicalization + crawl-style URL dedup: messy URLs are built
+    // deterministically from (source, doc_id) so both engines normalize the
+    // same inputs — mixed-case host, default port, www, tracking params,
+    // unsorted query, fragment, trailing slash all get canonicalized, then
+    // the first doc per canonical URL wins
+    "qd12_url_dedup" -> ((s, d) => {
+      val U = graft.functions.UrlFunctions
+      val docs = t(s, d, "documents").withColumn("url",
+        concat(lit("https://WWW."), col("source"), lit(".Example.COM:443/Path/"),
+          (col("doc_id") % 7).cast("string"), lit("/?b=2&utm_source=x&a=1#frag")))
+      U.dedupByUrl(docs, "url", "doc_id")
+        .select(col("doc_id"), col("source"),
+          U.normalize(col("url")).as("url_norm"),
+          U.host(col("url")).as("host"),
+          U.domain(col("url")).as("domain"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // FLAGSHIP training-data-prep pipeline: language-ID gate (prediction
+    // must agree with the label) → quality gate → Gopher repetition gate →
+    // exact fingerprint dedup (keep-first) → per-(lang, source) corpus
+    // stats. Every stage is deterministic, so the whole pipeline is
+    // oracle-checkable end-to-end — the way single-op tests can't check
+    // stage interactions. Aggregates are chosen order-independent
+    // (count / integer sum / max) so distributed execution is bit-stable.
+    "q51_pipeline_data_prep" -> ((s, d) => {
+      val T = graft.functions.TextFunctions
+      graft.plans.SketchExprs.register(s)
+      val scored = t(s, d, "documents").select(
+        col("doc_id"), col("lang"), col("source"), col("text"),
+        T.langId(col("text")).as("lang_pred"),
+        T.qualityScore(col("text")).as("quality"),
+        T.tokenCount(col("text")).as("n_tokens"))
+      val kept = scored.filter(col("lang_pred") === col("lang") &&
+        col("quality") >= 0.5 && T.repetitionOk(col("text")))
+      graft.dedup.Dedup.byFingerprint(kept, "text", "doc_id")
+        .groupBy(col("lang_pred"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          max(col("quality")).as("max_quality"))
+        .orderBy(col("lang_pred"), col("source"))
+    }),
+
     // IVF-flat ANN: Voronoi cells around sampled centroids, nprobe search —
     // approximate, rows-only (recall asserted vs exact in ScalaTest)
     "qs03_ann_ivf" -> ((s, d) => {
@@ -818,7 +876,8 @@ object SparkEntry {
     s"len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x IN ($words)))"
   }
 
-  private def langIdOracleSql: String = {
+  /** langId mirror without ordering — nestable as a FROM subquery. */
+  private def langPredSql: String = {
     val langs = graft.functions.TextFunctions.Stopwords.map(_._1)
     val scoreCols = langs.map(l => s"${langScoreSql(l)} AS s_$l").mkString(",\n  ")
     val allZero = langs.map(l => s"s_$l = 0").mkString(" AND ")
@@ -833,8 +892,58 @@ object SparkEntry {
        |  CASE WHEN $allZero THEN 'und'
        |    $branches
        |    ELSE 'und' END AS lang_pred
-       |FROM s ORDER BY doc_id""".stripMargin
+       |FROM s""".stripMargin
   }
+
+  private def langIdOracleSql: String =
+    s"SELECT * FROM ($langPredSql) ORDER BY doc_id"
+
+  /** Repetition-signal mirror (TextFunctions.dupLineFraction/
+    * dupLineCharFraction/topNgramShare/repetitionOk) without ordering —
+    * nestable as a FROM subquery. */
+  private val repetitionSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+      |  FROM documents
+      |),
+      |lrow AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, chr(10)), x -> x <> '')) AS line
+      |  FROM documents
+      |),
+      |lg AS (SELECT doc_id, line, count(*) AS c, length(line) AS len
+      |       FROM lrow GROUP BY doc_id, line),
+      |lagg AS (
+      |  SELECT doc_id,
+      |    CAST(sum(c) - count(*) AS DOUBLE) / sum(c) AS dup_line_frac,
+      |    CAST(sum(CASE WHEN c > 1 THEN c * len ELSE 0 END) AS DOUBLE)
+      |      / sum(c * len) AS dup_line_char_frac
+      |  FROM lg GROUP BY doc_id),
+      |s2 AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+      |    THEN [list_aggregate(w[i:i+1], 'string_agg', ' ') FOR i IN range(1, len(w))]
+      |    ELSE [list_aggregate(w, 'string_agg', ' ')] END) AS s
+      |  FROM toks),
+      |c2 AS (SELECT doc_id, s, count(*) AS c FROM s2 GROUP BY doc_id, s),
+      |a2 AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top2 FROM c2 GROUP BY doc_id),
+      |s3 AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+      |    THEN [list_aggregate(w[i:i+2], 'string_agg', ' ') FOR i IN range(1, len(w) - 1)]
+      |    ELSE [list_aggregate(w, 'string_agg', ' ')] END) AS s
+      |  FROM toks),
+      |c3 AS (SELECT doc_id, s, count(*) AS c FROM s3 GROUP BY doc_id, s),
+      |a3 AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top3 FROM c3 GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(lagg.dup_line_frac, 0.0) AS dup_line_frac,
+      |  coalesce(lagg.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+      |  a2.top2 AS top2_share,
+      |  a3.top3 AS top3_share,
+      |  (coalesce(lagg.dup_line_frac, 0.0) <= 0.30
+      |    AND coalesce(lagg.dup_line_char_frac, 0.0) <= 0.20
+      |    AND a2.top2 <= 0.20 AND a3.top3 <= 0.18) AS rep_ok
+      |FROM documents d
+      |LEFT JOIN lagg ON d.doc_id = lagg.doc_id
+      |JOIN a2 ON d.doc_id = a2.doc_id
+      |JOIN a3 ON d.doc_id = a3.doc_id""".stripMargin
 
   /** Shared DuckDB shingle CTE (5-gram, whitespace tokens) mirroring
     * TextFunctions.tokens + shingles. */
@@ -957,6 +1066,85 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
         |  FROM scored
         |) WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Repetition signals: line ratios via per-line GROUP BY (counts exact,
+    // each ratio one division — bit-identical doubles), top-n-gram shares
+    // via non-distinct shingle unnest. documents contain no '\n' at any SF,
+    // so the LEFT JOIN/coalesce guards (empty-line docs) mirror the Spark
+    // `when(size=0)` branches without ever firing on testdata.
+    "qd11_repetition" ->
+      s"SELECT * FROM ($repetitionSql) ORDER BY doc_id",
+
+    // Flagship pipeline mirror: langid + quality (qd08's expression) +
+    // repetition + fingerprint dedup + order-independent aggregates.
+    // sum() is CAST to BIGINT (DuckDB sums to HUGEINT, which would
+    // hash-mismatch Spark's LongType).
+    "q51_pipeline_data_prep" -> {
+      val enScore = langScoreSql("en")
+      s"""WITH base AS (
+         |  SELECT d.doc_id, d.source, lp.lang_pred, d.text,
+         |    (CASE WHEN len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) BETWEEN 10 AND 100000
+         |          THEN 1.0 ELSE 0.0 END * 0.4)
+         |    + (CAST(length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) * 0.4)
+         |    + (least(CAST($enScore AS DOUBLE)
+         |        / len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) * 10.0, 1.0) * 0.2) AS quality,
+         |    len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens,
+         |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents d
+         |  JOIN ($langPredSql) lp ON d.doc_id = lp.doc_id
+         |  JOIN ($repetitionSql) rep ON d.doc_id = rep.doc_id
+         |  WHERE lp.lang_pred = lp.lang AND rep.rep_ok
+         |),
+         |ded AS (
+         |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |  FROM base WHERE quality >= 0.5
+         |)
+         |SELECT lang_pred, source,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  max(quality) AS max_quality
+         |FROM ded WHERE rn = 1
+         |GROUP BY lang_pred, source
+         |ORDER BY lang_pred, source""".stripMargin
+    },
+
+    // URL canonicalization mirror: each regex step matches UrlFunctions
+    // one-to-one (RE2-safe syntax on both engines)
+    "qd12_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id, source,
+        |    'https://WWW.' || source || '.Example.COM:443/Path/'
+        |      || CAST(doc_id % 7 AS VARCHAR) || '/?b=2&utm_source=x&a=1#frag' AS url
+        |  FROM documents
+        |),
+        |n AS (
+        |  SELECT doc_id, source,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+        |    regexp_replace(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', '') AS rest
+        |  FROM u
+        |),
+        |parts AS (
+        |  SELECT doc_id, source, sch,
+        |    regexp_replace(regexp_replace(lower(regexp_extract(rest, '^([^/?]+)', 1)),
+        |      ':[0-9]+$', ''), '^www\.', '') AS host,
+        |    regexp_extract(regexp_replace(rest, '^[^/?]+', ''), '^([^?]*)', 1) AS rawpath,
+        |    regexp_extract(rest, '\?(.*)$', 1) AS q
+        |  FROM n
+        |),
+        |norm AS (
+        |  SELECT doc_id, source, host,
+        |    regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+        |    sch || '://' || host ||
+        |    (CASE WHEN regexp_replace(rawpath, '/$', '') = '' THEN '/'
+        |          ELSE regexp_replace(rawpath, '/$', '') END) ||
+        |    (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END) AS url_norm
+        |  FROM (SELECT *, list_sort(list_filter(string_split(q, '&'),
+        |          p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)=') AND p <> '')) AS kept
+        |        FROM parts)
+        |)
+        |SELECT doc_id, source, url_norm, host, domain FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY url_norm ORDER BY doc_id) AS rn FROM norm
+        |) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q29_udf_map" ->
       """SELECT p_partkey, p_retailprice * 1.1 AS bumped,

@@ -40,8 +40,13 @@ object Dedup {
 
   /** Exact dedup: keep the row with the smallest `orderCol` per duplicate
     * group (deterministic, unlike dropDuplicates). */
-  def exact(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*).orderBy(col(orderCol))
+  def exact(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame =
+    exactByKey(df, struct(keys.map(col).toIndexedSeq: _*), orderCol)
+
+  /** [[exact]] keyed on an arbitrary expression (e.g. a normalized-URL or
+    * fingerprint column that need not be materialized first). */
+  def exactByKey(df: DataFrame, key: Column, orderCol: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(orderCol))
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 

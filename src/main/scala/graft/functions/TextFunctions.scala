@@ -93,4 +93,49 @@ object TextFunctions {
       transform(sequence(lit(0), size(toks) - lit(k)),
         i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
       .otherwise(array(concat_ws(" ", toks)))
+
+  // ---- repetition signals (Gopher-style, Rae et al. 2021 §A1.1) ----------
+  // Boilerplate-heavy documents (navigation menus, SEO spam, templated
+  // pages) repeat lines and n-grams; these ratios are the standard
+  // length-normalized filters. All counts are exact ints and every ratio is
+  // ONE division, so a SQL oracle reproduces the doubles bit-for-bit.
+
+  /** Non-empty lines of a document ('\n'-split). */
+  def lines(text: Column): Column =
+    filter(split(text, "\n"), l => l =!= lit(""))
+
+  /** Fraction of non-empty lines that are duplicates of an earlier line:
+    * (n_lines − n_distinct) / n_lines; 0.0 for line-less documents. */
+  def dupLineFraction(text: Column): Column = {
+    val ls = lines(text)
+    when(size(ls) === 0, lit(0.0)).otherwise(
+      (size(ls) - size(array_distinct(ls))).cast("double") / size(ls))
+  }
+
+  /** Fraction of characters that sit inside duplicated lines (any line
+    * occurring more than once contributes ALL its occurrences' characters):
+    * a character-weighted twin of [[dupLineFraction]] — a page repeating one
+    * long boilerplate block scores high even when unique short lines
+    * dominate the line count. */
+  def dupLineCharFraction(text: Column): Column = {
+    val ls = lines(text)
+    val totalChars = aggregate(ls, lit(0L), (acc, l) => acc + length(l))
+    val dupChars = aggregate(ls, lit(0L), (acc, l) =>
+      acc + when(size(filter(ls, x => x === l)) > 1, length(l).cast("long")).otherwise(0L))
+    when(totalChars === 0, lit(0.0)).otherwise(dupChars.cast("double") / totalChars)
+  }
+
+  /** Count share of the most frequent word n-gram (native
+    * [[graft.plans.TopNgramShareExpr]] one-pass loop). Callers must have
+    * run `SketchExprs.register` on the session. */
+  def topNgramShare(text: Column, n: Int): Column =
+    call_function("graft_top_ngram_share", tokens(text), lit(n))
+
+  /** Gopher-style repetition gate: true when the document is NOT
+    * repetition-dominated. Thresholds follow the published filter family
+    * (dup-line ≤ 0.30, dup-line-chars ≤ 0.20 like Gopher; top-2-gram ≤ 0.20,
+    * top-3-gram ≤ 0.18 from the same table). */
+  def repetitionOk(text: Column): Column =
+    (dupLineFraction(text) <= 0.30) && (dupLineCharFraction(text) <= 0.20) &&
+      (topNgramShare(text, 2) <= 0.20) && (topNgramShare(text, 3) <= 0.18)
 }

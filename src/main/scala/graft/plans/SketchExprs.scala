@@ -228,6 +228,66 @@ case class ShingleHashesExpr(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Share of the most frequent word n-gram among all n-grams of a token
+  * array (Gopher-style repetition signal: Rae et al. 2021 §A1.1 use the
+  * top-2/3/4-gram character share; this is the count-share twin with the
+  * same windowed-shingle loop as [[ShingleHashesExpr]], non-distinct).
+  * Returns 0.0 for an empty token array; documents shorter than n count
+  * their single whole-text shingle (share 1.0 — maximally repetitive by
+  * convention, callers length-gate first). Counting keys on the shingle
+  * XXH64, so two different n-grams colliding at 64 bits would merge
+  * counts — negligible per-document.
+  */
+case class TopNgramShareExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"ngram size must be >= 1, got $n")
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"top_ngram_share expects array<string>, got $other")
+  }
+
+  private val Sep = UTF8String.fromString(" ")
+
+  private def hash(s: UTF8String): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val num = arr.numElements()
+    if (num == 0) return java.lang.Double.valueOf(0.0)
+    val toks = new Array[UTF8String](num)
+    var i = 0
+    while (i < num) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val counts = new java.util.HashMap[java.lang.Long, Int]()
+    var total = 0
+    var maxC = 0
+    def add(h: Long): Unit = {
+      val c = counts.merge(h, 1, (a, b) => a + b)
+      total += 1
+      if (c > maxC) maxC = c
+    }
+    if (num < n) {
+      add(hash(UTF8String.concatWs(Sep, toks.toIndexedSeq: _*)))
+    } else {
+      val window = new Array[UTF8String](n)
+      var j = 0
+      val m = num - n + 1
+      while (j < m) {
+        System.arraycopy(toks, j, window, 0, n)
+        add(hash(UTF8String.concatWs(Sep, window.toIndexedSeq: _*)))
+        j += 1
+      }
+    }
+    java.lang.Double.valueOf(maxC.toDouble / total)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SketchExprs {
   /** Register SQL-callable forms: graft_minhash(shingles, k),
     * graft_simhash(tokens), graft_shingles(tokens, k, distinct). */
@@ -243,6 +303,9 @@ object SketchExprs {
         exprs(2).eval().asInstanceOf[Boolean]), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingle_hashes", exprs => ShingleHashesExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_top_ngram_share", exprs => TopNgramShareExpr(exprs(0),
         exprs(1).eval().asInstanceOf[Int]), "built-in")
   }
 }

@@ -118,6 +118,61 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("repetition signals: dup-line fractions, top-ngram share, gopher gate") {
+    graft.plans.SketchExprs.register(spark)
+    val T = graft.functions.TextFunctions
+    val docs = Seq(
+      // 4 lines, "dup dup" twice: dup_line_frac=1/4, dup chars 14/(7+7+7+5)
+      (1L, "dup dup\nuni one\ndup dup\nthree"),
+      // no newline, no repeated 2-gram ("a b c d": 3 distinct 2-grams)
+      (2L, "a b c d"),
+      // heavy 2-gram repetition: "x y x y x y" -> 2-grams x_y,y_x,x_y,y_x,x_y -> top 3/5
+      (3L, "x y x y x y"),
+      (4L, ""),            // empty: all fractions 0.0
+      (5L, "single"),      // 1 token < n: one whole-doc shingle, share 1.0
+    ).toDF("doc_id", "text")
+    val r = docs.select(col("doc_id"),
+        T.dupLineFraction(col("text")).as("dlf"),
+        T.dupLineCharFraction(col("text")).as("dlcf"),
+        T.topNgramShare(col("text"), 2).as("t2"),
+        T.repetitionOk(col("text")).as("ok"))
+      .collect().map(row => row.getLong(0) ->
+        (row.getDouble(1), row.getDouble(2), row.getDouble(3), row.getBoolean(4))).toMap
+    assert(r(1L) == ((1.0 / 4, 14.0 / 26, 2.0 / 6, false)))
+    assert(r(2L) == ((0.0, 0.0, 1.0 / 3, false))) // top2 1/3 > 0.20 -> fails gate
+    assert(r(3L)._3 == 3.0 / 5 && !r(3L)._4)
+    assert(r(4L) == ((0.0, 0.0, 0.0, true)))
+    assert(r(5L)._3 == 1.0)
+  }
+
+  test("URL canonicalization: scheme/host/port/www/tracking/fragment/trailing slash") {
+    val U = graft.functions.UrlFunctions
+    val cases = Seq(
+      ("https://WWW.Ex.COM:443/A/b/?utm_source=t&z=1&a=2#f", "https://ex.com/A/b?a=2&z=1", "ex.com", "ex.com"),
+      ("http://sub.Site.org:80/", "http://sub.site.org/", "sub.site.org", "site.org"),
+      ("http://site.org:8080/x", "http://site.org/x", "site.org", "site.org"),
+      ("site.org/x?fbclid=abc", "site.org/x", "site.org", "site.org"), // schemeless
+      ("https://a.b.c.example.com", "https://a.b.c.example.com/", "a.b.c.example.com", "example.com"),
+      ("https://ex.com/p?gclid=1&utm_medium=m", "https://ex.com/p", "ex.com", "ex.com"),
+    ).toDF("url", "e_norm", "e_host", "e_domain")
+    val bad = cases.select(
+        U.normalize(col("url")).as("n"), col("e_norm"),
+        U.host(col("url")).as("h"), col("e_host"),
+        U.domain(col("url")).as("d"), col("e_domain"))
+      .filter(col("n") =!= col("e_norm") || col("h") =!= col("e_host") || col("d") =!= col("e_domain"))
+    assert(bad.count() == 0, bad.collect().mkString("; "))
+
+    // dedup keeps the smallest-order row per canonical URL
+    val docs = Seq(
+      (1L, "https://EX.com/p?utm_source=a"),
+      (2L, "http://ex.com:80/p"),   // different scheme -> different canonical url
+      (3L, "https://www.ex.com:443/p/"),  // same canonical as 1
+      (4L, "https://ex.com/q"),
+    ).toDF("id", "url")
+    val kept = U.dedupByUrl(docs, "url", "id").select("id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L, 4L))
+  }
+
   test("langId picks the dominant stopword language deterministically") {
     val df = Seq(
       "the cat sat on the mat and it was happy",
