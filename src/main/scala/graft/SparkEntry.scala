@@ -579,6 +579,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // PII scrubbing: synthetic emails/IPs/phones appended deterministically
+    // per row (documents carry none), then redacted + counted. Phone digit
+    // counts straddle the 7-digit minimum so the boundary is exercised.
+    "qd13_pii_redact" -> ((s, d) => {
+      val T = graft.functions.TextFunctions
+      val withPii = t(s, d, "documents").withColumn("pii_text",
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@mail.example.com ip 10.0.0."), (col("doc_id") % 256).cast("string"),
+          lit(" tel +1555"), (col("doc_id") % 10000).cast("string")))
+      withPii.select(col("doc_id"),
+          T.redactPii(col("pii_text")).as("redacted"),
+          T.matchCount(col("pii_text"), T.EmailRe).cast("long").as("n_emails"),
+          T.matchCount(col("pii_text"), T.Ipv4Re).cast("long").as("n_ips"),
+          T.matchCount(col("pii_text"), T.PhoneRe).cast("long").as("n_phones"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // corpus vocabulary: distributed word-count with a frequency floor
+    "qd14_vocab" -> ((s, d) => {
+      graft.functions.TextFunctions.vocab(t(s, d, "documents"), "text", minCount = 50L)
+        .orderBy(col("n").desc, col("token"))
+    }),
+
     // FLAGSHIP training-data-prep pipeline: language-ID gate (prediction
     // must agree with the label) → quality gate → Gopher repetition gate →
     // exact fingerprint dedup (keep-first) → per-(lang, source) corpus
@@ -1074,6 +1097,38 @@ object SparkEntry {
     // `when(size=0)` branches without ever firing on testdata.
     "qd11_repetition" ->
       s"SELECT * FROM ($repetitionSql) ORDER BY doc_id",
+
+    // PII mirror: same construction + the same RE2-safe patterns applied in
+    // the same order (email -> ip -> phone)
+    "qd13_pii_redact" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+      val phone = "\\+[0-9]{7,15}"
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |      || '@mail.example.com ip 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+         |      || ' tel +1555' || CAST(doc_id % 10000 AS VARCHAR) AS pii_text
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(pii_text,
+         |    '$email', '<EMAIL>', 'g'),
+         |    '$ip', '<IP>', 'g'),
+         |    '$phone', '<PHONE>', 'g') AS redacted,
+         |  len(regexp_extract_all(pii_text, '$email')) AS n_emails,
+         |  len(regexp_extract_all(pii_text, '$ip')) AS n_ips,
+         |  len(regexp_extract_all(pii_text, '$phone')) AS n_phones
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
+
+    // vocabulary mirror: unnest + group by with the same floor
+    "qd14_vocab" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+        |  FROM documents
+        |) GROUP BY token HAVING count(*) >= 50
+        |ORDER BY n DESC, token""".stripMargin,
 
     // Flagship pipeline mirror: langid + quality (qd08's expression) +
     // repetition + fingerprint dedup + order-independent aggregates.

@@ -131,6 +131,41 @@ object TextFunctions {
   def topNgramShare(text: Column, n: Int): Column =
     call_function("graft_top_ngram_share", tokens(text), lit(n))
 
+  // ---- PII scrubbing -----------------------------------------------------
+  // Training corpora redact obvious PII before anything else sees the text.
+  // Patterns are deliberately simple, RE2-compatible (portable to the SQL
+  // oracle), and applied in a fixed order so engines agree byte-for-byte.
+
+  /** Email addresses → `<EMAIL>`. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** Dotted-quad IPv4 → `<IP>`. */
+  val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  /** International-format phone numbers (+ then 7-15 digits) → `<PHONE>`. */
+  val PhoneRe = "\\+[0-9]{7,15}"
+
+  /** Redact emails, IPv4s and international phone numbers (fixed order:
+    * email first so its digits cannot be half-eaten by the phone rule). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Count of matches of `re` in `text` (regexp_extract_all size). */
+  def matchCount(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0)))
+
+  /** Corpus vocabulary: one row per token with its corpus frequency,
+    * `minCount` floor. One explode + one map-side-combinable groupBy —
+    * the canonical distributed word-count; at 100 TB the shuffle carries
+    * only (token, partial count) pairs. */
+  def vocab(df: org.apache.spark.sql.DataFrame, textCol: String,
+            minCount: Long = 1L): org.apache.spark.sql.DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+
   /** Gopher-style repetition gate: true when the document is NOT
     * repetition-dominated. Thresholds follow the published filter family
     * (dup-line ≤ 0.30, dup-line-chars ≤ 0.20 like Gopher; top-2-gram ≤ 0.20,

@@ -173,6 +173,67 @@ class PipelineSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 2L, 4L))
   }
 
+  test("PII redaction: emails/IPv4/phones replaced, boundaries respected") {
+    val T = graft.functions.TextFunctions
+    val rows = Seq(
+      ("mail a.b+c@sub.ex.org here", "mail <EMAIL> here"),
+      ("ip 192.168.1.1 and 1.2.3.4.", "ip <IP> and <IP>."),
+      ("call +4915123456789 now", "call <PHONE> now"),
+      ("+123456 too short", "+123456 too short"),        // 6 digits: kept
+      ("v1.2.3 not an ip", "v1.2.3 not an ip"),          // only 3 groups
+      ("x@y.io or 10.0.0.7 or +1234567", "<EMAIL> or <IP> or <PHONE>"),
+    ).toDF("t", "expect")
+    val bad = rows.filter(T.redactPii(col("t")) =!= col("expect"))
+    assert(bad.count() == 0, bad.collect().mkString("; "))
+  }
+
+  test("vocab builder: corpus word-count with floor") {
+    val docs = Seq("a b a", "b c b", "a").toDF("text")
+    val v = graft.functions.TextFunctions.vocab(docs, "text", minCount = 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v == Map("a" -> 3L, "b" -> 3L)) // c appears once -> floored out
+  }
+
+  test("streaming data-prep: stateless gates + watermarked fingerprint dedup match batch") {
+    // the q51 pipeline stages are Column expressions, so they lift to
+    // Structured Streaming unchanged: project/filter stages stay stateless,
+    // only the dedup needs watermarked state
+    import org.apache.spark.sql.types._
+    graft.plans.SketchExprs.register(spark)
+    val T = graft.functions.TextFunctions
+    val base = java.nio.file.Files.createTempDirectory("prep_stream").toString
+    val mkTs = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val docs = Seq(
+      (1L, mkTs(0), "the cat sat on the mat and it was glad for the day"),
+      (2L, mkTs(1), "the cat sat on the mat and it was glad for the day"),  // exact dup of 1
+      (3L, mkTs(2), "The cat sat on the mat, and it was GLAD for the day"), // fp-dup of 1
+      (4L, mkTs(3), "x y x y x y x y x y x y x y x y x y x y"),             // repetition-gated
+      (5L, mkTs(4), "the dog ran over the hill and it kept running for a while today ok"),
+    ).toDF("doc_id", "ts", "text")
+    docs.write.mode("overwrite").parquet(s"$base/in")
+
+    def prep(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("clean", T.redactPii(col("text")))
+        .filter(T.repetitionOk(col("clean")) && T.tokenCount(col("clean")) >= 10)
+        .withColumn("__fp", T.fingerprint(col("clean")))
+
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("ts", TimestampType), StructField("text", StringType)))
+    val stream = prep(spark.readStream.schema(schema).parquet(s"$base/in"))
+    val deduped = graft.streaming.StreamOps.dedupStream(stream, Seq("__fp"), "ts", "10 minutes")
+    val q = graft.streaming.StreamOps.sinkFileStream(deduped.drop("__fp"), "parquet",
+      s"$base/out", s"$base/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(s"$base/out").select("doc_id").as[Long].collect().toSet
+
+    // batch reference: same gates, keep-one per fingerprint
+    val batch = graft.dedup.Dedup.exact(prep(docs), Seq("__fp"), "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(batch == Set(1L, 5L), s"batch kept $batch")
+    assert(got.size == batch.size && (got - 1L - 2L - 3L) == Set(5L),
+      s"stream kept $got") // dedupStream keeps the FIRST arrival per fp (any of 1/2/3)
+  }
+
   test("langId picks the dominant stopword language deterministically") {
     val df = Seq(
       "the cat sat on the mat and it was happy",
