@@ -25,6 +25,8 @@ import org.apache.spark.sql.types.DataType
   *  - `graft_minhash(shingles, k)`   — k-permutation MinHash signature
   *  - `graft_simhash(tokens)`        — 64-bit SimHash sketch
   *  - `graft_shingles(tokens, k, distinct)` — word k-shingles, one loop/row
+  *  - `graft_shingle_hashes(tokens, k)` — distinct XXH64 shingle hashes
+  *  - `graft_top_ngram_share(tokens, n)` — top n-gram count share
   *  - `graft_cast_ansi(x, 'type')`   — strict cast, ANSI pinned on the node
   *  - `graft_replace_tz(ts, tz, ambiguous, non_existent)` — DST-policy
   *    wall-time reinterpretation
@@ -52,6 +54,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_shingles", "graft_shingles(tokens, k, distinct) - word k-shingles, optionally deduped"),
       (exprs: Seq[Expression]) => plans.ShinglesExpr(exprs(0),
         exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Boolean])))
+
+    ext.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
+      info("graft_shingle_hashes", "graft_shingle_hashes(tokens, k) - distinct XXH64 word k-shingle hashes"),
+      (exprs: Seq[Expression]) => plans.ShingleHashesExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[Int])))
+
+    ext.injectFunction((FunctionIdentifier("graft_top_ngram_share"),
+      info("graft_top_ngram_share", "graft_top_ngram_share(tokens, n) - count share of the most frequent word n-gram"),
+      (exprs: Seq[Expression]) => plans.TopNgramShareExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[Int])))
+
+    ext.injectFunction((FunctionIdentifier("graft_langid"),
+      info("graft_langid", "graft_langid(text) - stopword-dictionary language id (de/en/es/fr/zh/und)"),
+      (exprs: Seq[Expression]) => plans.LangIdExpr(exprs(0))))
 
     ext.injectFunction((FunctionIdentifier("graft_cast_ansi"),
       info("graft_cast_ansi", "graft_cast_ansi(x, 'ddl-type') - strict cast (raises on overflow/malformed)"),

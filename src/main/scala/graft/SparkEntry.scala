@@ -501,6 +501,7 @@ object SparkEntry {
     // heuristic language ID (stopword scoring; oracle generated from the
     // same dictionaries — see langIdOracleSql)
     "qd06_langid" -> ((s, d) => {
+      graft.plans.SketchExprs.register(s)
       t(s, d, "documents")
         .select(col("doc_id"), col("lang"),
           graft.functions.TextFunctions.langId(col("text")).as("lang_pred"))

@@ -47,7 +47,16 @@ object TextFunctions {
   /** Heuristic language ID: the first language (in fixed de<en<es<fr<zh
     * order) whose stopword score is maximal; "und" (undetermined) when all
     * scores are zero. */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column =
+    call_function("graft_langid", text) // native one-pass LangIdExpr; callers run SketchExprs.register
+
+  /** [[langId]]'s original HOF formulation — kept as the executable spec
+    * (PipelineSpec asserts equivalence against the native expression).
+    * Avoid in hot paths: every lambda instance carries fresh variable ids,
+    * so Catalyst cannot subexpression-eliminate the ~50 langScore
+    * references the CASE chain expands to (measured ~150 tokenizations
+    * per row in a langid+filter pipeline). */
+  def langIdHof(text: Column): Column = {
     val scores = Stopwords.map { case (lang, _) => lang -> langScore(text, lang) }
     val allZero = scores.map(_._2 === 0).reduce(_ && _)
     val chain = scores.foldRight(lit("und")) { case ((lang, s), elseC) =>

@@ -288,6 +288,69 @@ case class TopNgramShareExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Stopword-dictionary language ID in one pass per row — same semantics as
+  * the HOF formulation `TextFunctions.langIdHof` (lowercase, \s+ tokens,
+  * per-language stopword hit counts, first language in dictionary order
+  * whose score is maximal, "und" when all zero), which stays as the
+  * executable spec.
+  *
+  * Why native: the HOF CASE chain references `langScore` ~50 times and
+  * every lambda instance carries fresh variable ExprIds, so no Catalyst
+  * rule can subexpression-eliminate them — the executed plan of a
+  * langid+filter pipeline re-tokenized each row ~150×. Here the text is
+  * lowercased and tokenized exactly once and all dictionaries are matched
+  * against one token stream.
+  */
+case class LangIdExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"langid expects string, got $other")
+  }
+
+  private lazy val dicts = graft.functions.TextFunctions.Stopwords
+  private lazy val numLangs = dicts.size
+  // token -> indices of every language listing it (dictionaries may share
+  // function words, e.g. es/fr "que")
+  private lazy val tokenLangs: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    for (((_, words), i) <- dicts.zipWithIndex; w <- words) {
+      val prev = m.get(w)
+      m.put(w, if (prev == null) Array(i) else prev :+ i)
+    }
+    m
+  }
+  private lazy val langNames = dicts.map(p => UTF8String.fromString(p._1)).toArray
+  private val Und = UTF8String.fromString("und")
+
+  override def nullSafeEval(input: Any): Any = {
+    // UTF8String.toLowerCase is locale-independent (matches `lower()`);
+    // String.split("\\s+") is the same java.util.regex path as `split()`
+    val toks = input.asInstanceOf[UTF8String].toLowerCase.toString.split("\\s+")
+    val scores = new Array[Int](numLangs)
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) {
+        val ls = tokenLangs.get(toks(i))
+        if (ls != null) { var j = 0; while (j < ls.length) { scores(ls(j)) += 1; j += 1 } }
+      }
+      i += 1
+    }
+    var best = -1; var bestScore = 0
+    var k = 0
+    while (k < numLangs) {
+      if (scores(k) > bestScore) { best = k; bestScore = scores(k) }
+      k += 1
+    }
+    if (best < 0) Und else langNames(best)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SketchExprs {
   /** Register SQL-callable forms: graft_minhash(shingles, k),
     * graft_simhash(tokens), graft_shingles(tokens, k, distinct). */
@@ -307,5 +370,7 @@ object SketchExprs {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_top_ngram_share", exprs => TopNgramShareExpr(exprs(0),
         exprs(1).eval().asInstanceOf[Int]), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_langid", exprs => LangIdExpr(exprs(0)), "built-in")
   }
 }

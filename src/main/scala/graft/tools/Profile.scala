@@ -36,6 +36,8 @@ object Profile {
       "minhash" -> (() => graft.dedup.Dedup.minhashPairs(
         t(spark, sfDir, "documents"), "doc_id", "text", 128, 32, 5, 0.5)),
       "q12_str" -> (() => graft.SparkEntry.queries("q12_str_funcs")(spark, sfDir)),
+      "qd06" -> (() => graft.SparkEntry.queries("qd06_langid")(spark, sfDir)),
+      "q51" -> (() => graft.SparkEntry.queries("q51_pipeline_data_prep")(spark, sfDir)),
       "q45_roll" -> (() => graft.SparkEntry.queries("q45_rolling_global_rows")(spark, sfDir)),
       "q41_asof" -> (() => graft.SparkEntry.queries("q41_asof_unkeyed")(spark, sfDir)),
     ).filter { case (n, _) => names.isEmpty || names.contains(n) }

@@ -235,12 +235,29 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("langId picks the dominant stopword language deterministically") {
+    graft.plans.SketchExprs.register(spark)
     val df = Seq(
       "the cat sat on the mat and it was happy",
       "der hund ist nicht auf der couch und das ist gut",
       "xyzzy plugh qwerty").toDF("text")
     val got = df.select(T.langId(col("text"))).as[String].collect()
     assert(got(0) == "en" && got(1) == "de" && got(2) == "und")
+  }
+
+  test("native langId == HOF langId (randomized, incl. ties and shared stopwords)") {
+    graft.plans.SketchExprs.register(spark)
+    val rnd = new scala.util.Random(23)
+    // pool mixes all dictionaries (incl. es/fr-shared "que", es "de") plus
+    // noise and case/whitespace variation; ties exercise first-max order
+    val pool = T.Stopwords.flatMap(_._2) ++ Seq("xyz", "Qwerty", "", "  ", "THE", "Der", "que")
+    val texts = (0 until 200).map { _ =>
+      (0 until rnd.nextInt(12)).map(_ => pool(rnd.nextInt(pool.size)))
+        .mkString(if (rnd.nextBoolean()) " " else "\t")
+    }
+    val bad = texts.toDF("text")
+      .select(T.langId(col("text")).as("nat"), T.langIdHof(col("text")).as("hof"))
+      .filter(col("nat") =!= col("hof"))
+    assert(bad.count() == 0, bad.collect().take(5).mkString("; "))
   }
 
   test("token counts: whitespace vs BPE-ish regex") {

@@ -158,6 +158,10 @@ class PlanSpec extends SparkSpec {
       assert(tz != null)
       assert(s2.sql("SELECT size(graft_minhash(array('a','b','c'), 16)) AS n").head().getInt(0) == 16)
       assert(!s2.sql("SELECT graft_simhash(array('a','b')) AS h").head().isNullAt(0))
+      assert(s2.sql("SELECT size(graft_shingle_hashes(array('a','b','c'), 2)) AS n")
+        .head().getInt(0) == 2)
+      assert(s2.sql("SELECT graft_top_ngram_share(array('x','y','x','y'), 2) AS s")
+        .head().getDouble(0) == 2.0 / 3)
     } finally {
       prev.foreach { p => SparkSession.setDefaultSession(p); SparkSession.setActiveSession(p) }
     }
