@@ -603,6 +603,23 @@ object SparkEntry {
         .orderBy(col("n").desc, col("token"))
     }),
 
+    // token-budget corpus cap: keep documents (in doc_id order) until each
+    // language's cumulative token budget is reached — the standard way a
+    // training mix caps a source. One window per lang partition; the
+    // cumulative sum is integer-exact so the cut point is deterministic.
+    "qd15_token_budget" -> ((s, d) => {
+      val T = graft.functions.TextFunctions
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "documents")
+        .withColumn("n_tokens", T.tokenCount(col("text")).cast("long"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= 10000L)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // FLAGSHIP training-data-prep pipeline: language-ID gate (prediction
     // must agree with the label) → quality gate → Gopher repetition gate →
     // exact fingerprint dedup (keep-first) → per-(lang, source) corpus
@@ -1130,6 +1147,20 @@ object SparkEntry {
         |  FROM documents
         |) GROUP BY token HAVING count(*) >= 50
         |ORDER BY n DESC, token""".stripMargin,
+
+    // token-budget mirror: same cumulative window, sum cast to BIGINT
+    "qd15_token_budget" ->
+      """SELECT doc_id, lang, n_tokens, cum_tokens FROM (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens
+        |    FROM documents
+        |  )
+        |) WHERE cum_tokens <= 10000
+        |ORDER BY doc_id""".stripMargin,
 
     // Flagship pipeline mirror: langid + quality (qd08's expression) +
     // repetition + fingerprint dedup + order-independent aggregates.
