@@ -114,19 +114,32 @@ object TextFunctions {
     filter(split(text, "\n"), l => l =!= lit(""))
 
   /** Fraction of non-empty lines that are duplicates of an earlier line:
-    * (n_lines − n_distinct) / n_lines; 0.0 for line-less documents. */
-  def dupLineFraction(text: Column): Column = {
-    val ls = lines(text)
-    when(size(ls) === 0, lit(0.0)).otherwise(
-      (size(ls) - size(array_distinct(ls))).cast("double") / size(ls))
-  }
+    * (n_lines − n_distinct) / n_lines; 0.0 for line-less documents.
+    * Native one-pass [[graft.plans.DupLineStatsExpr]] (lambda-free, so
+    * Catalyst CSE can merge repeated uses); callers must have run
+    * `SketchExprs.register`. */
+  def dupLineFraction(text: Column): Column =
+    call_function("graft_dup_line_stats", text).getField("dup_line_frac")
 
   /** Fraction of characters that sit inside duplicated lines (any line
     * occurring more than once contributes ALL its occurrences' characters):
     * a character-weighted twin of [[dupLineFraction]] — a page repeating one
     * long boilerplate block scores high even when unique short lines
     * dominate the line count. */
-  def dupLineCharFraction(text: Column): Column = {
+  def dupLineCharFraction(text: Column): Column =
+    call_function("graft_dup_line_stats", text).getField("dup_line_char_frac")
+
+  /** [[dupLineFraction]]'s HOF formulation — executable spec only. */
+  def dupLineFractionHof(text: Column): Column = {
+    val ls = lines(text)
+    when(size(ls) === 0, lit(0.0)).otherwise(
+      (size(ls) - size(array_distinct(ls))).cast("double") / size(ls))
+  }
+
+  /** [[dupLineCharFraction]]'s HOF formulation — executable spec only:
+    * the nested per-line filter is O(lines²) interpreted lambdas, the
+    * reason the native expression exists. */
+  def dupLineCharFractionHof(text: Column): Column = {
     val ls = lines(text)
     val totalChars = aggregate(ls, lit(0L), (acc, l) => acc + length(l))
     val dupChars = aggregate(ls, lit(0L), (acc, l) =>

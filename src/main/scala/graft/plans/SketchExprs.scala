@@ -288,6 +288,52 @@ case class TopNgramShareExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Duplicate-line ratios in one pass per row: struct(dup_line_frac,
+  * dup_line_char_frac) over non-empty '\n'-split lines — the Gopher line
+  * signals. Same semantics as the HOF pair
+  * `TextFunctions.{dupLineFractionHof, dupLineCharFractionHof}` (kept as
+  * the executable spec), but the char-fraction HOF is O(lines²) nested
+  * interpreted lambdas — a real web page has hundreds of boilerplate
+  * lines, exactly the input this filter exists for. Here: one hash count
+  * per line, one accumulation pass. Line-less documents → (0.0, 0.0).
+  */
+case class DupLineStatsExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("dup_line_frac", DoubleType, nullable = false),
+    StructField("dup_line_char_frac", DoubleType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"dup_line_stats expects string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val lines = input.asInstanceOf[UTF8String].toString.split("\n").filter(_.nonEmpty)
+    if (lines.isEmpty)
+      return org.apache.spark.sql.catalyst.InternalRow(0.0, 0.0)
+    val counts = new java.util.HashMap[String, Int]()
+    var i = 0
+    while (i < lines.length) { counts.merge(lines(i), 1, (a, b) => a + b); i += 1 }
+    var totalChars = 0L
+    var dupChars = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      // codepoint count matches Spark's length()/UTF8String.numChars
+      val occChars = e.getKey.codePointCount(0, e.getKey.length).toLong * e.getValue
+      totalChars += occChars
+      if (e.getValue > 1) dupChars += occChars
+    }
+    val dupLineFrac = (lines.length - counts.size).toDouble / lines.length
+    val dupCharFrac = if (totalChars == 0) 0.0 else dupChars.toDouble / totalChars
+    org.apache.spark.sql.catalyst.InternalRow(dupLineFrac, dupCharFrac)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Stopword-dictionary language ID in one pass per row — same semantics as
   * the HOF formulation `TextFunctions.langIdHof` (lowercase, \s+ tokens,
   * per-language stopword hit counts, first language in dictionary order
@@ -372,5 +418,7 @@ object SketchExprs {
         exprs(1).eval().asInstanceOf[Int]), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_langid", exprs => LangIdExpr(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dup_line_stats", exprs => DupLineStatsExpr(exprs(0)), "built-in")
   }
 }

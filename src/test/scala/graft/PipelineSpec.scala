@@ -244,6 +244,21 @@ class PipelineSpec extends SparkSpec {
     assert(got(0) == "en" && got(1) == "de" && got(2) == "und")
   }
 
+  test("native dup-line stats == HOF (randomized multiline docs, empty/dup-heavy)") {
+    graft.plans.SketchExprs.register(spark)
+    val rnd = new scala.util.Random(31)
+    val linePool = Seq("header nav", "footer", "unique " , "a", "", "long boilerplate line here")
+    val texts = (0 until 120).map { i =>
+      (0 until rnd.nextInt(12)).map(_ => linePool(rnd.nextInt(linePool.size)) +
+        (if (rnd.nextInt(4) == 0) i.toString else "")).mkString("\n")
+    } :+ "" :+ "\n\n\n" :+ "same\nsame\nsame"
+    val bad = texts.toDF("text").select(
+        T.dupLineFraction(col("text")).as("nf"), T.dupLineFractionHof(col("text")).as("hf"),
+        T.dupLineCharFraction(col("text")).as("nc"), T.dupLineCharFractionHof(col("text")).as("hc"))
+      .filter(col("nf") =!= col("hf") || col("nc") =!= col("hc"))
+    assert(bad.count() == 0, bad.collect().take(5).mkString("; "))
+  }
+
   test("native langId == HOF langId (randomized, incl. ties and shared stopwords)") {
     graft.plans.SketchExprs.register(spark)
     val rnd = new scala.util.Random(23)

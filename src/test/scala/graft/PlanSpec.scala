@@ -137,6 +137,18 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("InMemoryTableScan"), "signatures not cached")
   }
 
+  test("q51 flagship plan: 3 exchanges, langid CSE blowup stays fixed") {
+    val df = SparkEntry.queries("q51_pipeline_data_prep")(spark, "/root/testdata/sf0.001")
+    val p = planOf(df)
+    // dedup-window shuffle + partial/final agg shuffle + output sort
+    assert("Exchange".r.findAllIn(p).size <= 3, s"unexpected exchanges:\n${p.take(2000)}")
+    // the HOF langId used to expand to ~150 `split(` occurrences (one
+    // tokenization per stopword comparison); the native LangIdExpr plus the
+    // remaining bounded quality/repetition HOFs must stay ~an order less
+    val splits = "split\\(".r.findAllIn(p).size
+    assert(splits <= 25, s"tokenization blowup returned: $splits split( occurrences")
+  }
+
   test("GraftExtensions: graft_* functions available from session start (no register)") {
     import org.apache.spark.sql.SparkSession
     val prev = SparkSession.getDefaultSession
