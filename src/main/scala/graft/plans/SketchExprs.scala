@@ -346,6 +346,11 @@ case class DupLineStatsExpr(child: Expression) extends UnaryExpression with Code
   * langid+filter pipeline re-tokenized each row ~150×. Here the text is
   * lowercased and tokenized exactly once and all dictionaries are matched
   * against one token stream.
+  *
+  * NULL text → NULL (standard null-intolerant expression), where the HOF
+  * CASE chain and the SQL oracle both fall through to "und" — irrelevant
+  * on the non-null corpus but worth knowing if a caller feeds raw scrapes;
+  * `coalesce(langId(c), lit("und"))` restores the HOF behavior.
   */
 case class LangIdExpr(child: Expression) extends UnaryExpression with CodegenFallback {
 
