@@ -620,6 +620,62 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // prefix-filtered exact Jaccard (AllPairs/PPJoin candidate generation):
+    // same answer as qd03 — the oracle is shared — but candidates join only
+    // on each doc's rarest shingles, the 100 TB-safe plan when boilerplate
+    // n-grams make the shingle-keyed self-join fan out quadratically
+    "qd16_jaccard_prefix" -> ((s, d) => {
+      graft.dedup.Dedup.ngramJaccardPairsPrefix(t(s, d, "documents"), "doc_id", "text",
+          shingleK = 5, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // deterministic hash split + stratified subsampling: content-keyed
+    // buckets from exact modular arithmetic (reproducible across engines,
+    // stable under retries, zero shuffle), 80/10/10 split, then per-lang
+    // keep rates en=500‰ / zh=250‰ / rest=1000‰ on an independent salt
+    "qd17_hash_split" -> ((s, d) => {
+      val P = graft.prep.Prep
+      t(s, d, "documents")
+        .withColumn("bucket", P.hashBucket(col("doc_id"), 1000))
+        .withColumn("split", P.split(col("doc_id"), trainPm = 800, validPm = 100))
+        .filter(P.stratifiedKeep(col("doc_id"), col("lang"),
+          Map("en" -> 500, "zh" -> 250), defaultPm = 1000))
+        .select(col("doc_id"), col("lang"), col("bucket"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // benchmark decontamination: docs sharing any 5-gram shingle with the
+    // eval subset (doc_id % 97 == 0) are flagged; the benchmark shingle set
+    // is broadcast so the corpus is never shuffled
+    "qd18_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      graft.prep.Prep.contamination(docs, bench, "doc_id", "text",
+          shingleK = 5, minShared = 1)
+        .select(col("doc_id"), col("lang"), col("n_shared"), col("contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // context-window chunking: 64-token chunks, stride 48 (16-token
+    // overlap) — narrow map + generator, no shuffle
+    "qd19_chunk" -> ((s, d) => {
+      graft.prep.Prep.chunk(t(s, d, "documents"), "doc_id", "text",
+          chunkSize = 64, stride = 48)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // sequence packing (concat-then-chunk): per-lang doc_id-ordered token
+    // stream cut into 2048-token training sequences; each doc reports the
+    // sequence id + offset where it begins
+    "qd20_pack" -> ((s, d) => {
+      graft.prep.Prep.pack(t(s, d, "documents"), "lang", "doc_id", "text",
+          budget = 2048L)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("seq_id"), col("seq_offset"))
+        .orderBy(col("doc_id"))
+    }),
+
     // FLAGSHIP training-data-prep pipeline: language-ID gate (prediction
     // must agree with the label) → quality gate → Gopher repetition gate →
     // exact fingerprint dedup (keep-first) → per-(lang, source) corpus
@@ -1160,6 +1216,92 @@ object SparkEntry {
         |    FROM documents
         |  )
         |) WHERE cum_tokens <= 10000
+        |ORDER BY doc_id""".stripMargin,
+
+    // Prefix-filtered exact Jaccard returns the SAME pairs as the
+    // co-occurrence formulation — qd03's oracle verbatim (only the Spark
+    // candidate-generation plan differs)
+    "qd16_jaccard_prefix" ->
+      s"""$shingleCte,
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id_a, id_b, CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) AS jaccard
+         |FROM pairs JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+         |WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // hash split mirror: identical exact-int64 modular arithmetic
+    // (salt 0 for the split bucket, salt 1 for the subsample draw)
+    "qd17_hash_split" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    (doc_id % 1000000007) * 2654435761 % 1000000007 % 1000 AS bucket,
+        |    ((doc_id + 1) % 1000000007) * 2654435761 % 1000000007 % 1000 AS sbucket
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, bucket,
+        |  CASE WHEN bucket < 800 THEN 'train'
+        |       WHEN bucket < 900 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM b
+        |WHERE sbucket < (CASE WHEN lang = 'en' THEN 500
+        |                      WHEN lang = 'zh' THEN 250 ELSE 1000 END)
+        |ORDER BY doc_id""".stripMargin,
+
+    // decontamination mirror: same 5-gram shingle sets (string-valued here,
+    // XXH64-hashed in Spark — counts agree absent 64-bit collisions),
+    // benchmark = doc_id % 97 == 0
+    "qd18_decontaminate" ->
+      s"""$shingleCte,
+         |bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+         |hits AS (
+         |  SELECT sh.doc_id, count(*) AS n_shared
+         |  FROM sh JOIN bsh ON sh.s = bsh.s
+         |  GROUP BY sh.doc_id
+         |)
+         |SELECT d.doc_id, d.lang,
+         |  CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+         |  coalesce(h.n_shared, 0) >= 1 AS contaminated
+         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // chunking mirror: same start offsets (0, 48, … while < max(n-16, 1)),
+    // same clamped 64-token slices; string_agg over an empty slice is NULL
+    // in DuckDB where Spark's concat_ws gives '' — hence the coalesce
+    "qd19_chunk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id,
+        |    unnest([st // 48 FOR st IN range(0, greatest(len(w) - 16, 1), 48)]) AS chunk_id,
+        |    unnest([len(w[st+1:st+64]) FOR st IN range(0, greatest(len(w) - 16, 1), 48)]) AS n_chunk_tokens,
+        |    unnest([coalesce(list_aggregate(w[st+1:st+64], 'string_agg', ' '), '')
+        |            FOR st IN range(0, greatest(len(w) - 16, 1), 48)]) AS chunk_text
+        |  FROM toks
+        |)
+        |SELECT doc_id, chunk_id, n_chunk_tokens, chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // packing mirror: exclusive running sum per lang, integer div/mod
+    "qd20_pack" ->
+      """SELECT doc_id, lang, n_tokens,
+        |  prev // 2048 AS seq_id, prev % 2048 AS seq_offset
+        |FROM (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |    FROM documents
+        |  )
+        |)
         |ORDER BY doc_id""".stripMargin,
 
     // Flagship pipeline mirror: langid + quality (qd08's expression) +

@@ -1,0 +1,153 @@
+package graft.prep
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{TextFunctions => T}
+
+/** Training-corpus preparation operators: deterministic splitting/sampling,
+  * benchmark decontamination, context-window chunking, and sequence packing.
+  *
+  * Everything here is (a) expression-only — no UDF, no driver loop, every op
+  * is a narrow map or a single keyed shuffle, and (b) bit-deterministic with
+  * exact-integer arithmetic, so results are reproducible across engines
+  * (DuckDB oracles mirror each op exactly) and across re-runs at any cluster
+  * size — the property a 100 TB pipeline needs for resumable, auditable runs.
+  */
+object Prep {
+
+  // ---- deterministic hash split / sampling -------------------------------
+  // Random sampling is the wrong tool on a large corpus: it is neither
+  // reproducible across engines nor stable under retries/re-partitioning.
+  // The standard fix is a content-keyed bucket: hash the stable id into
+  // [0, buckets) with exact modular arithmetic. Any engine computes the
+  // same buckets, rows never move between train/test when the pipeline
+  // re-runs, and the assignment needs no shuffle at all (narrow map).
+
+  /** Modulus (2^30th prime-ish, 1e9+7) and Knuth's multiplicative constant.
+    * `(id % P) * MULT` stays under 2^63 (both factors < 2^31·2.5), so the
+    * arithmetic is exact int64 in every engine — no overflow wrap to agree
+    * on. */
+  val P: Long = 1000000007L
+  val Mult: Long = 2654435761L
+
+  /** Deterministic bucket in [0, buckets) from a non-negative id column.
+    * Salt decorrelates independent draws (split vs subsample) so one bucket
+    * decision never biases another. */
+  def hashBucket(id: Column, buckets: Int, salt: Long = 0L): Column =
+    ((id + lit(salt)) % lit(P)) * lit(Mult) % lit(P) % lit(buckets)
+
+  /** Train/valid/test assignment from per-mille cut points
+    * (e.g. 800/100 → 80% train, 10% valid, 10% test). */
+  def split(id: Column, trainPm: Int, validPm: Int, salt: Long = 0L): Column = {
+    val b = hashBucket(id, 1000, salt)
+    when(b < trainPm, lit("train"))
+      .when(b < trainPm + validPm, lit("valid"))
+      .otherwise(lit("test"))
+  }
+
+  /** Deterministic per-stratum subsampling: keep a row iff its bucket falls
+    * under the stratum's per-mille rate (unknown strata keep
+    * `defaultPm`). */
+  def stratifiedKeep(id: Column, stratum: Column, ratesPm: Map[String, Int],
+                     defaultPm: Int, salt: Long = 1L): Column = {
+    val b = hashBucket(id, 1000, salt)
+    val rate = ratesPm.foldLeft(lit(defaultPm)) { case (acc, (k, v)) =>
+      when(stratum === k, lit(v)).otherwise(acc)
+    }
+    b < rate
+  }
+
+  // ---- benchmark decontamination -----------------------------------------
+
+  /** Flag corpus documents sharing >= `minShared` distinct word k-gram
+    * shingles with a benchmark/eval set (the GPT-3/PaLM-style n-gram
+    * contamination check).
+    *
+    * Scale shape: the benchmark shingle set is tiny by definition (eval sets
+    * are thousands of docs, not billions) — it is deduped and BROADCAST, so
+    * the 100 TB corpus is never shuffled: one narrow scan computes shingle
+    * hashes per doc, the broadcast-hash-join probes them, and the per-doc
+    * overlap count is a map-side-combinable groupBy on doc id. Shingles
+    * travel as 8-byte XXH64 values ([[graft.plans.ShingleHashesExpr]]);
+    * a false 64-bit collision would need to ALSO clear `minShared` to flip
+    * a verdict.
+    *
+    * Returns the corpus frame + `n_shared` (distinct shared shingles) +
+    * `contaminated`. Callers must have run `SketchExprs.register`.
+    */
+  def contamination(corpus: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, shingleK: Int = 5,
+                    minShared: Int = 1): DataFrame = {
+    graft.plans.SketchExprs.register(corpus.sparkSession)
+    def hashes(c: Column) = call_function("graft_shingle_hashes", T.tokens(c), lit(shingleK))
+    val benchSet = bench.select(explode(hashes(col(textCol))).as("__s")).distinct()
+    val hits = corpus
+      .select(col(idCol).as("__id"), explode(hashes(col(textCol))).as("__s"))
+      .join(broadcast(benchSet), "__s")
+      .groupBy(col("__id")).agg(count(lit(1)).as("n_shared"))
+    corpus.join(hits, corpus(idCol) === hits("__id"), "left")
+      .drop("__id")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("contaminated", col("n_shared") >= minShared)
+  }
+
+  // ---- context-window chunking -------------------------------------------
+
+  /** Split each document into token chunks of `chunkSize` with `stride`
+    * between chunk starts (overlap = chunkSize − stride). Start offsets run
+    * 0, stride, 2·stride, … while the previous chunk has not yet reached the
+    * end — every token is covered, the final chunk may be short, and no
+    * fully-redundant tail chunk is emitted. A document shorter than one
+    * chunk yields exactly one chunk.
+    *
+    * Pure per-row expression work (sequence + slice + posexplode): a narrow
+    * map followed by a generator — no shuffle, streams through 100 TB at
+    * scan speed. Output: idCol, chunk_id, n_chunk_tokens, chunk_text.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            chunkSize: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && stride <= chunkSize,
+      s"stride must be in [1, chunkSize], got stride=$stride chunkSize=$chunkSize")
+    val toks = T.tokens(col(textCol))
+    val n = size(toks)
+    // last start s satisfies s < max(n - (chunkSize - stride), 1); sequence's
+    // stop is inclusive, hence the -1
+    val starts = sequence(lit(0),
+      greatest(n - lit(chunkSize - stride), lit(1)) - lit(1), lit(stride))
+    df.select(col(idCol), toks.as("__w"), explode(starts).as("__st"))
+      .select(col(idCol),
+        (col("__st") / stride).cast("long").as("chunk_id"),
+        size(slice(col("__w"), col("__st") + lit(1), lit(chunkSize)))
+          .cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("__w"), col("__st") + lit(1), lit(chunkSize)))
+          .as("chunk_text"))
+  }
+
+  // ---- sequence packing ---------------------------------------------------
+
+  /** Concat-then-chunk sequence packing: within each `groupCol` stream
+    * (ordered by `orderCol`), documents are laid end-to-end and cut into
+    * fixed `budget`-token training sequences. Each doc gets the sequence id
+    * and token offset where it BEGINS (a doc may straddle a boundary — the
+    * standard packing trade; drop-or-pad variants filter on `offset +
+    * n_tokens > budget` downstream).
+    *
+    * One window (= one shuffle keyed on the group) computes the exclusive
+    * running token sum; ids/offsets are pure arithmetic on it. At 100 TB
+    * the per-group window is the natural parallel unit — groups (language,
+    * source shard, …) partition the corpus, and a skewed group can be
+    * pre-split by salting the group key upstream.
+    */
+  def pack(df: DataFrame, groupCol: String, orderCol: String, textCol: String,
+           budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("n_tokens", T.tokenCount(col(textCol)).cast("long"))
+      .withColumn("__prev", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id", floor(col("__prev") / budget))
+      .withColumn("seq_offset", col("__prev") % budget)
+      .drop("__prev")
+  }
+}

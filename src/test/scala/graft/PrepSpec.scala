@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.prep.Prep
+import graft.functions.{TextFunctions => T}
+
+/** Training-corpus prep operators: deterministic split/sampling, benchmark
+  * decontamination, context-window chunking, sequence packing. */
+class PrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkText(id: Long, n: Int): String =
+    (0 until n).map(i => s"w${(id * 31 + i) % 97}").mkString(" ")
+
+  private lazy val docs = (0L until 400L).map(i => (i, if (i % 5 == 0) "en" else "zh",
+    mkText(i, 5 + (i % 50).toInt))).toDF("doc_id", "lang", "text")
+
+  test("hashBucket is deterministic, in range, and salt-decorrelated") {
+    val b = docs.select(Prep.hashBucket(col("doc_id"), 1000).as("b"),
+      Prep.hashBucket(col("doc_id"), 1000, salt = 1L).as("b1"))
+    val rows = b.as[(Long, Long)].collect()
+    assert(rows.forall { case (x, y) => x >= 0 && x < 1000 && y >= 0 && y < 1000 })
+    // same input twice -> identical buckets
+    assert(b.as[(Long, Long)].collect().toSeq == rows.toSeq)
+    // the two salts are not the same stream
+    assert(rows.exists { case (x, y) => x != y })
+    // brute-force the arithmetic for a few ids
+    for (id <- Seq(0L, 1L, 399L)) {
+      val expect = (id % Prep.P) * Prep.Mult % Prep.P % 1000
+      assert(rows(id.toInt)._1 == expect)
+    }
+  }
+
+  test("split covers all rows, respects per-mille cut points roughly") {
+    val s = docs.select(Prep.split(col("doc_id"), 800, 100).as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(s.keySet == Set("train", "valid", "test"))
+    assert(s.values.sum == 400)
+    assert(s("train") > 250) // ~320 expected; loose bound, deterministic anyway
+  }
+
+  test("stratifiedKeep applies per-stratum rates; keep decision stable") {
+    val kept = docs.filter(Prep.stratifiedKeep(col("doc_id"), col("lang"),
+      Map("en" -> 0), defaultPm = 1000))
+    // en rows all dropped, zh rows all kept
+    assert(kept.filter(col("lang") === "en").count() == 0)
+    assert(kept.count() == docs.filter(col("lang") === "zh").count())
+  }
+
+  test("contamination flags docs sharing shingles with the benchmark, and only those") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // copy of bench doc
+      (2L, "one two three four five six seven eight nine"), // clean
+      (3L, "prefix words then alpha beta gamma delta epsilon more after") // partial overlap
+    ).toDF("doc_id", "text")
+    val bench = corpus.filter(col("doc_id") === 0L)
+    val got = Prep.contamination(corpus, bench, "doc_id", "text", shingleK = 5, minShared = 1)
+      .select("doc_id", "n_shared", "contaminated").as[(Long, Long, Boolean)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(0L)._2 && got(1L)._2, "benchmark doc and its copy must be flagged")
+    assert(got(1L)._1 == 4) // 8 tokens -> 4 distinct 5-gram shingles, all shared
+    assert(!got(2L)._2 && got(2L)._1 == 0, "clean doc must not be flagged")
+    assert(got(3L)._2 && got(3L)._1 == 1) // exactly 'alpha beta gamma delta epsilon'
+  }
+
+  test("chunk covers every token exactly; stride/overlap reconstruction") {
+    val c = 8; val s = 6
+    val df = Seq((0L, mkText(0, 20)), (1L, mkText(1, 8)), (2L, mkText(2, 3)),
+      (3L, mkText(3, 9))).toDF("doc_id", "text")
+    val chunks = Prep.chunk(df, "doc_id", "text", chunkSize = c, stride = s)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Long, Long, String)].collect()
+    val byDoc = chunks.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // a doc shorter than one chunk yields exactly one chunk with all tokens
+    assert(byDoc(2L).map(_._4) sameElements Array(mkText(2, 3)))
+    for ((id, n) <- Seq((0L, 20), (1L, 8), (3L, 9))) {
+      val toks = mkText(id, n).split(" ").toSeq
+      val cs = byDoc(id)
+      // chunk i starts at i*stride and carries min(c, n - i*s) tokens
+      cs.foreach { case (_, cid, nt, text) =>
+        val expect = toks.slice((cid * s).toInt, (cid * s).toInt + c)
+        assert(text == expect.mkString(" "), s"doc $id chunk $cid")
+        assert(nt == expect.size)
+      }
+      // every token covered; last chunk reaches the end; no redundant tail
+      assert(cs.head._2 == 0 && (cs.last._2 * s + cs.last._3) == n)
+      assert(cs.last._2 == 0 || (cs.last._2 - 1) * s + c < n, "tail chunk must add tokens")
+    }
+  }
+
+  test("pack: offsets in [0, budget), seq ids follow the running token sum") {
+    val budget = 50L
+    val got = Prep.pack(docs, "lang", "doc_id", "text", budget)
+      .select("doc_id", "lang", "n_tokens", "seq_id", "seq_offset")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.forall(r => r._5 >= 0 && r._5 < budget))
+    for ((_, rows) <- got.groupBy(_._2)) {
+      var cum = 0L
+      for (r <- rows.sortBy(_._1)) {
+        assert(r._4 == cum / budget, s"doc ${r._1} seq_id")
+        assert(r._5 == cum % budget, s"doc ${r._1} seq_offset")
+        cum += r._3
+      }
+    }
+    // token counts agree with the tokenizer
+    val nt = docs.select(col("doc_id"), T.tokenCount(col("text")).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.forall(r => r._3 == nt(r._1)))
+  }
+}
