@@ -178,4 +178,39 @@ class PlanSpec extends SparkSpec {
       prev.foreach { p => SparkSession.setDefaultSession(p); SparkSession.setActiveSession(p) }
     }
   }
+
+  test("hash split/sample is shuffle-free (narrow map over the scan)") {
+    val P = graft.prep.Prep
+    val df = SparkEntry.t(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("split", P.split(col("doc_id"), 800, 100))
+      .filter(P.stratifiedKeep(col("doc_id"), col("lang"), Map("en" -> 500), 1000))
+    assert(!planOf(df).contains("Exchange"), "deterministic split must not shuffle")
+  }
+
+  test("decontamination broadcasts the benchmark shingle set; corpus never shuffles") {
+    val docs = SparkEntry.t(spark, "/root/testdata/sf0.001", "documents")
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val flagged = graft.prep.Prep.contamination(docs, bench, "doc_id", "text", 5, 1)
+    val p = planOf(flagged)
+    assert(p.contains("BroadcastHashJoin"), s"benchmark probe not broadcast:\n${p.take(1500)}")
+    // the only allowed exchanges: per-doc overlap agg + broadcast exchanges +
+    // the final left-join re-attach keyed on id — never a corpus-shingle sort
+    assert(!p.contains("SortMergeJoin"), s"corpus-side sort-merge join:\n${p.take(1500)}")
+  }
+
+  test("chunking is a generator over a narrow map — zero exchanges") {
+    val df = graft.prep.Prep.chunk(
+      SparkEntry.t(spark, "/root/testdata/sf0.001", "documents"),
+      "doc_id", "text", chunkSize = 64, stride = 48)
+    val p = planOf(df)
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n${p.take(1500)}")
+    assert(p.contains("Generate"), "expected explode generator")
+  }
+
+  test("packing plans exactly one exchange (the group window)") {
+    val df = graft.prep.Prep.pack(
+      SparkEntry.t(spark, "/root/testdata/sf0.001", "documents"),
+      "lang", "doc_id", "text", budget = 2048L)
+    assert("Exchange".r.findAllIn(planOf(df)).size == 1, planOf(df).take(1500))
+  }
 }
