@@ -175,15 +175,20 @@ object Dedup {
     // feeds candidate generation AND verification — materialize once
     val sets = sh.join(dfreq, "s")
       .groupBy(col("id"))
-      .agg(transform(array_sort(collect_list(struct(col("df"), col("s")))),
-        x => x("s")).as("arr"),
+      .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("arr"),
         count(lit(1)).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // arr keeps (df, s) structs: df is a pure function of s, so set ops on
+    // the structs equal set ops on the shingles — and carrying df lets the
+    // candidate join drop df=1 prefix shingles (below), which by definition
+    // occur in ONE document and can never produce a cross-document match.
     // prefix length n - ceil(t*n) + 1 (>= 1). The epsilon keeps a borderline
     // real-valued t*n from rounding UP past an integer boundary and shrinking
     // the prefix below what the proof needs (pruning must only ever relax).
     val p = (col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + lit(1)).cast("int")
-    val pref = sets.select(col("id"), col("n"), explode(slice(col("arr"), lit(1), p)).as("s"))
+    val pref = sets.select(col("id"), col("n"), explode(slice(col("arr"), lit(1), p)).as("e"))
+      .filter(col("e").getField("df") >= 2)
+      .select(col("id"), col("n"), col("e").getField("s").as("s"))
     val cand = pref.alias("a")
       .join(pref.alias("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
         col("b.n").cast("double") >= lit(threshold) * col("a.n") - lit(1e-9) &&
