@@ -109,4 +109,29 @@ class PrepSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got.forall(r => r._3 == nt(r._1)))
   }
+
+  test("chunk + split lift to Structured Streaming unchanged (stateless)") {
+    // chunking and hash-splitting are narrow expression maps, so the same
+    // code runs on a stream with no watermark or state — the property that
+    // lets one prep pipeline serve batch backfill AND live ingestion
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("prep_chunk_stream").toString
+    val in = docs.limit(50)
+    in.write.mode("overwrite").parquet(s"$base/in")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType), StructField("text", StringType)))
+    def pipe(df: org.apache.spark.sql.DataFrame) =
+      Prep.chunk(df.withColumn("split", Prep.split(col("doc_id"), 800, 100)),
+        "doc_id", "text", chunkSize = 16, stride = 12)
+    val q = graft.streaming.StreamOps.sinkFileStream(
+      pipe(spark.readStream.schema(schema).parquet(s"$base/in")),
+      "parquet", s"$base/out", s"$base/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(s"$base/out")
+      .select("doc_id", "chunk_id", "chunk_text")
+      .as[(Long, Long, String)].collect().toSet
+    val batch = pipe(in).select("doc_id", "chunk_id", "chunk_text")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == batch && batch.nonEmpty)
+  }
 }
