@@ -701,6 +701,31 @@ object SparkEntry {
         .orderBy(col("lang_pred"), col("source"))
     }),
 
+    // SECOND FLAGSHIP pipeline — corpus build: benchmark decontamination →
+    // deterministic train split → context-window chunking → sequence
+    // packing → per-(lang, sequence) stats. Exercises the prep operators
+    // END-TO-END (chunker output feeds the packer through a composite
+    // order key) where qd17–qd20 test them in isolation.
+    "q52_pipeline_corpus_build" -> ((s, d) => {
+      val P = graft.prep.Prep
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val clean = P.contamination(docs, bench, "doc_id", "text",
+          shingleK = 5, minShared = 1)
+        .filter(!col("contaminated"))
+        .filter(P.split(col("doc_id"), 800, 100) === "train")
+      val chunks = P.chunk(clean, "doc_id", "text",
+        chunkSize = 64, stride = 48, carryCols = Seq("lang"))
+      P.packByTokens(chunks, "lang", Seq("doc_id", "chunk_id"),
+          "n_chunk_tokens", budget = 512L)
+        .groupBy(col("lang"), col("seq_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_chunk_tokens")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("lang"), col("seq_id"))
+    }),
+
     // IVF-flat ANN: Voronoi cells around sampled centroids, nprobe search —
     // approximate, rows-only (recall asserted vs exact in ScalaTest)
     "qs03_ann_ivf" -> ((s, d) => {
@@ -1287,6 +1312,46 @@ object SparkEntry {
         |)
         |SELECT doc_id, chunk_id, n_chunk_tokens, chunk_text
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // corpus-build flagship mirror: decontaminate (shared-shingle anti
+    // filter) -> train-bucket arithmetic -> chunk comprehension -> packing
+    // window keyed (doc_id, chunk_id) -> BIGINT-cast aggregates
+    "q52_pipeline_corpus_build" ->
+      """WITH toks0 AS (
+        |  SELECT doc_id, lang, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(w) >= 5
+        |    THEN [list_aggregate(w[i:i+4], 'string_agg', ' ') FOR i IN range(1, len(w) - 3)]
+        |    ELSE [list_aggregate(w, 'string_agg', ' ')] END) AS s
+        |  FROM toks0
+        |),
+        |bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+        |contam AS (SELECT DISTINCT sh.doc_id FROM sh JOIN bsh ON sh.s = bsh.s),
+        |clean AS (
+        |  SELECT doc_id, lang, w FROM toks0
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+        |    AND (doc_id % 1000000007) * 2654435761 % 1000000007 % 1000 < 800
+        |),
+        |c AS (
+        |  SELECT doc_id, lang,
+        |    unnest([st // 48 FOR st IN range(0, greatest(len(w) - 16, 1), 48)]) AS chunk_id,
+        |    unnest([len(w[st+1:st+64]) FOR st IN range(0, greatest(len(w) - 16, 1), 48)]) AS n_chunk_tokens
+        |  FROM clean
+        |),
+        |p AS (
+        |  SELECT doc_id, lang, chunk_id, n_chunk_tokens,
+        |    CAST(coalesce(sum(n_chunk_tokens) OVER (PARTITION BY lang
+        |      ORDER BY doc_id, chunk_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // 512 AS seq_id
+        |  FROM c
+        |)
+        |SELECT lang, seq_id, count(*) AS n_chunks,
+        |  CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM p GROUP BY lang, seq_id
+        |ORDER BY lang, seq_id""".stripMargin,
 
     // packing mirror: exclusive running sum per lang, integer div/mod
     "qd20_pack" ->

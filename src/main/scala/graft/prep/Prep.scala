@@ -106,7 +106,7 @@ object Prep {
     * scan speed. Output: idCol, chunk_id, n_chunk_tokens, chunk_text.
     */
   def chunk(df: DataFrame, idCol: String, textCol: String,
-            chunkSize: Int, stride: Int): DataFrame = {
+            chunkSize: Int, stride: Int, carryCols: Seq[String] = Nil): DataFrame = {
     require(stride >= 1 && stride <= chunkSize,
       s"stride must be in [1, chunkSize], got stride=$stride chunkSize=$chunkSize")
     val toks = T.tokens(col(textCol))
@@ -115,13 +115,14 @@ object Prep {
     // stop is inclusive, hence the -1
     val starts = sequence(lit(0),
       greatest(n - lit(chunkSize - stride), lit(1)) - lit(1), lit(stride))
-    df.select(col(idCol), toks.as("__w"), explode(starts).as("__st"))
-      .select(col(idCol),
-        (col("__st") / stride).cast("long").as("chunk_id"),
+    val carried = carryCols.map(col)
+    df.select(col(idCol) +: carried :+ toks.as("__w") :+ explode(starts).as("__st"): _*)
+      .select(col(idCol) +: carried :+
+        (col("__st") / stride).cast("long").as("chunk_id") :+
         size(slice(col("__w"), col("__st") + lit(1), lit(chunkSize)))
-          .cast("long").as("n_chunk_tokens"),
+          .cast("long").as("n_chunk_tokens") :+
         concat_ws(" ", slice(col("__w"), col("__st") + lit(1), lit(chunkSize)))
-          .as("chunk_text"))
+          .as("chunk_text"): _*)
   }
 
   // ---- sequence packing ---------------------------------------------------
@@ -140,12 +141,18 @@ object Prep {
     * pre-split by salting the group key upstream.
     */
   def pack(df: DataFrame, groupCol: String, orderCol: String, textCol: String,
-           budget: Long): DataFrame = {
+           budget: Long): DataFrame =
+    packByTokens(df.withColumn("n_tokens", T.tokenCount(col(textCol)).cast("long")),
+      groupCol, Seq(orderCol), "n_tokens", budget)
+
+  /** [[pack]] over a precomputed token-count column and a composite order
+    * (e.g. (doc_id, chunk_id) when packing chunker output). */
+  def packByTokens(df: DataFrame, groupCol: String, orderCols: Seq[String],
+                   nTokensCol: String, budget: Long): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
-    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+    val w = Window.partitionBy(col(groupCol)).orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("n_tokens", T.tokenCount(col(textCol)).cast("long"))
-      .withColumn("__prev", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    df.withColumn("__prev", coalesce(sum(col(nTokensCol)).over(w), lit(0L)))
       .withColumn("seq_id", floor(col("__prev") / budget))
       .withColumn("seq_offset", col("__prev") % budget)
       .drop("__prev")
