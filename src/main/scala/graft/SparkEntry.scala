@@ -701,6 +701,17 @@ object SparkEntry {
         .orderBy(col("lang_pred"), col("source"))
     }),
 
+    // near-dup decontamination (MinHash-banded vs broadcast benchmark) —
+    // sketch-based, no SQL oracle; rows-only + recall property in PrepSpec
+    "qd21_decontaminate_neardup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      graft.prep.Prep.contaminationNearDup(docs, bench, "doc_id", "text",
+          numHashes = 128, bands = 32, shingleK = 5, threshold = 0.8)
+        .select(col("doc_id"), col("lang"), col("max_sim_est"), col("contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SECOND FLAGSHIP pipeline — corpus build: benchmark decontamination →
     // deterministic train split → context-window chunking → sequence
     // packing → per-(lang, sequence) stats. Exercises the prep operators

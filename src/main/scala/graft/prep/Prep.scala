@@ -92,6 +92,48 @@ object Prep {
       .withColumn("contaminated", col("n_shared") >= minShared)
   }
 
+  /** Near-duplicate decontamination: flag corpus docs whose estimated
+    * n-gram Jaccard against ANY benchmark doc reaches `threshold` —
+    * catches light paraphrases/reformatting that exact shingle overlap
+    * ([[contamination]]) underweights.
+    *
+    * MinHash-banded, benchmark-broadcast: bench (band, bucket) pairs and
+    * bench signatures are both tiny and broadcast; the corpus is scanned
+    * once for signatures, candidates are the docs sharing any LSH band
+    * bucket with a bench doc, and only candidates pay the signature
+    * comparison. The corpus is never shuffled (the per-doc max-similarity
+    * agg is keyed on corpus id over candidate rows only). Approximate by
+    * construction (LSH recall + minhash estimate) — property-tested rather
+    * than oracle-checked.
+    */
+  def contaminationNearDup(corpus: DataFrame, bench: DataFrame, idCol: String,
+                           textCol: String, numHashes: Int = 128, bands: Int = 32,
+                           shingleK: Int = 5, threshold: Double = 0.8): DataFrame = {
+    import graft.functions.{HashFunctions => H}
+    graft.plans.SketchExprs.register(corpus.sparkSession)
+    def sig(c: Column) = call_function("graft_minhash",
+      call_function("graft_shingle_hashes", T.tokens(c), lit(shingleK)), lit(numHashes))
+    val benchSigs = bench.select(col(idCol).as("__bid"), sig(col(textCol)).as("__bsig"))
+    val benchBands = benchSigs.select(col("__bid"),
+        explode(H.bandHashes(col("__bsig"), numHashes, bands)).as("__bh"))
+      .select(col("__bid"), col("__bh.band").as("__band"), col("__bh.bucket").as("__bucket"))
+      .distinct()
+    val corpusSigs = corpus.select(col(idCol).as("__id"), sig(col(textCol)).as("__sig"))
+    val candidates = corpusSigs
+      .select(col("__id"), col("__sig"), explode(H.bandHashes(col("__sig"), numHashes, bands)).as("__h"))
+      .join(broadcast(benchBands),
+        col("__h.band") === col("__band") && col("__h.bucket") === col("__bucket"))
+      .select(col("__id"), col("__sig"), col("__bid")).distinct()
+    val scored = candidates
+      .join(broadcast(benchSigs), "__bid")
+      .groupBy(col("__id"))
+      .agg(max(H.minhashJaccardEstimate(col("__sig"), col("__bsig"))).as("max_sim_est"))
+    corpus.join(scored, corpus(idCol) === scored("__id"), "left")
+      .drop("__id")
+      .withColumn("max_sim_est", coalesce(col("max_sim_est"), lit(0.0)))
+      .withColumn("contaminated", col("max_sim_est") >= threshold)
+  }
+
   // ---- context-window chunking -------------------------------------------
 
   /** Split each document into token chunks of `chunkSize` with `stride`

@@ -110,6 +110,25 @@ class PrepSpec extends SparkSpec {
     assert(got.forall(r => r._3 == nt(r._1)))
   }
 
+  test("near-dup decontamination: paraphrase flagged, clean doc not, bench doc at 1.0") {
+    val benchText = "the quick brown fox jumps over the lazy dog while the sun " +
+      "slowly sets behind the quiet hills and the evening wind begins to rise"
+    val corpus = Seq(
+      (0L, benchText),
+      (1L, benchText.replace("quiet", "silent")), // light paraphrase
+      (2L, "completely unrelated content about distributed query engines and " +
+        "shuffle partitioning strategies for large scale analytical workloads today"),
+    ).toDF("doc_id", "text")
+    val bench = corpus.filter(col("doc_id") === 0L)
+    val got = Prep.contaminationNearDup(corpus, bench, "doc_id", "text",
+        numHashes = 128, bands = 32, shingleK = 3, threshold = 0.5)
+      .select("doc_id", "max_sim_est", "contaminated")
+      .as[(Long, Double, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(0L)._1 == 1.0 && got(0L)._2, "bench doc must self-match at 1.0")
+    assert(got(1L)._2, s"paraphrase must be flagged, est=${got(1L)._1}")
+    assert(!got(2L)._2 && got(2L)._1 == 0.0, "clean doc must not be flagged")
+  }
+
   test("chunk + split lift to Structured Streaming unchanged (stateless)") {
     // chunking and hash-splitting are narrow expression maps, so the same
     // code runs on a stream with no watermark or state — the property that
