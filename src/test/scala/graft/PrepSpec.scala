@@ -90,6 +90,27 @@ class PrepSpec extends SparkSpec {
     }
   }
 
+  test("chunk == brute-force windows for randomized (n, chunkSize, stride)") {
+    val rnd = new scala.util.Random(7)
+    val cases = (0 until 30).map { i =>
+      val c = 1 + rnd.nextInt(12)
+      (i.toLong, rnd.nextInt(40), c, 1 + rnd.nextInt(c)) // n in [0,40), stride <= c
+    }
+    for ((id, n, c, s) <- cases) {
+      val df = Seq((id, mkText(id, n))).toDF("doc_id", "text")
+      val got = Prep.chunk(df, "doc_id", "text", c, s)
+        .select("chunk_id", "n_chunk_tokens", "chunk_text")
+        .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+      val toks = if (n == 0) Seq.empty else mkText(id, n).split(" ").toSeq
+      val starts = 0 until math.max(n - (c - s), 1) by s
+      val expect = starts.zipWithIndex.map { case (st, i) =>
+        val w = toks.slice(st, st + c)
+        (i.toLong, w.size.toLong, w.mkString(" "))
+      }
+      assert(got == expect, s"n=$n c=$c s=$s:\n got=$got\n exp=$expect")
+    }
+  }
+
   test("pack: offsets in [0, budget), seq ids follow the running token sum") {
     val budget = 50L
     val got = Prep.pack(docs, "lang", "doc_id", "text", budget)
