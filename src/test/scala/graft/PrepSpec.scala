@@ -150,6 +150,28 @@ class PrepSpec extends SparkSpec {
     assert(!got(2L)._2 && got(2L)._1 == 0.0, "clean doc must not be flagged")
   }
 
+  test("writeShards: disjoint contiguous ranges per file, lossless round-trip") {
+    val packed = Prep.pack(docs, "lang", "doc_id", "text", budget = 50L)
+      .select("doc_id", "lang", "n_tokens", "seq_id")
+    val out = java.nio.file.Files.createTempDirectory("shards").toString + "/corpus"
+    Prep.writeShards(packed, out, "doc_id", numShards = 4)
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(files.length == 4, s"expected 4 shard files, got ${files.length}")
+    // round-trip is lossless
+    assert(spark.read.parquet(out).count() == packed.count())
+    // each shard covers a disjoint contiguous doc_id range
+    val ranges = files.map { f =>
+      val ids = spark.read.parquet(f.getAbsolutePath).select("doc_id").as[Long].collect()
+      assert(ids.sameElements(ids.sorted), s"${f.getName} not sorted within shard")
+      (ids.min, ids.max)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, s"overlapping shards: $ranges")
+      case _ =>
+    }
+  }
+
   test("chunk + split lift to Structured Streaming unchanged (stateless)") {
     // chunking and hash-splitting are narrow expression maps, so the same
     // code runs on a stream with no watermark or state — the property that
