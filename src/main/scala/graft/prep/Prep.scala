@@ -203,7 +203,10 @@ object Prep {
       groupCol, Seq(orderCol), "n_tokens", budget)
 
   /** [[pack]] over a precomputed token-count column and a composite order
-    * (e.g. (doc_id, chunk_id) when packing chunker output). */
+    * (e.g. (doc_id, chunk_id) when packing chunker output). Each group is
+    * one window partition = one task; when a single group dominates the
+    * corpus (one language is half of 100 TB), use [[packGlobal]] on that
+    * group's stream instead. */
   def packByTokens(df: DataFrame, groupCol: String, orderCols: Seq[String],
                    nTokensCol: String, budget: Long): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
@@ -213,5 +216,35 @@ object Prep {
       .withColumn("seq_id", floor(col("__prev") / budget))
       .withColumn("seq_offset", col("__prev") % budget)
       .drop("__prev")
+  }
+
+  /** Single-stream (ungrouped) packing at scale: the exclusive running
+    * token sum runs range-partitioned on the order key — per-partition
+    * running sums in parallel, then a broadcast ≤P-row offset table (one
+    * prefix total per partition) lifts them to global values. No
+    * empty-`partitionBy` window ever sees the data, so one giant stream
+    * does NOT serialize through a single task (same boundary-carry idiom as
+    * `Rolling.fixedGlobal`/`Fill.fillGlobal`). Identical results to
+    * [[packByTokens]] with a constant group. */
+  def packGlobal(df: DataFrame, orderCols: Seq[String], nTokensCol: String,
+                 budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val ordered = orderCols.map(col)
+    val parted = df.repartitionByRange(ordered: _*).withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy("__pid").orderBy(ordered: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // per-partition totals -> exclusive prefix offsets (<= P rows: the only
+    // single-task window runs over the partition COUNT, not the data)
+    val prefix = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parted.groupBy("__pid").agg(sum(col(nTokensCol)).as("__tot"))
+      .withColumn("__off", coalesce(sum(col("__tot")).over(prefix), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    parted
+      .withColumn("__lprev", coalesce(sum(col(nTokensCol)).over(wLocal), lit(0L)))
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn("__prev", col("__lprev") + col("__off"))
+      .withColumn("seq_id", floor(col("__prev") / budget))
+      .withColumn("seq_offset", col("__prev") % budget)
+      .drop("__pid", "__lprev", "__off", "__prev")
   }
 }

@@ -150,6 +150,23 @@ class PrepSpec extends SparkSpec {
     assert(!got(2L)._2 && got(2L)._1 == 0.0, "clean doc must not be flagged")
   }
 
+  test("packGlobal == grouped pack on one stream; no data-path global window") {
+    val withN = docs.withColumn("n_tokens", T.tokenCount(col("text")).cast("long"))
+    val global = Prep.packGlobal(withN, Seq("doc_id"), "n_tokens", budget = 37L)
+      .select("doc_id", "seq_id", "seq_offset").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val grouped = Prep.packByTokens(withN.withColumn("__g", lit(1)), "__g",
+        Seq("doc_id"), "n_tokens", budget = 37L)
+      .select("doc_id", "seq_id", "seq_offset").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(global == grouped && global.nonEmpty)
+    // the data-path window partitions on __pid; the only unpartitioned
+    // window runs over the <=P-row offset table
+    val plan = Prep.packGlobal(withN, Seq("doc_id"), "n_tokens", 37L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__pid"), plan.take(800))
+  }
+
   test("writeShards: disjoint contiguous ranges per file, lossless round-trip") {
     val packed = Prep.pack(docs, "lang", "doc_id", "text", budget = 50L)
       .select("doc_id", "lang", "n_tokens", "seq_id")
