@@ -158,7 +158,11 @@ object Prep {
     val starts = sequence(lit(0),
       greatest(n - lit(chunkSize - stride), lit(1)) - lit(1), lit(stride))
     val carried = carryCols.map(col)
-    df.select(col(idCol) +: carried :+ toks.as("__w") :+ explode(starts).as("__st"): _*)
+    // a NULL document yields no chunks (explode of NULL emits nothing);
+    // without the guard, greatest() would skip the null length and emit one
+    // junk (null-count, empty-text) chunk row
+    df.select(col(idCol) +: carried :+ toks.as("__w") :+
+        explode(when(col(textCol).isNotNull, starts)).as("__st"): _*)
       .select(col(idCol) +: carried :+
         (col("__st") / stride).cast("long").as("chunk_id") :+
         size(slice(col("__w"), col("__st") + lit(1), lit(chunkSize)))

@@ -150,6 +150,22 @@ class PrepSpec extends SparkSpec {
     assert(!got(2L)._2 && got(2L)._1 == 0.0, "clean doc must not be flagged")
   }
 
+  test("null text: chunk drops the row, contamination reports it clean") {
+    // pinned semantics for raw-scrape inputs (testdata has no nulls):
+    // chunk's explode(null sequence) yields no rows for a null document;
+    // contamination's left join reports n_shared=0 / not contaminated
+    val raw = Seq((0L, "alpha beta gamma delta epsilon zeta"), (1L, null))
+      .toDF("doc_id", "text")
+    val chunks = Prep.chunk(raw, "doc_id", "text", chunkSize = 4, stride = 3)
+    assert(chunks.filter(col("doc_id") === 1L).count() == 0)
+    assert(chunks.filter(col("doc_id") === 0L).count() == 2) // starts 0 and 3
+    val flagged = Prep.contamination(raw, raw.filter(col("doc_id") === 0L),
+        "doc_id", "text", shingleK = 5, minShared = 1)
+      .filter(col("doc_id") === 1L).select("n_shared", "contaminated")
+      .as[(Long, Boolean)].head()
+    assert(flagged == ((0L, false)))
+  }
+
   test("packGlobal == grouped pack on one stream; no data-path global window") {
     val withN = docs.withColumn("n_tokens", T.tokenCount(col("text")).cast("long"))
     val global = Prep.packGlobal(withN, Seq("doc_id"), "n_tokens", budget = 37L)
