@@ -701,6 +701,23 @@ object SparkEntry {
         .orderBy(col("lang_pred"), col("source"))
     }),
 
+    // data mixing: per-lang keep rates hit target token shares within a
+    // 10k-token budget (tiny driver-side rate table, zero-shuffle keep
+    // filter); per-lang kept totals are the oracle-checked output
+    "qd22_mixture" -> ((s, d) => {
+      val P = graft.prep.Prep
+      val T = graft.functions.TextFunctions
+      val docs = t(s, d, "documents")
+        .withColumn("n_tokens", T.tokenCount(col("text")).cast("long"))
+      val rates = P.mixtureRatesPm(docs, "lang", "n_tokens",
+        Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.1),
+        tokenBudget = 10000L)
+      docs.filter(P.stratifiedKeep(col("doc_id"), col("lang"), rates, defaultPm = 0))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy(col("lang"))
+    }),
+
     // near-dup decontamination (MinHash-banded vs broadcast benchmark) —
     // sketch-based, no SQL oracle; rows-only + recall property in PrepSpec
     "qd21_decontaminate_neardup" -> ((s, d) => {
@@ -1323,6 +1340,33 @@ object SparkEntry {
         |)
         |SELECT doc_id, chunk_id, n_chunk_tokens, chunk_text
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // mixture mirror: same rate formula with every operand forced DOUBLE so
+    // both engines run the identical left-to-right fp ops (DuckDB parses
+    // bare decimal literals as DECIMAL, which would round differently),
+    // same salt-1 bucket arithmetic as stratifiedKeep
+    "qd22_mixture" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |),
+        |tot AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS tok FROM d GROUP BY lang),
+        |r AS (
+        |  SELECT lang, least(1000, CAST(floor(
+        |    CAST(1000.0 AS DOUBLE) *
+        |    (CASE lang WHEN 'en' THEN CAST(0.4 AS DOUBLE)
+        |               WHEN 'de' THEN CAST(0.2 AS DOUBLE)
+        |               WHEN 'es' THEN CAST(0.15 AS DOUBLE)
+        |               WHEN 'fr' THEN CAST(0.15 AS DOUBLE)
+        |               WHEN 'zh' THEN CAST(0.1 AS DOUBLE)
+        |               ELSE CAST(0 AS DOUBLE) END) * 10000 / tok) AS BIGINT)) AS rate
+        |  FROM tot
+        |)
+        |SELECT d.lang, count(*) AS n_docs, CAST(sum(d.n_tokens) AS BIGINT) AS n_tokens
+        |FROM d JOIN r ON d.lang = r.lang
+        |WHERE ((doc_id + 1) % 1000000007) * 2654435761 % 1000000007 % 1000 < rate
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     // corpus-build flagship mirror: decontaminate (shared-shingle anti
     // filter) -> train-bucket arithmetic -> chunk comprehension -> packing

@@ -58,6 +58,29 @@ object Prep {
     b < rate
   }
 
+  /** Per-stratum keep rates (per-mille) that hit target token SHARES within
+    * a total token budget — the "mix 40% en / 20% de / …" step of building
+    * a training corpus. rate = min(1000, ⌊1000·share·budget / stratumTokens⌋):
+    * a stratum with fewer tokens than its target allocation keeps everything
+    * (rate 1000 — up-weighting/epoch repetition is a downstream choice).
+    *
+    * Driver-side arithmetic on a TINY aggregate (one row per stratum —
+    * languages/sources, never documents); the actual row selection is
+    * [[stratifiedKeep]]'s zero-shuffle bucket filter. The double arithmetic
+    * is a fixed left-to-right multiply-multiply-divide, so any engine
+    * computing the same expression (e.g. the SQL oracle) lands on the
+    * bit-identical rate. */
+  def mixtureRatesPm(df: DataFrame, stratumCol: String, nTokensCol: String,
+                     targetShares: Map[String, Double], tokenBudget: Long): Map[String, Int] = {
+    val totals = df.groupBy(col(stratumCol)).agg(sum(col(nTokensCol)).as("__tot"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    targetShares.flatMap { case (k, share) =>
+      totals.get(k).map { tot =>
+        k -> math.min(1000L, math.floor(1000.0 * share * tokenBudget / tot).toLong).toInt
+      }
+    }
+  }
+
   // ---- benchmark decontamination -----------------------------------------
 
   /** Flag corpus documents sharing >= `minShared` distinct word k-gram

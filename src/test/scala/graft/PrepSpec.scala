@@ -47,6 +47,21 @@ class PrepSpec extends SparkSpec {
     assert(kept.count() == docs.filter(col("lang") === "zh").count())
   }
 
+  test("mixtureRatesPm: budget shares -> rates; oversubscribed stratum caps at 1000") {
+    val withN = docs.withColumn("n_tokens", T.tokenCount(col("text")).cast("long"))
+    val totals = withN.groupBy("lang").agg(sum("n_tokens").as("t"))
+      .as[(String, Long)].collect().toMap
+    val rates = Prep.mixtureRatesPm(withN, "lang", "n_tokens",
+      Map("en" -> 0.5, "zh" -> 0.5), tokenBudget = totals("zh") * 4)
+    // en gets 0.5 * 4*zhTok target; exact formula reproduced
+    assert(rates("en") ==
+      math.min(1000L, math.floor(1000.0 * 0.5 * (totals("zh") * 4) / totals("en")).toLong))
+    // zh target = 2x its own tokens -> capped at keep-everything
+    assert(rates("zh") == 1000)
+    // stratum absent from targets -> absent from rates (stratifiedKeep default applies)
+    assert(!rates.contains("fr"))
+  }
+
   test("contamination flags docs sharing shingles with the benchmark, and only those") {
     val corpus = Seq(
       (0L, "alpha beta gamma delta epsilon zeta eta theta"),
