@@ -209,21 +209,6 @@ object Prep {
     * source shard, …) partition the corpus, and a skewed group can be
     * pre-split by salting the group key upstream.
     */
-  /** Write a packed corpus as range-sharded files: rows are range-
-    * partitioned on `shardCol` (so each output file covers a disjoint,
-    * contiguous id range — trainers can map files to workers without an
-    * index) and sorted within each shard. One range exchange (sampled
-    * boundaries, AQE-coalescible), then a parallel write; no global sort,
-    * no driver materialization — the shape that holds at 100 TB.
-    */
-  def writeShards(df: DataFrame, path: String, shardCol: String,
-                  numShards: Int, format: String = "parquet"): Unit = {
-    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
-    df.repartitionByRange(numShards, col(shardCol))
-      .sortWithinPartitions(col(shardCol))
-      .write.format(format).mode("overwrite").save(path)
-  }
-
   def pack(df: DataFrame, groupCol: String, orderCol: String, textCol: String,
            budget: Long): DataFrame =
     packByTokens(df.withColumn("n_tokens", T.tokenCount(col(textCol)).cast("long")),
@@ -273,5 +258,20 @@ object Prep {
       .withColumn("seq_id", floor(col("__prev") / budget))
       .withColumn("seq_offset", col("__prev") % budget)
       .drop("__pid", "__lprev", "__off", "__prev")
+  }
+
+  /** Write a packed corpus as range-sharded files: rows are range-
+    * partitioned on `shardCol` (so each output file covers a disjoint,
+    * contiguous id range — trainers can map files to workers without an
+    * index) and sorted within each shard. One range exchange (sampled
+    * boundaries, AQE-coalescible), then a parallel write; no global sort,
+    * no driver materialization — the shape that holds at 100 TB.
+    */
+  def writeShards(df: DataFrame, path: String, shardCol: String,
+                  numShards: Int, format: String = "parquet"): Unit = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    df.repartitionByRange(numShards, col(shardCol))
+      .sortWithinPartitions(col(shardCol))
+      .write.format(format).mode("overwrite").save(path)
   }
 }
