@@ -27,6 +27,8 @@ import org.apache.spark.sql.types.DataType
   *  - `graft_shingles(tokens, k, distinct)` — word k-shingles, one loop/row
   *  - `graft_shingle_hashes(tokens, k)` — distinct XXH64 shingle hashes
   *  - `graft_top_ngram_share(tokens, n)` — top n-gram count share
+  *  - `graft_langid(text)`           — stopword-dictionary language id
+  *  - `graft_dup_line_stats(text)`   — duplicate-line fraction struct
   *  - `graft_cast_ansi(x, 'type')`   — strict cast, ANSI pinned on the node
   *  - `graft_replace_tz(ts, tz, ambiguous, non_existent)` — DST-policy
   *    wall-time reinterpretation
@@ -68,6 +70,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_langid"),
       info("graft_langid", "graft_langid(text) - stopword-dictionary language id (de/en/es/fr/zh/und)"),
       (exprs: Seq[Expression]) => plans.LangIdExpr(exprs(0))))
+
+    ext.injectFunction((FunctionIdentifier("graft_dup_line_stats"),
+      info("graft_dup_line_stats", "graft_dup_line_stats(text) - struct(dup_line_frac, dup_line_char_frac)"),
+      (exprs: Seq[Expression]) => plans.DupLineStatsExpr(exprs(0))))
 
     ext.injectFunction((FunctionIdentifier("graft_cast_ansi"),
       info("graft_cast_ansi", "graft_cast_ansi(x, 'ddl-type') - strict cast (raises on overflow/malformed)"),

@@ -1072,28 +1072,28 @@ object SparkEntry {
       |  SELECT doc_id, unnest(CASE WHEN len(w) >= 2
       |    THEN [list_aggregate(w[i:i+1], 'string_agg', ' ') FOR i IN range(1, len(w))]
       |    ELSE [list_aggregate(w, 'string_agg', ' ')] END) AS s
-      |  FROM toks),
+      |  FROM toks WHERE len(w) > 0),
       |c2 AS (SELECT doc_id, s, count(*) AS c FROM s2 GROUP BY doc_id, s),
       |a2 AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top2 FROM c2 GROUP BY doc_id),
       |s3 AS (
       |  SELECT doc_id, unnest(CASE WHEN len(w) >= 3
       |    THEN [list_aggregate(w[i:i+2], 'string_agg', ' ') FOR i IN range(1, len(w) - 1)]
       |    ELSE [list_aggregate(w, 'string_agg', ' ')] END) AS s
-      |  FROM toks),
+      |  FROM toks WHERE len(w) > 0),
       |c3 AS (SELECT doc_id, s, count(*) AS c FROM s3 GROUP BY doc_id, s),
       |a3 AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top3 FROM c3 GROUP BY doc_id)
       |SELECT d.doc_id,
       |  coalesce(lagg.dup_line_frac, 0.0) AS dup_line_frac,
       |  coalesce(lagg.dup_line_char_frac, 0.0) AS dup_line_char_frac,
-      |  a2.top2 AS top2_share,
-      |  a3.top3 AS top3_share,
+      |  coalesce(a2.top2, 0.0) AS top2_share,
+      |  coalesce(a3.top3, 0.0) AS top3_share,
       |  (coalesce(lagg.dup_line_frac, 0.0) <= 0.30
       |    AND coalesce(lagg.dup_line_char_frac, 0.0) <= 0.20
-      |    AND a2.top2 <= 0.20 AND a3.top3 <= 0.18) AS rep_ok
+      |    AND coalesce(a2.top2, 0.0) <= 0.20 AND coalesce(a3.top3, 0.0) <= 0.18) AS rep_ok
       |FROM documents d
       |LEFT JOIN lagg ON d.doc_id = lagg.doc_id
-      |JOIN a2 ON d.doc_id = a2.doc_id
-      |JOIN a3 ON d.doc_id = a3.doc_id""".stripMargin
+      |LEFT JOIN a2 ON d.doc_id = a2.doc_id
+      |LEFT JOIN a3 ON d.doc_id = a3.doc_id""".stripMargin
 
   /** Shared DuckDB shingle CTE (5-gram, whitespace tokens) mirroring
     * TextFunctions.tokens + shingles. */
@@ -1219,9 +1219,10 @@ object SparkEntry {
 
     // Repetition signals: line ratios via per-line GROUP BY (counts exact,
     // each ratio one division — bit-identical doubles), top-n-gram shares
-    // via non-distinct shingle unnest. documents contain no '\n' at any SF,
-    // so the LEFT JOIN/coalesce guards (empty-line docs) mirror the Spark
-    // `when(size=0)` branches without ever firing on testdata.
+    // via non-distinct shingle unnest. documents contain no '\n' and no
+    // token-less text at any SF, so the LEFT JOIN/coalesce guards (empty-
+    // line docs -> 0.0 line fracs; zero-token docs -> 0.0 shares, matching
+    // TopNgramShareExpr's empty-array branch) never fire on testdata.
     "qd11_repetition" ->
       s"SELECT * FROM ($repetitionSql) ORDER BY doc_id",
 

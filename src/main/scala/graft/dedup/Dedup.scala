@@ -22,14 +22,6 @@ import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions 
   */
 object Dedup {
 
-  /** Distinct word k-shingles of a text column via the native
-    * [[graft.plans.ShinglesExpr]] loop (semantics of
-    * `array_distinct(T.shingles(T.tokens(text), k))`, ~10× faster — the HOF
-    * formulation was the dominant cost of every shingle-based op).
-    * Callers must have run `SketchExprs.register` on the session. */
-  private def distinctShingles(text: Column, k: Int): Column =
-    call_function("graft_shingles", T.tokens(text), lit(k), lit(true))
-
   /** Distinct word k-shingle XXH64 values ([[graft.plans.ShingleHashesExpr]]):
     * every shuffle keyed on a shingle moves 8 bytes instead of the shingle
     * string, and no shingle string is ever materialized. Same seed as the

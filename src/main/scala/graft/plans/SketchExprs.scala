@@ -142,7 +142,7 @@ case class ShinglesExpr(child: Expression, k: Int, distinct: Boolean)
     var i = 0
     while (i < n) { toks(i) = arr.getUTF8String(i); i += 1 } // null elems stay null; concatWs skips them
     if (n < k) {
-      new GenericArrayData(Array[Any](UTF8String.concatWs(Sep, toks.toIndexedSeq: _*)))
+      new GenericArrayData(Array[Any](UTF8String.concatWs(Sep, toks: _*)))
     } else {
       val window = new Array[UTF8String](k)
       val m = n - k + 1
@@ -151,7 +151,7 @@ case class ShinglesExpr(child: Expression, k: Int, distinct: Boolean)
         var i = 0
         while (i < m) {
           System.arraycopy(toks, i, window, 0, k)
-          seen.add(UTF8String.concatWs(Sep, window.toIndexedSeq: _*))
+          seen.add(UTF8String.concatWs(Sep, window: _*))
           i += 1
         }
         new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
@@ -160,7 +160,7 @@ case class ShinglesExpr(child: Expression, k: Int, distinct: Boolean)
         var i = 0
         while (i < m) {
           System.arraycopy(toks, i, window, 0, k)
-          out(i) = UTF8String.concatWs(Sep, window.toIndexedSeq: _*)
+          out(i) = UTF8String.concatWs(Sep, window: _*)
           i += 1
         }
         new GenericArrayData(out)
@@ -209,7 +209,7 @@ case class ShingleHashesExpr(child: Expression, k: Int)
     var i = 0
     while (i < n) { toks(i) = arr.getUTF8String(i); i += 1 }
     if (n < k) {
-      new GenericArrayData(Array[Any](hash(UTF8String.concatWs(Sep, toks.toIndexedSeq: _*))))
+      new GenericArrayData(Array[Any](hash(UTF8String.concatWs(Sep, toks: _*))))
     } else {
       val window = new Array[UTF8String](k)
       val m = n - k + 1
@@ -217,7 +217,7 @@ case class ShingleHashesExpr(child: Expression, k: Int)
       var j = 0
       while (j < m) {
         System.arraycopy(toks, j, window, 0, k)
-        seen.add(hash(UTF8String.concatWs(Sep, window.toIndexedSeq: _*)))
+        seen.add(hash(UTF8String.concatWs(Sep, window: _*)))
         j += 1
       }
       new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
@@ -270,14 +270,14 @@ case class TopNgramShareExpr(child: Expression, n: Int)
       if (c > maxC) maxC = c
     }
     if (num < n) {
-      add(hash(UTF8String.concatWs(Sep, toks.toIndexedSeq: _*)))
+      add(hash(UTF8String.concatWs(Sep, toks: _*)))
     } else {
       val window = new Array[UTF8String](n)
       var j = 0
       val m = num - n + 1
       while (j < m) {
         System.arraycopy(toks, j, window, 0, n)
-        add(hash(UTF8String.concatWs(Sep, window.toIndexedSeq: _*)))
+        add(hash(UTF8String.concatWs(Sep, window: _*)))
         j += 1
       }
     }

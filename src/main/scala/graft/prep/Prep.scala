@@ -31,11 +31,15 @@ object Prep {
   val P: Long = 1000000007L
   val Mult: Long = 2654435761L
 
-  /** Deterministic bucket in [0, buckets) from a non-negative id column.
-    * Salt decorrelates independent draws (split vs subsample) so one bucket
-    * decision never biases another. */
+  /** Deterministic bucket in [0, buckets) from an id column. Salt
+    * decorrelates independent draws (split vs subsample) so one bucket
+    * decision never biases another. For non-negative ids every step is
+    * sign-free and a plain `%` chain reproduces it in any SQL engine; the
+    * final `pmod` additionally keeps NEGATIVE ids (e.g. xxhash64-derived)
+    * in range — Spark's `%` keeps the dividend's sign, and a negative
+    * bucket would silently satisfy every `bucket < rate` filter. */
   def hashBucket(id: Column, buckets: Int, salt: Long = 0L): Column =
-    ((id + lit(salt)) % lit(P)) * lit(Mult) % lit(P) % lit(buckets)
+    pmod(((id + lit(salt)) % lit(P)) * lit(Mult) % lit(P), lit(buckets))
 
   /** Train/valid/test assignment from per-mille cut points
     * (e.g. 800/100 → 80% train, 10% valid, 10% test). */
@@ -97,7 +101,7 @@ object Prep {
     * a verdict.
     *
     * Returns the corpus frame + `n_shared` (distinct shared shingles) +
-    * `contaminated`. Callers must have run `SketchExprs.register`.
+    * `contaminated`. Registers the needed session functions itself.
     */
   def contamination(corpus: DataFrame, bench: DataFrame, idCol: String,
                     textCol: String, shingleK: Int = 5,

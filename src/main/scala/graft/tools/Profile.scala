@@ -25,14 +25,7 @@ object Profile {
         t(spark, sfDir, "documents"), "doc_id", "text", 5, 0.5)),
       "components" -> (() => graft.dedup.ConnectedComponents.components(
         graft.dedup.Dedup.ngramJaccardPairs(t(spark, sfDir, "documents"), "doc_id", "text", 5, 0.5))),
-      "q49" -> (() => {
-        val docs = t(spark, sfDir, "documents")
-        val pairs = graft.dedup.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.5)
-        val comps = graft.dedup.ConnectedComponents.components(pairs)
-        val losers = comps.filter(col("id") =!= col("component")).select(col("id"))
-        docs.join(losers, docs("doc_id") === losers("id"), "left_anti")
-          .select(col("doc_id"), col("lang"), col("source")).orderBy(col("doc_id"))
-      }),
+      "q49" -> (() => graft.SparkEntry.queries("q49_pipeline_dedup_keeplist")(spark, sfDir)),
       "minhash" -> (() => graft.dedup.Dedup.minhashPairs(
         t(spark, sfDir, "documents"), "doc_id", "text", 128, 32, 5, 0.5)),
       "q12_str" -> (() => graft.SparkEntry.queries("q12_str_funcs")(spark, sfDir)),

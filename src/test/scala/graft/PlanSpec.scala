@@ -174,6 +174,10 @@ class PlanSpec extends SparkSpec {
         .head().getInt(0) == 2)
       assert(s2.sql("SELECT graft_top_ngram_share(array('x','y','x','y'), 2) AS s")
         .head().getDouble(0) == 2.0 / 3)
+      assert(s2.sql("SELECT graft_langid('the of and to in is') AS l")
+        .head().getString(0) == "en")
+      assert(s2.sql("SELECT graft_dup_line_stats(concat('a', char(10), 'a')).dup_line_frac AS f")
+        .head().getDouble(0) == 0.5)
     } finally {
       prev.foreach { p => SparkSession.setDefaultSession(p); SparkSession.setActiveSession(p) }
     }

@@ -29,6 +29,13 @@ class PrepSpec extends SparkSpec {
       val expect = (id % Prep.P) * Prep.Mult % Prep.P % 1000
       assert(rows(id.toInt)._1 == expect)
     }
+    // negative ids (e.g. xxhash64-derived) still land in [0, buckets) and
+    // a rate-0 stratum really drops them
+    val neg = Seq(-1L, Long.MinValue, -987654321L).toDF("id")
+    val nb = neg.select(Prep.hashBucket(col("id"), 1000).as("b")).as[Long].collect()
+    assert(nb.forall(b => b >= 0 && b < 1000), nb.toSeq)
+    assert(neg.filter(Prep.stratifiedKeep(col("id"), lit("x"), Map("x" -> 0), 1000))
+      .count() == 0)
   }
 
   test("split covers all rows, respects per-mille cut points roughly") {
