@@ -146,12 +146,16 @@ object Prep {
       .select(col("__bid"), col("__bh.band").as("__band"), col("__bh.bucket").as("__bucket"))
       .distinct()
     val corpusSigs = corpus.select(col(idCol).as("__id"), sig(col(textCol)).as("__sig"))
-    val candidates = corpusSigs
+    // no distinct on candidates: a (corpus, bench) pair surfaces once per
+    // colliding band (≤ `bands` times) and the max-agg is duplicate-proof,
+    // so deduping would only add a shuffle of signature-carrying rows —
+    // recomputing a cheap O(numHashes) estimate per collision is the better
+    // trade, and the corpus-side data now reaches exactly ONE exchange: the
+    // map-side-combined (id, partial max) aggregation.
+    val scored = corpusSigs
       .select(col("__id"), col("__sig"), explode(H.bandHashes(col("__sig"), numHashes, bands)).as("__h"))
       .join(broadcast(benchBands),
         col("__h.band") === col("__band") && col("__h.bucket") === col("__bucket"))
-      .select(col("__id"), col("__sig"), col("__bid")).distinct()
-    val scored = candidates
       .join(broadcast(benchSigs), "__bid")
       .groupBy(col("__id"))
       .agg(max(H.minhashJaccardEstimate(col("__sig"), col("__bsig"))).as("max_sim_est"))

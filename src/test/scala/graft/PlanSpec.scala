@@ -202,6 +202,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"corpus-side sort-merge join:\n${p.take(1500)}")
   }
 
+  test("near-dup decontamination: both bench sides broadcast, no signature shuffle") {
+    val docs = SparkEntry.t(spark, "/root/testdata/sf0.001", "documents")
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val p = planOf(graft.prep.Prep.contaminationNearDup(docs, bench, "doc_id", "text",
+      numHashes = 32, bands = 8, shingleK = 5, threshold = 0.8))
+    // both bench-side joins (band buckets, signatures) broadcast; the
+    // corpus-side max is map-side combined BEFORE its exchange. The final
+    // left-outer id re-attach may plan as sort-merge pre-AQE — that join is
+    // keyed and legitimately shuffles at scale, so it is not asserted on.
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(1200))
+    assert(p.contains("partial_max"), s"no map-side combine before exchange:\n${p.take(1200)}")
+    assert(!p.split("\n").exists(l => l.contains("SortMergeJoin") && l.contains("__bid")),
+      s"bench signature join not broadcast:\n${p.take(1200)}")
+  }
+
   test("chunking is a generator over a narrow map — zero exchanges") {
     val df = graft.prep.Prep.chunk(
       SparkEntry.t(spark, "/root/testdata/sf0.001", "documents"),
