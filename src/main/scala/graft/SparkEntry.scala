@@ -718,6 +718,19 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // single-stream packing via the boundary-carry scale path (no grouped
+    // window): results are partition-count-independent, so a plain global
+    // window is the oracle
+    "qd23_pack_global" -> ((s, d) => {
+      val T = graft.functions.TextFunctions
+      graft.prep.Prep.packGlobal(
+          t(s, d, "documents")
+            .withColumn("n_tokens", T.tokenCount(col("text")).cast("long")),
+          Seq("doc_id"), "n_tokens", budget = 1024L)
+        .select(col("doc_id"), col("n_tokens"), col("seq_id"), col("seq_offset"))
+        .orderBy(col("doc_id"))
+    }),
+
     // near-dup decontamination (MinHash-banded vs broadcast benchmark) —
     // sketch-based, no SQL oracle; rows-only + recall property in PrepSpec
     "qd21_decontaminate_neardup" -> ((s, d) => {
@@ -1368,6 +1381,23 @@ object SparkEntry {
         |FROM d JOIN r ON d.lang = r.lang
         |WHERE ((doc_id + 1) % 1000000007) * 2654435761 % 1000000007 % 1000 < rate
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    // global-pack mirror: one unpartitioned exclusive running sum — what
+    // the Spark side computes distributed via per-partition sums + a
+    // broadcast offset carry
+    "qd23_pack_global" ->
+      """SELECT doc_id, n_tokens, prev // 1024 AS seq_id, prev % 1024 AS seq_offset
+        |FROM (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+        |  FROM (
+        |    SELECT doc_id,
+        |      CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |    FROM documents
+        |  )
+        |)
+        |ORDER BY doc_id""".stripMargin,
 
     // corpus-build flagship mirror: decontaminate (shared-shingle anti
     // filter) -> train-bucket arithmetic -> chunk comprehension -> packing
