@@ -742,6 +742,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // deterministic global training-order shuffle: multiplicative-hash key
+    // + dense global position via range partition + broadcast count carry
+    // (no single-task window); the same permutation on any engine
+    "qd24_shuffle" -> ((s, d) => {
+      graft.prep.Prep.shuffled(t(s, d, "documents"), "doc_id", salt = 7L)
+        .select(col("doc_id"), col("lang"), col("shuffle_key"), col("shuffle_pos"))
+        .orderBy(col("shuffle_pos"))
+    }),
+
+    // unigram-rarity scoring: per-doc OOV share + mean corpus frequency
+    // against the corpus's own floored vocabulary — the integer-exact
+    // stand-in for LM-perplexity quality filtering
+    "qd25_rarity" -> ((s, d) => {
+      val T = graft.functions.TextFunctions
+      val docs = t(s, d, "documents")
+      T.rarityStats(docs, "doc_id", "text", T.vocab(docs, "text", minCount = 50L))
+        .orderBy(col("doc_id"))
+    }),
+
     // SECOND FLAGSHIP pipeline — corpus build: benchmark decontamination →
     // deterministic train split → context-window chunking → sequence
     // packing → per-(lang, sequence) stats. Exercises the prep operators
@@ -1381,6 +1400,40 @@ object SparkEntry {
         |FROM d JOIN r ON d.lang = r.lang
         |WHERE ((doc_id + 1) % 1000000007) * 2654435761 % 1000000007 % 1000 < rate
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    // shuffle mirror: identical exact-int64 multiplicative-hash key, dense
+    // rank from one global row_number (what Spark computes distributed via
+    // per-partition ranks + a broadcast count carry)
+    "qd24_shuffle" ->
+      """SELECT doc_id, lang, shuffle_key,
+        |  CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS shuffle_pos
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    ((doc_id + 7) % 1000000007) * 2654435761 % 1000000007 AS shuffle_key
+        |  FROM documents
+        |)
+        |ORDER BY shuffle_pos""".stripMargin,
+
+    // rarity mirror: same tokenization, same floored vocabulary, exact
+    // integer counts; the only fp ops are the two single final divisions
+    "qd25_rarity" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+        |  FROM documents
+        |),
+        |v AS (
+        |  SELECT token, count(*) AS n FROM toks GROUP BY token HAVING count(*) >= 50
+        |)
+        |SELECT t.doc_id,
+        |  count(*) AS n_tokens,
+        |  count(v.n) AS n_invocab,
+        |  CAST(count(*) - count(v.n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_share,
+        |  CASE WHEN count(v.n) > 0
+        |    THEN CAST(sum(v.n) AS DOUBLE) / CAST(count(v.n) AS DOUBLE) END AS mean_token_freq
+        |FROM toks t LEFT JOIN v ON t.token = v.token
+        |GROUP BY t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     // global-pack mirror: one unpartitioned exclusive running sum — what
     // the Spark side computes distributed via per-partition sums + a

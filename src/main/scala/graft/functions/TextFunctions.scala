@@ -188,6 +188,40 @@ object TextFunctions {
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
 
+  /** Unigram-rarity document statistics against a `(token, n)` vocabulary
+    * (typically [[vocab]] of the same corpus): per document,
+    * `n_tokens` (occurrences), `n_invocab` (occurrences whose token is in
+    * the vocabulary), `oov_share`, and `mean_token_freq` (mean corpus
+    * frequency of in-vocab occurrences; null when none are). The
+    * integer-count proxy for CCNet-style LM perplexity filtering — high
+    * `oov_share` flags gibberish/encoding damage, extreme `mean_token_freq`
+    * flags stopword-soup boilerplate — chosen over log-prob scores so
+    * every number is exact integer arithmetic plus ONE final division,
+    * which any engine reproduces bit-identically (no libm in sight).
+    *
+    * Scale shape: explode → shuffle keyed on token to meet the vocabulary
+    * (broadcast when it is small enough — Catalyst decides from stats) →
+    * map-side-combinable groupBy on doc id. Two exchanges total; nothing
+    * driver-side. Documents with zero tokens yield no row (explode of an
+    * empty list), mirroring SQL unnest semantics.
+    */
+  def rarityStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, vocab: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    toks.join(vocab.select(col("token"), col("n").as("__vn")), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(col("__vn")).as("n_invocab"),
+        sum(col("__vn")).as("__vsum"))
+      .withColumn("oov_share",
+        (col("n_tokens") - col("n_invocab")).cast("double") / col("n_tokens").cast("double"))
+      .withColumn("mean_token_freq",
+        when(col("n_invocab") > 0,
+          col("__vsum").cast("double") / col("n_invocab").cast("double")))
+      .drop("__vsum")
+  }
+
   /** Gopher-style repetition gate: true when the document is NOT
     * repetition-dominated. Thresholds follow the published filter family
     * (dup-line ≤ 0.30, dup-line-chars ≤ 0.20 like Gopher; top-2-gram ≤ 0.20,

@@ -62,6 +62,44 @@ object Prep {
     b < rate
   }
 
+  /** Raw deterministic shuffle key: the [[hashBucket]] arithmetic without
+    * the final bucket fold. For non-negative ids the value lies in [0, P)
+    * and any SQL engine reproduces it with a plain `%`/`*` chain. */
+  def shuffleKey(id: Column, salt: Long = 0L): Column =
+    ((id + lit(salt)) % lit(P)) * lit(Mult) % lit(P)
+
+  /** Deterministic global training-order shuffle: every row gets a
+    * `shuffle_key` (exact-int64 multiplicative hash of its id — the same
+    * permutation on any engine, any cluster size, any retry) and a dense
+    * 0-based `shuffle_pos` rank under (shuffle_key, id) order. Downstream,
+    * `writeShards(..., "shuffle_pos")` materializes the shuffled corpus as
+    * contiguous shards trainers can stream in order.
+    *
+    * Scale shape: one range exchange on the key (sampled boundaries — the
+    * same machinery as a global sort), per-partition ranks in parallel,
+    * then a broadcast ≤P-row count-prefix table lifts local ranks to global
+    * positions. No empty-`partitionBy` window and no driver materialization
+    * — the boundary-carry idiom of [[packGlobal]] with row counts instead
+    * of token sums. */
+  def shuffled(df: DataFrame, idCol: String, salt: Long = 0L): DataFrame = {
+    val keyed = df.withColumn("shuffle_key", shuffleKey(col(idCol), salt).cast("long"))
+    val parted = keyed.repartitionByRange(col("shuffle_key"), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__pid"))
+      .orderBy(col("shuffle_key"), col(idCol))
+    // per-partition row counts -> exclusive prefix offsets (≤P rows: the
+    // only single-task window runs over the partition COUNT, not the data)
+    val prefix = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parted.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(prefix), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    parted
+      .withColumn("__lrn", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn("shuffle_pos", col("__lrn") - lit(1L) + col("__off"))
+      .drop("__pid", "__lrn", "__off")
+  }
+
   /** Per-stratum keep rates (per-mille) that hit target token SHARES within
     * a total token budget — the "mix 40% en / 20% de / …" step of building
     * a training corpus. rate = min(1000, ⌊1000·share·budget / stratumTokens⌋):

@@ -205,6 +205,61 @@ class PrepSpec extends SparkSpec {
     assert(plan.contains("__pid"), plan.take(800))
   }
 
+  test("shuffled: dense 0-based positions, brute-force rank equivalence, no data-path global window") {
+    val got = Prep.shuffled(docs, "doc_id", salt = 7L)
+      .select("doc_id", "shuffle_key", "shuffle_pos")
+      .as[(Long, Long, Long)].collect()
+    // dense rank 0..n-1, exactly once each
+    assert(got.map(_._3).sorted.sameElements(0L until 400L))
+    // brute-force: position = rank under (key, id) with the same arithmetic
+    val expect = got.map { case (id, _, _) =>
+      val k = ((id + 7) % Prep.P) * Prep.Mult % Prep.P
+      (k, id)
+    }.sorted.zipWithIndex.map { case ((_, id), i) => id -> i.toLong }.toMap
+    got.foreach { case (id, k, pos) =>
+      assert(k == ((id + 7) % Prep.P) * Prep.Mult % Prep.P)
+      assert(pos == expect(id), s"doc $id")
+    }
+    // a different salt is a different permutation
+    val other = Prep.shuffled(docs, "doc_id", salt = 8L)
+      .select("doc_id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    assert(got.exists { case (id, _, pos) => other(id) != pos })
+    // partition-count independence: same positions on a 7-partition input
+    val re = Prep.shuffled(docs.repartition(7), "doc_id", salt = 7L)
+      .select("doc_id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    assert(got.forall { case (id, _, pos) => re(id) == pos })
+    // the data-path window partitions on __pid; only the <=P-row count
+    // table sees an unpartitioned window
+    val plan = Prep.shuffled(docs, "doc_id").queryExecution.executedPlan.toString
+    assert(plan.contains("__pid"), plan.take(800))
+  }
+
+  test("rarityStats: counts vs brute force; OOV and in-vocab split; zero-token doc drops") {
+    import graft.functions.{TextFunctions => TF}
+    // vocabulary floor 10 on the synthetic corpus -> a mix of in/out tokens
+    val v = TF.vocab(docs, "text", minCount = 10L)
+    val vMap = v.as[(String, Long)].collect().toMap
+    val got = TF.rarityStats(docs, "doc_id", "text", v)
+      .select("doc_id", "n_tokens", "n_invocab", "oov_share", "mean_token_freq")
+      .as[(Long, Long, Long, Double, Option[Double])].collect().map(r => r._1 -> r).toMap
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(got.size == 400)
+    texts.foreach { case (id, text) =>
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      val in = toks.flatMap(vMap.get)
+      val (n, ni) = (toks.length.toLong, in.length.toLong)
+      val (gn, gni, oov, mtf) = (got(id)._2, got(id)._3, got(id)._4, got(id)._5)
+      assert(gn == n && gni == ni, s"doc $id")
+      assert(oov == (n - ni).toDouble / n.toDouble, s"doc $id oov")
+      if (ni > 0) assert(mtf.contains(in.sum.toDouble / ni.toDouble), s"doc $id mtf")
+      else assert(mtf.isEmpty, s"doc $id mtf should be null")
+    }
+    // a zero-token document yields no row (unnest semantics)
+    val withEmpty = docs.union(Seq((9999L, "en", "   ")).toDF("doc_id", "lang", "text"))
+    assert(TF.rarityStats(withEmpty, "doc_id", "text", v)
+      .filter(col("doc_id") === 9999L).count() == 0)
+  }
+
   test("writeShards: disjoint contiguous ranges per file, lossless round-trip") {
     val packed = Prep.pack(docs, "lang", "doc_id", "text", budget = 50L)
       .select("doc_id", "lang", "n_tokens", "seq_id")
