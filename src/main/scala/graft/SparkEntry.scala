@@ -761,6 +761,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // shuffled packing (operator interaction): documents packed into
+    // training sequences in deterministic-shuffle order — the order a real
+    // corpus build packs in. One range exchange on the hash key; the packer
+    // never sees a single-task window
+    "qd26_shuffle_pack" -> ((s, d) => {
+      val T = graft.functions.TextFunctions
+      val docs = t(s, d, "documents")
+        .withColumn("n_tokens", T.tokenCount(col("text")).cast("long"))
+        .withColumn("shuffle_key", graft.prep.Prep.shuffleKey(col("doc_id"), 7L))
+      graft.prep.Prep.packGlobal(docs, Seq("shuffle_key", "doc_id"), "n_tokens",
+          budget = 1024L)
+        .select(col("doc_id"), col("shuffle_key"), col("n_tokens"),
+          col("seq_id"), col("seq_offset"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // deterministic up-sampling (epoch repetition): zh×3, en×2, others
+    // dropped — the up-weighting half of a data mix; narrow generator,
+    // exact row multiset on any engine
+    "qd27_upsample" -> ((s, d) => {
+      graft.prep.Prep.upsample(t(s, d, "documents"), col("lang"),
+          Map("zh" -> 3, "en" -> 2), defaultFactor = 0)
+        .select(col("doc_id"), col("lang"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))
+    }),
+
     // SECOND FLAGSHIP pipeline — corpus build: benchmark decontamination →
     // deterministic train split → context-window chunking → sequence
     // packing → per-(lang, sequence) stats. Exercises the prep operators
@@ -1434,6 +1460,38 @@ object SparkEntry {
         |FROM toks t LEFT JOIN v ON t.token = v.token
         |GROUP BY t.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+
+    // shuffle-pack mirror: one unpartitioned exclusive running sum in
+    // hash-key order (Spark computes it distributed via per-partition sums
+    // + a broadcast offset carry over the range partitioning)
+    "qd26_shuffle_pack" ->
+      """SELECT doc_id, shuffle_key, n_tokens,
+        |  prev // 1024 AS seq_id, prev % 1024 AS seq_offset
+        |FROM (
+        |  SELECT doc_id, shuffle_key, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY shuffle_key, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+        |  FROM (
+        |    SELECT doc_id,
+        |      ((doc_id + 7) % 1000000007) * 2654435761 % 1000000007 AS shuffle_key,
+        |      CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |    FROM documents
+        |  )
+        |)
+        |ORDER BY doc_id""".stripMargin,
+
+    // upsample mirror: per-lang repeat factors via generate_series; factor-0
+    // strata produce no rows
+    "qd27_upsample" ->
+      """SELECT doc_id, lang, CAST(epoch AS INTEGER) AS epoch
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    unnest(range(1, 1 + (CASE lang WHEN 'zh' THEN 3
+        |                                   WHEN 'en' THEN 2
+        |                                   ELSE 0 END))) AS epoch
+        |  FROM documents
+        |)
+        |ORDER BY doc_id, epoch""".stripMargin,
 
     // global-pack mirror: one unpartitioned exclusive running sum — what
     // the Spark side computes distributed via per-partition sums + a

@@ -100,6 +100,29 @@ object Prep {
       .drop("__pid", "__lrn", "__off")
   }
 
+  /** Deterministic per-stratum up-sampling (epoch repetition): each row is
+    * repeated `factors(stratum)` times (default `defaultFactor`), tagged
+    * with a 1-based `epoch` column — the up-weighting half of a data mix
+    * ([[stratifiedKeep]]/[[mixtureRatesPm]] are the down-weighting half;
+    * a stratum smaller than its target share repeats instead of dropping).
+    * A factor of 0 drops the stratum entirely.
+    *
+    * Pure narrow generator (explode of a per-row integer sequence): no
+    * shuffle, streams at scan speed, deterministic row multiset on any
+    * engine. Downstream [[shuffled]] on a (id, epoch)-derived key spreads
+    * the copies through the training order. */
+  def upsample(df: DataFrame, stratum: Column, factors: Map[String, Int],
+               defaultFactor: Int = 1): DataFrame = {
+    require(factors.values.forall(_ >= 0) && defaultFactor >= 0,
+      "upsample factors must be >= 0")
+    val k = factors.foldLeft(lit(defaultFactor)) { case (acc, (s, f)) =>
+      when(stratum === s, lit(f)).otherwise(acc)
+    }
+    // guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty — a
+    // 0-factor stratum must produce no rows (explode of NULL emits nothing)
+    df.withColumn("epoch", explode(when(k >= 1, sequence(lit(1), k))))
+  }
+
   /** Per-stratum keep rates (per-mille) that hit target token SHARES within
     * a total token budget — the "mix 40% en / 20% de / …" step of building
     * a training corpus. rate = min(1000, ⌊1000·share·budget / stratumTokens⌋):

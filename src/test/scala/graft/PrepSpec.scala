@@ -260,6 +260,27 @@ class PrepSpec extends SparkSpec {
       .filter(col("doc_id") === 9999L).count() == 0)
   }
 
+  test("upsample: per-stratum repeat factors, 1-based epochs, factor 0 drops") {
+    val up = Prep.upsample(docs, col("lang"), Map("en" -> 3), defaultFactor = 1)
+    val en = docs.filter(col("lang") === "en").count()
+    val zh = docs.filter(col("lang") === "zh").count()
+    assert(up.count() == en * 3 + zh)
+    // every en doc appears with epochs exactly 1,2,3
+    val eps = up.filter(col("lang") === "en").groupBy("doc_id")
+      .agg(sort_array(collect_list(col("epoch"))).as("e"))
+      .select("e").as[Seq[Int]].collect()
+    assert(eps.nonEmpty && eps.forall(_ == Seq(1, 2, 3)))
+    // factor 0 drops the stratum; Spark's descending sequence(1,0) trap
+    // must not leak epoch-0 rows
+    val dropped = Prep.upsample(docs, col("lang"), Map("zh" -> 0), defaultFactor = 2)
+    assert(dropped.filter(col("lang") === "zh").count() == 0)
+    assert(dropped.filter(col("epoch") === 0).count() == 0)
+    assert(dropped.count() == en * 2)
+    // narrow: no exchange in the plan
+    val plan = up.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(500))
+  }
+
   test("writeShards: disjoint contiguous ranges per file, lossless round-trip") {
     val packed = Prep.pack(docs, "lang", "doc_id", "text", budget = 50L)
       .select("doc_id", "lang", "n_tokens", "seq_id")
