@@ -32,6 +32,7 @@ import org.apache.spark.sql.types.DataType
   *  - `graft_cast_ansi(x, 'type')`   — strict cast, ANSI pinned on the node
   *  - `graft_replace_tz(ts, tz, ambiguous, non_existent)` — DST-policy
   *    wall-time reinterpretation
+  *  - `graft_deflate_ratio(text)`    — deflate/raw compression-ratio signal
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -86,5 +87,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_replace_tz(ts, tz, ambiguous, non_existent) - wall-time reinterpretation with DST policies"),
       (exprs: Seq[Expression]) => plans.ReplaceTimeZoneExpr(exprs(0),
         exprs(1).eval().toString, exprs(2).eval().toString, exprs(3).eval().toString)))
+
+    ext.injectFunction((FunctionIdentifier("graft_deflate_ratio"),
+      info("graft_deflate_ratio", "graft_deflate_ratio(text) - deflate/raw byte-count compression ratio"),
+      (exprs: Seq[Expression]) => plans.DeflateRatioExpr(exprs(0))))
   }
 }

@@ -787,6 +787,43 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("epoch"))
     }),
 
+    // cross-document span dedup (C4-style duplicate-span removal on fixed
+    // 20-word windows): every distinct span survives once corpus-wide,
+    // documents reassembled from their surviving spans
+    "qd28_span_dedup" -> ((s, d) => {
+      graft.dedup.Dedup.spanDedupGlobal(
+          t(s, d, "documents").select(col("doc_id"), col("lang"), col("text")),
+          "doc_id", "text", spanWords = 20)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // semantic dedup (SemDeDup): k-means cells over embeddings, drop all but
+    // the min id of every within-cell cosine>=0.3 group (the synthetic
+    // embeddings are near-orthogonal, so 0.3 plays the role 0.9+ plays for
+    // real encoders — same dial as qd09). k-means output has no SQL oracle;
+    // CorpusCleanSpec pins exact-dup recall, precision, and determinism
+    "qd29_semantic_dedup" -> ((s, d) => {
+      graft.dedup.Dedup.semanticDedup(t(s, d, "embeddings"),
+          "vec_id", "embedding", nlist = 8, threshold = 0.3, lloydIters = 2)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // compression-ratio quality signal: deflate/raw byte ratio per document
+    // + the quality gate it feeds. DuckDB has no deflate — CompressSpec pins
+    // the value against java.util.zip directly
+    "qd30_compress_ratio" -> ((s, d) => {
+      graft.plans.DeflateRatioExpr.register(s)
+      val T = graft.functions.TextFunctions
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          T.compressionRatio(col("text")).as("compress_ratio"),
+          T.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("keep", col("compress_ratio").between(0.25, 1.1))
+        .orderBy(col("doc_id"))
+    }),
+
     // SECOND FLAGSHIP pipeline — corpus build: benchmark decontamination →
     // deterministic train split → context-window chunking → sequence
     // packing → per-(lang, sequence) stats. Exercises the prep operators
@@ -1492,6 +1529,36 @@ object SparkEntry {
         |  FROM documents
         |)
         |ORDER BY doc_id, epoch""".stripMargin,
+
+    // span-dedup mirror: same tokenization (\s+, empties dropped), same
+    // 20-word non-overlapping windows, keep-first by (doc_id, pos) as a
+    // row_number window (the Spark side's groupBy-min is the same winner),
+    // documents reassembled with single-space joins
+    "qd28_span_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id,
+        |    unnest([list_aggregate(w[i*20+1:i*20+20], 'string_agg', ' ')
+        |            FOR i IN range(CAST(ceil(len(w) / 20.0) AS BIGINT))]) AS span,
+        |    unnest(range(CAST(ceil(len(w) / 20.0) AS BIGINT))) AS pos
+        |  FROM t
+        |),
+        |r AS (
+        |  SELECT doc_id, pos, span,
+        |    row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+        |  FROM c
+        |),
+        |k AS (
+        |  SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS text
+        |  FROM r WHERE rn = 1 GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, d.lang, coalesce(k.text, '') AS text
+        |FROM documents d LEFT JOIN k USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // global-pack mirror: one unpartitioned exclusive running sum — what
     // the Spark side computes distributed via per-partition sums + a

@@ -197,6 +197,72 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Cross-document span dedup (C4-style duplicate-span removal, adapted to
+    * fixed word windows): every document is cut into non-overlapping
+    * `spanWords`-token spans, each distinct span text is kept exactly once
+    * across the WHOLE corpus (first occurrence in (id, position) order —
+    * deterministic), and documents are reassembled from their surviving
+    * spans. Documents reduced to nothing come back as empty text, never
+    * dropped — span dedup is a cleaning step, not a row filter.
+    *
+    * Scale shape: the global keep-first decision is a hash groupBy on the
+    * span (map-side combine collapses hot boilerplate spans BEFORE the
+    * shuffle — the reason this is a groupBy-min and not a window over the
+    * span), the winner join matches each exploded span to exactly one
+    * winner row (no fanout), and reassembly shuffles on document id.
+    * Whitespace inside spans is normalized to single spaces by
+    * tokenization, as the reassembled text is joined with " ". */
+  def spanDedupGlobal(df: DataFrame, idCol: String, textCol: String,
+                      spanWords: Int = 20): DataFrame = {
+    require(spanWords > 0, s"spanWords must be positive, got $spanWords")
+    val others = df.columns.filter(c => c != idCol && c != textCol)
+    val toks = T.tokens(col(textCol))
+    val nSpans = ceil(size(toks).cast("double") / spanWords).cast("int")
+    val spanArr = when(size(toks) > lit(0),
+        transform(sequence(lit(0), nSpans - lit(1)),
+          i => array_join(slice(toks, i * spanWords + lit(1), lit(spanWords)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val spans = df.select(col(idCol).as("__id"),
+        posexplode(spanArr).as(Seq("__pos", "__span")))
+    val winners = spans
+      .groupBy(col("__span"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__w"))
+      .select(col("__span"), col("__w.__id").as("__wid"), col("__w.__pos").as("__wpos"))
+    val kept = spans.join(winners, "__span")
+      .filter(col("__id") === col("__wid") && col("__pos") === col("__wpos"))
+      .groupBy(col("__id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__span")))),
+          s => s.getField("__span")), " ").as("__text"))
+    df.drop(textCol)
+      .join(kept, df(idCol) === kept("__id"), "left")
+      .select(col(idCol) +: others.map(col) :+
+        coalesce(col("__text"), lit("")).as(textCol): _*)
+  }
+
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540): cluster
+    * embeddings with k-means, then inside each cluster drop all but one of
+    * every cosine-≥-threshold group (greedy: of each qualifying pair the
+    * larger id is dropped, so each group keeps its minimum id).
+    *
+    * The cluster assignment IS the blocking key: pair work is confined to
+    * cells, the corpus shuffles once on cell id
+    * ([[graft.similarity.Ivf.buildIndex]] — centroids broadcast, Lloyd
+    * refinement optional), and the within-cell self-join is (cell)-keyed so
+    * AQE can split oversized cells. Exact duplicates always share a cell
+    * (identical vectors score identically against every centroid), so
+    * exact-dup recall is 1.0 by construction; near-dup recall degrades only
+    * across cell boundaries — the paper's trade. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    nlist: Int, threshold: Double, lloydIters: Int = 2,
+                    seed: Long = 42L): DataFrame = {
+    val (_, assigned) = graft.similarity.Ivf.buildIndex(
+      df.select(col(idCol), col(vecCol)), nlist, seed, idCol, vecCol, lloydIters)
+    val drops = embeddingCosinePairs(assigned, idCol, vecCol, "cell", threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold within blocks
     * (blockCol keys the self-join shuffle; pass a constant column for a full
     * cross scan — quadratic, only for small corpora or after LSH). */

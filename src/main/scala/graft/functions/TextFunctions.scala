@@ -86,6 +86,13 @@ object TextFunctions {
     (lenScore * lit(0.4)) + (alnum * lit(0.4)) + (stop * lit(0.2))
   }
 
+  /** Compression-ratio quality signal — deflate(text)/utf8(text) byte
+    * ratio via [[graft.plans.DeflateRatioExpr]] (register it or use
+    * [[graft.GraftExtensions]]). Low = degenerate repetition, ~0.6-0.8 =
+    * prose, >1 = incompressible noise. Null for null/empty text. */
+  def compressionRatio(text: Column): Column =
+    call_function("graft_deflate_ratio", text)
+
   /** Normalized text for fingerprinting: lowercase, collapse whitespace,
     * strip non-alphanumerics. */
   def normalized(text: Column): Column =
