@@ -18,6 +18,11 @@ object ConnectedComponents {
   /** pairs: (id_a, id_b) edges. Returns (id, component) with component =
     * min id reachable. Only vertices appearing in pairs are returned.
     *
+    * Graphs whose materialized edge count is ≤ `smallGraphEdges` (and whose
+    * ids are longs) resolve by driver-side union-find on the already-counted
+    * edge list — bounded, explicit, and orders of magnitude cheaper than
+    * shuffle iterations; everything larger takes the distributed loop.
+    *
     * Fault-tolerance at scale: the label plan grows by two joins per
     * iteration, so a late task retry would otherwise recompute the whole
     * chain back to the (possibly expensive — LSH/Jaccard) edge derivation.
@@ -26,7 +31,8 @@ object ConnectedComponents {
     * executor loss; the 100 TB setting), else `localCheckpoint` (truncates
     * lineage in local/test runs). The edge list itself is materialized
     * exactly once up front. */
-  def components(pairs: DataFrame, maxIter: Int = 10, checkpointInterval: Int = 3): DataFrame = {
+  def components(pairs: DataFrame, maxIter: Int = 10, checkpointInterval: Int = 3,
+                 smallGraphEdges: Long = 1L << 22): DataFrame = {
     // Persist the edge list ALREADY HASH-PARTITIONED on the per-iteration
     // join key: the cached partitioning survives into every iteration's
     // join (InMemoryTableScan keeps outputPartitioning), so the edge-sized
@@ -36,7 +42,43 @@ object ConnectedComponents {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    edges.count() // force ONE evaluation of the upstream pair computation
+    val edgeCount = edges.count() // force ONE evaluation of the upstream pair computation
+
+    // Small-graph fast path — same philosophy as Spark's broadcast-join
+    // threshold: the edge count is already known (the forced count above),
+    // and below the threshold (default 4M directed edges ≈ 64 MB of ids)
+    // driver-side union-find replaces 2–4 full shuffle/codegen iteration
+    // rounds with one collect + one parallelize. Near-dup graphs are tiny
+    // relative to their corpora (edges ∝ duplicates found, not corpus
+    // size), so in practice even 100 TB corpora often land here; graphs
+    // over the threshold take the iterative distributed loop below, which
+    // is the unbounded-scale path. Pass smallGraphEdges = 0 to force it.
+    val longIds = edges.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
+    if (edgeCount <= smallGraphEdges && longIds) {
+      val spark = edges.sparkSession
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) { parent.put(r, parent.get(parent.get(r))); r = parent.get(r) }
+        r
+      }
+      for (row <- edges.collect()) {
+        val a = row.getLong(0); val b = row.getLong(1)
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val ra = find(a); val rb = find(b)
+        // union by MIN id so every tree's root is its component's minimum —
+        // the same representative the distributed min-label loop converges to
+        if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+      }
+      edges.unpersist()
+      val rows = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size())
+      val keys = parent.keySet().iterator()
+      while (keys.hasNext) { val k = keys.next(); rows += ((k, find(k))) }
+      import spark.implicits._
+      return rows.toSeq.toDF("id", "component")
+    }
 
     val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
     def truncate(df: DataFrame): DataFrame =

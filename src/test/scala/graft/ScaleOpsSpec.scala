@@ -68,11 +68,26 @@ class ScaleOpsSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 5L, 7L))
   }
 
+  test("components small-graph fast path matches the distributed loop exactly") {
+    // random sparse graph: chains, cliques, singleton-free
+    val rnd = new scala.util.Random(7)
+    val pairs = (1 to 400).map { _ =>
+      val a = rnd.nextInt(300).toLong; val b = rnd.nextInt(300).toLong
+      (math.min(a, b), math.max(a, b) + 1)
+    }.toDF("id_a", "id_b")
+    val fast = graft.dedup.ConnectedComponents.components(pairs)
+      .as[(Long, Long)].collect().toMap
+    val dist = graft.dedup.ConnectedComponents.components(pairs, maxIter = 50,
+        smallGraphEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == dist)
+  }
+
   test("components checkpointing truncates lineage (no edge recompute in final plan)") {
     // a chain needs ~length iterations (labels travel one hop per pass)
     val pairs = (0L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val comp = graft.dedup.ConnectedComponents.components(pairs, maxIter = 12,
-      checkpointInterval = 2)
+      checkpointInterval = 2, smallGraphEdges = 0)
     assert(comp.as[(Long, Long)].collect().forall(_._2 == 0L))
     // after a checkpoint the label plan must bottom out in a materialized
     // RDD scan, not the per-iteration join chain back to `pairs`
