@@ -33,6 +33,20 @@ object Profile {
       "q51" -> (() => graft.SparkEntry.queries("q51_pipeline_data_prep")(spark, sfDir)),
       "q45_roll" -> (() => graft.SparkEntry.queries("q45_rolling_global_rows")(spark, sfDir)),
       "q41_asof" -> (() => graft.SparkEntry.queries("q41_asof_unkeyed")(spark, sfDir)),
+      "qd23_pack" -> (() => graft.SparkEntry.queries("qd23_pack_global")(spark, sfDir)),
+      "qd23_nosort" -> (() => {
+        val T = graft.functions.TextFunctions
+        graft.prep.Prep.packGlobal(
+          t(spark, sfDir, "documents")
+            .withColumn("n_tokens", T.tokenCount(col("text")).cast("long")),
+          Seq("doc_id"), "n_tokens", budget = 1024L)
+      }),
+      "qd23_tokcount" -> (() =>
+        t(spark, sfDir, "documents").select(
+          graft.functions.TextFunctions.tokenCount(col("text")).as("n"))),
+      "qd18" -> (() => graft.SparkEntry.queries("qd18_decontaminate")(spark, sfDir)),
+      "qs03" -> (() => graft.SparkEntry.queries("qs03_ann_ivf")(spark, sfDir)),
+      "qd16" -> (() => graft.SparkEntry.queries("qd16_jaccard_prefix")(spark, sfDir)),
     ).filter { case (n, _) => names.isEmpty || names.contains(n) }
 
     for ((name, mk) <- pipelines; r <- 1 to reps) {
