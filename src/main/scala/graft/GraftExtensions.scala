@@ -33,6 +33,7 @@ import org.apache.spark.sql.types.DataType
   *  - `graft_replace_tz(ts, tz, ambiguous, non_existent)` — DST-policy
   *    wall-time reinterpretation
   *  - `graft_deflate_ratio(text)`    — deflate/raw compression-ratio signal
+  *  - `graft_pq_encode/lut/adc(...)` — product-quantization ANN kernels
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -91,5 +92,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_deflate_ratio"),
       info("graft_deflate_ratio", "graft_deflate_ratio(text) - deflate/raw byte-count compression ratio"),
       (exprs: Seq[Expression]) => plans.DeflateRatioExpr(exprs(0))))
+
+    def intArg(e: Expression): Int = e.eval().asInstanceOf[Int]
+    def floatsArg(e: Expression): Array[Float] = {
+      val arr = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      Array.tabulate(arr.numElements())(arr.getFloat)
+    }
+    ext.injectFunction((FunctionIdentifier("graft_pq_encode"),
+      info("graft_pq_encode", "graft_pq_encode(vec, codebook, m, ksub) - PQ sub-codes (argmin-L2)"),
+      (exprs: Seq[Expression]) => plans.PqEncodeExpr(exprs(0), floatsArg(exprs(1)),
+        intArg(exprs(2)), intArg(exprs(3)))))
+    ext.injectFunction((FunctionIdentifier("graft_pq_lut"),
+      info("graft_pq_lut", "graft_pq_lut(vec, codebook, m, ksub) - per-query ADC lookup table"),
+      (exprs: Seq[Expression]) => plans.PqLutExpr(exprs(0), floatsArg(exprs(1)),
+        intArg(exprs(2)), intArg(exprs(3)))))
+    ext.injectFunction((FunctionIdentifier("graft_pq_adc"),
+      info("graft_pq_adc", "graft_pq_adc(codes, lut, ksub) - asymmetric-distance score"),
+      (exprs: Seq[Expression]) => plans.PqAdcExpr(exprs(0), exprs(1), intArg(exprs(2)))))
   }
 }

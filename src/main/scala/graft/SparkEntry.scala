@@ -859,6 +859,19 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // product-quantization ANN: train codebook on a bounded sample, encode
+    // the corpus to 16-byte codes (narrow map), ADC scan + exact rescore of
+    // the top pool — the memory-bounded 100 TB search path. Approximate by
+    // construction; PqSpec pins recall, reconstruction, and determinism
+    "qs04_ann_pq" -> ((s, d) => {
+      val P = graft.similarity.Pq
+      val e = t(s, d, "embeddings")
+      val cb = P.train(e, dim = 64, m = 16, ksub = 16, sampleN = 1000)
+      P.searchAdc(P.encode(e, cb, m = 16, ksub = 16), cb,
+          e.filter(col("vec_id") < 10), k = 5, m = 16, ksub = 16, rescore = 100)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // similarity search: exact brute-force cosine top-5 for 10 query vectors
     "qs01_cosine_topk" -> ((s, d) => {
       val e = t(s, d, "embeddings")

@@ -64,7 +64,7 @@ object Ivf {
 
   /** Attach each row's top-`p` nearest cells (p=1 for corpus assignment,
     * p=nprobe for queries). */
-  private def assignCells(df: DataFrame, centroids: DataFrame, p: Int,
+  private[similarity] def assignCells(df: DataFrame, centroids: DataFrame, p: Int,
                           idCol: String, vecCol: String): DataFrame = {
     val scored = df.crossJoin(broadcast(centroids))
       .withColumn("__csim", call_function("graft_cosine", col(vecCol), col("__centroid")))
