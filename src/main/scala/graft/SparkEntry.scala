@@ -849,6 +849,24 @@ object SparkEntry {
         .orderBy(col("lang"), col("seq_id"))
     }),
 
+    // THIRD FLAGSHIP pipeline — C4-style cleaning: cross-document span
+    // dedup → token-count floor → global sequence packing. Exercises the
+    // round-4 span dedup INSIDE a chain (its reassembled text feeds the
+    // tokenizer of the packer) where qd28 tests it in isolation
+    "q53_pipeline_clean_pack" -> ((s, d) => {
+      val T = graft.functions.TextFunctions
+      val deduped = graft.dedup.Dedup.spanDedupGlobal(
+        t(s, d, "documents").select(col("doc_id"), col("lang"), col("text")),
+        "doc_id", "text", spanWords = 20)
+      val filtered = deduped
+        .withColumn("n_tokens", T.tokenCount(col("text")).cast("long"))
+        .filter(col("n_tokens") >= 10)
+      graft.prep.Prep.packGlobal(filtered, Seq("doc_id"), "n_tokens", budget = 512L)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("seq_id"), col("seq_offset"))
+        .orderBy(col("doc_id"))
+    }),
+
     // IVF-flat ANN: Voronoi cells around sampled centroids, nprobe search —
     // approximate, rows-only (recall asserted vs exact in ScalaTest)
     "qs03_ann_ivf" -> ((s, d) => {
@@ -1572,6 +1590,48 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang, coalesce(k.text, '') AS text
         |FROM documents d LEFT JOIN k USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // clean→filter→pack flagship mirror: qd28's span-dedup CTEs feed a
+    // token floor and the global-pack exclusive running sum
+    "q53_pipeline_clean_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id,
+        |    unnest([list_aggregate(w[i*20+1:i*20+20], 'string_agg', ' ')
+        |            FOR i IN range(CAST(ceil(len(w) / 20.0) AS BIGINT))]) AS span,
+        |    unnest(range(CAST(ceil(len(w) / 20.0) AS BIGINT))) AS pos
+        |  FROM t
+        |),
+        |r AS (
+        |  SELECT doc_id, pos, span,
+        |    row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+        |  FROM c
+        |),
+        |k AS (
+        |  SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS text
+        |  FROM r WHERE rn = 1 GROUP BY doc_id
+        |),
+        |f AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CAST(len(list_filter(string_split_regex(coalesce(k.text, ''), '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents d LEFT JOIN k USING (doc_id)
+        |),
+        |p AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+        |  FROM f WHERE n_tokens >= 10
+        |)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(floor(prev / 512) AS BIGINT) AS seq_id,
+        |  prev % 512 AS seq_offset
+        |FROM p
+        |ORDER BY doc_id""".stripMargin,
 
     // global-pack mirror: one unpartitioned exclusive running sum — what
     // the Spark side computes distributed via per-partition sums + a
