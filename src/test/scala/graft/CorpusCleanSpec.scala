@@ -125,6 +125,27 @@ class CorpusCleanSpec extends SparkSpec {
     assert(got(0) < 0.05 && got(2) > 0.8)
   }
 
+  test("compression-ratio gate lifts to Structured Streaming unchanged (stateless)") {
+    graft.plans.DeflateRatioExpr.register(spark)
+    import org.apache.spark.sql.types._
+    val T = graft.functions.TextFunctions
+    val base = java.nio.file.Files.createTempDirectory("compress_stream").toString
+    val in = sf("documents").select("doc_id", "text").limit(50)
+    in.write.mode("overwrite").parquet(s"$base/in")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def pipe(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), T.compressionRatio(col("text")).as("r"))
+        .filter(col("r").between(0.25, 1.1))
+    val q = graft.streaming.StreamOps.sinkFileStream(
+      pipe(spark.readStream.schema(schema).parquet(s"$base/in")),
+      "parquet", s"$base/out", s"$base/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(s"$base/out").as[(Long, Double)].collect().toSet
+    val batch = pipe(in).as[(Long, Double)].collect().toSet
+    assert(got == batch && batch.nonEmpty)
+  }
+
   test("deflate ratio null semantics: null and empty text yield null") {
     graft.plans.DeflateRatioExpr.register(spark)
     val df = Seq((1L, ""), (2L, null.asInstanceOf[String]))

@@ -1,0 +1,191 @@
+package graft
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cross-engine differential fuzzing: the same randomly generated query AST
+  * is rendered BOTH as a Spark Column/DataFrame pipeline and as ANSI SQL run
+  * on DuckDB (in-process JDBC) over the same parquet files, and results are
+  * compared row-for-row. One seeded generator, hundreds of plans — the
+  * long-tail operator-combination coverage the hand-written oracle queries
+  * can't enumerate.
+  *
+  * Exactness rules (no tolerance comparisons anywhere):
+  *  - numeric literals are emitted as CAST(x AS DOUBLE) so both engines run
+  *    identical IEEE double arithmetic in identical expression-tree order;
+  *  - aggregate sums go through DECIMAL(18,4) (the data is fixed-decimal,
+  *    so sums are exact and order-independent on both engines);
+  *  - result cells normalize BigDecimal trailing zeros before compare.
+  */
+class DifferentialSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val li: DataFrame = sf("lineitem")
+  private lazy val duck = {
+    val c = DriverManager.getConnection("jdbc:duckdb:")
+    val st = c.createStatement()
+    st.execute(s"CREATE VIEW lineitem AS SELECT * FROM '$sfDir/lineitem.parquet'")
+    st.close()
+    c
+  }
+
+  // ------------------------------------------------------------ query AST
+
+  private sealed trait Num { def spark: Column; def sql: String }
+  private case class NCol(n: String) extends Num {
+    def spark: Column = col(n); def sql: String = n
+  }
+  private case class NLit(v: Double) extends Num {
+    def spark: Column = lit(v)
+    def sql: String = s"CAST($v AS DOUBLE)"
+  }
+  private case class NBin(op: String, a: Num, b: Num) extends Num {
+    def spark: Column = op match {
+      case "+" => a.spark + b.spark
+      case "-" => a.spark - b.spark
+      case "*" => a.spark * b.spark
+    }
+    def sql: String = s"(${a.sql} $op ${b.sql})"
+  }
+
+  private sealed trait Pred { def spark: Column; def sql: String }
+  private case class Cmp(op: String, a: Num, b: Num) extends Pred {
+    def spark: Column = op match {
+      case "<" => a.spark < b.spark
+      case "<=" => a.spark <= b.spark
+      case ">" => a.spark > b.spark
+      case ">=" => a.spark >= b.spark
+      case "=" => a.spark === b.spark
+      case "<>" => a.spark =!= b.spark
+    }
+    def sql: String = s"(${a.sql} ${op} ${b.sql})"
+  }
+  private case class StrEq(c: String, v: String, neg: Boolean) extends Pred {
+    def spark: Column = if (neg) col(c) =!= lit(v) else col(c) === lit(v)
+    def sql: String = s"($c ${if (neg) "<>" else "="} '$v')"
+  }
+  private case class DateBefore(v: String, neg: Boolean) extends Pred {
+    def spark: Column =
+      if (neg) col("l_shipdate") >= lit(java.sql.Timestamp.valueOf(s"$v 00:00:00"))
+      else col("l_shipdate") < lit(java.sql.Timestamp.valueOf(s"$v 00:00:00"))
+    def sql: String = s"(l_shipdate ${if (neg) ">=" else "<"} TIMESTAMP '$v 00:00:00')"
+  }
+  private case class Bool(op: String, a: Pred, b: Pred) extends Pred {
+    def spark: Column = if (op == "AND") a.spark && b.spark else a.spark || b.spark
+    def sql: String = s"(${a.sql} $op ${b.sql})"
+  }
+
+  // ------------------------------------------------------------ generator
+
+  private val numCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private val strVals = Map(
+    "l_returnflag" -> Seq("A", "N", "R"),
+    "l_linestatus" -> Seq("F", "O"))
+
+  private def genNum(r: scala.util.Random, depth: Int): Num =
+    if (depth == 0 || r.nextInt(3) == 0) {
+      if (r.nextBoolean()) NCol(numCols(r.nextInt(numCols.length)))
+      // fixed-decimal-ish constants keep comparisons discriminating
+      else NLit(math.round(r.nextDouble() * 5000) / 100.0)
+    } else NBin(Seq("+", "-", "*")(r.nextInt(3)), genNum(r, depth - 1), genNum(r, depth - 1))
+
+  private def genPred(r: scala.util.Random, depth: Int): Pred = r.nextInt(5) match {
+    case 0 if depth > 0 =>
+      Bool(if (r.nextBoolean()) "AND" else "OR", genPred(r, depth - 1), genPred(r, depth - 1))
+    case 1 =>
+      val c = strVals.keys.toSeq(r.nextInt(2))
+      StrEq(c, strVals(c)(r.nextInt(strVals(c).length)), r.nextBoolean())
+    case 2 =>
+      DateBefore(f"199${2 + r.nextInt(7)}%s-${1 + r.nextInt(12)}%02d-${1 + r.nextInt(28)}%02d", r.nextBoolean())
+    case _ =>
+      Cmp(Seq("<", "<=", ">", ">=", "=", "<>")(r.nextInt(6)), genNum(r, 1), genNum(r, 1))
+  }
+
+  // ------------------------------------------------------- result compare
+
+  private def norm(v: Any): String = v match {
+    case null => "NULL"
+    case b: java.math.BigDecimal => b.stripTrailingZeros.toPlainString
+    case b: BigDecimal => b.bigDecimal.stripTrailingZeros.toPlainString
+    case d: Double => java.lang.Double.toString(d)
+    case t: java.sql.Timestamp => t.toInstant.toString
+    case x => x.toString
+  }
+
+  private def duckRows(sql: String): Seq[Seq[String]] = {
+    val st = duck.createStatement()
+    try {
+      val rs = st.executeQuery(sql)
+      val n = rs.getMetaData.getColumnCount
+      val out = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+      while (rs.next()) out += (1 to n).map(i => norm(rs.getObject(i)))
+      out.toSeq
+    } finally st.close()
+  }
+
+  private def sparkRows(df: DataFrame): Seq[Seq[String]] =
+    df.collect().toSeq.map(r => r.toSeq.map(norm))
+
+  private def assertSame(df: DataFrame, sql: String): Unit = {
+    val s = sparkRows(df).sortBy(_.mkString("|"))
+    val d = duckRows(sql).sortBy(_.mkString("|"))
+    assert(s.size == d.size, s"row count ${s.size} vs ${d.size} for:\n$sql")
+    for ((a, b) <- s.zip(d))
+      assert(a == b, s"row $a vs $b for:\n$sql")
+  }
+
+  // ----------------------------------------------------------------- fuzz
+
+  test("fuzz: 60 random filter+arithmetic-projection plans match DuckDB") {
+    for (seed <- 0 until 60) {
+      val r = new scala.util.Random(seed)
+      val pred = genPred(r, 2)
+      val proj = genNum(r, 2)
+      val df = li.filter(pred.spark)
+        .select(col("l_orderkey"), col("l_linenumber"), proj.spark.as("x"))
+      val sql =
+        s"SELECT l_orderkey, l_linenumber, ${proj.sql} AS x FROM lineitem WHERE ${pred.sql}"
+      assertSame(df, sql)
+    }
+  }
+
+  test("fuzz: 60 random grouped aggregations match DuckDB") {
+    for (seed <- 100 until 160) {
+      val r = new scala.util.Random(seed)
+      val pred = genPred(r, 1)
+      val keys = Seq("l_returnflag", "l_linestatus").take(1 + r.nextInt(2))
+      val aggCol = numCols(r.nextInt(numCols.length))
+      val df = li.filter(pred.spark).groupBy(keys.map(col): _*)
+        .agg(
+          count(lit(1)).as("n"),
+          min(col(aggCol)).as("mn"),
+          max(col(aggCol)).as("mx"),
+          sum(col(aggCol).cast("decimal(18,4)")).as("s"))
+      val sql =
+        s"""SELECT ${keys.mkString(", ")}, count(*) AS n, min($aggCol) AS mn,
+           |max($aggCol) AS mx, sum(CAST($aggCol AS DECIMAL(18,4))) AS s
+           |FROM lineitem WHERE ${pred.sql} GROUP BY ${keys.mkString(", ")}""".stripMargin
+      assertSame(df, sql)
+    }
+  }
+
+  test("fuzz: 30 random sort+limit plans match DuckDB") {
+    for (seed <- 200 until 230) {
+      val r = new scala.util.Random(seed)
+      val pred = genPred(r, 1)
+      val k = 5 + r.nextInt(20)
+      // total order: sort by every output column so limit is deterministic
+      val df = li.filter(pred.spark)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .limit(k)
+      val sql =
+        s"""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+           |WHERE ${pred.sql}
+           |ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT $k""".stripMargin
+      assertSame(df, sql)
+    }
+  }
+}
