@@ -171,6 +171,74 @@ class DifferentialSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: 40 random join plans (inner/left/semi/anti) match DuckDB") {
+    val st = duck.createStatement()
+    try st.execute(
+      s"CREATE VIEW IF NOT EXISTS orders AS SELECT * FROM '$sfDir/orders.parquet'")
+    finally st.close()
+    val os = sf("orders")
+    for (seed <- 300 until 340) {
+      val r = new scala.util.Random(seed)
+      val pred = genPred(r, 1)
+      val oStatus = Seq("F", "O", "P")(r.nextInt(3))
+      val joinType = Seq("inner", "left", "semi", "anti")(r.nextInt(4))
+      val left = li.filter(pred.spark)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val right = os.filter(col("o_orderstatus") === lit(oStatus))
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val (df, sql) = joinType match {
+        case "semi" | "anti" =>
+          val d = left.join(right, left("l_orderkey") === right("o_orderkey"),
+            if (joinType == "semi") "left_semi" else "left_anti")
+          val ex = if (joinType == "semi") "EXISTS" else "NOT EXISTS"
+          (d, s"""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+                 |WHERE ${pred.sql} AND $ex (SELECT 1 FROM orders
+                 |  WHERE o_orderstatus = '$oStatus' AND o_orderkey = l_orderkey)""".stripMargin)
+        case jt =>
+          val d = left.join(right, left("l_orderkey") === right("o_orderkey"), jt)
+            .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+              col("o_totalprice"))
+          val kw = if (jt == "inner") "JOIN" else "LEFT JOIN"
+          (d, s"""SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice
+                 |FROM (SELECT * FROM lineitem WHERE ${pred.sql}) li
+                 |$kw (SELECT o_orderkey, o_totalprice FROM orders
+                 |  WHERE o_orderstatus = '$oStatus') os ON o_orderkey = l_orderkey""".stripMargin)
+      }
+      assertSame(df, sql)
+    }
+  }
+
+  test("fuzz: 40 random window-function plans match DuckDB") {
+    import org.apache.spark.sql.expressions.Window
+    for (seed <- 400 until 440) {
+      val r = new scala.util.Random(seed)
+      val pred = genPred(r, 1)
+      val pcol = Seq("l_returnflag", "l_linestatus")(r.nextInt(2))
+      val mcol = numCols(r.nextInt(numCols.length))
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so
+      // the measure column joins the ordering: remaining ties are rows
+      // identical in every output column, making the output multiset
+      // deterministic (prefix sums can't see a swap of equal values)
+      val w = Window.partitionBy(col(pcol))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col(mcol))
+      val df = li.filter(pred.spark)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          row_number().over(w).as("rn"),
+          lag(col(mcol), 1).over(w).as("lg"),
+          sum(col(mcol).cast("decimal(18,4)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("rs"))
+      val sql =
+        s"""SELECT l_orderkey, l_linenumber,
+           |  row_number() OVER win AS rn,
+           |  lag($mcol, 1) OVER win AS lg,
+           |  sum(CAST($mcol AS DECIMAL(18,4))) OVER
+           |    (win ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs
+           |FROM lineitem WHERE ${pred.sql}
+           |WINDOW win AS (PARTITION BY $pcol ORDER BY l_orderkey, l_linenumber, $mcol)""".stripMargin
+      assertSame(df, sql)
+    }
+  }
+
   test("fuzz: 30 random sort+limit plans match DuckDB") {
     for (seed <- 200 until 230) {
       val r = new scala.util.Random(seed)
