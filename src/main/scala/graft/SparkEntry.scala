@@ -798,6 +798,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // cross-document LINE dedup (the literal C4 step): spaces become line
+    // breaks so every word is a line — common words >= 4 chars dedup
+    // corpus-wide (first (doc, position) wins), short words always survive
+    "qd31_line_dedup" -> ((s, d) => {
+      graft.dedup.Dedup.lineDedupGlobal(
+          t(s, d, "documents").select(col("doc_id"), col("lang"),
+            translate(col("text"), " ", "\n").as("text")),
+          "doc_id", "text", sep = "\n", minChars = 4)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // semantic dedup (SemDeDup): k-means cells over embeddings, drop all but
     // the min id of every within-cell cosine>=0.3 group (the synthetic
     // embeddings are near-orthogonal, so 0.3 plays the role 0.9+ plays for
@@ -1589,6 +1601,32 @@ object SparkEntry {
         |)
         |SELECT d.doc_id, d.lang, coalesce(k.text, '') AS text
         |FROM documents d LEFT JOIN k USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // line-dedup mirror: same separator split (empties kept), length-gated
+    // row_number winner, lines below the floor pass unconditionally,
+    // separator-joined reassembly
+    "qd31_line_dedup" ->
+      """WITH src AS (
+        |  SELECT doc_id, lang, replace(text, ' ', chr(10)) AS text FROM documents
+        |),
+        |s AS (SELECT doc_id, lang, string_split(text, chr(10)) AS ls FROM src),
+        |l AS (
+        |  SELECT doc_id, unnest(ls) AS line, unnest(range(len(ls))) AS pos FROM s
+        |),
+        |r AS (
+        |  SELECT doc_id, pos, line,
+        |    CASE WHEN length(line) >= 4
+        |         THEN row_number() OVER (PARTITION BY line ORDER BY doc_id, pos)
+        |         ELSE 1 END AS rn
+        |  FROM l
+        |),
+        |k AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |  FROM r WHERE rn = 1 GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, d.lang, coalesce(k.text, '') AS text
+        |FROM src d LEFT JOIN k USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
     // clean→filter→pack flagship mirror: qd28's span-dedup CTEs feed a

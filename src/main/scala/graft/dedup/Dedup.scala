@@ -215,25 +215,56 @@ object Dedup {
   def spanDedupGlobal(df: DataFrame, idCol: String, textCol: String,
                       spanWords: Int = 20): DataFrame = {
     require(spanWords > 0, s"spanWords must be positive, got $spanWords")
-    val others = df.columns.filter(c => c != idCol && c != textCol)
     val toks = T.tokens(col(textCol))
     val nSpans = ceil(size(toks).cast("double") / spanWords).cast("int")
     val spanArr = when(size(toks) > lit(0),
         transform(sequence(lit(0), nSpans - lit(1)),
           i => array_join(slice(toks, i * spanWords + lit(1), lit(spanWords)), " ")))
       .otherwise(array().cast("array<string>"))
-    val spans = df.select(col(idCol).as("__id"),
-        posexplode(spanArr).as(Seq("__pos", "__span")))
-    val winners = spans
-      .groupBy(col("__span"))
+    keepFirstUnits(df, idCol, textCol, spanArr, lit(true), " ")
+  }
+
+  /** Cross-document LINE dedup — the literal C4 step: split on a separator
+    * (paragraph/sentence/line), keep each distinct line of at least
+    * `minChars` characters once corpus-wide (first (id, position) wins),
+    * lines below the floor always survive (bullet points, headers, and
+    * blank lines are not boilerplate evidence). Same keep-first machinery,
+    * null semantics, and scale shape as [[spanDedupGlobal]]. */
+  def lineDedupGlobal(df: DataFrame, idCol: String, textCol: String,
+                      sep: String = "\n", minChars: Int = 0): DataFrame = {
+    require(sep.nonEmpty, "sep must be non-empty")
+    val lines = split(col(textCol), java.util.regex.Pattern.quote(sep), -1)
+    keepFirstUnits(df, idCol, textCol, lines, length(col("__unit")) >= minChars, sep)
+  }
+
+  /** Shared keep-first core: explode `unitsArr` with positions, elect one
+    * global winner per distinct unit value among rows satisfying
+    * `subject` (a predicate over `__unit`; non-subject units always
+    * survive), reassemble per document with `joinSep`. The winner election
+    * is a groupBy-min — map-side combine collapses hot boilerplate units
+    * BEFORE the shuffle (the reason this is not a window over the unit) —
+    * the winner join matches each unit to exactly one winner row (no
+    * fanout), and reassembly shuffles on document id. Rows are never
+    * dropped: documents reduced to nothing (and null texts) come back as
+    * empty text. */
+  private def keepFirstUnits(df: DataFrame, idCol: String, textCol: String,
+                             unitsArr: Column, subject: Column,
+                             joinSep: String): DataFrame = {
+    val others = df.columns.filter(c => c != idCol && c != textCol)
+    val units = df.select(col(idCol).as("__id"),
+        posexplode(unitsArr).as(Seq("__pos", "__unit")))
+    val subj = units.filter(subject)
+    val winners = subj
+      .groupBy(col("__unit"))
       .agg(min(struct(col("__id"), col("__pos"))).as("__w"))
-      .select(col("__span"), col("__w.__id").as("__wid"), col("__w.__pos").as("__wpos"))
-    val kept = spans.join(winners, "__span")
-      .filter(col("__id") === col("__wid") && col("__pos") === col("__wpos"))
+      .select(col("__unit"), col("__w.__id").as("__wid"), col("__w.__pos").as("__wpos"))
+    val kept = units.join(winners, Seq("__unit"), "left")
+      .filter(col("__wid").isNull ||
+        (col("__id") === col("__wid") && col("__pos") === col("__wpos")))
       .groupBy(col("__id"))
       .agg(array_join(
-        transform(array_sort(collect_list(struct(col("__pos"), col("__span")))),
-          s => s.getField("__span")), " ").as("__text"))
+        transform(array_sort(collect_list(struct(col("__pos"), col("__unit")))),
+          s => s.getField("__unit")), joinSep).as("__text"))
     df.drop(textCol)
       .join(kept, df(idCol) === kept("__id"), "left")
       .select(col(idCol) +: others.map(col) :+

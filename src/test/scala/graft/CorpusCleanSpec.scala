@@ -52,6 +52,29 @@ class CorpusCleanSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("lineDedupGlobal: length floor protects short lines, subject lines dedup corpus-wide") {
+    val df = Seq(
+      (1L, "a long boilerplate line\nok\nunique one"),
+      (2L, "a long boilerplate line\nok\nsecond doc"),   // loses line 0, keeps short "ok"
+      (3L, "a long boilerplate line")                    // loses everything → ""
+    ).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.lineDedupGlobal(df, "doc_id", "text", minChars = 10)
+      .orderBy("doc_id").select("doc_id", "text").collect()
+    assert(got.toSeq == Seq(
+      Row(1L, "a long boilerplate line\nok\nunique one"),
+      Row(2L, "ok\nsecond doc"),
+      Row(3L, "")))
+  }
+
+  test("lineDedupGlobal: within-doc repeats of a subject line collapse, short repeats survive") {
+    val df = Seq(
+      (1L, "repeated long line here\nxy\nrepeated long line here\nxy")
+    ).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.lineDedupGlobal(df, "doc_id", "text", minChars = 5)
+      .select("text").as[String].head()
+    assert(got == "repeated long line here\nxy\nxy")
+  }
+
   // ------------------------------------------------------- semantic dedup
 
   private def cosine(a: Array[Float], b: Array[Float]): Double = {
