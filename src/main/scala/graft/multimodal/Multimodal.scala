@@ -113,6 +113,57 @@ object Multimodal {
       (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||
       (p(0) == 'B' && p(1) == 'M'))
 
+  /** RIFF/WAVE signature — the format JDK javax.sound ships a reader for. */
+  private def looksLikeWav(p: Array[Byte]): Boolean =
+    p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  /** Real audio decoder — JDK `javax.sound.sampled` (WAV/PCM, zero new
+    * dependencies). Decodes to signed 16-bit PCM and emits
+    * [sampleRate, channels, nFrames, rms, peak, zeroCrossingRate],
+    * zero-padded/truncated to featureDim. Non-WAV payloads fall back to
+    * [[fakeDecode]] (MP3/AAC/OGG codecs are not in the JDK). */
+  def audioDecode(payload: Array[Byte], featureDim: Int): Array[Float] = {
+    if (payload == null) return Array.empty
+    if (!looksLikeWav(payload)) return fakeDecode(payload, featureDim)
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      val pcmFmt = new javax.sound.sampled.AudioFormat(
+        fmt.getSampleRate, 16, fmt.getChannels, true, false) // s16le
+      val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(pcmFmt, ais)
+      val bytes = pcm.readAllBytes()
+      val n = bytes.length / 2
+      var sumSq = 0.0; var peak = 0.0; var zc = 0L; var prev = 0
+      var i = 0
+      while (i < n) {
+        val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+        val x = s / 32768.0
+        sumSq += x * x
+        if (math.abs(x) > peak) peak = math.abs(x)
+        if (i > 0 && ((s < 0) != (prev < 0))) zc += 1
+        prev = s
+        i += 1
+      }
+      val frames = n / math.max(1, fmt.getChannels)
+      val stats = Array(fmt.getSampleRate, fmt.getChannels.toFloat, frames.toFloat,
+        if (n == 0) 0f else math.sqrt(sumSq / n).toFloat, peak.toFloat,
+        if (n <= 1) 0f else (zc.toDouble / (n - 1)).toFloat)
+      Array.tabulate(featureDim)(i => if (i < stats.length) stats(i) else 0f)
+    } catch { case _: Exception => fakeDecode(payload, featureDim) }
+  }
+
+  /** Combined media decoder: real JDK codecs where they exist (images via
+    * ImageIO, WAV audio via javax.sound), deterministic fallback elsewhere.
+    * The default `decodeFn` for [[decodeFeatures]] callers that carry mixed
+    * payload types. */
+  def mediaDecode(payload: Array[Byte], featureDim: Int): Array[Float] =
+    if (payload == null) Array.empty
+    else if (looksLikeImage(payload)) imageDecode(payload, featureDim)
+    else if (looksLikeWav(payload)) audioDecode(payload, featureDim)
+    else fakeDecode(payload, featureDim)
+
   /** Deterministic pseudo-feature fallback for binary that no JDK codec can
     * decode (audio/video/raw): stable hash-derived output keeps those
     * pipelines end-to-end testable. Images take the real [[imageDecode]]

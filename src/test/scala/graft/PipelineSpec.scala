@@ -410,4 +410,36 @@ class PipelineSpec extends SparkSpec {
     // non-image falls back to the deterministic hash stub
     assert(feats(3L) == graft.multimodal.Multimodal.fakeDecode("not an image".getBytes, 8).toSeq)
   }
+
+  test("multimodal: REAL WAV audio decode via javax.sound (sine + silence)") {
+    import javax.sound.sampled._
+    val M = graft.multimodal.Multimodal
+    // 0.1 s of 440 Hz sine at 8 kHz mono s16le, amplitude 0.5
+    def wav(tone: Boolean): Array[Byte] = {
+      val n = 800
+      val pcm = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val x = if (tone) (0.5 * math.sin(2 * math.Pi * 440 * i / 8000.0) * 32767).toInt else 0
+        pcm(2 * i) = (x & 0xff).toByte; pcm(2 * i + 1) = ((x >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val sine = M.audioDecode(wav(tone = true), 8)
+    // [sampleRate, channels, frames, rms, peak, zcr, 0, 0]
+    assert(sine(0) == 8000f && sine(1) == 1f && sine(2) == 800f, sine.toSeq.toString)
+    assert(math.abs(sine(3) - 0.5f / math.sqrt(2).toFloat) < 0.01f, s"rms ${sine(3)}")
+    assert(math.abs(sine(4) - 0.5f) < 0.01f, s"peak ${sine(4)}")
+    // 440 Hz at 8 kHz crosses zero ~2*440 times/s -> zcr ~ 0.11
+    assert(sine(5) > 0.08f && sine(5) < 0.14f, s"zcr ${sine(5)}")
+    val silence = M.audioDecode(wav(tone = false), 8)
+    assert(silence(3) == 0f && silence(4) == 0f && silence(5) == 0f)
+    // mediaDecode routes by magic: WAV -> audio, PNG -> image, other -> stub
+    assert(M.mediaDecode(wav(tone = true), 8).toSeq == sine.toSeq)
+    assert(M.mediaDecode("plain text".getBytes, 8).toSeq ==
+      M.fakeDecode("plain text".getBytes, 8).toSeq)
+  }
 }
