@@ -232,4 +232,32 @@ class PlanSpec extends SparkSpec {
       "lang", "doc_id", "text", budget = 2048L)
     assert("Exchange".r.findAllIn(planOf(df)).size == 1, planOf(df).take(1500))
   }
+
+  test("span dedup: groupBy-min winner election, no window over the unit, no cartesian") {
+    val df = graft.dedup.Dedup.spanDedupGlobal(
+      SparkEntry.t(spark, "/root/testdata/sf0.001", "documents"), "doc_id", "text")
+    val p = planOf(df)
+    // winner election must be an aggregate (map-side combinable on hot
+    // boilerplate spans), never a Window sorted per span value
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p.take(1500))
+    assert(!p.contains("Window"), s"span winner must not be a window:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("PQ ADC search: corpus side never shuffles; query LUTs broadcast") {
+    val e = SparkEntry.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val cb = graft.similarity.Pq.train(e, dim = 64, m = 8, ksub = 16, sampleN = 200)
+    val df = graft.similarity.Pq.searchAdc(
+      graft.similarity.Pq.encode(e, cb, 8, 16), cb,
+      e.filter(col("vec_id") < 5), k = 5, m = 8, ksub = 16)
+    val p = planOf(df)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query side must broadcast:\n${p.take(1500)}")
+    // the only shuffle is the per-query top-k window partitioning — the
+    // encoded corpus itself streams scan -> ADC -> window with no exchange
+    // keyed on corpus data
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).toSeq
+    assert(shuffles.size == 1 && shuffles.head.contains("hashpartitioning"),
+      s"expected exactly the window exchange:\n${p.take(2000)}")
+  }
 }
