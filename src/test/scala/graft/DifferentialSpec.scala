@@ -239,6 +239,44 @@ class DifferentialSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: 40 random string/date-function projections match DuckDB") {
+    val st = duck.createStatement()
+    try st.execute(
+      s"CREATE VIEW IF NOT EXISTS orders AS SELECT * FROM '$sfDir/orders.parquet'")
+    finally st.close()
+    val os = sf("orders")
+    val strCols = Seq("o_orderstatus", "o_orderpriority")
+    for (seed <- 500 until 540) {
+      val r = new scala.util.Random(seed)
+      val sc = strCols(r.nextInt(2))
+      val (strSpark, strSql) = r.nextInt(5) match {
+        case 0 => (upper(col(sc)), s"upper($sc)")
+        case 1 => (lower(col(sc)), s"lower($sc)")
+        case 2 =>
+          val n = 1 + r.nextInt(4)
+          (substring(col(sc), 1, n), s"substring($sc, 1, $n)")
+        case 3 => (concat(col(sc), lit("_"), col("o_orderstatus")),
+          s"$sc || '_' || o_orderstatus")
+        case 4 => (length(col(sc)).cast("long"), s"CAST(length($sc) AS BIGINT)")
+      }
+      val (dtSpark, dtSql) = r.nextInt(4) match {
+        case 0 => (year(col("o_orderdate")).cast("long"), "CAST(year(o_orderdate) AS BIGINT)")
+        case 1 => (month(col("o_orderdate")).cast("long"), "CAST(month(o_orderdate) AS BIGINT)")
+        case 2 => (dayofmonth(col("o_orderdate")).cast("long"), "CAST(day(o_orderdate) AS BIGINT)")
+        // DuckDB's date_trunc('month') yields DATE; Spark's yields TIMESTAMP
+        case 3 => (date_trunc("month", col("o_orderdate")),
+          "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)")
+      }
+      val cutoff = f"199${2 + r.nextInt(7)}%s-${1 + r.nextInt(12)}%02d-01"
+      val df = os.filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf(s"$cutoff 00:00:00")))
+        .select(col("o_orderkey"), strSpark.as("s"), dtSpark.as("d"))
+      val sql =
+        s"""SELECT o_orderkey, $strSql AS s, $dtSql AS d FROM orders
+           |WHERE o_orderdate >= TIMESTAMP '$cutoff 00:00:00'""".stripMargin
+      assertSame(df, sql)
+    }
+  }
+
   test("fuzz: 30 random sort+limit plans match DuckDB") {
     for (seed <- 200 until 230) {
       val r = new scala.util.Random(seed)
