@@ -277,6 +277,35 @@ class DifferentialSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: 40 random null-semantics plans match DuckDB") {
+    // the base data has no nulls, so nulls are INJECTED via NULLIF on an
+    // in-domain constant, then flowed through arithmetic (null-propagating),
+    // COALESCE, IS [NOT] NULL predicates, and null-skipping aggregates
+    for (seed <- 600 until 640) {
+      val r = new scala.util.Random(seed)
+      val c = numCols(r.nextInt(numCols.length))
+      val v = math.round(r.nextDouble() * 8) / 100.0 // discounts/taxes hit often
+      val nulled = when(col(c) === lit(v), lit(null)).otherwise(col(c))
+      val nulledSql = s"nullif($c, CAST($v AS DOUBLE))"
+      val keys = Seq("l_returnflag", "l_linestatus").take(1 + r.nextInt(2))
+      val df = li
+        .select(Seq(col("l_orderkey"), (nulled * lit(2.0)).as("x"),
+          coalesce(nulled, lit(-1.0)).as("y"), nulled.isNull.as("isn")) ++
+          keys.map(col): _*)
+        .groupBy((col("isn") +: keys.map(col)): _*)
+        .agg(count(lit(1)).as("n_rows"), count(col("x")).as("n_x"),
+          min(col("y")).as("mn"),
+          sum(col("x").cast("decimal(18,4)")).as("s"))
+      val sql =
+        s"""SELECT ($nulledSql IS NULL) AS isn, ${keys.mkString(", ")},
+           |  count(*) AS n_rows, count($nulledSql * CAST(2.0 AS DOUBLE)) AS n_x,
+           |  min(coalesce($nulledSql, CAST(-1.0 AS DOUBLE))) AS mn,
+           |  sum(CAST($nulledSql * CAST(2.0 AS DOUBLE) AS DECIMAL(18,4))) AS s
+           |FROM lineitem GROUP BY isn, ${keys.mkString(", ")}""".stripMargin
+      assertSame(df, sql)
+    }
+  }
+
   test("fuzz: 30 random sort+limit plans match DuckDB") {
     for (seed <- 200 until 230) {
       val r = new scala.util.Random(seed)
