@@ -306,6 +306,28 @@ class DifferentialSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: 30 random set-operation plans match DuckDB") {
+    for (seed <- 700 until 730) {
+      val r = new scala.util.Random(seed)
+      val p1 = genPred(r, 1)
+      val p2 = genPred(r, 1)
+      val cols = Seq("l_returnflag", "l_linestatus", "l_quantity")
+      def side(p: Pred) = li.filter(p.spark).select(cols.map(col): _*)
+      def sideSql(p: Pred) = s"SELECT ${cols.mkString(", ")} FROM lineitem WHERE ${p.sql}"
+      val (df, sql) = r.nextInt(4) match {
+        case 0 => (side(p1).union(side(p2)),
+          s"${sideSql(p1)} UNION ALL ${sideSql(p2)}")
+        case 1 => (side(p1).union(side(p2)).distinct(),
+          s"${sideSql(p1)} UNION ${sideSql(p2)}")
+        case 2 => (side(p1).except(side(p2)),
+          s"${sideSql(p1)} EXCEPT ${sideSql(p2)}")
+        case 3 => (side(p1).intersect(side(p2)),
+          s"${sideSql(p1)} INTERSECT ${sideSql(p2)}")
+      }
+      assertSame(df, sql)
+    }
+  }
+
   test("fuzz: 30 random sort+limit plans match DuckDB") {
     for (seed <- 200 until 230) {
       val r = new scala.util.Random(seed)
