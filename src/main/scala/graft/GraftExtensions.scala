@@ -109,5 +109,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_pq_adc"),
       info("graft_pq_adc", "graft_pq_adc(codes, lut, ksub) - asymmetric-distance score"),
       (exprs: Seq[Expression]) => plans.PqAdcExpr(exprs(0), exprs(1), intArg(exprs(2)))))
+
+    ext.injectFunction((FunctionIdentifier("graft_bpe_encode"),
+      info("graft_bpe_encode", "graft_bpe_encode(tokens, merges) - BPE sub-tokens under a trained merge table"),
+      (exprs: Seq[Expression]) => {
+        val arr = exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val merges = (0 until arr.numElements()).map { i =>
+          val p = arr.getArray(i)
+          (p.getUTF8String(0).toString, p.getUTF8String(1).toString)
+        }
+        plans.BpeEncodeExpr(exprs(0), merges)
+      }))
   }
 }

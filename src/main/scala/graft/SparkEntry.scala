@@ -798,6 +798,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // trainable BPE tokenizer (Sennrich ACL'16): merges learned driver-side
+    // on a bounded hash-ranked sample, applied corpus-wide in a narrow map.
+    // Sequential merge learning has no SQL oracle; BpeSpec pins the classic
+    // corpus merges, expression==reference equivalence, and monotonicity
+    "qd32_bpe_tokenize" -> ((s, d) => {
+      graft.plans.BpeExprs.register(s)
+      val B = graft.functions.Bpe
+      val T = graft.functions.TextFunctions
+      val docs = t(s, d, "documents")
+      // the synthetic corpus has a tiny vocabulary — enough merges would
+      // collapse every word to one token; 40 keeps real sub-word splits
+      val merges = B.train(docs, "text", numMerges = 40, sampleN = 200, idCol = "doc_id")
+      docs.select(col("doc_id"),
+          T.tokenCount(col("text")).as("n_words"),
+          B.tokenCount(col("text"), merges).as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // cross-document LINE dedup (the literal C4 step): spaces become line
     // breaks so every word is a line — common words >= 4 chars dedup
     // corpus-wide (first (doc, position) wins), short words always survive

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Trainable BPE: merge learning on the classic corpus, expression ==
+  * reference encoder, unseen-word behavior, compression monotonicity. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+  private val B = graft.functions.Bpe
+
+  private def corpus: org.apache.spark.sql.DataFrame = {
+    // the Sennrich et al. running example word frequencies
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+  }
+
+  test("train learns the classic merges in frequency order") {
+    val merges = B.train(corpus, "text", numMerges = 4)
+    // es (9) -> est (9) -> est</w> (9) -> lo (7)
+    assert(merges.take(4) == Seq(
+      ("e", "s"), ("es", "t"), ("est", B.EndOfWord), ("l", "o")), merges.toString)
+  }
+
+  test("expression encode == reference encoder on random words") {
+    graft.plans.BpeExprs.register(spark)
+    val merges = B.train(sf("documents"), "text", numMerges = 150, sampleN = 100,
+      idCol = "doc_id")
+    val rank = merges.zipWithIndex.toMap
+    val rnd = new scala.util.Random(3)
+    val docs = (0 until 40).map { i =>
+      val words = (0 to rnd.nextInt(8)).map(_ =>
+        (0 to rnd.nextInt(9)).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString)
+      (i.toLong, words.mkString(" "))
+    }
+    val df = docs.toDF("id", "text")
+      .select(col("id"), B.encodeCol(graft.functions.TextFunctions.tokens(col("text")), merges).as("st"))
+    val got = df.as[(Long, Seq[String])].collect().toMap
+    for ((id, text) <- docs) {
+      val expect = text.split("\\s+").filter(_.nonEmpty).toSeq
+        .flatMap(w => B.encodeWord(w, rank))
+      assert(got(id) == expect, s"doc $id: ${got(id)} vs $expect")
+    }
+  }
+
+  test("unseen words fall back to characters plus any applicable merges") {
+    val merges = B.train(corpus, "text", numMerges = 10)
+    val rank = merges.zipWithIndex.toMap
+    val enc = B.encodeWord("lowest", rank) // "lo"+"w" seen, "est</w>" seen
+    assert(enc.last.endsWith(B.EndOfWord))
+    assert(enc.mkString == "lowest" + B.EndOfWord, enc.toString)
+    val zero = B.encodeWord("xyz", Map.empty)
+    assert(zero == Vector("x", "y", "z", B.EndOfWord))
+  }
+
+  test("more merges never increase the sub-token count (compression monotone)") {
+    graft.plans.BpeExprs.register(spark)
+    val docs = sf("documents").limit(50)
+    val m50 = B.train(docs, "text", numMerges = 50, sampleN = 50, idCol = "doc_id")
+    val m200 = B.train(docs, "text", numMerges = 200, sampleN = 50, idCol = "doc_id")
+    assert(m50 == m200.take(m50.length), "merge lists must be prefixes of each other")
+    val counts = docs
+      .select(col("doc_id"), B.tokenCount(col("text"), m50).as("c50"),
+        B.tokenCount(col("text"), m200).as("c200"))
+      .as[(Long, Int, Int)].collect()
+    assert(counts.nonEmpty && counts.forall { case (_, c50, c200) => c200 <= c50 })
+    assert(counts.exists { case (_, c50, c200) => c200 < c50 }, "200 merges had no effect")
+  }
+}
