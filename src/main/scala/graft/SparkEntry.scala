@@ -807,9 +807,10 @@ object SparkEntry {
       val B = graft.functions.Bpe
       val T = graft.functions.TextFunctions
       val docs = t(s, d, "documents")
-      // the synthetic corpus has a tiny vocabulary — enough merges would
+      // distributed word-frequency table (corpus-exact merges); the
+      // synthetic corpus has a tiny vocabulary — enough merges would
       // collapse every word to one token; 40 keeps real sub-word splits
-      val merges = B.train(docs, "text", numMerges = 40, sampleN = 200, idCol = "doc_id")
+      val merges = B.trainCorpus(docs, "text", numMerges = 40)
       docs.select(col("doc_id"),
           T.tokenCount(col("text")).as("n_words"),
           B.tokenCount(col("text"), merges).as("n_bpe_tokens"))

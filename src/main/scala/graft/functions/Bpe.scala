@@ -42,7 +42,28 @@ object Bpe {
     val wordFreq = new scala.collection.mutable.HashMap[String, Long]()
     for (t <- texts; w <- t.split("\\s+") if w.nonEmpty)
       wordFreq.update(w, wordFreq.getOrElse(w, 0L) + 1L)
+    learnMerges(wordFreq.toMap, numMerges)
+  }
 
+  /** Learn merges from the WHOLE corpus — the 100 TB shape: the word
+    * frequency table is built distributed (one explode + map-side-combined
+    * groupBy over the corpus), and only the top-`maxVocab` (frequency,
+    * word)-ranked vocabulary reaches the driver, so driver memory is
+    * bounded by the vocabulary cut, not the corpus. Exact BPE when the
+    * vocabulary fits the cut; merge frequencies are corpus-true either
+    * way, unlike sample-based [[train]]. */
+  def trainCorpus(df: DataFrame, textCol: String, numMerges: Int,
+                  maxVocab: Int = 100000): Seq[(String, String)] = {
+    val wf = df.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(maxVocab)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    learnMerges(wf, numMerges)
+  }
+
+  private def learnMerges(wordFreq: Map[String, Long], numMerges: Int): Seq[(String, String)] = {
     var words: Map[Vector[String], Long] =
       wordFreq.iterator.map { case (w, f) => symbols(w) -> f }.toMap
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()

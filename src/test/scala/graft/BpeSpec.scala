@@ -53,6 +53,19 @@ class BpeSpec extends SparkSpec {
     assert(zero == Vector("x", "y", "z", B.EndOfWord))
   }
 
+  test("trainCorpus (distributed word table) == train (collected sample) on full coverage") {
+    // same corpus, vocab cut above vocabulary size, sample covering all
+    // docs -> identical word-frequency tables -> identical merges
+    val docs = sf("documents")
+    val viaSample = B.train(docs, "text", numMerges = 80, sampleN = 10000)
+    val viaCorpus = B.trainCorpus(docs, "text", numMerges = 80)
+    assert(viaSample == viaCorpus)
+    // the distributed plan: one exchange for the word groupBy + the top-k sort
+    val wf = docs.select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    assert(wf.queryExecution.executedPlan.toString.contains("HashAggregate"))
+  }
+
   test("more merges never increase the sub-token count (compression monotone)") {
     graft.plans.BpeExprs.register(spark)
     val docs = sf("documents").limit(50)
