@@ -306,6 +306,27 @@ class DifferentialSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: 30 random list/explode plans match DuckDB") {
+    for (seed <- 800 until 830) {
+      val r = new scala.util.Random(seed)
+      val pred = genPred(r, 1)
+      val a = numCols(r.nextInt(numCols.length))
+      val b = numCols(r.nextInt(numCols.length))
+      // build a per-row list, transform it, explode it — the array surface
+      val df = li.filter(pred.spark)
+        .select(col("l_orderkey"),
+          explode(array(col(a), col(b), (col(a) + col(b)))).as("v"),
+          size(array(col(a), col(b))).cast("long").as("n"),
+          array_max(array(col(a), col(b))).as("mx"))
+      val sql =
+        s"""SELECT l_orderkey, unnest([$a, $b, $a + $b]) AS v,
+           |  CAST(len([$a, $b]) AS BIGINT) AS n,
+           |  list_max([$a, $b]) AS mx
+           |FROM lineitem WHERE ${pred.sql}""".stripMargin
+      assertSame(df, sql)
+    }
+  }
+
   test("fuzz: 30 random set-operation plans match DuckDB") {
     for (seed <- 700 until 730) {
       val r = new scala.util.Random(seed)
