@@ -93,18 +93,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_deflate_ratio", "graft_deflate_ratio(text) - deflate/raw byte-count compression ratio"),
       (exprs: Seq[Expression]) => plans.DeflateRatioExpr(exprs(0))))
 
+    // literal-argument decoding shared with the register() paths —
+    // plans.PqExprs.floats / plans.BpeExprs.mergesOf are the single source
     def intArg(e: Expression): Int = e.eval().asInstanceOf[Int]
-    def floatsArg(e: Expression): Array[Float] = {
-      val arr = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      Array.tabulate(arr.numElements())(arr.getFloat)
-    }
     ext.injectFunction((FunctionIdentifier("graft_pq_encode"),
       info("graft_pq_encode", "graft_pq_encode(vec, codebook, m, ksub) - PQ sub-codes (argmin-L2)"),
-      (exprs: Seq[Expression]) => plans.PqEncodeExpr(exprs(0), floatsArg(exprs(1)),
+      (exprs: Seq[Expression]) => plans.PqEncodeExpr(exprs(0), plans.PqExprs.floats(exprs(1)),
         intArg(exprs(2)), intArg(exprs(3)))))
     ext.injectFunction((FunctionIdentifier("graft_pq_lut"),
       info("graft_pq_lut", "graft_pq_lut(vec, codebook, m, ksub) - per-query ADC lookup table"),
-      (exprs: Seq[Expression]) => plans.PqLutExpr(exprs(0), floatsArg(exprs(1)),
+      (exprs: Seq[Expression]) => plans.PqLutExpr(exprs(0), plans.PqExprs.floats(exprs(1)),
         intArg(exprs(2)), intArg(exprs(3)))))
     ext.injectFunction((FunctionIdentifier("graft_pq_adc"),
       info("graft_pq_adc", "graft_pq_adc(codes, lut, ksub) - asymmetric-distance score"),
@@ -112,13 +110,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     ext.injectFunction((FunctionIdentifier("graft_bpe_encode"),
       info("graft_bpe_encode", "graft_bpe_encode(tokens, merges) - BPE sub-tokens under a trained merge table"),
-      (exprs: Seq[Expression]) => {
-        val arr = exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-        val merges = (0 until arr.numElements()).map { i =>
-          val p = arr.getArray(i)
-          (p.getUTF8String(0).toString, p.getUTF8String(1).toString)
-        }
-        plans.BpeEncodeExpr(exprs(0), merges)
-      }))
+      (exprs: Seq[Expression]) =>
+        plans.BpeEncodeExpr(exprs(0), plans.BpeExprs.mergesOf(exprs(1)))))
   }
 }

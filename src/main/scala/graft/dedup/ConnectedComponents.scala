@@ -46,13 +46,17 @@ object ConnectedComponents {
 
     // Small-graph fast path — same philosophy as Spark's broadcast-join
     // threshold: the edge count is already known (the forced count above),
-    // and below the threshold (default 4M directed edges ≈ 64 MB of ids)
-    // driver-side union-find replaces 2–4 full shuffle/codegen iteration
-    // rounds with one collect + one parallelize. Near-dup graphs are tiny
-    // relative to their corpora (edges ∝ duplicates found, not corpus
-    // size), so in practice even 100 TB corpora often land here; graphs
-    // over the threshold take the iterative distributed loop below, which
-    // is the unbounded-scale path. Pass smallGraphEdges = 0 to force it.
+    // and below the threshold (default 4M directed edges; collected as
+    // primitive-pair tuples this is a few hundred MB of driver heap at the
+    // limit, comparable to a large broadcast) driver-side union-find
+    // replaces 2–4 full shuffle/codegen iteration rounds. Near-dup graphs
+    // are tiny relative to their corpora (edges ∝ duplicates found, not
+    // corpus size), so in practice even 100 TB corpora often land here;
+    // graphs over the threshold take the iterative distributed loop below,
+    // which is the unbounded-scale path. Pass smallGraphEdges = 0 to force
+    // it. The result goes back through parallelize (an RDD scan), NOT a
+    // LocalRelation — a multi-million-row local plan would be re-serialized
+    // into every downstream task.
     val longIds = edges.schema.fields.forall(_.dataType ==
       org.apache.spark.sql.types.LongType)
     if (edgeCount <= smallGraphEdges && longIds) {
@@ -63,8 +67,12 @@ object ConnectedComponents {
         while (parent.get(r) != r) { parent.put(r, parent.get(parent.get(r))); r = parent.get(r) }
         r
       }
-      for (row <- edges.collect()) {
-        val a = row.getLong(0); val b = row.getLong(1)
+      val it = edges.select(col("src"), col("dst")).as(
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong)).toLocalIterator()
+      while (it.hasNext) {
+        val (a, b) = it.next()
         if (!parent.containsKey(a)) parent.put(a, a)
         if (!parent.containsKey(b)) parent.put(b, b)
         val ra = find(a); val rb = find(b)
@@ -77,7 +85,9 @@ object ConnectedComponents {
       val keys = parent.keySet().iterator()
       while (keys.hasNext) { val k = keys.next(); rows += ((k, find(k))) }
       import spark.implicits._
-      return rows.toSeq.toDF("id", "component")
+      return spark.createDataset(
+        spark.sparkContext.parallelize(rows.toSeq, edges.rdd.getNumPartitions))
+        .toDF("id", "component")
     }
 
     val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined

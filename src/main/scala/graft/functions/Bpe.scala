@@ -26,18 +26,22 @@ object Bpe {
 
   val EndOfWord = "</w>"
 
-  /** Split a word into its initial BPE symbols. */
+  /** Split a word into its initial BPE symbols — by Unicode code point,
+    * not Java char, so surrogate pairs (emoji, rare CJK) stay whole
+    * instead of becoming lone surrogates that UTF-8 cannot represent. */
   def symbols(word: String): Vector[String] =
-    word.toVector.map(_.toString) :+ EndOfWord
+    word.codePoints().toArray.toVector
+      .map(cp => new String(Character.toChars(cp))) :+ EndOfWord
 
   /** Learn up to `numMerges` merges from a deterministic `sampleN`-document
     * sample. Stops early when no adjacent pair occurs twice. */
   def train(df: DataFrame, textCol: String, numMerges: Int,
             sampleN: Int = 2000, idCol: String = null, seed: Long = 42L): Seq[(String, String)] = {
-    val ranked =
-      if (idCol == null) df.select(col(textCol)).limit(sampleN)
-      else df.select(col(textCol), xxhash64(col(idCol), lit(seed)).as("__r"))
-        .orderBy(col("__r")).limit(sampleN).select(col(textCol))
+    // hash-rank for determinism in BOTH paths: a bare limit() would take
+    // whichever partitions materialize first
+    val rankKey = if (idCol == null) col(textCol) else col(idCol)
+    val ranked = df.select(col(textCol), xxhash64(rankKey, lit(seed)).as("__r"))
+      .orderBy(col("__r")).limit(sampleN).select(col(textCol))
     val texts = ranked.collect().map(r => Option(r.getString(0)).getOrElse(""))
     val wordFreq = new scala.collection.mutable.HashMap[String, Long]()
     for (t <- texts; w <- t.split("\\s+") if w.nonEmpty)

@@ -28,6 +28,11 @@ case class DeflateRatioExpr(child: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // empty (non-null) input also yields null, so the output is nullable
+  // even over a non-nullable child — without this the optimizer could
+  // fold isNull checks to false for empty documents
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(s"deflate_ratio expects string, got $other")

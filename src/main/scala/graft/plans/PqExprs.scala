@@ -154,7 +154,7 @@ case class PqAdcExpr(left: Expression, right: Expression, ksub: Int)
 }
 
 object PqExprs {
-  private def floats(e: Expression): Array[Float] = {
+  private[graft] def floats(e: Expression): Array[Float] = {
     val arr = e.eval().asInstanceOf[ArrayData]
     Array.tabulate(arr.numElements())(arr.getFloat)
   }

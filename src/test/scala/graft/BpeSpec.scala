@@ -43,6 +43,17 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("non-BMP characters stay whole code points through the expression") {
+    graft.plans.BpeExprs.register(spark)
+    val pizza = new String(Character.toChars(0x1F355)) // surrogate pair
+    val word = s"a${pizza}b"
+    val got = Seq((1L, word)).toDF("id", "text")
+      .select(B.encodeCol(graft.functions.TextFunctions.tokens(col("text")), Seq.empty).as("st"))
+      .as[Seq[String]].head()
+    assert(got == Seq("a", pizza, "b", B.EndOfWord), got.toString)
+    assert(got.mkString("") == word + B.EndOfWord)
+  }
+
   test("unseen words fall back to characters plus any applicable merges") {
     val merges = B.train(corpus, "text", numMerges = 10)
     val rank = merges.zipWithIndex.toMap
