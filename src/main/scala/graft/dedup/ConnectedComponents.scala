@@ -67,10 +67,17 @@ object ConnectedComponents {
         while (parent.get(r) != r) { parent.put(r, parent.get(parent.get(r))); r = parent.get(r) }
         r
       }
-      val it = edges.select(col("src"), col("dst")).as(
+      val typed = edges.select(col("src"), col("dst")).as(
         org.apache.spark.sql.Encoders.tuple(
           org.apache.spark.sql.Encoders.scalaLong,
-          org.apache.spark.sql.Encoders.scalaLong)).toLocalIterator()
+          org.apache.spark.sql.Encoders.scalaLong))
+      // tiny graphs: one collect job; larger (still under-threshold)
+      // graphs: stream partition-at-a-time so driver heap holds one
+      // partition + the parent map, at the price of a job per partition
+      import scala.jdk.CollectionConverters._
+      val it: Iterator[(Long, Long)] =
+        if (edgeCount <= (1L << 20)) typed.collect().iterator
+        else typed.toLocalIterator().asScala
       while (it.hasNext) {
         val (a, b) = it.next()
         if (!parent.containsKey(a)) parent.put(a, a)
