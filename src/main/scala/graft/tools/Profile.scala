@@ -47,6 +47,12 @@ object Profile {
       "qd18" -> (() => graft.SparkEntry.queries("qd18_decontaminate")(spark, sfDir)),
       "qs03" -> (() => graft.SparkEntry.queries("qs03_ann_ivf")(spark, sfDir)),
       "qd16" -> (() => graft.SparkEntry.queries("qd16_jaccard_prefix")(spark, sfDir)),
+      "qd28_span" -> (() => graft.SparkEntry.queries("qd28_span_dedup")(spark, sfDir)),
+      "qd29_sem" -> (() => graft.SparkEntry.queries("qd29_semantic_dedup")(spark, sfDir)),
+      "qd31_line" -> (() => graft.SparkEntry.queries("qd31_line_dedup")(spark, sfDir)),
+      "qd32_bpe" -> (() => graft.SparkEntry.queries("qd32_bpe_tokenize")(spark, sfDir)),
+      "qs04_pq" -> (() => graft.SparkEntry.queries("qs04_ann_pq")(spark, sfDir)),
+      "q53_clean" -> (() => graft.SparkEntry.queries("q53_pipeline_clean_pack")(spark, sfDir)),
     ).filter { case (n, _) => names.isEmpty || names.contains(n) }
 
     for ((name, mk) <- pipelines; r <- 1 to reps) {
