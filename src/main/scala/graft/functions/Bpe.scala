@@ -131,4 +131,21 @@ object Bpe {
   /** Sub-token count per document under a trained merge table. */
   def tokenCount(text: Column, merges: Seq[(String, String)]): Column =
     size(encodeCol(TextFunctions.tokens(text), merges))
+
+  /** Persist a trained merge table as a tiny rank-ordered parquet — the
+    * tokenizer artifact a corpus build trains once and every downstream
+    * job (and the serving side) reloads byte-identically. */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+                 merges: Seq[(String, String)], path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload a merge table saved by [[saveMerges]], rank order restored. */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Seq[(String, String)] =
+    spark.read.parquet(path).orderBy(col("rank"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
 }

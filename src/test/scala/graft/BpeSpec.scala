@@ -77,6 +77,13 @@ class BpeSpec extends SparkSpec {
     assert(wf.queryExecution.executedPlan.toString.contains("HashAggregate"))
   }
 
+  test("merge table round-trips through parquet byte-identically") {
+    val merges = B.trainCorpus(sf("documents"), "text", numMerges = 60)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_merges").toString + "/m"
+    B.saveMerges(spark, merges, dir)
+    assert(B.loadMerges(spark, dir) == merges)
+  }
+
   test("more merges never increase the sub-token count (compression monotone)") {
     graft.plans.BpeExprs.register(spark)
     val docs = sf("documents").limit(50)
