@@ -306,6 +306,26 @@ class DifferentialSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: 30 random pivot plans match DuckDB conditional aggregation") {
+    // Spark's relational pivot operator vs the CASE-aggregation it is
+    // defined to equal — pinned values so output columns are stable
+    for (seed <- 900 until 930) {
+      val r = new scala.util.Random(seed)
+      val pred = genPred(r, 1)
+      val mcol = numCols(r.nextInt(numCols.length))
+      val df = li.filter(pred.spark)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col(mcol).cast("decimal(18,4)")))
+      val sql =
+        s"""SELECT l_returnflag,
+           |  sum(CASE WHEN l_linestatus = 'F' THEN CAST($mcol AS DECIMAL(18,4)) END) AS F,
+           |  sum(CASE WHEN l_linestatus = 'O' THEN CAST($mcol AS DECIMAL(18,4)) END) AS O
+           |FROM lineitem WHERE ${pred.sql} GROUP BY l_returnflag""".stripMargin
+      assertSame(df, sql)
+    }
+  }
+
   test("fuzz: 30 random list/explode plans match DuckDB") {
     for (seed <- 800 until 830) {
       val r = new scala.util.Random(seed)
