@@ -77,6 +77,26 @@ class BpeSpec extends SparkSpec {
     assert(wf.queryExecution.executedPlan.toString.contains("HashAggregate"))
   }
 
+  test("BPE encode lifts to Structured Streaming unchanged (stateless narrow map)") {
+    graft.plans.BpeExprs.register(spark)
+    import org.apache.spark.sql.types._
+    val merges = B.trainCorpus(sf("documents"), "text", numMerges = 60)
+    val base = java.nio.file.Files.createTempDirectory("bpe_stream").toString
+    val in = sf("documents").select("doc_id", "text").limit(50)
+    in.write.mode("overwrite").parquet(s"$base/in")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def pipe(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), B.tokenCount(col("text"), merges).as("n"))
+    val q = graft.streaming.StreamOps.sinkFileStream(
+      pipe(spark.readStream.schema(schema).parquet(s"$base/in")),
+      "parquet", s"$base/out", s"$base/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(s"$base/out").as[(Long, Int)].collect().toSet
+    val batch = pipe(in).as[(Long, Int)].collect().toSet
+    assert(got == batch && batch.nonEmpty)
+  }
+
   test("merge table round-trips through parquet byte-identically") {
     val merges = B.trainCorpus(sf("documents"), "text", numMerges = 60)
     val dir = java.nio.file.Files.createTempDirectory("bpe_merges").toString + "/m"
