@@ -1,14 +1,14 @@
 package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{VectorFunctions => V}
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
   *  - `bruteForceTopK`: broadcast the (small) query set against the corpus,
-  *    score every pair, per-query top-k via window. Exact; the baseline and
+  *    score every pair, per-query top-k via a bounded-state aggregate
+  *    ([[graft.plans.BoundedTopKAgg]]). Exact; the baseline and
   *    the within-bucket kernel of every ANN variant. The corpus side never
   *    shuffles — queries are broadcast to the corpus partitions.
   *  - `lshTopK`: random-hyperplane (sign) LSH — deterministic seeded planes,
@@ -18,6 +18,25 @@ import graft.functions.{VectorFunctions => V}
   *    1/2^bits of it.
   */
 object Ann {
+
+  /** Per-query top-k over a scored candidate frame via
+    * [[graft.plans.BoundedTopKAgg]]: each partition reduces to ≤ k entries
+    * per query BEFORE the exchange (ObjectHashAggregate partial stage), so
+    * the shuffle carries Q×partitions×k entries instead of every scored
+    * corpus row — the window formulation it replaces funneled a query's
+    * whole scored corpus through one task. Ordering (score desc, nulls
+    * last, id asc) and duplicate-candidate collapse match the old
+    * `.distinct()` + `row_number` exactly. */
+  private[graft] def topKPerQuery(scored: DataFrame, queryIdCol: String,
+                                  scoreCol: String, k: Int,
+                                  neighborCol: String = "neighbor_id"): DataFrame = {
+    graft.plans.AnnExprs.register(scored.sparkSession)
+    scored.groupBy(col(queryIdCol))
+      .agg(call_function("graft_topk", col(scoreCol), col(neighborCol), lit(k)).as("__tk"))
+      .select(col(queryIdCol), posexplode(col("__tk")).as(Seq("__p", "__e")))
+      .select(col(queryIdCol), col("__e.id").as(neighborCol),
+        col("__e.score").as(scoreCol), (col("__p") + 1).cast("int").as("rank"))
+  }
 
   /** Exact top-k: every query row against every corpus row.
     * Deterministic tie-break on neighbor id. */
@@ -29,10 +48,7 @@ object Ann {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val scored = c.join(broadcast(q), col(queryIdCol) =!= col("neighbor_id"))
       .withColumn("cosine", call_function("graft_cosine", col("__qv"), col("__cv")))
-    val w = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("cosine").desc_nulls_last, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored, queryIdCol, "cosine", k)
       .select(col(queryIdCol), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
@@ -97,10 +113,9 @@ object Ann {
     val scored = c.join(broadcast(q), Seq("__bucket"))
       .filter(col(queryIdCol) =!= col("neighbor_id"))
       .withColumn("cosine", call_function("graft_cosine", col("__qv"), col("__cv")))
-    val w = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("cosine").desc_nulls_last, col("neighbor_id"))
-    scored.select(col(queryIdCol), col("neighbor_id"), col("cosine")).distinct()
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // a pair can match in several probe buckets: BoundedTopKAgg's
+    // dedup-by-id collapses those duplicates (same id ⇒ same cosine), which
+    // is what the old `.distinct()` + window did with an extra exchange
+    topKPerQuery(scored, queryIdCol, "cosine", k)
   }
 }

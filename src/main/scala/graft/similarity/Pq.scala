@@ -1,7 +1,6 @@
 package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Product-quantization ANN (PQ / IVF-PQ): the memory side of the 100 TB
@@ -109,23 +108,22 @@ object Pq {
     val c = encoded.select(col(idCol).as("neighbor_id"), col("pq_codes"))
     val scored = c.join(broadcast(q), col(queryIdCol) =!= col("neighbor_id"))
       .withColumn("adc", call_function("graft_pq_adc", col("pq_codes"), col("__lut"), lit(ksub)))
-    val w = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("adc").desc_nulls_last, col("neighbor_id"))
-    val top = scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= math.max(k, rescore))
+    // bounded-state top-k (Ann.topKPerQuery): partitions reduce to ≤ pool
+    // entries per query before the exchange — the ADC-scored corpus never
+    // funnels through one task per query
+    val top = Ann.topKPerQuery(scored, queryIdCol, "adc", math.max(k, rescore))
       .select(col(queryIdCol), col("neighbor_id"), col("adc"), col("rank"))
     if (rescore <= k) top.filter(col("rank") <= k)
     else {
       graft.plans.CosineSimilarityExpr.register(encoded.sparkSession)
       val origs = encoded.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       val qv = queries.select(col(idCol).as(queryIdCol), col(vecCol).as("__qv"))
-      val rw = Window.partitionBy(col(queryIdCol))
-        .orderBy(col("cosine").desc_nulls_last, col("neighbor_id"))
-      top.join(origs, "neighbor_id")
+      // the rescore pool is queries×rescore rows — already bounded; the
+      // same aggregate re-ranks it by exact cosine
+      val rescored = top.join(origs, "neighbor_id")
         .join(broadcast(qv), queryIdCol)
         .withColumn("cosine", call_function("graft_cosine", col("__qv"), col("__cv")))
-        .withColumn("rank", row_number().over(rw))
-        .filter(col("rank") <= k)
+      Ann.topKPerQuery(rescored, queryIdCol, "cosine", k)
         .select(col(queryIdCol), col("neighbor_id"), col("cosine"), col("rank"))
     }
   }
@@ -150,10 +148,8 @@ object Pq {
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col(queryIdCol) =!= col("neighbor_id"))
       .withColumn("adc", call_function("graft_pq_adc", col("pq_codes"), col("__lut"), lit(ksub)))
-    val w = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("adc").desc_nulls_last, col("neighbor_id"))
-    scored.select(col(queryIdCol), col("neighbor_id"), col("adc")).distinct()
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // BoundedTopKAgg dedups by neighbor id, covering the multi-cell
+    // duplicate case the old `.distinct()` handled with an extra exchange
+    Ann.topKPerQuery(scored, queryIdCol, "adc", k)
   }
 }

@@ -253,11 +253,40 @@ class PlanSpec extends SparkSpec {
     val p = planOf(df)
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"query side must broadcast:\n${p.take(1500)}")
-    // the only shuffle is the per-query top-k window partitioning — the
-    // encoded corpus itself streams scan -> ADC -> window with no exchange
-    // keyed on corpus data
+    // the only shuffle is the top-k aggregate's partial→final exchange,
+    // which carries ≤ k buffer entries per (query, partition) — the encoded
+    // corpus itself streams scan -> ADC -> partial top-k with no exchange
+    // keyed on corpus data, and no per-query window task exists at all
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).toSeq
     assert(shuffles.size == 1 && shuffles.head.contains("hashpartitioning"),
-      s"expected exactly the window exchange:\n${p.take(2000)}")
+      s"expected exactly the top-k aggregate exchange:\n${p.take(2000)}")
+    assert(!p.contains("Window"), s"per-query window must not exist:\n${p.take(2000)}")
+    assert(p.contains("ObjectHashAggregate"), s"expected bounded-state top-k agg:\n${p.take(2000)}")
+  }
+
+  test("IVF cell assignment is a narrow map: zero exchange, no window, no join") {
+    val e = SparkEntry.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val centroids = e.limit(8)
+      .select(monotonically_increasing_id().as("cell"), col("embedding").as("__centroid"))
+    val assigned = graft.similarity.Ivf.assignCells(e, centroids, 1, "vec_id", "embedding")
+    val p = planOf(assigned)
+    assert(!p.contains("Exchange"), s"cell assignment must not shuffle:\n${p.take(2000)}")
+    assert(!p.contains("Window"), s"cell assignment must not window:\n${p.take(2000)}")
+    assert(!p.contains("Join"), s"cell assignment must not join:\n${p.take(2000)}")
+    assert(p.contains("nearestcellsexpr"), s"expected the centroid-literal argmax:\n${p.take(2000)}")
+  }
+
+  test("brute-force ANN: partial top-k reduces before the exchange, no window") {
+    val e = SparkEntry.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val df = graft.similarity.Ann.bruteForceTopK(e, e.filter(col("vec_id") < 5), k = 5)
+    val p = planOf(df)
+    assert(!p.contains("Window"), s"per-query window must not exist:\n${p.take(2000)}")
+    assert(p.contains("ObjectHashAggregate"), s"expected bounded-state top-k agg:\n${p.take(2000)}")
+    // partial aggregation must appear below the exchange so each partition
+    // ships at most k entries per query
+    val partialIdx = p.indexOf("ObjectHashAggregate(keys=[query_id")
+    assert(partialIdx >= 0, s"no top-k aggregate over query_id:\n${p.take(2000)}")
+    assert("partial_graft_topk|partial_topk|partial".r.findFirstIn(p).isDefined,
+      s"expected a partial aggregation stage:\n${p.take(2000)}")
   }
 }
