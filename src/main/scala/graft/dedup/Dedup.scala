@@ -242,33 +242,50 @@ object Dedup {
     * `subject` (a predicate over `__unit`; non-subject units always
     * survive), reassemble per document with `joinSep`. The winner election
     * is a groupBy-min — map-side combine collapses hot boilerplate units
-    * BEFORE the shuffle (the reason this is not a window over the unit) —
-    * the winner join matches each unit to exactly one winner row (no
-    * fanout), and reassembly shuffles on document id. Rows are never
-    * dropped: documents reduced to nothing (and null texts) come back as
-    * empty text. */
+    * BEFORE the shuffle (the reason this is not a window over the unit).
+    *
+    * Scale shape: every hash-keyed shuffle (winner election, winner join,
+    * per-doc keep-list) carries 8-byte `xxhash64(__unit)` keys and integer
+    * positions — NEVER the unit text; documents reassemble by re-deriving
+    * the unit array narrowly and picking surviving positions, so text
+    * crosses exactly one shuffle (the by-id reassembly join). A second
+    * independent hash rides along for verification: a 64-bit `__uh`
+    * collision between two DIFFERENT unit texts is caught at the winner
+    * join (`__uh2` mismatch ⇒ the unit is not the winner's text ⇒ it
+    * survives), so a collision can only ever under-dedup, never corrupt a
+    * document — and needs a same-128-bit-pair inside one corpus to do even
+    * that. Rows are never dropped: documents reduced to nothing (and null
+    * texts) come back as empty text. */
   private def keepFirstUnits(df: DataFrame, idCol: String, textCol: String,
                              unitsArr: Column, subject: Column,
                              joinSep: String): DataFrame = {
     val others = df.columns.filter(c => c != idCol && c != textCol)
     val units = df.select(col(idCol).as("__id"),
         posexplode(unitsArr).as(Seq("__pos", "__unit")))
-    val subj = units.filter(subject)
-    val winners = subj
-      .groupBy(col("__unit"))
-      .agg(min(struct(col("__id"), col("__pos"))).as("__w"))
-      .select(col("__unit"), col("__w.__id").as("__wid"), col("__w.__pos").as("__wpos"))
-    val kept = units.join(winners, Seq("__unit"), "left")
+      .select(col("__id"), col("__pos"),
+        xxhash64(col("__unit")).as("__uh"),
+        xxhash64(col("__unit"), lit(1L)).as("__uh2"),
+        subject.as("__subj"))
+    // (__id, __pos) is unique per unit row, so __uh2 never tie-breaks the min
+    val winners = units.filter(col("__subj"))
+      .groupBy(col("__uh"))
+      .agg(min(struct(col("__id"), col("__pos"), col("__uh2"))).as("__w"))
+      .select(col("__uh"), col("__w.__id").as("__wid"), col("__w.__pos").as("__wpos"),
+        col("__w.__uh2").as("__wuh2"))
+    val keptPos = units.join(winners, Seq("__uh"), "left")
       .filter(col("__wid").isNull ||
-        (col("__id") === col("__wid") && col("__pos") === col("__wpos")))
+        (col("__id") === col("__wid") && col("__pos") === col("__wpos")) ||
+        col("__uh2") =!= col("__wuh2"))
       .groupBy(col("__id"))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("__pos"), col("__unit")))),
-          s => s.getField("__unit")), joinSep).as("__text"))
-    df.drop(textCol)
-      .join(kept, df(idCol) === kept("__id"), "left")
+      .agg(array_sort(collect_list(col("__pos"))).as("__kp"))
+    df.withColumn("__units_re", unitsArr)
+      .join(keptPos, df(idCol) === keptPos("__id"), "left")
       .select(col(idCol) +: others.map(col) :+
-        coalesce(col("__text"), lit("")).as(textCol): _*)
+        coalesce(
+          when(col("__kp").isNotNull,
+            array_join(transform(col("__kp"),
+              p => element_at(col("__units_re"), p + lit(1))), joinSep)),
+          lit("")).as(textCol): _*)
   }
 
   /** Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540): cluster

@@ -244,6 +244,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("span/line dedup: election + winner join shuffle 8-byte hashes, never span text") {
+    val docs = SparkEntry.t(spark, "/root/testdata/sf0.001", "documents")
+    for (df <- Seq(
+        graft.dedup.Dedup.spanDedupGlobal(docs, "doc_id", "text"),
+        graft.dedup.Dedup.lineDedupGlobal(docs, "doc_id", "text", sep = ". ", minChars = 10))) {
+      val p = planOf(df)
+      // every hash-keyed exchange is on __uh (long) or the doc id — the
+      // exploded unit STRING must never be an exchange key or ride one
+      assert(!p.contains("hashpartitioning(__unit"),
+        s"winner shuffles must key on the 8-byte hash:\n${p.take(2000)}")
+      val exchangeOutputs = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+      assert(exchangeOutputs.nonEmpty)
+      assert(!exchangeOutputs.exists(_.contains("__unit")),
+        s"no exchange may carry the unit text:\n${exchangeOutputs.mkString("\n")}")
+    }
+  }
+
   test("PQ ADC search: corpus side never shuffles; query LUTs broadcast") {
     val e = SparkEntry.t(spark, "/root/testdata/sf0.001", "embeddings")
     val cb = graft.similarity.Pq.train(e, dim = 64, m = 8, ksub = 16, sampleN = 200)
