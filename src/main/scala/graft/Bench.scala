@@ -4,28 +4,38 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // reps >= 2: the first rep absorbs first-touch JIT/codegen for the
+    // query's expression classes (round-4 adjudication measured recorded
+    // cold outliers at 10-17x the warm cost - qd16 19.6s vs 0.65s warm);
+    // the reported per-query number is the MIN across reps, the plan's
+    // actual cost, with the cold first run kept alongside for reference
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
     val spark = Sessions.local(cpus)
     // one warm-up action so JVM/codegen startup isn't billed to the first query
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // isolate queries: operators persist internals (signatures, edge
-      // lists, IVF cells) that nothing unpersists once the query's plan is
-      // abandoned; across ~90 queries the dead cache pressure and eviction
-      // churn inflates late-alphabet queries 2-3x. Each query pays its own
-      // cost against a clean storage pool — what it would cost as a job.
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      // noop sink forces full materialization of every output column
-      // (count() would let Catalyst prune the projections being measured)
-      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() } catch {
-        case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (0 until reps).map { _ =>
+        // isolate reps AND queries: operators persist internals (signatures,
+        // edge lists, IVF cells) that nothing unpersists once the query's
+        // plan is abandoned. Clearing per rep means every rep pays the full
+        // plan cost against a clean storage pool - what the query would
+        // cost as a job - rather than re-reading the previous rep's cache.
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        // noop sink forces full materialization of every output column
+        // (count() would let Catalyst prune the projections being measured)
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() } catch {
+          case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (name, times.min, times.head)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jmap(f: ((String, Double, Double)) => Double) =
+      results.map { r => "\"" + r._1 + "\":" + f(r) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val coldTotal = results.map(_._3).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2)},"queries_cold":${jmap(_._3)},"cold_total":$coldTotal,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -289,9 +289,19 @@ object Dedup {
   }
 
   /** Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540): cluster
-    * embeddings with k-means, then inside each cluster drop all but one of
-    * every cosine-≥-threshold group (greedy: of each qualifying pair the
-    * larger id is dropped, so each group keeps its minimum id).
+    * embeddings with k-means, then inside each cluster greedily drop the
+    * larger id of every cosine-≥-threshold pair.
+    *
+    * Greedy-pairwise semantics, stated precisely: a row is dropped iff ANY
+    * smaller-id row in its cell is ≥-threshold similar to it — even if that
+    * smaller id was itself dropped. When similarity is NOT transitive
+    * (1~2, 2~3, 1≁3), the chain {1,2,3} therefore keeps only 1: this is
+    * deliberate one-pass behavior (each dropped row has a concrete
+    * ≥-threshold witness, which the precision spec asserts), trading the
+    * "keep one per connected group" guarantee for a single join pass.
+    * Callers wanting group semantics should feed [[embeddingCosinePairs]]
+    * into [[ConnectedComponents]] and keep each component's minimum, as
+    * q49 does for MinHash pairs.
     *
     * The cluster assignment IS the blocking key: pair work is confined to
     * cells, the corpus shuffles once on cell id

@@ -146,6 +146,9 @@ object Bpe {
   /** Reload a merge table saved by [[saveMerges]], rank order restored. */
   def loadMerges(spark: org.apache.spark.sql.SparkSession,
                  path: String): Seq[(String, String)] =
+    // select by NAME: a reordered or hand-produced artifact must not
+    // silently swap merge pair sides
     spark.read.parquet(path).orderBy(col("rank"))
-      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      .select(col("left"), col("right"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
 }

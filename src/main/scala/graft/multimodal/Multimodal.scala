@@ -135,21 +135,34 @@ object Multimodal {
       val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(pcmFmt, ais)
       val bytes = pcm.readAllBytes()
       val n = bytes.length / 2
-      var sumSq = 0.0; var peak = 0.0; var zc = 0L; var prev = 0
-      var i = 0
-      while (i < n) {
-        val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
-        val x = s / 32768.0
-        sumSq += x * x
-        if (math.abs(x) > peak) peak = math.abs(x)
-        if (i > 0 && ((s < 0) != (prev < 0))) zc += 1
-        prev = s
-        i += 1
+      val ch = math.max(1, fmt.getChannels)
+      // RMS/peak are channel-agnostic (power over all samples); zero
+      // crossings must stride by channel — consecutive samples in the
+      // interleaved stream belong to DIFFERENT channels, and mixing L/R
+      // transitions fabricates crossings neither channel has
+      var sumSq = 0.0; var peak = 0.0; var zc = 0L
+      var c = 0
+      while (c < ch) {
+        var prev = 0; var first = true
+        var i = c
+        while (i < n) {
+          val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+          val x = s / 32768.0
+          sumSq += x * x
+          if (math.abs(x) > peak) peak = math.abs(x)
+          if (!first && ((s < 0) != (prev < 0))) zc += 1
+          prev = s; first = false
+          i += ch
+        }
+        c += 1
       }
-      val frames = n / math.max(1, fmt.getChannels)
-      val stats = Array(fmt.getSampleRate, fmt.getChannels.toFloat, frames.toFloat,
+      val frames = n / ch
+      // AudioSystem.NOT_SPECIFIED is -1: never emit it as a sample rate
+      val rate = if (fmt.getSampleRate < 0) 0f else fmt.getSampleRate
+      val zcDenom = (frames - 1).toLong * ch // per-channel transitions summed
+      val stats = Array(rate, fmt.getChannels.toFloat, frames.toFloat,
         if (n == 0) 0f else math.sqrt(sumSq / n).toFloat, peak.toFloat,
-        if (n <= 1) 0f else (zc.toDouble / (n - 1)).toFloat)
+        if (zcDenom <= 0) 0f else (zc.toDouble / zcDenom).toFloat)
       Array.tabulate(featureDim)(i => if (i < stats.length) stats(i) else 0f)
     } catch { case _: Exception => fakeDecode(payload, featureDim) }
   }

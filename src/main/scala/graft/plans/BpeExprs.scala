@@ -37,6 +37,10 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
     val out = scala.collection.mutable.ArrayBuffer[UTF8String]()
     var t = 0
     while (t < toks.numElements()) {
+      // registered session-wide as graft_bpe_encode and callable from SQL
+      // with arbitrary arrays: skip null elements instead of NPE-ing the task
+      if (toks.isNullAt(t)) { t += 1 }
+      else {
       val word = toks.getUTF8String(t).toString
       var syms = graft.functions.Bpe.symbols(word)
       var continue = syms.length > 1
@@ -57,6 +61,7 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
       }
       syms.foreach(s => out += UTF8String.fromString(s))
       t += 1
+      }
     }
     new GenericArrayData(out.toArray[Any])
   }

@@ -28,6 +28,10 @@ case class PqEncodeExpr(child: Expression, codebook: Array[Float], m: Int, ksub:
     extends UnaryExpression with CodegenFallback {
 
   private val subDim = codebook.length / (m * ksub)
+  // mirror the require in Pq.train: a codebook/m/ksub mismatch must fail
+  // loudly at plan construction, not silently misalign centroid reads
+  require(subDim > 0 && codebook.length == m * ksub * subDim,
+    s"pq_encode: codebook length ${codebook.length} is not m*ksub*subDim for m=$m ksub=$ksub")
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
@@ -82,6 +86,8 @@ case class PqLutExpr(child: Expression, codebook: Array[Float], m: Int, ksub: In
     extends UnaryExpression with CodegenFallback {
 
   private val subDim = codebook.length / (m * ksub)
+  require(subDim > 0 && codebook.length == m * ksub * subDim,
+    s"pq_lut: codebook length ${codebook.length} is not m*ksub*subDim for m=$m ksub=$ksub")
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 

@@ -442,4 +442,30 @@ class PipelineSpec extends SparkSpec {
     assert(M.mediaDecode("plain text".getBytes, 8).toSeq ==
       M.fakeDecode("plain text".getBytes, 8).toSeq)
   }
+
+  test("multimodal: stereo WAV zero-crossings stride by channel") {
+    import javax.sound.sampled._
+    val M = graft.multimodal.Multimodal
+    // stereo: L = 440 Hz sine, R = constant positive DC. Interleaved-stream
+    // ZCR would see an L/R transition on every other sample boundary; the
+    // per-channel stride must report only L's crossings over both channels'
+    // transition count, i.e. about half the mono sine's zcr.
+    val n = 800
+    val pcm = new Array[Byte](n * 4)
+    for (i <- 0 until n) {
+      val l = (0.5 * math.sin(2 * math.Pi * 440 * i / 8000.0) * 32767).toInt
+      val r = 16000
+      pcm(4 * i) = (l & 0xff).toByte; pcm(4 * i + 1) = ((l >> 8) & 0xff).toByte
+      pcm(4 * i + 2) = (r & 0xff).toByte; pcm(4 * i + 3) = ((r >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 2, true, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val st = M.audioDecode(bos.toByteArray, 8)
+    assert(st(0) == 8000f && st(1) == 2f && st(2) == 800f, st.toSeq.toString)
+    // L crosses ~0.11 of its transitions, R never: pooled zcr ~ 0.055.
+    // The interleaved bug would report ~0.5 (sign flips between channels).
+    assert(st(5) > 0.03f && st(5) < 0.08f, s"stereo zcr ${st(5)}")
+  }
 }

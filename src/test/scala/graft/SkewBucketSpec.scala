@@ -75,6 +75,51 @@ class SkewBucketSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits the hot prefix-shingle of ngramJaccardPairsPrefix (qd16 shape)") {
+    // adversarial corpus for the prefix-filter join: a family of 1200
+    // near-identical boilerplate docs whose shared shingle survives the
+    // df>=2 prune INSIDE the prefix. Shape arithmetic: 9 tokens → 5
+    // shingles, t=0.8 → prefix length 2 = [the doc's unique tail shingle
+    // (df=1, pruned), ONE corpus-hot shared shingle] — so the candidate
+    // self-join concentrates C(1200,2) pair work on a single key, hot on
+    // BOTH sides (a self-join's skew is always two-sided; AQE handles it
+    // by splitting each side and joining the sub-partition cartesian).
+    // 100 3-doc families keep the median partition tiny so the hot key is
+    // detectably skewed; 16 shuffle partitions keep the median free of it.
+    val conf = spark.conf
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.shuffle.partitions")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.shuffle.partitions", "16")
+      val base = (1 to 8).map(i => s"base$i").mkString(" ")
+      val hotFamily = (0 until 1200).map(i => (i.toLong, s"$base tail$i"))
+      val smallFamilies = for (g <- 0 until 100; m <- 0 until 3) yield {
+        val b = (1 to 8).map(i => s"g${g}w$i").mkString(" ")
+        (10000L + g * 10 + m, s"$b tail$m")
+      }
+      val docs = (hotFamily ++ smallFamilies).toDF("id", "text")
+      val pairs = graft.dedup.Dedup.ngramJaccardPairsPrefix(
+        docs, "id", "text", shingleK = 5, threshold = 0.8)
+      pairs.queryExecution.toRdd.count() // execute THIS plan so AQE finalizes it
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the hot prefix shingle:\n${plan.take(3000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     val a = (1L to 1000L).map(i => (i, i * 2.0)).toDF("id", "x")
     val b = (1L to 1000L).map(i => (i, s"n$i")).toDF("id", "name")
