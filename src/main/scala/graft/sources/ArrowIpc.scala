@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
 import org.apache.arrow.vector.complex.ListVector
-import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter}
+import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter, ArrowStreamReader, ArrowStreamWriter}
 import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, TimeUnit => ATimeUnit}
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ASchema}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -211,6 +211,79 @@ object ArrowIpc {
       }
     }.sum()
     require(n >= 0) // force the job
+  }
+
+  // ---- in-memory export / import ------------------------------------------
+
+  /** Eager in-process Arrow export — the twin of the reference's
+    * `pl_to_arrow` / `pl_series_to_arrow` (native_shim/src/io.rs:351-389,
+    * series.rs:228-236), which materializes a frame as Arrow arrays for
+    * zero-copy handoff to the host process. In-JVM the handoff currency is
+    * the IPC STREAM framing: returns the bytes of one complete Arrow
+    * stream (schema + record batches of `batchSize` rows + EOS), consumable
+    * by any Arrow runtime (pyarrow `ipc.open_stream`, arrow-java, DuckDB).
+    *
+    * Like the reference call this is EAGER and driver-side by design — an
+    * interchange escape hatch for bounded results, not a pipeline step
+    * (SCALE_CONTRACTS.md). Rows stream through `toLocalIterator`, so driver
+    * memory holds one partition plus one Arrow batch, not the whole frame
+    * at once (the byte buffer itself is of course result-sized). */
+  def toArrowStreamBytes(df: DataFrame, batchSize: Int = 4096): Array[Byte] = {
+    val schema = df.schema
+    val arrowFields = schema.fields.map(toArrowField).toList
+    val allocator = new RootAllocator()
+    val root = VectorSchemaRoot.create(new ASchema(arrowFields.asJava), allocator)
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = new ArrowStreamWriter(root, null, java.nio.channels.Channels.newChannel(bos))
+    writer.start()
+    try {
+      val vecs = root.getFieldVectors.asScala.toArray
+      val groups = df.toLocalIterator().asScala.grouped(batchSize)
+      var wroteAny = false
+      // an empty frame still writes one 0-row batch → schema survives
+      while (groups.hasNext || !wroteAny) {
+        val batch = if (groups.hasNext) groups.next() else Seq.empty[Row]
+        root.allocateNew()
+        var r = 0
+        batch.foreach { row =>
+          var j = 0
+          while (j < vecs.length) {
+            if (!row.isNullAt(j)) setValue(vecs(j), r, row.get(j))
+            j += 1
+          }
+          r += 1
+        }
+        root.setRowCount(r)
+        writer.writeBatch()
+        wroteAny = true
+      }
+    } finally {
+      writer.end(); writer.close(); root.close(); allocator.close()
+    }
+    bos.toByteArray
+  }
+
+  /** Import an Arrow IPC stream produced by [[toArrowStreamBytes]] (or any
+    * Arrow runtime) back into a DataFrame — the twin of the reference's
+    * Arrow-stream ingest (native_shim/src/eager.rs:824-926). Driver-side
+    * like its counterpart: the input is an in-memory handoff, not a file
+    * scan (use [[read]] for distributed IPC-file reads). */
+  def fromArrowStreamBytes(spark: SparkSession, bytes: Array[Byte]): DataFrame = {
+    val alloc = new RootAllocator()
+    val reader = new ArrowStreamReader(new java.io.ByteArrayInputStream(bytes), alloc)
+    try {
+      val root = reader.getVectorSchemaRoot
+      val schema = toSparkSchema(root.getSchema)
+      val rows = scala.collection.mutable.ArrayBuffer[Row]()
+      while (reader.loadNextBatch()) {
+        val vecs = root.getFieldVectors.asScala.toArray
+        val gets = vecs.map(getter)
+        (0 until root.getRowCount).foreach { i =>
+          rows += Row.fromSeq(vecs.indices.map(j => if (vecs(j).isNull(i)) null else gets(j)(i)))
+        }
+      }
+      spark.createDataFrame(rows.asJava, schema)
+    } finally { reader.close(); alloc.close() }
   }
 
   // ---- read ----------------------------------------------------------------

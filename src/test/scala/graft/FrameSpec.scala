@@ -233,6 +233,46 @@ class FrameSpec extends SparkSpec {
     assert(eback.count() == 0 && eback.schema.fieldNames.sameElements(df.schema.fieldNames))
   }
 
+  test("IO: in-memory Arrow stream export/import across the type matrix (io.rs:351-389)") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 500).select(
+      col("id"),
+      col("id").cast("int").as("i32"),
+      (col("id") * 1.5).cast("float").as("f32"),
+      (col("id") * 2.5).as("f64"),
+      concat(lit("s"), col("id")).as("s"),
+      (col("id") % 2 === 0).as("b"),
+      when(col("id") % 7 =!= 0, col("id") * 10).as("nullable_l"),
+      to_date(lit("2024-03-01")).as("d"),
+      timestamp_micros(col("id") * 1000000L + 123456L).as("ts"),
+      col("id").cast("decimal(12,2)").as("dec"),
+      array(col("id").cast("float"), col("id").cast("float") * 2f).as("vec"),
+      encode(concat(lit("b"), col("id")), "UTF-8").as("bin"))
+    val bytes = graft.sources.ArrowIpc.toArrowStreamBytes(df, batchSize = 128)
+    // the handoff is a standard Arrow IPC stream: an independent arrow-java
+    // reader (not our import path) must see schema + batched rows
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val rdr = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      new java.io.ByteArrayInputStream(bytes), alloc)
+    var rows = 0L; var batches = 0
+    while (rdr.loadNextBatch()) { rows += rdr.getVectorSchemaRoot.getRowCount; batches += 1 }
+    assert(rdr.getVectorSchemaRoot.getSchema.getFields.size() == df.schema.size)
+    rdr.close(); alloc.close()
+    assert(rows == 500 && batches >= 4, s"rows=$rows batches=$batches")
+    // and our own import path round-trips values exactly
+    val back = graft.sources.ArrowIpc.fromArrowStreamBytes(spark, bytes)
+    assert(back.schema.map(f => (f.name, f.dataType)) == df.schema.map(f => (f.name, f.dataType)),
+      s"schema mismatch:\n${back.schema}\n${df.schema}")
+    val a = df.orderBy("id").collect()
+    val b = back.orderBy("id").collect()
+    assert(a.zip(b).forall { case (x, y) => x == y },
+      s"first diff: ${a.zip(b).find { case (x, y) => x != y }}")
+    // empty frame still hands off its schema
+    val ebytes = graft.sources.ArrowIpc.toArrowStreamBytes(df.filter(lit(false)))
+    val eback = graft.sources.ArrowIpc.fromArrowStreamBytes(spark, ebytes)
+    assert(eback.count() == 0 && eback.schema.fieldNames.sameElements(df.schema.fieldNames))
+  }
+
   test("IO: csv skip_rows drops physical lines before the header, no global window") {
     val dir = java.nio.file.Files.createTempDirectory("graft_skip").toString
     // 2 junk preamble lines, then the REAL header, then 5000 rows — enough
