@@ -369,6 +369,108 @@ class DifferentialSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: 60 random prep chunk/pack/split/dedup compositions match DuckDB") {
+    // grammar 10: the LLM-prep operator set. Every stage is exact-integer
+    // by design (Prep's contract), so a random COMPOSITION — hash-split
+    // and/or stratified-keep filter → chunk(size, stride) → optional
+    // pack(budget) → optional keep-first dedup — has a bit-exact DuckDB
+    // mirror built from the same formulas with the same random parameters.
+    val st0 = duck.createStatement()
+    try st0.execute(
+      s"CREATE VIEW IF NOT EXISTS documents AS SELECT * FROM '$sfDir/documents.parquet'")
+    finally st0.close()
+    val docs = sf("documents")
+    val Pp = graft.prep.Prep
+    val langs = Seq("en", "de", "es", "fr", "zh")
+    for (seed <- 1000 until 1060) {
+      val r = new scala.util.Random(seed)
+      val withSplit = r.nextBoolean()
+      val trainPm = 600 + r.nextInt(3) * 100
+      val validPm = 100 + r.nextInt(2) * 100
+      val part = Seq("train", "valid", "test")(r.nextInt(3))
+      val salt1 = r.nextInt(4).toLong
+      val withStrat = r.nextBoolean()
+      val rates = langs.take(2 + r.nextInt(3)).map(l => l -> (r.nextInt(4) + 1) * 250).toMap
+      val defaultPm = (r.nextInt(4) + 1) * 250
+      val salt2 = salt1 + 7
+      val cs = 16 + r.nextInt(81) // chunkSize 16..96
+      val stride = 1 + r.nextInt(cs) // 1..chunkSize
+      val withPack = r.nextBoolean()
+      val budget = 64L << r.nextInt(6) // 64..2048
+      val withDedup = r.nextBoolean()
+
+      // ---- Spark side
+      var base = docs
+      if (withSplit)
+        base = base.filter(Pp.split(col("doc_id"), trainPm, validPm, salt1) === lit(part))
+      if (withStrat)
+        base = base.filter(Pp.stratifiedKeep(col("doc_id"), col("lang"), rates, defaultPm, salt2))
+      var out = Pp.chunk(base, "doc_id", "text", cs, stride, carryCols = Seq("lang"))
+      out =
+        if (withPack) Pp.packByTokens(out, "lang", Seq("doc_id", "chunk_id"), "n_chunk_tokens", budget)
+        else out.withColumn("seq_id", lit(0L)).withColumn("seq_offset", lit(0L))
+      if (withDedup)
+        out = graft.dedup.Dedup.exactByKey(
+          out.withColumn("__ord", col("doc_id") * 100000L + col("chunk_id")),
+          struct(col("lang"), col("n_chunk_tokens")), "__ord")
+      val df = out.select(col("doc_id"), col("chunk_id"), col("lang"),
+        col("n_chunk_tokens"), col("seq_id"), col("seq_offset"))
+
+      // ---- DuckDB mirror (same constants, same formulas)
+      val H = "% 1000000007) * 2654435761 % 1000000007 % 1000"
+      val conds = Seq(
+        if (!withSplit) None else Some {
+          val b = s"((doc_id + $salt1) $H"
+          part match {
+            case "train" => s"$b < $trainPm"
+            case "valid" => s"($b >= $trainPm AND $b < ${trainPm + validPm})"
+            case "test" => s"$b >= ${trainPm + validPm}"
+          }
+        },
+        if (!withStrat) None else Some {
+          val cases = rates.map { case (l, v) => s"WHEN lang = '$l' THEN $v" }.mkString(" ")
+          s"((doc_id + $salt2) $H < (CASE $cases ELSE $defaultPm END)"
+        }).flatten
+      val where = if (conds.isEmpty) "TRUE" else conds.mkString(" AND ")
+      val delta = cs - stride
+      val packed =
+        if (withPack)
+          s"""p AS (
+             |  SELECT *, CAST(coalesce(sum(n_chunk_tokens) OVER (
+             |    PARTITION BY lang ORDER BY doc_id, chunk_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+             |  FROM c
+             |),
+             |q AS (SELECT doc_id, lang, chunk_id, n_chunk_tokens,
+             |  prev // $budget AS seq_id, prev % $budget AS seq_offset FROM p)""".stripMargin
+        else
+          s"""q AS (SELECT doc_id, lang, chunk_id, n_chunk_tokens,
+             |  CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_offset FROM c)""".stripMargin
+      val finalFrom =
+        if (withDedup)
+          s"""(SELECT * FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY lang, n_chunk_tokens
+             |    ORDER BY doc_id * 100000 + chunk_id) AS rn FROM q) WHERE rn = 1)""".stripMargin
+        else "q"
+      val sql =
+        s"""WITH toks AS (
+           |  SELECT doc_id, lang, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+           |  FROM documents WHERE $where
+           |),
+           |c AS (
+           |  SELECT doc_id, lang,
+           |    unnest([CAST(st // $stride AS BIGINT)
+           |            FOR st IN range(0, greatest(len(w) - $delta, 1), $stride)]) AS chunk_id,
+           |    unnest([CAST(len(w[st+1:st+$cs]) AS BIGINT)
+           |            FOR st IN range(0, greatest(len(w) - $delta, 1), $stride)]) AS n_chunk_tokens
+           |  FROM toks
+           |),
+           |$packed
+           |SELECT doc_id, chunk_id, lang, n_chunk_tokens, seq_id, seq_offset FROM $finalFrom""".stripMargin
+      assertSame(df, sql)
+    }
+  }
+
   test("fuzz: 30 random sort+limit plans match DuckDB") {
     for (seed <- 200 until 230) {
       val r = new scala.util.Random(seed)
