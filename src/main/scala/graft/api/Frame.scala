@@ -288,6 +288,56 @@ object frame {
       if (rows.length <= row || rows(row).isNullAt(0)) None else Some(rows(row).get(0))
     }
 
+    /** Notebook HTML rendering — twin of the reference's `ToHtml`
+      * (Polars.CSharp/DataFrame.cs:1005-1085): styled table, header cells
+      * carrying name + dtype, `null` styled distinctly, cells HTML-escaped
+      * and truncated at 50 chars, footer with the hidden-row count. Eager
+      * display helper by contract: collects `limit` rows (+1 probe row;
+      * the exact hidden count runs one count job only when truncated). */
+    def toHtml(limit: Int = 10): String = {
+      require(limit >= 0, s"limit must be >= 0, got $limit")
+      def esc(s: String): String = s
+        .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace("\"", "&quot;").replace("'", "&#39;")
+      val rows = df.limit(limit + 1).collect()
+      val shown = rows.take(limit)
+      val sb = new StringBuilder
+      sb.append(
+        """<style>
+          |.gr-dataframe { font-family: sans-serif; border-collapse: collapse; width: auto; }
+          |.gr-dataframe th { background-color: #f0f0f0; color: #333; font-weight: bold; text-align: left; padding: 8px; border-bottom: 2px solid #ddd; }
+          |.gr-dataframe td { padding: 8px; border-bottom: 1px solid #ddd; text-align: left; color: #444; }
+          |.gr-dtype { font-size: 0.8em; color: #888; display: block; font-weight: normal; }
+          |.gr-null { color: #d66; font-style: italic; }
+          |.gr-dim { font-size: 0.8em; color: #666; margin-top: 5px; }
+          |</style>""".stripMargin)
+      sb.append("<table class='gr-dataframe'><thead><tr>")
+      df.schema.fields.foreach { f =>
+        sb.append(s"<th>${esc(f.name)}<span class='gr-dtype'>${esc(f.dataType.simpleString)}</span></th>")
+      }
+      sb.append("</tr></thead><tbody>")
+      shown.foreach { row =>
+        sb.append("<tr>")
+        row.toSeq.foreach {
+          case null => sb.append("<td class='gr-null'>null</td>")
+          case v =>
+            val s0 = v match {
+              case d: Double => "%.6g".format(d)
+              case x => String.valueOf(x)
+            }
+            val s = if (s0.length > 50) s0.substring(0, 47) + "..." else s0
+            sb.append(s"<td>${esc(s)}</td>")
+        }
+        sb.append("</tr>")
+      }
+      sb.append("</tbody></table>")
+      if (rows.length > limit) {
+        val hidden = df.count() - shown.length
+        sb.append(s"<div class='gr-dim'>... and $hidden more rows.</div>")
+      }
+      sb.toString
+    }
+
     /** describe(): count, null_count, mean, std, min, 25%, 50%, 75%, max —
       * the reference composes this client-side from Select/Concat
       * (DataFrame.cs:665-727); we compose one distributed aggregation.

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -244,6 +244,93 @@ case class BoundedTopKAgg(score: Expression, id: Expression, k: Int,
     copy(score = newLeft, id = newRight)
 }
 
+/** `graft_vec_sum(vec)` → array<double>: element-wise sum of numeric-array
+  * rows. Bounded state (one dim-length double array per group per
+  * partition) with map-side partial aggregation — a Lloyd/centroid mean
+  * over a cell shuffles ONE array per (cell, partition) instead of
+  * corpus×dim posexploded element rows. Null vectors are skipped (pair
+  * with `count(vec)` for the mean); ragged inputs zero-extend. */
+case class VecSumAgg(child: Expression,
+                     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Double]] with UnaryLike[Expression] {
+
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_vec_sum"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: NumericType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"graft_vec_sum expects a numeric array, got $other")
+  }
+
+  private val elemType: DataType = child.dataType match {
+    case ArrayType(et, _) => et
+    case _ => NullType
+  }
+
+  private def numAt(arr: ArrayData, i: Int): Double = elemType match {
+    case FloatType => arr.getFloat(i).toDouble
+    case DoubleType => arr.getDouble(i)
+    case IntegerType => arr.getInt(i).toDouble
+    case LongType => arr.getLong(i).toDouble
+    case ShortType => arr.getShort(i).toDouble
+    case ByteType => arr.getByte(i).toDouble
+    case other => throw new IllegalArgumentException(s"unsupported element type $other")
+  }
+
+  override def createAggregationBuffer(): Array[Double] = Array.emptyDoubleArray
+
+  private def grown(buf: Array[Double], n: Int): Array[Double] =
+    if (buf.length >= n) buf else java.util.Arrays.copyOf(buf, n)
+
+  override def update(buffer: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v == null) buffer
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      val out = grown(buffer, arr.numElements())
+      var i = 0
+      while (i < arr.numElements()) {
+        if (!arr.isNullAt(i)) out(i) += numAt(arr, i)
+        i += 1
+      }
+      out
+    }
+  }
+
+  override def merge(buffer: Array[Double], other: Array[Double]): Array[Double] = {
+    val out = grown(buffer, other.length)
+    var i = 0
+    while (i < other.length) { out(i) += other(i); i += 1 }
+    out
+  }
+
+  override def eval(buffer: Array[Double]): Any =
+    if (buffer.isEmpty) null else ArrayData.toArrayData(buffer)
+
+  override def serialize(buffer: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buffer.length * 8)
+    bb.putInt(buffer.length)
+    buffer.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new Array[Double](bb.getInt())
+    var i = 0
+    while (i < out.length) { out(i) = bb.getDouble(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VecSumAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VecSumAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object AnnExprs {
   private def longs(e: Expression): Array[Long] =
     e.eval().asInstanceOf[ArrayData].toLongArray()
@@ -258,5 +345,7 @@ object AnnExprs {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_topk", exprs => BoundedTopKAgg(exprs(0), exprs(1),
         exprs(2).eval().asInstanceOf[Int]), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vec_sum", exprs => VecSumAgg(exprs(0)), "built-in")
   }
 }

@@ -40,15 +40,19 @@ object Ivf {
       .select(monotonically_increasing_id().as("cell"), col(vecCol).as("__centroid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    graft.plans.AnnExprs.register(corpus.sparkSession)
     for (_ <- 0 until lloydIters) {
       val members = assignCells(corpus, centroids, 1, idCol, vecCol)
+      // element-wise mean via a bounded-state vector-sum aggregate: each
+      // partition reduces a cell's members to ONE dim-length array before
+      // the exchange — the posexplode formulation this replaces shuffled
+      // corpus×dim individual element rows per round
       val means = members
-        .select(col("cell"), posexplode(col(vecCol)).as(Seq("__p", "__x")))
-        .groupBy(col("cell"), col("__p")).agg(avg(col("__x")).as("__m"))
         .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("__p"), col("__m")))).as("__pm"))
+        .agg(call_function("graft_vec_sum", col(vecCol)).as("__sum"),
+          count(col(vecCol)).as("__n"))
         .select(col("cell"),
-          transform(col("__pm"), s => s.getField("__m").cast("float")).as("__newc"))
+          transform(col("__sum"), x => (x / col("__n")).cast("float")).as("__newc"))
       val next = centroids.join(means, Seq("cell"), "left")
         .select(col("cell"), coalesce(col("__newc"), col("__centroid")).as("__centroid"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

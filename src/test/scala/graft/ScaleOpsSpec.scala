@@ -125,6 +125,53 @@ class ScaleOpsSpec extends SparkSpec {
     assert(recall2 >= 0.3, s"refined recall $recall2")
   }
 
+  test("graft_vec_sum: bounded-state element-wise sum == posexplode mean formulation") {
+    graft.plans.AnnExprs.register(spark)
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 300).map(i =>
+      (i % 7, Array.fill(16)(rnd.nextFloat())))
+    val df = rows.toDF("g", "v")
+    val got = df.groupBy(col("g"))
+      .agg(call_function("graft_vec_sum", col("v")).as("s"), count(col("v")).as("n"))
+      .select(col("g"), transform(col("s"), x => x / col("n")).as("m"))
+      .as[(Int, Seq[Double])].collect().toMap
+    val expect = df
+      .select(col("g"), posexplode(col("v")).as(Seq("p", "x")))
+      .groupBy("g", "p").agg(avg(col("x")).as("m"))
+      .groupBy(col("g"))
+      .agg(array_sort(collect_list(struct(col("p"), col("m")))).as("pm"))
+      .select(col("g"), transform(col("pm"), s => s.getField("m")).as("m"))
+      .as[(Int, Seq[Double])].collect().toMap
+    assert(got.keySet == expect.keySet)
+    for (g <- got.keySet; (a, b) <- got(g).zip(expect(g)))
+      assert(math.abs(a - b) < 1e-12, s"group $g: $a vs $b")
+    // null vectors are skipped, all-null group sums to null
+    val withNulls = Seq((0, Array(1.0f, 2.0f)), (0, null), (1, null))
+      .toDF("g", "v")
+      .groupBy(col("g")).agg(call_function("graft_vec_sum", col("v")).as("s"))
+      .as[(Int, Option[Seq[Double]])].collect().toMap
+    assert(withNulls(0).get == Seq(1.0, 2.0) && withNulls(1).isEmpty)
+  }
+
+  test("toHtml renders header dtypes, null styling, truncation, hidden-row footer") {
+    import graft.api.frame._
+    val df = Seq(
+      (1L, Some("a" * 80), 1.5),
+      (2L, None, 2.5),
+      (3L, Some("<b>&x</b>"), 3.5),
+      (4L, Some("d"), 4.5)).toDF("id", "s", "v")
+    val html = df.orderBy("id").toHtml(limit = 3)
+    assert(html.contains("<table class='gr-dataframe'>"))
+    assert(html.contains("id<span class='gr-dtype'>bigint</span>"))
+    assert(html.contains("s<span class='gr-dtype'>string</span>"))
+    assert(html.contains("<td class='gr-null'>null</td>"))
+    assert(html.contains("a" * 47 + "...")) // 50-char truncation
+    assert(html.contains("&lt;b&gt;&amp;x&lt;/b&gt;"), "cells must be HTML-escaped")
+    assert(html.contains("... and 1 more rows."))
+    // small frame: no footer, no count job path
+    assert(!df.limit(2).toHtml(limit = 10).contains("more rows"))
+  }
+
   test("describe uses exact nearest quantiles (reference Describe semantics)") {
     import graft.api.frame._
     val df = Seq(1.0, 2.0, 3.0, 4.0, 5.0).toDF("v")
