@@ -162,10 +162,14 @@ object Dedup {
     graft.plans.SketchExprs.register(df.sparkSession)
     val sh = df.select(col(idCol).as("id"),
       explode(distinctShingleHashes(col(textCol), shingleK)).as("s"))
-    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // document frequency via count-over-partition: ONE shuffle of the
+    // exploded shingle stream instead of the groupBy + re-join pair (which
+    // shuffled the same stream twice and sort-merge-joined it). Per-shingle
+    // window state is a single running count (spillable sort groups).
+    val wdf = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
     // per-doc sorted shingle array (rarest-first global order) + set size;
     // feeds candidate generation AND verification — materialize once
-    val sets = sh.join(dfreq, "s")
+    val sets = sh.withColumn("df", count(lit(1)).over(wdf))
       .groupBy(col("id"))
       .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("arr"),
         count(lit(1)).as("n"))
@@ -187,9 +191,13 @@ object Dedup {
         col("a.n").cast("double") >= lit(threshold) * col("b.n") - lit(1e-9))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    // verification intersects PLAIN shingle-hash arrays: df is a pure
+    // function of s, so |A∩B| over s equals |A∩B| over (df, s) structs —
+    // and long-array intersection halves the bytes and the comparator cost
+    def sarr = transform(col("arr"), e => e.getField("s"))
     cand
-      .join(sets.select(col("id").as("id_a"), col("arr").as("__aa"), col("n").as("n_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("arr").as("__ab"), col("n").as("n_b")), "id_b")
+      .join(sets.select(col("id").as("id_a"), sarr.as("__aa"), col("n").as("n_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), sarr.as("__ab"), col("n").as("n_b")), "id_b")
       .withColumn("__inter", size(array_intersect(col("__aa"), col("__ab"))))
       .withColumn("jaccard",
         col("__inter").cast("double") / (col("n_a") + col("n_b") - col("__inter")))

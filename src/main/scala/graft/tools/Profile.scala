@@ -56,6 +56,11 @@ object Profile {
     ).filter { case (n, _) => names.isEmpty || names.contains(n) }
 
     for ((name, mk) <- pipelines; r <- 1 to reps) {
+      // SPARK_GRAFT_CLEARCACHE=1 measures each rep against a clean storage
+      // pool (the bench's per-job contract); without it, reps re-hit
+      // plan-matched persisted internals (CacheManager matches by logical
+      // plan) and measure steady-state-with-cache instead
+      if (sys.env.contains("SPARK_GRAFT_CLEARCACHE")) spark.catalog.clearCache()
       val t0 = System.nanoTime()
       mk().write.mode("overwrite").format("noop").save()
       println(f"[profile] $name rep$r: ${(System.nanoTime() - t0) / 1e9}%.2f s")
