@@ -369,6 +369,72 @@ class DifferentialSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: 40 random as-of join plans match DuckDB's native ASOF JOIN") {
+    // grammar 11: the as-of join — fuzzed against an INDEPENDENT
+    // implementation (DuckDB's built-in ASOF JOIN operator), not a
+    // hand-written window mirror. Dimensions: backward/forward × strict/
+    // allow-eq × keyed/unkeyed × tolerance on/off × right-side density.
+    // events.ts is globally unique (checked), so matches are unambiguous.
+    // Timestamps compare as epoch micros to dodge JDBC tz round-trips.
+    val st0 = duck.createStatement()
+    try st0.execute(
+      s"CREATE VIEW IF NOT EXISTS events AS SELECT * FROM '$sfDir/events.parquet'")
+    finally st0.close()
+    val ev = sf("events")
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    for (seed <- 1100 until 1140) {
+      val r = new scala.util.Random(seed)
+      val lt = types(r.nextInt(types.length))
+      val rt = types(r.nextInt(types.length))
+      val backward = r.nextBoolean()
+      val allowEq = r.nextBoolean()
+      val keyed = r.nextBoolean()
+      val tolMin = if (r.nextBoolean()) Some(Seq(5, 30, 120, 720)(r.nextInt(4))) else None
+      val thr = r.nextInt(100).toDouble // right-side density dial
+
+      val l = ev.filter(col("event_type") === lt)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val rFil = ev.filter(col("event_type") === rt && col("value") >= thr)
+      val rr =
+        if (keyed) rFil.select(col("user_id"), col("ts"), col("value").as("rv"))
+        else rFil.select(col("ts"), col("value").as("rv"))
+      val joined = graft.operators.AsofJoin.join(
+        l, rr, "ts", "ts",
+        by = if (keyed) Seq(("user_id", "user_id")) else Seq.empty,
+        strategy = if (backward) graft.operators.AsofJoin.Backward
+                   else graft.operators.AsofJoin.Forward,
+        tolerance = tolMin.map(m => s"${m}m"),
+        allowEq = allowEq)
+      val df = joined.select(col("event_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("tsu"), col("rv"))
+
+      val op = (backward, allowEq) match {
+        case (true, true) => ">="
+        case (true, false) => ">"
+        case (false, true) => "<="
+        case (false, false) => "<"
+      }
+      val onKey = if (keyed) "l.user_id = r.user_id AND " else ""
+      val rvOut = tolMin match {
+        case None => "r.rv"
+        case Some(m) =>
+          val tolUs = m.toLong * 60L * 1000000L
+          val diff =
+            if (backward) "epoch_us(l.ts) - epoch_us(r.ts)"
+            else "epoch_us(r.ts) - epoch_us(l.ts)"
+          s"CASE WHEN $diff <= $tolUs THEN r.rv END"
+      }
+      val rCols = if (keyed) "user_id, ts, value AS rv" else "ts, value AS rv"
+      val sql =
+        s"""SELECT l.event_id, epoch_us(l.ts) AS tsu, $rvOut AS rv
+           |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = '$lt') l
+           |ASOF LEFT JOIN (SELECT $rCols FROM events
+           |  WHERE event_type = '$rt' AND value >= $thr) r
+           |ON ${onKey}l.ts $op r.ts""".stripMargin
+      assertSame(df, sql)
+    }
+  }
+
   test("fuzz: 60 random prep chunk/pack/split/dedup compositions match DuckDB") {
     // grammar 10: the LLM-prep operator set. Every stage is exact-integer
     // by design (Prep's contract), so a random COMPOSITION — hash-split
