@@ -125,6 +125,47 @@ class ScaleOpsSpec extends SparkSpec {
     assert(recall2 >= 0.3, s"refined recall $recall2")
   }
 
+  test("graft_topk == distinct+window row_number (randomized: ties, nulls, duplicates)") {
+    // BoundedTopKAgg must reproduce the window formulation it replaced
+    // bit-for-bit: score desc NULLS LAST, id-asc ties, duplicate
+    // (query, id) candidate rows collapsed. Adversarial generator: few
+    // distinct scores (forced ties), null scores, and multi-emitted pairs
+    // (the multi-probe/multi-cell duplication ANN paths produce).
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.AnnExprs.register(spark)
+    for (seed <- 0 until 15) {
+      val rnd = new scala.util.Random(seed)
+      val k = 1 + rnd.nextInt(7)
+      val rows = for {
+        q <- 0 until (1 + rnd.nextInt(5))
+        n <- 0 until (1 + rnd.nextInt(40))
+        if rnd.nextInt(4) > 0 // ragged: not every (q, n) pair exists
+        // one score per PAIR (a duplicate candidate is the same pair arriving
+        // via another probe/cell, so its score is identical by determinism);
+        // few distinct values force ties, occasional nulls
+        score = if (rnd.nextInt(8) == 0) null
+                else java.lang.Double.valueOf((rnd.nextInt(5) - 2) / 2.0)
+        dup <- 0 to rnd.nextInt(3) // duplicates of the same scored pair
+      } yield (q.toLong, n.toLong, score: java.lang.Double, dup)
+      if (rows.nonEmpty) {
+        val scored = rows.toDF("query_id", "neighbor_id", "cosine", "dup")
+          .drop("dup")
+        val got = graft.similarity.Ann.topKPerQuery(scored, "query_id", "cosine", k)
+          .select("query_id", "neighbor_id", "cosine", "rank")
+          .collect().map(_.toSeq).toSet
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc_nulls_last, col("neighbor_id"))
+        val expect = scored.distinct()
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select("query_id", "neighbor_id", "cosine", "rank")
+          .collect().map(_.toSeq).toSet
+        assert(got == expect,
+          s"seed=$seed k=$k\n got=${got.toSeq.sortBy(_.toString)}\n exp=${expect.toSeq.sortBy(_.toString)}")
+      }
+    }
+  }
+
   test("graft_vec_sum: bounded-state element-wise sum == posexplode mean formulation") {
     graft.plans.AnnExprs.register(spark)
     val rnd = new scala.util.Random(5)
