@@ -369,6 +369,75 @@ class DifferentialSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: 40 random rolling-window plans (rows + time closed-variants) match DuckDB") {
+    // grammar 12: rolling windows. Rows-based fixed windows with random
+    // size and min_periods over orders; time-based windows with random
+    // duration and closed ∈ {Right, Both} over events (exact integer-µs
+    // range bounds on both engines). Sums run through DECIMAL for
+    // order-independent exactness; min_periods is the count guard.
+    val st0 = duck.createStatement()
+    try {
+      st0.execute(s"CREATE VIEW IF NOT EXISTS orders AS SELECT * FROM '$sfDir/orders.parquet'")
+      st0.execute(s"CREATE VIEW IF NOT EXISTS events AS SELECT * FROM '$sfDir/events.parquet'")
+    } finally st0.close()
+    val R = graft.operators.Rolling
+    for (seed <- 1200 until 1240) {
+      val r = new scala.util.Random(seed)
+      if (r.nextBoolean()) {
+        // ---- rows-based over orders, keyed, (o_orderdate, o_orderkey) order
+        val n = 2 + r.nextInt(10)
+        val minp = 1 + r.nextInt(n)
+        val pcol = Seq("o_custkey", "o_orderstatus")(r.nextInt(2))
+        val thr = 1000.0 * r.nextInt(100)
+        val spec = R.fixedSpec(s"${n}i",
+          Seq(col("o_orderdate"), col("o_orderkey")), Seq(col(pcol)))
+        val df = sf("orders")
+          .filter(col("o_totalprice") >= lit(thr))
+          .select(col("o_orderkey"),
+            R.withMinPeriods(sum(col("o_totalprice").cast("decimal(18,2)")),
+              col("o_totalprice"), spec, minp).cast("double").as("rs"),
+            R.withMinPeriods(min(col("o_totalprice")), col("o_totalprice"), spec, minp).as("mn"),
+            count(lit(1)).over(spec).as("wn"))
+        val sql =
+          s"""SELECT o_orderkey,
+             |  CASE WHEN count(o_totalprice) OVER w >= $minp
+             |       THEN CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) END AS rs,
+             |  CASE WHEN count(o_totalprice) OVER w >= $minp
+             |       THEN min(o_totalprice) OVER w END AS mn,
+             |  count(*) OVER w AS wn
+             |FROM orders WHERE o_totalprice >= CAST($thr AS DOUBLE)
+             |WINDOW w AS (PARTITION BY $pcol ORDER BY o_orderdate, o_orderkey
+             |             ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW)""".stripMargin
+        assertSame(df, sql)
+      } else {
+        // ---- time-based over events, keyed on user_id, closed Right/Both
+        val sizes = Seq(("30m", 30L * 60000000L), ("2h", 2L * 3600000000L),
+          ("12h", 12L * 3600000000L), ("1d", 24L * 3600000000L))
+        val (wstr, wus) = sizes(r.nextInt(sizes.length))
+        val closedRight = r.nextBoolean()
+        val minp = 1 + r.nextInt(3)
+        val et = Seq("click", "purchase", "view")(r.nextInt(3))
+        val spec = R.timeSpec(wstr, col("ts"), Seq(col("user_id")),
+          if (closedRight) R.Right else R.Both)
+        val df = sf("events").filter(col("event_type") === lit(et))
+          .select(col("event_id"),
+            R.withMinPeriods(sum(col("value").cast("decimal(18,4)")),
+              col("value"), spec, minp).cast("double").as("rs"),
+            count(lit(1)).over(spec).as("wn"))
+        val loUs = if (closedRight) wus - 1 else wus
+        val sql =
+          s"""SELECT event_id,
+             |  CASE WHEN count(value) OVER w >= $minp
+             |       THEN CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) END AS rs,
+             |  count(*) OVER w AS wn
+             |FROM events WHERE event_type = '$et'
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             |             RANGE BETWEEN INTERVAL $loUs MICROSECONDS PRECEDING AND CURRENT ROW)""".stripMargin
+        assertSame(df, sql)
+      }
+    }
+  }
+
   test("fuzz: 40 random as-of join plans match DuckDB's native ASOF JOIN") {
     // grammar 11: the as-of join — fuzzed against an INDEPENDENT
     // implementation (DuckDB's built-in ASOF JOIN operator), not a
