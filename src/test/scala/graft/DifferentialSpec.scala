@@ -369,6 +369,44 @@ class DifferentialSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: 30 random group_by_dynamic plans match DuckDB time_bucket") {
+    // grammar 13: dynamic (tumbling) time grouping — random `every`,
+    // grouping keys, filters, and offsets against DuckDB's time_bucket.
+    // Standard config (closed=left, label=left, window-bound start), the
+    // config time_bucket implements; the full closed/label/start_by matrix
+    // is pinned by the hand-written oracles (q25/q35/q43) and specs.
+    val st0 = duck.createStatement()
+    try st0.execute(
+      s"CREATE VIEW IF NOT EXISTS events AS SELECT * FROM '$sfDir/events.parquet'")
+    finally st0.close()
+    for (seed <- 1300 until 1330) {
+      val r = new scala.util.Random(seed)
+      val (estr, esql) = Seq(
+        ("1h", "1 hour"), ("2h", "2 hours"), ("3h", "3 hours"),
+        ("6h", "6 hours"), ("12h", "12 hours"), ("1d", "1 day"))(r.nextInt(6))
+      val keyed = r.nextBoolean()
+      val et = Seq("click", "error", "purchase", "signup", "view")(r.nextInt(5))
+      val useFilter = r.nextBoolean()
+      val base0 = sf("events")
+      val base = if (useFilter) base0.filter(col("event_type") =!= lit(et)) else base0
+      val by = if (keyed) Seq("event_type") else Seq.empty
+      val df = graft.operators.DynamicGroupBy(base, "ts", every = estr, by = by)(
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sv"),
+          count(lit(1)).as("n"),
+          min(col("event_id")).as("first_ev"))
+        .select((Seq(expr("unix_micros(cast(ts as timestamp))").as("tsu")) ++
+          by.map(col) :+ col("sv") :+ col("n") :+ col("first_ev")): _*)
+      val keyCols = if (keyed) ", event_type" else ""
+      val whereSql = if (useFilter) s"WHERE event_type <> '$et'" else ""
+      val sql =
+        s"""SELECT epoch_us(time_bucket(INTERVAL '$esql', ts)) AS tsu$keyCols,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv,
+           |  count(*) AS n, min(event_id) AS first_ev
+           |FROM events $whereSql GROUP BY 1${if (keyed) ", 2" else ""}""".stripMargin
+      assertSame(df, sql)
+    }
+  }
+
   test("fuzz: 40 random rolling-window plans (rows + time closed-variants) match DuckDB") {
     // grammar 12: rolling windows. Rows-based fixed windows with random
     // size and min_periods over orders; time-based windows with random
