@@ -166,6 +166,42 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("nearest-cells narrow map == crossJoin+window argmax (randomized, ties + zero vectors)") {
+    // NearestCellsExpr must reproduce the shuffled formulation it replaced
+    // exactly: cosine desc nulls-last, cell-id-asc ties. Adversarial bits:
+    // duplicated vectors (exact score ties across cells), zero vectors
+    // (null cosine against every centroid → cells ranked by id alone).
+    import org.apache.spark.sql.expressions.Window
+    for (seed <- 0 until 8) {
+      val rnd = new scala.util.Random(seed)
+      val dim = 8
+      val pool = IndexedSeq.fill(20)(Array.fill(dim)(rnd.nextFloat() - 0.5f))
+      val fixed = (0 until 120).map { i =>
+        val v = rnd.nextInt(10) match {
+          case 0 => Array.fill(dim)(0.0f) // zero → null sim against every centroid
+          case 1 | 2 | 3 => pool(rnd.nextInt(pool.length)) // shared vectors → exact ties
+          case _ => Array.fill(dim)(rnd.nextFloat() - 0.5f)
+        }
+        (i.toLong, v)
+      }
+      val df = fixed.toDF("vec_id", "embedding")
+      val p = 1 + rnd.nextInt(3)
+      val centroids = df.filter(col("vec_id") % 9 === 0).limit(10)
+        .select((col("vec_id") * 100).as("cell"), col("embedding").as("__centroid"))
+      val got = graft.similarity.Ivf.assignCells(df, centroids, p, "vec_id", "embedding")
+        .select("vec_id", "cell").as[(Long, Long)].collect().toSet
+      // the replaced formulation, verbatim
+      val scored = df.crossJoin(broadcast(centroids))
+        .withColumn("__csim", call_function("graft_cosine", col("embedding"), col("__centroid")))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("__csim").desc_nulls_last, col("cell"))
+      val expect = scored.withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= p)
+        .select("vec_id", "cell").as[(Long, Long)].collect().toSet
+      assert(got == expect, s"seed=$seed p=$p diff=${(got diff expect) ++ (expect diff got)}")
+    }
+  }
+
   test("graft_vec_sum: bounded-state element-wise sum == posexplode mean formulation") {
     graft.plans.AnnExprs.register(spark)
     val rnd = new scala.util.Random(5)
