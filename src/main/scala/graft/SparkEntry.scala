@@ -798,8 +798,9 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // trainable BPE tokenizer (Sennrich ACL'16): merges learned driver-side
-    // on a bounded hash-ranked sample, applied corpus-wide in a narrow map.
+    // trainable BPE tokenizer (Sennrich ACL'16): corpus-exact merges from a
+    // distributed word-frequency table (driver sees only the bounded
+    // maxVocab cut), applied corpus-wide in a narrow map.
     // Sequential merge learning has no SQL oracle; BpeSpec pins the classic
     // corpus merges, expression==reference equivalence, and monotonicity
     "qd32_bpe_tokenize" -> ((s, d) => {

@@ -17,9 +17,15 @@ import org.apache.spark.sql.functions._
   *    [[graft.plans.BpeEncodeExpr]] as a plan literal and every document
   *    tokenizes in a narrow map, no shuffle, no driver involvement.
   *
-  * Word model: whitespace words ([[TextFunctions.tokens]] semantics) split
-  * to single characters plus a terminal `</w>` symbol; merges never cross
-  * word boundaries. Deterministic: ties on pair frequency break on the
+  * Word model (stated once, shared by BOTH trainers): a word is a maximal
+  * run of non-whitespace characters — `\s+` split with empties dropped,
+  * exactly [[TextFunctions.tokens]] semantics. [[train]] applies it
+  * driver-side (`String.split("\\s+")` + nonEmpty filter), [[trainCorpus]]
+  * distributed (`TextFunctions.tokens`); the two agree on every input
+  * including punctuation-adjacent words ("end." is one word) — BpeSpec
+  * pins this with a punctuation-heavy corpus. Words split to single
+  * code-point symbols plus a terminal `</w>`; merges never cross word
+  * boundaries. Deterministic: ties on pair frequency break on the
   * lexicographically smallest pair.
   */
 object Bpe {
@@ -67,7 +73,96 @@ object Bpe {
     learnMerges(wf, numMerges)
   }
 
+  /** Incremental merge learning (the fast path both trainers share).
+    *
+    * The naive formulation recounts every adjacent pair over the whole word
+    * table per merge — O(numMerges × vocab × wordLen) driver time, hours at
+    * a real tokenizer's numMerges≈32k. This is the classic incremental
+    * algorithm instead (Sennrich's reference implementation ships the same
+    * structure): maintain
+    *  - a live pair→count map,
+    *  - a pair→{word index} inverted index, so a merge touches ONLY the
+    *    words that actually contain the merged pair, and
+    *  - a lazy-deletion max-heap over (count, pair) for the argmax: every
+    *    time a pair's count changes it gets a fresh heap entry; stale
+    *    entries are discarded on pop by checking against the live count.
+    * Per merge the cost is O(occurrences of the merged pair), not O(vocab).
+    *
+    * Selection is identical to the naive argmax: highest count wins, ties
+    * break on the lexicographically smallest (left, right) pair; merging
+    * stops when no pair occurs at least twice. [[learnMergesNaive]] keeps
+    * the direct transcription and BpeSpec asserts byte-identical output.
+    */
   private def learnMerges(wordFreq: Map[String, Long], numMerges: Int): Seq[(String, String)] = {
+    type Pair = (String, String)
+    val entries = wordFreq.toArray
+    val syms = entries.map { case (w, _) => symbols(w) }
+    val freqs = entries.map(_._2)
+
+    val counts = new scala.collection.mutable.HashMap[Pair, Long]()
+    val index = new scala.collection.mutable.HashMap[Pair, scala.collection.mutable.Set[Int]]()
+
+    // Add (sign=+1) or retract (sign=-1) one word's adjacent pairs from the
+    // live count + index, recording every pair whose count moved.
+    def scan(wi: Int, sign: Long, touched: scala.collection.mutable.Set[Pair]): Unit = {
+      val s = syms(wi); val f = freqs(wi)
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        val c = counts.getOrElse(p, 0L) + sign * f
+        if (c == 0L) counts.remove(p) else counts.update(p, c)
+        if (sign > 0) index.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += wi
+        else index.get(p).foreach { set => set -= wi; if (set.isEmpty) index.remove(p) }
+        if (touched != null) touched += p
+        i += 1
+      }
+    }
+
+    var wi = 0
+    while (wi < entries.length) { scan(wi, 1L, null); wi += 1 }
+
+    // Max-heap by (count, then lexicographically smallest pair): entries are
+    // (-count, left, right) under a reversed tuple ordering, so dequeue()
+    // yields exactly the pair the naive minBy((-c, a, b)) would pick.
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, String, String)](
+      Ordering.Tuple3(Ordering.Long, Ordering.String, Ordering.String).reverse)
+    for ((p, c) <- counts if c >= 2L) heap.enqueue((-c, p._1, p._2))
+
+    val merges = scala.collection.mutable.ArrayBuffer[Pair]()
+    var done = false
+    while (!done && merges.length < numMerges) {
+      var best: Pair = null
+      while (best == null && heap.nonEmpty) {
+        val (negC, a, b) = heap.dequeue()
+        val p = (a, b)
+        // Stale entries (count changed since push) are discarded: every
+        // count change pushed a fresh entry, so the live count — if still
+        // >= 2 — has its own representative in the heap.
+        if (counts.getOrElse(p, 0L) == -negC) best = p
+      }
+      if (best == null) done = true
+      else {
+        merges += best
+        val affected = index.get(best).map(_.toArray.sorted).getOrElse(Array.empty[Int])
+        val touched = scala.collection.mutable.Set[Pair]()
+        for (w <- affected) {
+          scan(w, -1L, touched)
+          syms(w) = mergeOnce(syms(w), best)
+          scan(w, 1L, touched)
+        }
+        for (p <- touched) {
+          val c = counts.getOrElse(p, 0L)
+          if (c >= 2L) heap.enqueue((-c, p._1, p._2))
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Direct transcription of the BPE merge loop (recount all pairs each
+    * iteration) — the readable reference [[learnMerges]] is checked against
+    * in BpeSpec. Not used by the trainers. */
+  private[graft] def learnMergesNaive(wordFreq: Map[String, Long], numMerges: Int): Seq[(String, String)] = {
     var words: Map[Vector[String], Long] =
       wordFreq.iterator.map { case (w, f) => symbols(w) -> f }.toMap
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
@@ -88,6 +183,10 @@ object Bpe {
     }
     merges.toSeq
   }
+
+  /** Expose merge learning for equivalence tests. */
+  private[graft] def learnMergesIncremental(wordFreq: Map[String, Long], numMerges: Int): Seq[(String, String)] =
+    learnMerges(wordFreq, numMerges)
 
   /** Replace every adjacent (a, b) with a+b, left to right. */
   def mergeOnce(syms: Vector[String], pair: (String, String)): Vector[String] = {

@@ -104,6 +104,63 @@ class BpeSpec extends SparkSpec {
     assert(B.loadMerges(spark, dir) == merges)
   }
 
+  test("incremental merge learning == naive full-recount reference (randomized)") {
+    // the trainers run the incremental pair-count + inverted-index + lazy-heap
+    // algorithm; learnMergesNaive keeps the direct recount-everything
+    // transcription. Byte-identical merge sequences on random word tables,
+    // including numMerges exhaustion (stop when no pair occurs twice).
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 30) {
+      val vocabSize = 1 + rnd.nextInt(120)
+      val wf = (0 until vocabSize).map { _ =>
+        val w = (0 to rnd.nextInt(7)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+        w -> (1L + rnd.nextInt(50))
+      }.toMap // map collapses duplicate words — fine, both sides see the same table
+      val numMerges = rnd.nextInt(60)
+      val fast = B.learnMergesIncremental(wf, numMerges)
+      val slow = B.learnMergesNaive(wf, numMerges)
+      assert(fast == slow, s"trial $trial (vocab $vocabSize, merges $numMerges):\n$fast\nvs\n$slow")
+    }
+  }
+
+  test("incremental training: numMerges >= 500 on a realistic vocab in seconds") {
+    // ~12k-word Zipf vocabulary (the shape a 100 TB corpus's maxVocab cut
+    // hands the driver). The old recount-per-merge loop was
+    // O(numMerges x vocab x wordLen) and took minutes here; the incremental
+    // loop touches only words containing the merged pair.
+    val rnd = new scala.util.Random(11)
+    val alphabet = "etaoinshrdlucmfwypvbgkjqxz"
+    val wf = (0 until 12000).map { i =>
+      val len = 2 + rnd.nextInt(10)
+      val w = (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      w -> (1L + (200000L / (i + 1))) // Zipf-ish frequency
+    }.toMap
+    val t0 = System.nanoTime()
+    val merges = B.learnMergesIncremental(wf, 600)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(merges.length == 600, s"only ${merges.length} merges learned")
+    assert(merges.distinct.length == merges.length, "a merged pair recurred")
+    assert(secs < 60.0, f"600 merges took $secs%.1f s — incremental path regressed")
+  }
+
+  test("train and trainCorpus share one word model on punctuation-heavy text") {
+    // the word model is stated once in the Bpe scaladoc: \s+ runs, empties
+    // dropped, punctuation stays attached ("end." is one word). Both the
+    // driver-side split (train) and TextFunctions.tokens (trainCorpus) must
+    // realize it identically.
+    val docs = Seq(
+      (1L, "The end. The end. the end, really--the END?!"),
+      (2L, "  leading   spaces\tand\ttabs\nand newlines. (parens) [brackets]"),
+      (3L, "don't don't can't it's it's it's o'clock... ..."),
+      (4L, "a,b a,b a,b c;d c;d e.f.g e.f.g e.f.g e.f.g")
+    ).toDF("doc_id", "text")
+    val viaSample = B.train(docs, "text", numMerges = 100, sampleN = 100, idCol = "doc_id")
+    val viaCorpus = B.trainCorpus(docs, "text", numMerges = 100)
+    assert(viaSample == viaCorpus,
+      s"word models diverged:\n$viaSample\nvs\n$viaCorpus")
+    assert(viaSample.nonEmpty)
+  }
+
   test("more merges never increase the sub-token count (compression monotone)") {
     graft.plans.BpeExprs.register(spark)
     val docs = sf("documents").limit(50)
