@@ -35,7 +35,22 @@ object Bench {
       results.map { r => "\"" + r._1 + "\":" + f(r) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val coldTotal = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2)},"queries_cold":${jmap(_._3)},"cold_total":$coldTotal,"reps":$reps,"sf":"$sfDir"}""")
+    // headline metric is named for its semantics (sum of per-query
+    // min-across-reps) so trend consumers can't silently mix it with the
+    // pre-reps single-run "total"; schema_version marks the methodology
+    val json = s"""{"metric":"total_warm_min","value":$total,"unit":"sec","schema_version":2,"queries":${jmap(_._2)},"queries_cold":${jmap(_._3)},"cold_total":$coldTotal,"reps":$reps,"sf":"$sfDir"}"""
+    println(json)
+    // stdout tail-capture can truncate the per-query maps (round 5 lost the
+    // warm map for q01-q33); the full artifact is always written to a file
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_latest.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] full result JSON written to $outPath")
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
