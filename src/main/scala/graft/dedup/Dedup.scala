@@ -162,14 +162,19 @@ object Dedup {
     graft.plans.SketchExprs.register(df.sparkSession)
     val sh = df.select(col(idCol).as("id"),
       explode(distinctShingleHashes(col(textCol), shingleK)).as("s"))
-    // document frequency via count-over-partition: ONE shuffle of the
-    // exploded shingle stream instead of the groupBy + re-join pair (which
-    // shuffled the same stream twice and sort-merge-joined it). Per-shingle
-    // window state is a single running count (spillable sort groups).
-    val wdf = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+    // document frequency via map-side-combined groupBy + join-back, NOT a
+    // count-over-Window.partitionBy(s): a window partition is one task, so
+    // a corpus-hot boilerplate shingle (df in the millions at 100 TB) would
+    // funnel every one of its rows into a single un-splittable straggler.
+    // The groupBy's partial aggregation collapses the hot shingle to one
+    // (s, count) row per input partition BEFORE its shuffle, and the
+    // join-back is a sort-merge join AQE skew-split can break up — the
+    // exploded stream still crosses the wire once; only the combined
+    // per-partition partials are a second (much smaller) shuffle.
+    val dfTab = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     // per-doc sorted shingle array (rarest-first global order) + set size;
     // feeds candidate generation AND verification — materialize once
-    val sets = sh.withColumn("df", count(lit(1)).over(wdf))
+    val sets = sh.join(dfTab, "s")
       .groupBy(col("id"))
       .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("arr"),
         count(lit(1)).as("n"))

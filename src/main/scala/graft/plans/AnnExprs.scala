@@ -60,6 +60,21 @@ case class NearestCellsExpr(child: Expression, cellIds: Array[Long],
     case other => throw new IllegalArgumentException(s"unsupported element type $other")
   }
 
+  // NULL embedding reproduces the crossJoin+window formulation it replaced:
+  // cosine is null against every centroid, so the sim-desc-nulls-last,
+  // cell-asc window order assigned the LOWEST p cell ids. Returning them —
+  // rather than null, which the caller's explode() would silently drop —
+  // keeps the parity exact and keeps null-embedding corpus rows visible in
+  // the index instead of vanishing.
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) {
+      val m = math.min(p, cellIds.length)
+      ArrayData.toArrayData(cellIds.sorted.take(m))
+    } else nullSafeEval(v)
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val vec = input.asInstanceOf[ArrayData]
     val nlist = cellIds.length
@@ -113,10 +128,13 @@ case class NearestCellsExpr(child: Expression, cellIds: Array[Long],
 }
 
 /** Bounded per-group top-k buffer: ≤ k entries, kept sorted best-first
-  * (score desc, nulls last, id asc), duplicate ids collapsed (a duplicate id
-  * always carries an identical score — it is the same scored pair arriving
-  * via another block/probe — so dedup-by-id subsumes the `.distinct()` the
-  * window formulation needed). */
+  * (score desc, nulls last, id asc), duplicate ids collapsed keeping the
+  * BETTER-ranked (score, id) entry. In the ANN pipelines a duplicate id
+  * always carries an identical score (the same scored pair arriving via
+  * another block/probe), but `graft_topk` is registered session-wide and a
+  * SQL caller may feed differing scores for one id — keeping the best makes
+  * the result independent of partition/merge arrival order, matching the
+  * determinism of the window+distinct formulation this replaces. */
 final class TopKBuffer(val k: Int) {
   var size: Int = 0
   val ids = new Array[Long](k)
@@ -132,8 +150,23 @@ final class TopKBuffer(val k: Int) {
 
   def insert(s: Double, isNull: Boolean, id: Long): Unit = {
     if (size == k && !betterThan(s, isNull, id, k - 1)) return
+    // duplicate id: the buffer is sorted best-first, so an existing entry at
+    // i outranks the incoming one unless betterThan says otherwise — keep
+    // the better of the two (same id + same score compares NOT better, so
+    // the identical-score fast path still returns here).
     var i = 0
-    while (i < size) { if (ids(i) == id) return; i += 1 }
+    while (i < size) {
+      if (ids(i) == id) {
+        if (!betterThan(s, isNull, id, i)) return
+        var j = i
+        while (j < size - 1) {
+          ids(j) = ids(j + 1); scores(j) = scores(j + 1); nulls(j) = nulls(j + 1)
+          j += 1
+        }
+        size -= 1
+        i = size
+      } else i += 1
+    }
     var pos = size
     while (pos > 0 && betterThan(s, isNull, id, pos - 1)) pos -= 1
     if (pos >= k) return

@@ -27,6 +27,10 @@ import org.apache.spark.sql.types._
 case class PqEncodeExpr(child: Expression, codebook: Array[Float], m: Int, ksub: Int)
     extends UnaryExpression with CodegenFallback {
 
+  // validate BEFORE the division: m*ksub == 0 (reachable via the
+  // session-registered SQL functions) must fail with this message, not an
+  // ArithmeticException from the subDim computation
+  require(m > 0 && ksub > 0, s"pq_encode: m and ksub must be positive, got m=$m ksub=$ksub")
   private val subDim = codebook.length / (m * ksub)
   // mirror the require in Pq.train: a codebook/m/ksub mismatch must fail
   // loudly at plan construction, not silently misalign centroid reads
@@ -85,6 +89,7 @@ case class PqEncodeExpr(child: Expression, codebook: Array[Float], m: Int, ksub:
 case class PqLutExpr(child: Expression, codebook: Array[Float], m: Int, ksub: Int)
     extends UnaryExpression with CodegenFallback {
 
+  require(m > 0 && ksub > 0, s"pq_lut: m and ksub must be positive, got m=$m ksub=$ksub")
   private val subDim = codebook.length / (m * ksub)
   require(subDim > 0 && codebook.length == m * ksub * subDim,
     s"pq_lut: codebook length ${codebook.length} is not m*ksub*subDim for m=$m ksub=$ksub")

@@ -166,11 +166,35 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
-  test("nearest-cells narrow map == crossJoin+window argmax (randomized, ties + zero vectors)") {
+  test("graft_topk duplicate ids with DIFFERING scores keep the better-ranked entry") {
+    // the ANN paths only ever duplicate a (query, id) pair with an identical
+    // score, but graft_topk is registered session-wide — a SQL caller can
+    // feed one id several scores. The buffer must keep the best (score, id)
+    // per id regardless of partition/merge arrival order.
+    graft.plans.AnnExprs.register(spark)
+    val rows = Seq(
+      (1L, 10L, Some(0.2)), (1L, 10L, Some(0.9)), (1L, 10L, Some(0.5)),
+      (1L, 20L, Some(0.7)), (1L, 30L, None), (1L, 30L, Some(0.1)),
+      (2L, 10L, Some(0.4)), (2L, 10L, None))
+    val expect = Set((1L, 10L, Some(0.9), 1), (1L, 20L, Some(0.7), 2), (1L, 30L, Some(0.1), 3),
+      (2L, 10L, Some(0.4), 1))
+    // vary physical arrival order: different partition counts + input orders
+    for (parts <- Seq(1, 3, 8); ord <- Seq(rows, rows.reverse, rows.sortBy(_._3.getOrElse(-9.0)))) {
+      val df = ord.toDF("query_id", "neighbor_id", "cosine").repartition(parts)
+      val got = graft.similarity.Ann.topKPerQuery(df, "query_id", "cosine", 5)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .as[(Long, Long, Option[Double], Int)].collect().toSet
+      assert(got == expect, s"parts=$parts ord=${ord.take(2)}: $got")
+    }
+  }
+
+  test("nearest-cells narrow map == crossJoin+window argmax (randomized, ties + zero + NULL vectors)") {
     // NearestCellsExpr must reproduce the shuffled formulation it replaced
     // exactly: cosine desc nulls-last, cell-id-asc ties. Adversarial bits:
     // duplicated vectors (exact score ties across cells), zero vectors
-    // (null cosine against every centroid → cells ranked by id alone).
+    // (null cosine against every centroid → cells ranked by id alone), and
+    // NULL embedding columns (same null-cosine ranking — the expression must
+    // assign the lowest p cells, not return null and vanish from the index).
     import org.apache.spark.sql.expressions.Window
     for (seed <- 0 until 8) {
       val rnd = new scala.util.Random(seed)
@@ -180,13 +204,15 @@ class ScaleOpsSpec extends SparkSpec {
         val v = rnd.nextInt(10) match {
           case 0 => Array.fill(dim)(0.0f) // zero → null sim against every centroid
           case 1 | 2 | 3 => pool(rnd.nextInt(pool.length)) // shared vectors → exact ties
+          case 4 => null // NULL embedding → null sim against every centroid
           case _ => Array.fill(dim)(rnd.nextFloat() - 0.5f)
         }
         (i.toLong, v)
       }
       val df = fixed.toDF("vec_id", "embedding")
       val p = 1 + rnd.nextInt(3)
-      val centroids = df.filter(col("vec_id") % 9 === 0).limit(10)
+      // centroids come from k-means means in the real pipeline — never null
+      val centroids = df.filter(col("vec_id") % 9 === 0 && col("embedding").isNotNull).limit(10)
         .select((col("vec_id") * 100).as("cell"), col("embedding").as("__centroid"))
       val got = graft.similarity.Ivf.assignCells(df, centroids, p, "vec_id", "embedding")
         .select("vec_id", "cell").as[(Long, Long)].collect().toSet
