@@ -155,6 +155,11 @@ object Dedup {
     * bounded df, and the full-set verification touches only surviving
     * candidates. At 100 TB this is the difference between a bounded
     * candidate set and a runaway shuffle.
+    *
+    * Residual skew (a shared shingle hot on BOTH sides of the candidate
+    * self-join) is AQE's job — SkewBucketSpec asserts the runtime split on
+    * the qd16 shape; on clusters running with AQE off, route the candidate
+    * join through [[graft.operators.Skew.saltedSelfJoin]] instead.
     */
   def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
                               shingleK: Int = 5, threshold: Double = 0.5): DataFrame = {

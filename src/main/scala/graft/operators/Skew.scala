@@ -47,4 +47,38 @@ object Skew {
       explode(array((0 until nSalts).map(i => lit(i.toLong)): _*)))
     l.join(r, Seq(key, "__salt"), how).drop("__salt")
   }
+
+  /** Two-sided salted SELF-join for pairwise candidate generation — the
+    * explicit fallback for the skew AQE normally absorbs (qd16's two-sided
+    * hot-shingle case is only sub-partition-splittable as a runtime AQE
+    * rewrite; with AQE off, a corpus-hot blocking key collapses the plain
+    * self-join into one straggler task that does df(hot)² comparisons).
+    *
+    * Scheme: the probe side keeps ONE salt per row — `xxhash64(idCol) mod
+    * nSalts`, content-derived so it is stable under task retry and
+    * partition relayout, unlike a positional id — and the build side is
+    * replicated ×nSalts carrying every salt value; the join matches on
+    * (key, salt). Each ordered row pair of a key therefore meets in exactly
+    * one task (the probe row's salt), so the output is row-for-row the
+    * plain `df.join(df, key)` self-join — same (a, a) rows, same (a, b) /
+    * (b, a) doubling for the caller's `id_a < id_b` filter to halve — while
+    * a hot key's probe rows spread over nSalts reducers instead of one.
+    *
+    * Cost model (why this is a knob and not the default): the build side's
+    * shuffle volume is ×nSalts, so salt only when a blocking key's df is
+    * hot enough that one task's df(hot)² dominates the ×S replication —
+    * exactly the decision AQE's runtime statistics make automatically when
+    * it is on.
+    *
+    * Right-side columns (except the join key) come back suffixed; the
+    * caller's downstream is otherwise identical to the unsalted join. */
+  def saltedSelfJoin(df: DataFrame, key: String, idCol: String, nSalts: Int,
+                     suffix: String = "_b"): DataFrame = {
+    require(nSalts > 0, s"nSalts must be positive, got $nSalts")
+    val l = df.withColumn("__salt", pmod(xxhash64(col(idCol)), lit(nSalts.toLong)))
+    val r = df.select(df.columns.map(c =>
+        col(c).as(if (c == key) c else c + suffix)).toIndexedSeq: _*)
+      .withColumn("__salt", explode(array((0 until nSalts).map(i => lit(i.toLong)): _*)))
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
 }

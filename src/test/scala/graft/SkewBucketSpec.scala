@@ -120,6 +120,49 @@ class SkewBucketSpec extends SparkSpec {
     }
   }
 
+  test("saltedSelfJoin == plain self-join and spreads the hot key with AQE OFF") {
+    // the explicit fallback for clusters running without AQE: a corpus-hot
+    // blocking key makes the plain self-join one straggler task (df(hot)^2
+    // comparisons). The salted plan must (a) produce the identical pair
+    // multiset and (b) actually spread the hot key over >= nSalts-ish
+    // reducers, with no AQE involved.
+    val conf = spark.conf
+    val keys = Seq("spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.shuffle.partitions")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      conf.set("spark.sql.shuffle.partitions", "32")
+      val nSalts = 8
+      val docs = ((1 to 400).map(i => ("hot", i.toLong)) ++
+        (1 to 300).map(i => (s"k${i % 60}", 1000L + i))).toDF("bucket", "id")
+      val salted = Skew.saltedSelfJoin(docs, "bucket", "id", nSalts)
+      val plain = docs.as("a").join(
+        docs.select(col("bucket"), col("id").as("id_b")), "bucket")
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.filter(col("id") < col("id_b"))
+          .select("bucket", "id", "id_b").as[(String, Long, Long)].collect().toSet
+      val sp = pairs(salted)
+      assert(sp == pairs(plain), "salted self-join pair set diverged from plain")
+      assert(sp.count(_._1 == "hot") == 400 * 399 / 2)
+      // the plan is salt-partitioned, not AQE-rewritten: the hot key's output
+      // rows come from >= nSalts/2 distinct reducer partitions (a few salts
+      // may hash-collide into one partition), and no AQE node is present
+      val hotParts = salted.filter(col("bucket") === "hot")
+        .select(spark_partition_id()).distinct().count()
+      assert(hotParts >= nSalts / 2,
+        s"hot key handled by only $hotParts partitions — salt did not spread it")
+      val plainParts = plain.filter(col("bucket") === "hot")
+        .select(spark_partition_id()).distinct().count()
+      assert(plainParts == 1, s"control: unsalted hot key should be one partition, was $plainParts")
+      assert(!salted.queryExecution.executedPlan.toString.contains("AdaptiveSparkPlan"))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     val a = (1L to 1000L).map(i => (i, i * 2.0)).toDF("id", "x")
     val b = (1L to 1000L).map(i => (i, s"n$i")).toDF("id", "name")
