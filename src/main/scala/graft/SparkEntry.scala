@@ -950,6 +950,31 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // video container metadata (honest scope: MP4 moov/mvhd/tkhd atom walk,
+    // no frame decode — the JDK has no video codec). Round-trip oracle:
+    // headers are SYNTHESIZED from doc_id formulas, parsed back by the
+    // pure-JVM box walk, and the oracle recomputes the formulas in SQL —
+    // so Mp4.parse(Mp4.buildHeader(x)) == x is exactly what DuckDB checks
+    "qm04_video_meta" -> ((s, d) => {
+      import s.implicits._
+      val M = graft.multimodal.Multimodal
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = 320 + (id % 8).toInt * 16
+          val h = 240 + (id % 5).toInt * 16
+          (id, graft.multimodal.Mp4.buildHeader("isom", 600L,
+            600L + id % 2400L, 1 + (id % 3).toInt, w, h))
+        }).toDF("doc_id", "bin")
+      M.videoMeta(M.asMediaTable(media, "doc_id", "bin"))
+        .select(col("media_id"), col("meta.format").as("format"),
+          col("video.brand").as("brand"),
+          col("video.duration_s").as("duration_s"),
+          col("video.timescale").as("timescale"),
+          col("video.n_tracks").as("n_tracks"),
+          col("video.width").as("width"), col("video.height").as("height"))
+        .orderBy(col("media_id"))
+    }),
+
     // §2.13 typed scalar UDFs (Expr.Map parity): dtype-changing int->string
     // map + double arithmetic map, both optimizer barriers like the reference
     "q29_udf_map" -> ((s, d) => {
@@ -1919,10 +1944,20 @@ object SparkEntry {
 
     "qm01_media_meta" ->
       """SELECT doc_id AS media_id,
-        |  CASE WHEN starts_with(substr(text, 1, 4), 'PNG') THEN 'png'
+        |  CASE WHEN substr(text, 5, 4) = 'ftyp' THEN 'mp4'
+        |       WHEN starts_with(substr(text, 1, 4), 'PNG') THEN 'png'
         |       WHEN starts_with(substr(text, 1, 4), 'RIFF') THEN 'riff'
         |       ELSE 'raw' END AS format,
         |  octet_length(encode(text)) AS n_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "qm04_video_meta" ->
+      """SELECT doc_id AS media_id, 'mp4' AS format, 'isom' AS brand,
+        |  (600 + doc_id % 2400) / 600.0 AS duration_s,
+        |  CAST(600 AS BIGINT) AS timescale,
+        |  CAST(1 + doc_id % 3 AS INT) AS n_tracks,
+        |  CAST(320 + (doc_id % 8) * 16 AS INT) AS width,
+        |  CAST(240 + (doc_id % 5) * 16 AS INT) AS height
         |FROM documents ORDER BY media_id""".stripMargin,
 
     "qm03_frame_sample" ->

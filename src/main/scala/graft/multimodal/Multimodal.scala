@@ -48,6 +48,8 @@ object Multimodal {
     val magic = substring(b, 1, 4).cast("string")
     val isPng = hex(substring(b, 1, 8)) === lit("89504E470D0A1A0A")
     val isJpeg = hex(substring(b, 1, 3)) === lit("FFD8FF")
+    // ISO-BMFF: 'ftyp' at bytes 5-8 (the [[Mp4]] signature, sniffed in SQL)
+    val isMp4 = substring(b, 5, 4).cast("string") === lit("ftyp")
     // IHDR dims live at bytes 17-24; a truncated PNG must yield null dims,
     // not whatever conv() makes of a short hex string
     val hasIhdr = isPng && octet_length(b) >= lit(24)
@@ -56,6 +58,7 @@ object Multimodal {
       b.as("payload"),
       struct(
         when(isPng, "png").when(isJpeg, "jpeg")
+          .when(isMp4, "mp4")
           .when(magic.startsWith("PNG"), "png")
           .when(magic.startsWith("RIFF"), "riff")
           .otherwise("raw").as("format"),
@@ -168,14 +171,49 @@ object Multimodal {
   }
 
   /** Combined media decoder: real JDK codecs where they exist (images via
-    * ImageIO, WAV audio via javax.sound), deterministic fallback elsewhere.
-    * The default `decodeFn` for [[decodeFeatures]] callers that carry mixed
-    * payload types. */
+    * ImageIO, WAV audio via javax.sound), container-header metadata for MP4
+    * video ([[Mp4.parse]] — the JDK has no video codec, so features are
+    * [duration_s, timescale, n_tracks, width, height], not frame content),
+    * deterministic fallback elsewhere. The default `decodeFn` for
+    * [[decodeFeatures]] callers that carry mixed payload types. */
   def mediaDecode(payload: Array[Byte], featureDim: Int): Array[Float] =
     if (payload == null) Array.empty
     else if (looksLikeImage(payload)) imageDecode(payload, featureDim)
     else if (looksLikeWav(payload)) audioDecode(payload, featureDim)
+    else if (Mp4.looksLikeMp4(payload)) Mp4.parse(payload) match {
+      case Some(m) =>
+        val stats = Array(m.durationSeconds.toFloat, m.timescale.toFloat,
+          m.nTracks.toFloat, m.width.toFloat, m.height.toFloat)
+        Array.tabulate(featureDim)(i => if (i < stats.length) stats(i) else 0f)
+      case None => fakeDecode(payload, featureDim)
+    }
     else fakeDecode(payload, featureDim)
+
+  /** Video container metadata as columns: parse each payload's MP4 header
+    * ([[Mp4.parse]], a bounds-checked pure-JVM atom walk — no codec, no
+    * frame decode) in a partition-parallel narrow map. Non-MP4 payloads get
+    * a null struct; the row is never dropped. */
+  def videoMeta(media: DataFrame): DataFrame = {
+    val vSchema = StructType(Seq(
+      StructField("brand", StringType, nullable = true),
+      StructField("duration_s", DoubleType, nullable = false),
+      StructField("timescale", LongType, nullable = false),
+      StructField("n_tracks", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false)))
+    val outSchema = StructType(media.schema.fields :+
+      StructField("video", vSchema, nullable = true))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val v = Mp4.parse(r.getAs[Array[Byte]](payloadIdx)).map(m =>
+          Row(m.majorBrand, m.durationSeconds, m.timescale, m.nTracks,
+            m.width, m.height)).orNull
+        Row.fromSeq(r.toSeq :+ v)
+      }
+    }
+  }
 
   /** Deterministic pseudo-feature fallback for binary that no JDK codec can
     * decode (audio/video/raw): stable hash-derived output keeps those

@@ -443,6 +443,83 @@ class PipelineSpec extends SparkSpec {
       M.fakeDecode("plain text".getBytes, 8).toSeq)
   }
 
+  test("multimodal: MP4 moov-atom metadata (hand-built atoms, v0/v1, largesize, junk)") {
+    val Mp4 = graft.multimodal.Mp4
+    val M = graft.multimodal.Multimodal
+
+    // builder -> parser round-trip (the qm04 oracle's contract)
+    val p = Mp4.buildHeader("isom", 600L, 1800L, 2, 640, 480)
+    val m = Mp4.parse(p).get
+    assert(m == Mp4.Meta("isom", 600L, 1800L, 2, 640, 480), m.toString)
+    assert(m.durationSeconds == 3.0)
+
+    // hand-built v1 atoms (64-bit times/duration; 96-byte tkhd payload)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length); b.put(typ.getBytes("ISO-8859-1")); b.put(payload)
+      b.array()
+    }
+    val mvhd1 = {
+      val b = java.nio.ByteBuffer.allocate(112)
+      b.putInt(0x01000000) // version 1
+      b.putLong(0L); b.putLong(0L) // creation/modification (64-bit)
+      b.putInt(90000) // timescale
+      b.putLong(4500000L) // duration: 50 s at 90 kHz
+      box("mvhd", b.array())
+    }
+    val tkhd1 = {
+      val b = java.nio.ByteBuffer.allocate(96)
+      b.putInt(0x01000007)
+      b.position(88)
+      b.putInt(1920 << 16); b.putInt(1080 << 16)
+      box("tkhd", b.array())
+    }
+    val ftyp = box("ftyp", "avc1".getBytes("ISO-8859-1") ++ Array.fill[Byte](8)(0))
+    val v1 = ftyp ++ box("moov", mvhd1 ++ box("trak", tkhd1))
+    val pm = Mp4.parse(v1).get
+    assert(pm == Mp4.Meta("avc1", 90000L, 4500000L, 1, 1920, 1080), pm.toString)
+    assert(math.abs(pm.durationSeconds - 50.0) < 1e-12)
+
+    // 64-bit largesize encoding of the moov box (size==1 + u64)
+    val inner = mvhd1 ++ box("trak", tkhd1)
+    val large = {
+      val b = java.nio.ByteBuffer.allocate(16 + inner.length)
+      b.putInt(1); b.put("moov".getBytes("ISO-8859-1"))
+      b.putLong(16L + inner.length); b.put(inner)
+      b.array()
+    }
+    assert(Mp4.parse(ftyp ++ large).get == pm)
+
+    // malformed inputs must yield None / partial, never throw
+    assert(Mp4.parse(null).isEmpty)
+    assert(Mp4.parse("not a video at all".getBytes).isEmpty)
+    assert(Mp4.parse(p.take(10)).isEmpty) // truncated mid-ftyp
+    for (cut <- Seq(20, 40, p.length - 5)) Mp4.parse(p.take(cut)) // no crash
+    val junkSize = p.clone(); junkSize(24) = 0xFF.toByte // corrupt moov size
+    Mp4.parse(junkSize) // bounds-checked walk, no crash
+
+    // DataFrame plumbing: sniff in asMediaTable, videoMeta narrow map,
+    // non-MP4 rows keep a null struct (never dropped)
+    val df = Seq((1L, p), (2L, "plain text".getBytes), (3L, v1))
+      .toDF("id", "bin")
+    val media = M.asMediaTable(df, "id", "bin")
+    val fmts = media.select(col("media_id"), col("meta.format"))
+      .as[(Long, String)].collect().toMap
+    assert(fmts == Map(1L -> "mp4", 2L -> "raw", 3L -> "mp4"), fmts.toString)
+    val vm = M.videoMeta(media)
+      .select(col("media_id"), col("video.brand"), col("video.duration_s"),
+        col("video.n_tracks"), col("video.width"), col("video.height"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else (r.getString(1), r.getDouble(2), r.getInt(3), r.getInt(4), r.getInt(5)))).toMap
+    assert(vm(1L) == ("isom", 3.0, 2, 640, 480), vm(1L).toString)
+    assert(vm(2L) == null, "non-MP4 must keep a null video struct")
+    assert(vm(3L) == ("avc1", 50.0, 1, 1920, 1080), vm(3L).toString)
+
+    // mediaDecode routes MP4 to container-metadata features
+    assert(M.mediaDecode(p, 8).toSeq ==
+      Seq(3.0f, 600f, 2f, 640f, 480f, 0f, 0f, 0f))
+  }
+
   test("multimodal: stereo WAV zero-crossings stride by channel") {
     import javax.sound.sampled._
     val M = graft.multimodal.Multimodal
