@@ -278,6 +278,13 @@ object Dedup {
                              unitsArr: Column, subject: Column,
                              joinSep: String): DataFrame = {
     val others = df.columns.filter(c => c != idCol && c != textCol)
+    // deliberately NOT persisted: the exploded unit stream feeds both the
+    // winner election and the keep-list join, but measuring a
+    // MEMORY_AND_DISK persist here (sf0.1, 3 warm reps) LOST — q53
+    // 3.4→5.1 s, qd31 1.5→1.7 s, qd28 unchanged. Materializing one small
+    // row per token-span costs more than re-running the narrow tokenize +
+    // hash, which is exactly the at-scale call too (storage pressure vs
+    // recompute of a cheap codegen'd map). See SCALE_CONTRACTS.md.
     val units = df.select(col(idCol).as("__id"),
         posexplode(unitsArr).as(Seq("__pos", "__unit")))
       .select(col("__id"), col("__pos"),

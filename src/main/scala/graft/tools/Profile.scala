@@ -53,6 +53,9 @@ object Profile {
       "qd32_bpe" -> (() => graft.SparkEntry.queries("qd32_bpe_tokenize")(spark, sfDir)),
       "qs04_pq" -> (() => graft.SparkEntry.queries("qs04_ann_pq")(spark, sfDir)),
       "q53_clean" -> (() => graft.SparkEntry.queries("q53_pipeline_clean_pack")(spark, sfDir)),
+      "qm01" -> (() => graft.SparkEntry.queries("qm01_media_meta")(spark, sfDir)),
+      "qm02" -> (() => graft.SparkEntry.queries("qm02_decode_features")(spark, sfDir)),
+      "qm04" -> (() => graft.SparkEntry.queries("qm04_video_meta")(spark, sfDir)),
     ).filter { case (n, _) => names.isEmpty || names.contains(n) }
 
     for ((name, mk) <- pipelines; r <- 1 to reps) {
