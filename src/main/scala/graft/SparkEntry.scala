@@ -1102,8 +1102,9 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
-    // multimodal decode plumbing: partition-parallel STUB decoder over binary
-    // payloads (deterministic fake features) — rows-only check
+    // multimodal decode plumbing: partition-parallel decode over binary
+    // payloads (real ImageIO behind a magic-byte gate; the text payloads
+    // here all take the deterministic fallback) — rows-only check
     "qm02_decode_features" -> ((s, d) => {
       val docs = t(s, d, "documents").withColumn("bin", col("text").cast("binary"))
       val media = graft.multimodal.Multimodal.asMediaTable(docs, "doc_id", "bin")

@@ -518,6 +518,24 @@ class PipelineSpec extends SparkSpec {
     // mediaDecode routes MP4 to container-metadata features
     assert(M.mediaDecode(p, 8).toSeq ==
       Seq(3.0f, 600f, 2f, 640f, 480f, 0f, 0f, 0f))
+
+    // fuzz: arbitrary corpus junk — including bytes that sniff as ISO-BMFF —
+    // must never throw (bounds-checked walk is the whole contract)
+    val rnd = new scala.util.Random(13)
+    for (trial <- 0 until 2000) {
+      val bytes = new Array[Byte](rnd.nextInt(64))
+      rnd.nextBytes(bytes)
+      if (bytes.length >= 8 && trial % 3 == 0)
+        System.arraycopy("ftyp".getBytes, 0, bytes, 4, 4) // force the sniff
+      Mp4.parse(bytes) // must not throw
+      // truncations of a VALID file exercise every partial-header branch
+      if (trial < p.length) Mp4.parse(p.take(trial))
+      // single-byte corruptions of a valid file
+      if (trial < 200) {
+        val c = p.clone(); c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+        Mp4.parse(c)
+      }
+    }
   }
 
   test("multimodal: stereo WAV zero-crossings stride by channel") {
