@@ -233,13 +233,19 @@ object Dedup {
   def spanDedupGlobal(df: DataFrame, idCol: String, textCol: String,
                       spanWords: Int = 20): DataFrame = {
     require(spanWords > 0, s"spanWords must be positive, got $spanWords")
+    graft.plans.SketchExprs.register(df.sparkSession)
     val toks = T.tokens(col(textCol))
     val nSpans = ceil(size(toks).cast("double") / spanWords).cast("int")
+    // span STRINGS are built only where text is needed (reassembly); the
+    // election hashes chain per-token XXH64 in one native pass
+    // ([[graft.plans.SpanHashPairsExpr]]) — same ceil(n/k) ragged-tail
+    // windows, zero span-string allocation on the units branches
     val spanArr = when(size(toks) > lit(0),
         transform(sequence(lit(0), nSpans - lit(1)),
           i => array_join(slice(toks, i * spanWords + lit(1), lit(spanWords)), " ")))
       .otherwise(array().cast("array<string>"))
-    keepFirstUnits(df, idCol, textCol, spanArr, lit(true), " ")
+    val hashed = call_function("graft_span_hash_pairs", toks, lit(spanWords))
+    keepFirstUnits(df, idCol, textCol, spanArr, lit(true), " ", hashed)
   }
 
   /** Cross-document LINE dedup — the literal C4 step: split on a separator
@@ -276,7 +282,8 @@ object Dedup {
     * texts) come back as empty text. */
   private def keepFirstUnits(df: DataFrame, idCol: String, textCol: String,
                              unitsArr: Column, subject: Column,
-                             joinSep: String): DataFrame = {
+                             joinSep: String,
+                             hashedUnits: Column = null): DataFrame = {
     val others = df.columns.filter(c => c != idCol && c != textCol)
     // deliberately NOT persisted: the exploded unit stream feeds both the
     // winner election and the keep-list join, but measuring a
@@ -285,7 +292,23 @@ object Dedup {
     // row per token-span costs more than re-running the narrow tokenize +
     // hash, which is exactly the at-scale call too (storage pressure vs
     // recompute of a cheap codegen'd map). See SCALE_CONTRACTS.md.
-    val units = df.select(col(idCol).as("__id"),
+    //
+    // hashedUnits (optional): a pre-hashed array<struct<uh, uh2>> aligned
+    // with unitsArr positions. When given, the units stream never builds
+    // unit STRINGS at all (spans: SpanHashPairsExpr chains token hashes);
+    // `subject` must then not reference __unit (span dedup passes
+    // lit(true)). Election/join semantics are unchanged — both hashes stay
+    // internal keys, consistent because every derivation of the stream
+    // shares the one expression.
+    val units =
+      if (hashedUnits != null)
+        df.select(col(idCol).as("__id"),
+            posexplode(hashedUnits).as(Seq("__pos", "__hp")))
+          .select(col("__id"), col("__pos"),
+            col("__hp").getField("uh").as("__uh"),
+            col("__hp").getField("uh2").as("__uh2"),
+            subject.as("__subj"))
+      else df.select(col(idCol).as("__id"),
         posexplode(unitsArr).as(Seq("__pos", "__unit")))
       .select(col("__id"), col("__pos"),
         xxhash64(col("__unit")).as("__uh"),

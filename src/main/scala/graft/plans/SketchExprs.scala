@@ -228,6 +228,66 @@ case class ShingleHashesExpr(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Per-window election hash pairs for span dedup, stride = window size k
+  * (non-overlapping spans, last window ragged), `array<struct<uh, uh2>>`
+  * out — one struct per span, windows ordered by position.
+  *
+  * Replaces `transform(sequence…) → slice → array_join → xxhash64(span)×2`
+  * in [[graft.dedup.Dedup]]'s span-dedup units branch: the span STRING was
+  * built twice per span (once per hash) only to be hashed and thrown away.
+  * Here both hashes chain per-token XXH64 over the window in ONE pass
+  * (`h = XXH64(tok_bytes, h)`, seeds 42/77) with zero string allocation.
+  * Chaining needs no separator: tokens carry no whitespace (\s+ split), so
+  * the per-token hash boundary itself is the separator, and two windows
+  * chain-collide only accidentally at 64 bits — the same collision class
+  * the old string hash had, still verified by the independent second hash
+  * at the winner join (collision ⇒ under-dedup only). Both hashes are
+  * INTERNAL election keys (never compared against anything derived
+  * differently), so hash-function identity with `xxhash64(string)` is not
+  * required — only self-consistency between the two derivations of the
+  * units stream, which share this expression.
+  */
+case class SpanHashPairsExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, s"span size must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("uh", LongType, nullable = false),
+    StructField("uh2", LongType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"span_hash_pairs expects array<string>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val m = (n + k - 1) / k
+    val out = new Array[Any](m)
+    var w = 0
+    while (w < m) {
+      var h1 = 42L
+      var h2 = 77L
+      var j = w * k
+      val end = math.min(n, j + k)
+      while (j < end) {
+        val s = arr.getUTF8String(j)
+        h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), h1)
+        h2 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), h2)
+        j += 1
+      }
+      out(w) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](h1, h2))
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Share of the most frequent word n-gram among all n-grams of a token
   * array (Gopher-style repetition signal: Rae et al. 2021 §A1.1 use the
   * top-2/3/4-gram character share; this is the count-share twin with the
@@ -406,6 +466,9 @@ object SketchExprs {
   /** Register SQL-callable forms: graft_minhash(shingles, k),
     * graft_simhash(tokens), graft_shingles(tokens, k, distinct). */
   def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_span_hash_pairs", exprs => SpanHashPairsExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash", exprs => MinHashSignatureExpr(exprs(0),
         exprs(1).eval().asInstanceOf[Int]), "built-in")

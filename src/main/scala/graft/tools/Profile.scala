@@ -53,6 +53,40 @@ object Profile {
       "qd32_bpe" -> (() => graft.SparkEntry.queries("qd32_bpe_tokenize")(spark, sfDir)),
       "qs04_pq" -> (() => graft.SparkEntry.queries("qs04_ann_pq")(spark, sfDir)),
       "q53_clean" -> (() => graft.SparkEntry.queries("q53_pipeline_clean_pack")(spark, sfDir)),
+      // span-dedup decomposition (mirrors keepFirstUnits' internals for
+      // stage attribution; spanWords=20 matches qd28)
+      "qd28_tok" -> (() => {
+        val T = graft.functions.TextFunctions
+        t(spark, sfDir, "documents").select(size(T.tokens(col("text"))).as("n"))
+      }),
+      "qd28_units" -> (() => {
+        val T = graft.functions.TextFunctions
+        val toks = T.tokens(col("text"))
+        val nSpans = ceil(size(toks).cast("double") / 20).cast("int")
+        val spanArr = when(size(toks) > lit(0),
+            transform(sequence(lit(0), nSpans - lit(1)),
+              i => array_join(slice(toks, i * 20 + lit(1), lit(20)), " ")))
+          .otherwise(array().cast("array<string>"))
+        t(spark, sfDir, "documents")
+          .select(col("doc_id").as("__id"), posexplode(spanArr).as(Seq("__pos", "__unit")))
+          .select(col("__id"), col("__pos"), xxhash64(col("__unit")).as("__uh"),
+            xxhash64(col("__unit"), lit(1L)).as("__uh2"))
+      }),
+      "qd28_winners" -> (() => {
+        val T = graft.functions.TextFunctions
+        val toks = T.tokens(col("text"))
+        val nSpans = ceil(size(toks).cast("double") / 20).cast("int")
+        val spanArr = when(size(toks) > lit(0),
+            transform(sequence(lit(0), nSpans - lit(1)),
+              i => array_join(slice(toks, i * 20 + lit(1), lit(20)), " ")))
+          .otherwise(array().cast("array<string>"))
+        t(spark, sfDir, "documents")
+          .select(col("doc_id").as("__id"), posexplode(spanArr).as(Seq("__pos", "__unit")))
+          .select(col("__id"), col("__pos"), xxhash64(col("__unit")).as("__uh"),
+            xxhash64(col("__unit"), lit(1L)).as("__uh2"))
+          .groupBy(col("__uh"))
+          .agg(min(struct(col("__id"), col("__pos"), col("__uh2"))).as("__w"))
+      }),
       "qm01" -> (() => graft.SparkEntry.queries("qm01_media_meta")(spark, sfDir)),
       "qm02" -> (() => graft.SparkEntry.queries("qm02_decode_features")(spark, sfDir)),
       "qm04" -> (() => graft.SparkEntry.queries("qm04_video_meta")(spark, sfDir)),

@@ -52,6 +52,33 @@ class CorpusCleanSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("SpanHashPairsExpr: ceil(n/k) ragged windows, content-keyed, two independent hashes") {
+    graft.plans.SketchExprs.register(spark)
+    def pairs(tokens: Seq[String], k: Int): Seq[(Long, Long)] =
+      Seq(Tuple1(tokens)).toDF("t")
+        .select(call_function("graft_span_hash_pairs", col("t"), lit(k)).as("hp"))
+        .as[Seq[(Long, Long)]].head()
+    // window count: ceil(n/k), empty array -> no windows, ragged tail kept
+    assert(pairs(Seq(), 3).isEmpty)
+    assert(pairs(Seq("a"), 3).length == 1)
+    assert(pairs(Seq("a", "b", "c", "d"), 3).length == 2)
+    assert(pairs((1 to 9).map(_.toString), 3).length == 3)
+    // content-keyed: same window content hashes equal ACROSS documents and
+    // positions; different content differs; the ragged tail ["d"] equals a
+    // whole-window ["d"] elsewhere (exactly the string-join semantics)
+    val p1 = pairs(Seq("a", "b", "c", "d"), 3)
+    val p2 = pairs(Seq("a", "b", "c"), 3)
+    val p3 = pairs(Seq("d"), 3)
+    assert(p1(0) == p2(0) && p1(1) == p3(0))
+    assert(p1(0) != p1(1))
+    // token-boundary sensitivity: ["ab","c"] != ["a","bc"] (chained per-token
+    // hashing distinguishes them; string-join would too: "ab c" != "a bc")
+    assert(pairs(Seq("ab", "c"), 2) != pairs(Seq("a", "bc"), 2))
+    // the two hashes are independent election keys (different seeds)
+    val (uh, uh2) = p1(0)
+    assert(uh != uh2)
+  }
+
   test("lineDedupGlobal: length floor protects short lines, subject lines dedup corpus-wide") {
     val df = Seq(
       (1L, "a long boilerplate line\nok\nunique one"),
