@@ -34,6 +34,10 @@ import org.apache.spark.sql.types.DataType
   *    wall-time reinterpretation
   *  - `graft_deflate_ratio(text)`    — deflate/raw compression-ratio signal
   *  - `graft_pq_encode/lut/adc(...)` — product-quantization ANN kernels
+  *  - `graft_span_hash_pairs(tokens, k)` — stride-k window election hashes
+  *  - `graft_nearest_cells(vec, cells, centroids, dim, p)` — IVF top-p cells
+  *  - `graft_topk(score, id, k)`     — bounded-state per-group top-k agg
+  *  - `graft_vec_sum(vec)`           — element-wise vector sum agg
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -112,5 +116,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_bpe_encode", "graft_bpe_encode(tokens, merges) - BPE sub-tokens under a trained merge table"),
       (exprs: Seq[Expression]) =>
         plans.BpeEncodeExpr(exprs(0), plans.BpeExprs.mergesOf(exprs(1)))))
+
+    ext.injectFunction((FunctionIdentifier("graft_span_hash_pairs"),
+      info("graft_span_hash_pairs", "graft_span_hash_pairs(tokens, k) - per-window (uh, uh2) election hashes, stride k"),
+      (exprs: Seq[Expression]) => plans.SpanHashPairsExpr(exprs(0), intArg(exprs(1)))))
+
+    ext.injectFunction((FunctionIdentifier("graft_nearest_cells"),
+      info("graft_nearest_cells", "graft_nearest_cells(vec, cells, centroids, dim, p) - top-p nearest IVF cells"),
+      (exprs: Seq[Expression]) => plans.NearestCellsExpr(exprs(0), plans.AnnExprs.longs(exprs(1)),
+        plans.AnnExprs.doubles(exprs(2)), intArg(exprs(3)), intArg(exprs(4)))))
+
+    ext.injectFunction((FunctionIdentifier("graft_topk"),
+      info("graft_topk", "graft_topk(score, id, k) - bounded-state per-group top-k (best-first array<struct<id, score>>)"),
+      (exprs: Seq[Expression]) => plans.BoundedTopKAgg(exprs(0), exprs(1), intArg(exprs(2)))))
+
+    ext.injectFunction((FunctionIdentifier("graft_vec_sum"),
+      info("graft_vec_sum", "graft_vec_sum(vec) - element-wise sum of numeric arrays per group"),
+      (exprs: Seq[Expression]) => plans.VecSumAgg(exprs(0))))
   }
 }

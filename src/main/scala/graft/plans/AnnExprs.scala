@@ -365,9 +365,10 @@ case class VecSumAgg(child: Expression,
 }
 
 object AnnExprs {
-  private def longs(e: Expression): Array[Long] =
+  // shared with GraftExtensions' injections (single source of literal decode)
+  private[graft] def longs(e: Expression): Array[Long] =
     e.eval().asInstanceOf[ArrayData].toLongArray()
-  private def doubles(e: Expression): Array[Double] =
+  private[graft] def doubles(e: Expression): Array[Double] =
     e.eval().asInstanceOf[ArrayData].toDoubleArray()
 
   def register(spark: SparkSession): Unit = {

@@ -178,6 +178,18 @@ class PlanSpec extends SparkSpec {
         .head().getString(0) == "en")
       assert(s2.sql("SELECT graft_dup_line_stats(concat('a', char(10), 'a')).dup_line_frac AS f")
         .head().getDouble(0) == 0.5)
+      // round-6 additions: span election hashes + the ANN kernels
+      assert(s2.sql("SELECT size(graft_span_hash_pairs(array('a','b','c'), 2)) AS n")
+        .head().getInt(0) == 2)
+      assert(s2.sql(
+        "SELECT size(graft_nearest_cells(array(1.0D, 0.0D), array(7L), array(1.0D, 0.0D), 2, 1)) AS n")
+        .head().getInt(0) == 1)
+      assert(s2.sql(
+        "SELECT size(graft_topk(s, i, 2)) AS n FROM VALUES (1.0D, 1L), (2.0D, 2L), (3.0D, 3L) AS t(s, i)")
+        .head().getInt(0) == 2)
+      assert(s2.sql(
+        "SELECT graft_vec_sum(v)[0] AS x FROM VALUES (array(1.0D)), (array(2.0D)) AS t(v)")
+        .head().getDouble(0) == 3.0)
     } finally {
       prev.foreach { p => SparkSession.setDefaultSession(p); SparkSession.setActiveSession(p) }
     }
