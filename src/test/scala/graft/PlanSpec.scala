@@ -273,6 +273,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("prefix-Jaccard df: map-side-combined groupBy + join, no un-splittable window") {
+    // the document-frequency side must never be a Window.partitionBy(s):
+    // a window partition is one task, so a corpus-hot boilerplate shingle
+    // would funnel every row into a single straggler AQE cannot split
+    // (round-6 fix; this guard keeps it from regressing)
+    val docs = SparkEntry.t(spark, "/root/testdata/sf0.001", "documents")
+    val p = planOf(graft.dedup.Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 5, 0.5))
+    assert(!p.contains("Window"), s"df must not be a window over the shingle:\n${p.take(2000)}")
+    // the df aggregation does a partial (map-side) stage before its exchange
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"df groupBy must map-side combine:\n${p.take(2000)}")
+  }
+
   test("PQ ADC search: corpus side never shuffles; query LUTs broadcast") {
     val e = SparkEntry.t(spark, "/root/testdata/sf0.001", "embeddings")
     val cb = graft.similarity.Pq.train(e, dim = 64, m = 8, ksub = 16, sampleN = 200)

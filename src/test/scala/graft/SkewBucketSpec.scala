@@ -163,6 +163,36 @@ class SkewBucketSpec extends SparkSpec {
     }
   }
 
+  test("saltedSelfJoin == plain self-join (randomized: dup rows, null keys, varying salts)") {
+    // exact ordered-pair MULTISET equality on random corpora: duplicate ids
+    // in one bucket must pair the same number of times, null keys must drop
+    // on both sides (equi-join semantics), and the equality must hold for
+    // every nSalts (incl. 1 = degenerate no-spread case).
+    for (seed <- 0 until 6) {
+      val rnd = new scala.util.Random(seed)
+      val nSalts = 1 + rnd.nextInt(9)
+      val rows = (0 until 200 + rnd.nextInt(300)).map { i =>
+        val k = rnd.nextInt(10) match {
+          case 0 => null
+          case 1 | 2 | 3 | 4 => "hot"
+          case n => s"k${n % 3}"
+        }
+        // duplicate ids on purpose: multiset semantics must survive salting
+        (k, (i % 150).toLong)
+      }
+      val df = rows.toDF("bucket", "id")
+      def multiset(d: org.apache.spark.sql.DataFrame) =
+        d.select("bucket", "id", "id_b").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .groupBy(identity).view.mapValues(_.length).toMap
+      val salted = multiset(Skew.saltedSelfJoin(df, "bucket", "id", nSalts))
+      val plain = multiset(df.join(
+        df.select(col("bucket"), col("id").as("id_b")), "bucket"))
+      assert(salted == plain, s"seed=$seed nSalts=$nSalts")
+      assert(plain.nonEmpty && !plain.keySet.exists(_._1 == null))
+    }
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     val a = (1L to 1000L).map(i => (i, i * 2.0)).toDF("id", "x")
     val b = (1L to 1000L).map(i => (i, s"n$i")).toDF("id", "name")
