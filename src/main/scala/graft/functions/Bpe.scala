@@ -231,6 +231,35 @@ object Bpe {
   def tokenCount(text: Column, merges: Seq[(String, String)]): Column =
     size(encodeCol(TextFunctions.tokens(text), merges))
 
+  /** Deterministic token→id vocabulary for a trained merge table — the
+    * other half of the tokenizer artifact (a merge list alone cannot map
+    * sub-tokens to ids for model input). Ids are assigned: base symbols
+    * first (every distinct code-point symbol in the corpus word table plus
+    * `</w>`, sorted lexicographically), then one token per merge in rank
+    * order (`a+b` concatenated). Every sub-token [[encodeWord]] can emit
+    * for corpus-covered characters therefore has an id; unseen characters
+    * at serving time are the caller's unk policy, exactly as in Sennrich's
+    * artifact format. The base-symbol scan is distributed (explode +
+    * distinct); only the bounded distinct-symbol set reaches the driver. */
+  def vocabulary(df: DataFrame, textCol: String,
+                 merges: Seq[(String, String)]): Seq[(String, Int)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val baseSymbols = df.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .distinct()
+      .as[String]
+      .flatMap(w => symbols(w))
+      .distinct()
+      .collect()
+      .sorted
+    val mergedTokens = merges.map { case (a, b) => a + b }
+    // two different merges can spell the same token text (("a","bc") and
+    // ("ab","c") both make "abc"); keep the first occurrence — ids stay
+    // dense and the text→id map well-defined
+    (baseSymbols.toSeq ++ mergedTokens).distinct
+      .zipWithIndex.map { case (t, i) => (t, i) }
+  }
+
   /** Persist a trained merge table as a tiny rank-ordered parquet — the
     * tokenizer artifact a corpus build trains once and every downstream
     * job (and the serving side) reloads byte-identically. */

@@ -161,6 +161,27 @@ class BpeSpec extends SparkSpec {
     assert(viaSample.nonEmpty)
   }
 
+  test("vocabulary: closed over corpus encodings, deterministic, dense ids") {
+    val docs = sf("documents").limit(200)
+    val merges = B.trainCorpus(docs, "text", numMerges = 60)
+    val vocab = B.vocabulary(docs, "text", merges)
+    val byToken = vocab.toMap
+    // dense, well-defined ids; deterministic across runs
+    assert(vocab.map(_._2) == vocab.indices.toSeq)
+    assert(vocab.map(_._1).distinct.length == vocab.length)
+    assert(B.vocabulary(docs, "text", merges) == vocab)
+    // every merged token present; </w> is a base symbol
+    assert(byToken.contains(B.EndOfWord))
+    for ((a, b) <- merges) assert(byToken.contains(a + b), s"merge token ${a + b} missing")
+    // CLOSURE: every sub-token the encoder emits for corpus words has an id
+    val rank = merges.zipWithIndex.toMap
+    val words = docs.select(explode(graft.functions.TextFunctions.tokens(col("text"))))
+      .distinct().as[String].collect()
+    val emitted = words.flatMap(w => B.encodeWord(w, rank)).toSet
+    val missing = emitted.filterNot(byToken.contains)
+    assert(missing.isEmpty, s"encoder emits tokens outside the vocabulary: ${missing.take(5)}")
+  }
+
   test("more merges never increase the sub-token count (compression monotone)") {
     graft.plans.BpeExprs.register(spark)
     val docs = sf("documents").limit(50)
