@@ -818,6 +818,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // two-sided salted self-join (the AQE-off skew fallback): within-lang
+    // document pairs — lang is the realistic hot blocking key (few values,
+    // thousands of docs each). The salted plan must be row-for-row the
+    // plain self-join, which IS the DuckDB oracle
+    "qd33_salted_pairs" -> ((s, d) => {
+      graft.operators.Skew.saltedSelfJoin(
+          t(s, d, "documents").select(col("lang"), col("doc_id")),
+          "lang", "doc_id", nSalts = 8)
+        .filter(col("doc_id") < col("doc_id_b"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("doc_id") + col("doc_id_b")).as("id_sum"))
+        .orderBy(col("lang"))
+    }),
+
     // cross-document LINE dedup (the literal C4 step): spaces become line
     // breaks so every word is a line — common words >= 4 chars dedup
     // corpus-wide (first (doc, position) wins), short words always survive
@@ -1652,6 +1667,12 @@ object SparkEntry {
     // line-dedup mirror: same separator split (empties kept), length-gated
     // row_number winner, lines below the floor pass unconditionally,
     // separator-joined reassembly
+    "qd33_salted_pairs" ->
+      """SELECT a.lang, count(*) AS n_pairs,
+        |  CAST(sum(a.doc_id + b.doc_id) AS BIGINT) AS id_sum
+        |FROM documents a JOIN documents b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |GROUP BY a.lang ORDER BY a.lang""".stripMargin,
+
     "qd31_line_dedup" ->
       """WITH src AS (
         |  SELECT doc_id, lang, replace(text, ' ', chr(10)) AS text FROM documents
