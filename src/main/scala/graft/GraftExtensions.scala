@@ -38,6 +38,7 @@ import org.apache.spark.sql.types.DataType
   *  - `graft_nearest_cells(vec, cells, centroids, dim, p)` — IVF top-p cells
   *  - `graft_topk(score, id, k)`     — bounded-state per-group top-k agg
   *  - `graft_vec_sum(vec)`           — element-wise vector sum agg
+  *  - `graft_bloom_might_contain(key, filter)` — Bloom membership prefilter
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -133,5 +134,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_vec_sum"),
       info("graft_vec_sum", "graft_vec_sum(vec) - element-wise sum of numeric arrays per group"),
       (exprs: Seq[Expression]) => plans.VecSumAgg(exprs(0))))
+
+    ext.injectFunction((FunctionIdentifier("graft_bloom_might_contain"),
+      info("graft_bloom_might_contain",
+        "graft_bloom_might_contain(key, filter) - Bloom membership test of a BIGINT key (filter = serialized spark BloomFilter binary literal)"),
+      (exprs: Seq[Expression]) =>
+        plans.BloomMightContainExpr(exprs(0), plans.BloomExprs.bytes(exprs(1)))))
   }
 }

@@ -833,6 +833,36 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // bloom-prefiltered exact decontamination: same semantics as qd18 (other
+    // bench split), but the corpus-side membership test is a narrow Bloom
+    // prefilter and only survivors reach the exact verify join — the oracle
+    // is the exact-join SQL because the bloom has no false negatives
+    "qd34_decontaminate_bloom" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(col("doc_id") % 89 === 0)
+      graft.prep.Prep.contaminationBloom(docs, bench, "doc_id", "text",
+          shingleK = 5, minShared = 1, fpp = 0.01)
+        .select(col("doc_id"), col("lang"), col("n_shared"), col("contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // incremental-crawl dedup: keep current-split docs whose fingerprint is
+    // new vs the prior-snapshot split. The synthetic corpus has no full-text
+    // duplicates, so the fingerprint runs over the first two tokens (a
+    // deliberate collision surface, same spirit as qd31's transform); the
+    // oracle is the plain anti-join — the Bloom path must reproduce it
+    // exactly because false positives are re-verified and there are no
+    // false negatives
+    "qd35_snapshot_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("head",
+        concat_ws(" ", slice(graft.functions.TextFunctions.tokens(col("text")), 1, 2)))
+      val previous = docs.filter(col("doc_id") % 3 === 0)
+      val current = docs.filter(col("doc_id") % 3 =!= 0)
+      graft.dedup.Dedup.newSinceSnapshot(current, previous, "head", fpp = 0.01)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // cross-document LINE dedup (the literal C4 step): spaces become line
     // breaks so every word is a line — common words >= 4 chars dedup
     // corpus-wide (first (doc, position) wins), short words always survive
@@ -1672,6 +1702,38 @@ object SparkEntry {
         |  CAST(sum(a.doc_id + b.doc_id) AS BIGINT) AS id_sum
         |FROM documents a JOIN documents b ON a.lang = b.lang AND a.doc_id < b.doc_id
         |GROUP BY a.lang ORDER BY a.lang""".stripMargin,
+
+    // bloom decontamination mirror: the EXACT shingle-join SQL (bench =
+    // doc_id % 89) — the bloom prefilter must be invisible in the result
+    "qd34_decontaminate_bloom" ->
+      s"""$shingleCte,
+         |bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 89 = 0),
+         |hits AS (
+         |  SELECT sh.doc_id, count(*) AS n_shared
+         |  FROM sh JOIN bsh ON sh.s = bsh.s
+         |  GROUP BY sh.doc_id
+         |)
+         |SELECT d.doc_id, d.lang,
+         |  CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+         |  coalesce(h.n_shared, 0) >= 1 AS contaminated
+         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // snapshot-dedup mirror: plain anti-join on the normalized two-token
+    // head (string-valued here, XXH64-hashed in Spark — equal absent 64-bit
+    // collisions); NOT IN is null-safe because the corpus has no null text
+    "qd35_snapshot_dedup" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, source,
+        |    trim(regexp_replace(regexp_replace(lower(
+        |      array_to_string(list_filter(string_split_regex(text, '\s+'), x -> x <> '')[1:2], ' ')),
+        |      '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS nt
+        |  FROM documents
+        |),
+        |prev AS (SELECT DISTINCT nt FROM h WHERE doc_id % 3 = 0)
+        |SELECT doc_id, lang, source FROM h
+        |WHERE doc_id % 3 <> 0 AND nt NOT IN (SELECT nt FROM prev)
+        |ORDER BY doc_id""".stripMargin,
 
     "qd31_line_dedup" ->
       """WITH src AS (

@@ -47,6 +47,37 @@ object Dedup {
     exact(df.withColumn("__fp", T.fingerprint(col(textCol))), Seq("__fp"), orderCol)
       .drop("__fp")
 
+  /** Incremental-crawl dedup: rows of `current` whose normalized-text
+    * fingerprint does NOT appear in `previous` (the prior snapshot) — the
+    * standard "new since last crawl" step, equivalent to a plain left-anti
+    * join on [[graft.functions.TextFunctions.fingerprint]] but with the prior
+    * snapshot shipped as a Bloom filter instead of a join side.
+    *
+    * Shape at 100 TB: the prior snapshot's fingerprint set is far too big to
+    * broadcast exactly, and an anti shuffle-join would move the ENTIRE current
+    * crawl. Instead: (1) rows whose fingerprint misses the Bloom are
+    * definitely new (no false negatives) and pass through NARROW — that is
+    * ~all of a typical crawl; (2) only the Bloom hits — true dups plus
+    * fpp·|current| false positives — pay an exact anti-join that lets the
+    * false positives back through. The union is row-for-row the exact
+    * anti-join (oracle qd35), but the shuffled fraction is ≈ the true dup
+    * rate + fpp instead of 1.0. */
+  def newSinceSnapshot(current: DataFrame, previous: DataFrame,
+                       textCol: String, fpp: Double = 0.01): DataFrame = {
+    graft.plans.BloomExprs.register(current.sparkSession)
+    val prevFps = previous.select(T.fingerprint(col(textCol)).as("__fp")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val expected = math.max(prevFps.count(), 64L)
+    val bytes = graft.plans.BloomExprs.serialize(
+      prevFps.stat.bloomFilter("__fp", expected, fpp))
+    val cur = current.withColumn("__fp", T.fingerprint(col(textCol)))
+    val hit = graft.plans.BloomExprs.mightContain(col("__fp"), bytes)
+    val definitelyNew = cur.filter(!hit)
+    val rescuedFalsePositives = cur.filter(hit)
+      .join(prevFps, Seq("__fp"), "left_anti")
+    definitelyNew.unionByName(rescuedFalsePositives).drop("__fp")
+  }
+
   /** Candidate near-duplicate pairs via MinHash + LSH banding.
     * Returns (idA, idB, jaccard_est) with idA < idB, est >= threshold. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,

@@ -180,6 +180,47 @@ object Prep {
       .withColumn("contaminated", col("n_shared") >= minShared)
   }
 
+  /** Bloom-prefiltered exact decontamination — same output as
+    * [[contamination]], different scale envelope. [[contamination]] broadcasts
+    * the benchmark shingle set as an exact hash relation, which caps the
+    * reference at what fits in executor memory at ~40+ bytes/key. Here the
+    * reference ships as a Bloom filter (~10 bits/key at fpp=1e-2,
+    * [[graft.plans.BloomExprs]]): the corpus-side `might_contain` prefilter is
+    * a NARROW map that drops ~every shingle at scan speed, and only the
+    * survivors — ≈ |true hits| + fpp·|corpus shingles| — reach the exact
+    * verification join, whose strategy Spark/AQE may pick freely because its
+    * input is tiny regardless of reference-set size. Bloom filters have no
+    * false negatives, so the verify join makes the composite EXACT: the qd18
+    * oracle SQL gates this path verbatim (qd34).
+    *
+    * Use [[contamination]] when the benchmark is small (one broadcast, no
+    * filter-build pass); use this when the reference is another corpus —
+    * snapshot decontamination, cross-corpus leakage scans. */
+  def contaminationBloom(corpus: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, shingleK: Int = 5,
+                         minShared: Int = 1, fpp: Double = 0.01): DataFrame = {
+    graft.plans.SketchExprs.register(corpus.sparkSession)
+    graft.plans.BloomExprs.register(corpus.sparkSession)
+    def hashes(c: Column) = call_function("graft_shingle_hashes", T.tokens(c), lit(shingleK))
+    // bench shingles are read three times (count, filter build, verify join):
+    // cache the distinct set — it is the SMALL side by assumption, and the
+    // corpus side is never cached
+    val benchSet = bench.select(explode(hashes(col(textCol))).as("__s")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val expected = math.max(benchSet.count(), 64L)
+    val filter = benchSet.stat.bloomFilter("__s", expected, fpp)
+    val bytes = graft.plans.BloomExprs.serialize(filter)
+    val hits = corpus
+      .select(col(idCol).as("__id"), explode(hashes(col(textCol))).as("__s"))
+      .filter(graft.plans.BloomExprs.mightContain(col("__s"), bytes))
+      .join(benchSet, "__s") // exact verify: kills the fpp false positives
+      .groupBy(col("__id")).agg(count(lit(1)).as("n_shared"))
+    corpus.join(hits, corpus(idCol) === hits("__id"), "left")
+      .drop("__id")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("contaminated", col("n_shared") >= minShared)
+  }
+
   /** Near-duplicate decontamination: flag corpus docs whose estimated
     * n-gram Jaccard against ANY benchmark doc reaches `threshold` —
     * catches light paraphrases/reformatting that exact shingle overlap
