@@ -39,6 +39,7 @@ import org.apache.spark.sql.types.DataType
   *  - `graft_topk(score, id, k)`     — bounded-state per-group top-k agg
   *  - `graft_vec_sum(vec)`           — element-wise vector sum agg
   *  - `graft_bloom_might_contain(key, filter)` — Bloom membership prefilter
+  *  - `graft_dsir_score(tokens, table)` — DSIR hashed-feature log weight
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -134,6 +135,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_vec_sum"),
       info("graft_vec_sum", "graft_vec_sum(vec) - element-wise sum of numeric arrays per group"),
       (exprs: Seq[Expression]) => plans.VecSumAgg(exprs(0))))
+
+    ext.injectFunction((FunctionIdentifier("graft_dsir_score"),
+      info("graft_dsir_score",
+        "graft_dsir_score(tokens, table) - DSIR log importance weight over a hashed-bucket log-ratio table"),
+      (exprs: Seq[Expression]) =>
+        plans.DsirScoreExpr(exprs(0), plans.AnnExprs.doubles(exprs(1)))))
 
     ext.injectFunction((FunctionIdentifier("graft_bloom_might_contain"),
       info("graft_bloom_might_contain",

@@ -863,6 +863,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR importance weights (exact word-feature face, micro-nat
+    // quantization so the per-doc sum is integer-exact cross-engine):
+    // target = every 17th doc as the "high quality" exemplar set, source =
+    // the whole corpus
+    "qd36_dsir_weights" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val target = docs.filter(col("doc_id") % 17 === 0)
+      graft.prep.Prep.importanceWeightsMicro(docs, target, "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("dsir_uweight"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // DSIR selection: deterministic top-50 slice by weight (ties by id) —
+    // TakeOrderedAndProject, never a full sort
+    "qd37_dsir_select" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val target = docs.filter(col("doc_id") % 17 === 0)
+      graft.prep.Prep.selectTopK(
+          graft.prep.Prep.importanceWeightsMicro(docs, target, "doc_id", "text"),
+          "dsir_uweight", "doc_id", k = 50)
+        .select(col("doc_id"), col("dsir_uweight"))
+    }),
+
     // cross-document LINE dedup (the literal C4 step): spaces become line
     // breaks so every word is a line — common words >= 4 chars dedup
     // corpus-wide (first (doc, position) wins), short words always survive
@@ -1326,6 +1349,42 @@ object SparkEntry {
 
   /** Shared DuckDB shingle CTE (5-gram, whitespace tokens) mirroring
     * TextFunctions.tokens + shingles. */
+  /** DSIR weight computation shared by qd36/qd37: Laplace-smoothed unigram
+    * models (target = doc_id % 17, source = whole corpus) over the shared
+    * vocabulary. Per-word log-ratios are quantized to micro-nats
+    * (`floor(lr*1e6 + 0.5)` — exact int64) BEFORE the per-doc sum, because
+    * `ln` is the one op the two libms disagree on in the last ulp; the
+    * integer sum is then order-independent and bitwise-exact. */
+  private val dsirWeightsCte =
+    """WITH ctok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+      |  FROM documents
+      |),
+      |ttok AS (SELECT w FROM ctok WHERE doc_id % 17 = 0),
+      |cs AS (SELECT w, count(*) AS c FROM ctok GROUP BY w),
+      |ts AS (SELECT w, count(*) AS c FROM ttok GROUP BY w),
+      |vocab AS (SELECT w FROM cs UNION SELECT w FROM ts),
+      |consts AS (SELECT (SELECT count(*) FROM vocab) AS v,
+      |                  (SELECT count(*) FROM ctok) AS ns,
+      |                  (SELECT count(*) FROM ttok) AS nt),
+      |lr AS (
+      |  SELECT vocab.w,
+      |    CAST(floor((ln((coalesce(ts.c, 0) + 1.0) / (nt + 1.0 * v)) -
+      |                ln((coalesce(cs.c, 0) + 1.0) / (ns + 1.0 * v))) * 1000000.0 + 0.5)
+      |         AS BIGINT) AS ulr
+      |  FROM vocab LEFT JOIN cs ON vocab.w = cs.w
+      |             LEFT JOIN ts ON vocab.w = ts.w, consts
+      |),
+      |wsum AS (
+      |  SELECT t.doc_id, sum(lr.ulr) AS uw
+      |  FROM ctok t JOIN lr ON t.w = lr.w
+      |  GROUP BY t.doc_id
+      |),
+      |weights AS (
+      |  SELECT d.doc_id, d.lang, CAST(coalesce(ws.uw, 0) AS BIGINT) AS dsir_uweight
+      |  FROM documents d LEFT JOIN wsum ws ON d.doc_id = ws.doc_id
+      |)""".stripMargin
+
   private val shingleCte =
     """WITH toks AS (
       |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
@@ -1734,6 +1793,18 @@ object SparkEntry {
         |SELECT doc_id, lang, source FROM h
         |WHERE doc_id % 3 <> 0 AND nt NOT IN (SELECT nt FROM prev)
         |ORDER BY doc_id""".stripMargin,
+
+    "qd36_dsir_weights" ->
+      s"""$dsirWeightsCte
+         |SELECT doc_id, lang, dsir_uweight FROM weights
+         |ORDER BY doc_id""".stripMargin,
+
+    // selection mirror: same weights, same deterministic tiebreak — the
+    // driver compare is order-insensitive, so only WHICH 50 rows matters
+    "qd37_dsir_select" ->
+      s"""$dsirWeightsCte
+         |SELECT doc_id, dsir_uweight FROM weights
+         |ORDER BY dsir_uweight DESC, doc_id LIMIT 50""".stripMargin,
 
     "qd31_line_dedup" ->
       """WITH src AS (

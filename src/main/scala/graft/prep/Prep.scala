@@ -267,6 +267,134 @@ object Prep {
       .withColumn("contaminated", col("max_sim_est") >= threshold)
   }
 
+  // ---- DSIR importance resampling ----------------------------------------
+  // Xie et al., "Data Selection for Language Models via Importance
+  // Resampling" (NeurIPS 2023): score each corpus document by how much more
+  // likely its bag of words is under a TARGET distribution (a high-quality
+  // exemplar set) than under the raw corpus, then keep the top-weighted
+  // slice. Two faces of the same estimator:
+  //  - importanceWeights: exact word features — the correctness face, every
+  //    step mirrored by the qd36 DuckDB oracle;
+  //  - importanceWeightsHashed: DSIR's actual hashed-feature formulation —
+  //    the 100 TB face, where scoring is one narrow expression.
+
+  /** Per-document log importance weight with exact word features.
+    * `weight(d) = Σ_{w∈d} [ln p̂_t(w) − ln p̂_s(w)]` with Laplace-smoothed
+    * unigram models over the shared vocabulary (every corpus or target word).
+    * Per-document contributions are SORTED before the fp fold, so the sum is
+    * one bit-deterministic sequence any engine reproduces (the oracle rule).
+    *
+    * Scale shape: model building is two map-side-combined word-count
+    * aggregations; scoring joins corpus tokens with the log-ratio table —
+    * a per-token shuffle that is exactly what [[importanceWeightsHashed]]
+    * eliminates. Returns the corpus + `dsir_weight` (0.0 for token-less
+    * docs). */
+  def importanceWeights(corpus: DataFrame, target: DataFrame, idCol: String,
+                        textCol: String, smoothing: Double = 1.0): DataFrame = {
+    val perDoc = tokenJoin(corpus, logRatioTable(corpus, target, textCol, smoothing),
+        idCol, textCol)
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(col("__lr"))).as("__lrs"))
+      .select(col("__id"),
+        aggregate(col("__lrs"), lit(0.0), (acc, x) => acc + x).as("dsir_weight"))
+    corpus.join(perDoc, corpus(idCol) === perDoc("__id"), "left")
+      .drop("__id")
+      .withColumn("dsir_weight", coalesce(col("dsir_weight"), lit(0.0)))
+  }
+
+  /** [[importanceWeights]] in integer MICRO-NATS: each per-word log-ratio is
+    * quantized to `floor(lr·1e6 + 0.5)` (round-half-up micro-nats, exact
+    * int64) BEFORE the per-document sum, so the weight is integer arithmetic
+    * — order-independent, map-side-combinable, and bitwise-reproducible on
+    * ANY engine. This is the cross-engine face (oracle qd36/qd37): `ln` is
+    * the one op libms disagree on in the last ulp, and a 1-ulp input wiggle
+    * only moves the quantized value when lr·1e6 sits within ~1e-9 of a grid
+    * boundary. The 1e-6-nat precision loss is far below any selection
+    * signal; use [[importanceWeights]] when full double precision matters
+    * more than engine-exact reproducibility. */
+  def importanceWeightsMicro(corpus: DataFrame, target: DataFrame, idCol: String,
+                             textCol: String, smoothing: Double = 1.0): DataFrame = {
+    val perDoc = tokenJoin(corpus, logRatioTable(corpus, target, textCol, smoothing),
+        idCol, textCol)
+      .groupBy(col("__id"))
+      .agg(sum(floor(col("__lr") * lit(1e6) + lit(0.5)).cast("long")).as("dsir_uweight"))
+    corpus.join(perDoc, corpus(idCol) === perDoc("__id"), "left")
+      .drop("__id")
+      .withColumn("dsir_uweight", coalesce(col("dsir_uweight"), lit(0L)))
+  }
+
+  /** Shared DSIR model building: Laplace-smoothed unigram log-ratio per
+    * vocabulary word. Counts are exact int64 < 2^53, so both engines build
+    * identical doubles before the divide and ln. */
+  private def logRatioTable(corpus: DataFrame, target: DataFrame,
+                            textCol: String, smoothing: Double): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val cs = corpus.select(explode(T.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cs")).persist(lvl)
+    val ts = target.select(explode(T.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("ct")).persist(lvl)
+    val ns = cs.agg(sum(col("cs"))).first().getLong(0)
+    val nt = ts.agg(sum(col("ct"))).first().getLong(0)
+    val vocab = cs.select("w").union(ts.select("w")).distinct()
+    val v = vocab.count()
+    val a = smoothing
+    vocab
+      .join(cs, Seq("w"), "left").join(ts, Seq("w"), "left")
+      .select(col("w"),
+        (log((coalesce(col("ct"), lit(0L)) + lit(a)) / lit(nt + a * v)) -
+          log((coalesce(col("cs"), lit(0L)) + lit(a)) / lit(ns + a * v))).as("__lr"))
+  }
+
+  private def tokenJoin(corpus: DataFrame, lr: DataFrame,
+                        idCol: String, textCol: String): DataFrame =
+    corpus.select(col(idCol).as("__id"), explode(T.tokens(col(textCol))).as("w"))
+      .join(lr, "w")
+
+  /** DSIR weights with hashed features ([[graft.plans.DsirScoreExpr]]) — the
+    * formulation the paper actually runs and the one that scales: features
+    * are `xxhash64(w) mod buckets`, both models are dense bucket-count
+    * arrays, and the per-bucket log-ratio table (8·buckets bytes, bounded by
+    * the `buckets` knob) ships as a plan literal. Model building is two
+    * B-bounded aggregations; SCORING IS A NARROW MAP — the corpus is never
+    * shuffled, never exploded, never joined. Hash collisions fold rare words
+    * into shared buckets (the paper's variance/bias trade, spec-checked
+    * against [[importanceWeights]] on a collision-free vocabulary). */
+  def importanceWeightsHashed(corpus: DataFrame, target: DataFrame,
+                              textCol: String, buckets: Int = 1 << 18,
+                              smoothing: Double = 1.0): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 22),
+      s"buckets must be in [2, 2^22] (the log-ratio table is a plan literal " +
+        s"of 8*buckets bytes), got $buckets")
+    graft.plans.DsirExprs.register(corpus.sparkSession)
+    def bucketCounts(df: DataFrame): Array[Long] = {
+      val out = new Array[Long](buckets)
+      df.select(explode(T.tokens(col(textCol))).as("w"))
+        .select(pmod(xxhash64(col("w")), lit(buckets.toLong)).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("c"))
+        .collect() // bounded: at most `buckets` rows
+        .foreach(r => out(r.getLong(0).toInt) = r.getLong(1))
+      out
+    }
+    val csArr = bucketCounts(corpus)
+    val ctArr = bucketCounts(target)
+    val ns = csArr.sum
+    val nt = ctArr.sum
+    val a = smoothing
+    val table = Array.tabulate(buckets)(i =>
+      math.log((ctArr(i) + a) / (nt + a * buckets)) -
+        math.log((csArr(i) + a) / (ns + a * buckets)))
+    corpus.withColumn("dsir_weight",
+      coalesce(call_function("graft_dsir_score", T.tokens(col(textCol)),
+        lit(table)), lit(0.0)))
+  }
+
+  /** Deterministic top-k selection by weight (ties broken by id): Spark plans
+    * this as TakeOrderedAndProject — per-partition k-heaps, one k-row merge
+    * at the driver — so the "keep the best slice" step never sorts or
+    * shuffles the full corpus. */
+  def selectTopK(df: DataFrame, weightCol: String, idCol: String, k: Int): DataFrame =
+    df.orderBy(col(weightCol).desc, col(idCol)).limit(k)
+
   // ---- context-window chunking -------------------------------------------
 
   /** Split each document into token chunks of `chunkSize` with `stride`
