@@ -40,6 +40,7 @@ import org.apache.spark.sql.types.DataType
   *  - `graft_vec_sum(vec)`           — element-wise vector sum agg
   *  - `graft_bloom_might_contain(key, filter)` — Bloom membership prefilter
   *  - `graft_dsir_score(tokens, table)` — DSIR hashed-feature log weight
+  *  - `graft_normalize_unicode(text, form)` — NFC/NFD/NFKC/NFKD
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -135,6 +136,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_vec_sum"),
       info("graft_vec_sum", "graft_vec_sum(vec) - element-wise sum of numeric arrays per group"),
       (exprs: Seq[Expression]) => plans.VecSumAgg(exprs(0))))
+
+    ext.injectFunction((FunctionIdentifier("graft_normalize_unicode"),
+      info("graft_normalize_unicode",
+        "graft_normalize_unicode(text, 'NFC'|'NFD'|'NFKC'|'NFKD') - Unicode normalization"),
+      (exprs: Seq[Expression]) =>
+        plans.NormalizeUnicodeExpr(exprs(0), plans.UnicodeExprs.formOf(exprs(1)))))
 
     ext.injectFunction((FunctionIdentifier("graft_dsir_score"),
       info("graft_dsir_score",

@@ -886,6 +886,34 @@ object SparkEntry {
         .select(col("doc_id"), col("dsir_uweight"))
     }),
 
+    // unicode cleanup (the C4/CCNet pre-filter step): NFC-normalize +
+    // control-char strip. The synthetic corpus is clean ASCII, so each doc
+    // gets a deterministic dirty suffix (BEL + decomposed 'café' + US) that
+    // the cleanup must compose and strip — mirrored verbatim in the oracle
+    "qd38_clean_text" -> ((s, d) => {
+      graft.plans.UnicodeExprs.register(s)
+      val tf = graft.functions.TextFunctions
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          tf.cleanText(concat(col("text"), lit("\u0007 cafe\u0301 \u001f")))
+            .as("cleaned"))
+        .withColumn("n_chars", length(col("cleaned")))
+        .orderBy(col("doc_id"))
+    }),
+
+    // CCNet-style perplexity: bigram-LM NLL (micro-nat ints) under an add-1
+    // LM trained on every 11th doc; the keep gate compares integer
+    // cross-products so it is exact too
+    "qd39_perplexity" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val lmSet = docs.filter(col("doc_id") % 11 === 0)
+      graft.prep.Prep.perplexityBigram(docs, lmSet, "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("n_bigrams"), col("nll_unats"))
+        .withColumn("keep",
+          col("n_bigrams") > 0 && col("nll_unats") <= lit(3500000L) * col("n_bigrams"))
+        .orderBy(col("doc_id"))
+    }),
+
     // cross-document LINE dedup (the literal C4 step): spaces become line
     // breaks so every word is a line — common words >= 4 chars dedup
     // corpus-wide (first (doc, position) wins), short words always survive
@@ -1805,6 +1833,59 @@ object SparkEntry {
       s"""$dsirWeightsCte
          |SELECT doc_id, dsir_uweight FROM weights
          |ORDER BY dsir_uweight DESC, doc_id LIMIT 50""".stripMargin,
+
+    // cleanup mirror: DuckDB's nfc_normalize is the same Unicode standard
+    // the JDK implements; the control-char class is shared verbatim
+    "qd38_clean_text" ->
+      """SELECT doc_id,
+        |  nfc_normalize(regexp_replace(
+        |    text || chr(7) || ' cafe' || chr(769) || ' ' || chr(31),
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS cleaned,
+        |  CAST(length(nfc_normalize(regexp_replace(
+        |    text || chr(7) || ' cafe' || chr(769) || ' ' || chr(31),
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'))) AS INT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // perplexity mirror: same add-1 bigram LM (lm = doc_id % 11), same
+    // micro-nat quantization per bigram, integer sums and an integer
+    // cross-product keep gate
+    "qd39_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+        |  FROM documents
+        |),
+        |lmtk AS (SELECT tk FROM toks WHERE doc_id % 11 = 0),
+        |vv AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(tk) AS w FROM lmtk)),
+        |c1 AS (
+        |  SELECT w1, count(*) AS c1 FROM (
+        |    SELECT unnest(tk[1:len(tk)-1]) AS w1 FROM lmtk WHERE len(tk) >= 2
+        |  ) GROUP BY w1
+        |),
+        |c12 AS (
+        |  SELECT bg, count(*) AS c12 FROM (
+        |    SELECT unnest([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]) AS bg
+        |    FROM lmtk WHERE len(tk) >= 2
+        |  ) GROUP BY bg
+        |),
+        |docbg AS (
+        |  SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]) AS bg
+        |  FROM toks WHERE len(tk) >= 2
+        |),
+        |scored AS (
+        |  SELECT d.doc_id,
+        |    CAST(floor((ln(coalesce(c1.c1, 0) + 1.0 * vv.v) -
+        |                ln(coalesce(c12.c12, 0) + 1.0)) * 1000000.0 + 0.5) AS BIGINT) AS unll
+        |  FROM docbg d
+        |  LEFT JOIN c12 ON d.bg = c12.bg
+        |  LEFT JOIN c1 ON string_split(d.bg, ' ')[1] = c1.w1, vv
+        |),
+        |agg AS (SELECT doc_id, count(*) AS nb, sum(unll) AS nll FROM scored GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang,
+        |  CAST(coalesce(a.nb, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(a.nll, 0) AS BIGINT) AS nll_unats,
+        |  coalesce(a.nb, 0) > 0 AND coalesce(a.nll, 0) <= 3500000 * coalesce(a.nb, 0) AS keep
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "qd31_line_dedup" ->
       """WITH src AS (

@@ -93,6 +93,28 @@ object TextFunctions {
   def compressionRatio(text: Column): Column =
     call_function("graft_deflate_ratio", text)
 
+  /** Unicode normalization ([[graft.plans.NormalizeUnicodeExpr]] — register
+    * it or use [[graft.GraftExtensions]]). NFC for canonical composition
+    * (oracle-able vs DuckDB's nfc_normalize), NFKC to also fold
+    * compatibility characters (ligatures, full-width forms). */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column =
+    call_function("graft_normalize_unicode", text, lit(form))
+
+  /** Control characters that survive no cleanup: C0 except tab/newline/CR,
+    * plus DEL. Kept as a plain character class so any engine's regex strips
+    * the identical set. */
+  val ControlCharClass = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  /** Web-corpus text cleanup (the C4/CCNet pre-filter step): strip
+    * non-whitespace control characters, THEN NFC-normalize — in that order
+    * the op is idempotent (NFC emits no control characters, so a second
+    * strip is a no-op), whereas normalize-first leaves `e + BEL + U+0301`
+    * uncomposed until the strip and a second pass would change the text
+    * again (spec-pinned). Composes with [[normalized]]/[[fingerprint]]
+    * downstream so visually-identical text dedups identically. */
+  def cleanText(text: Column): Column =
+    normalizeUnicode(regexp_replace(text, ControlCharClass, ""))
+
   /** Normalized text for fingerprinting: lowercase, collapse whitespace,
     * strip non-alphanumerics. */
   def normalized(text: Column): Column =

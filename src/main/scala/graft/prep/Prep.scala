@@ -388,6 +388,101 @@ object Prep {
         lit(table)), lit(0.0)))
   }
 
+  // ---- CCNet-style perplexity filtering ----------------------------------
+  // Wenzek et al., "CCNet: Extracting High Quality Monolingual Datasets from
+  // Web Crawl Data" (LREC 2020) filter web text by perplexity under a
+  // language model trained on a clean reference corpus. The LM here is an
+  // add-a-smoothed bigram model — trainable inside the engine with two
+  // map-side-combined aggregations, no external artifacts — and the score is
+  // the total negative log-likelihood of the document's bigrams.
+
+  /** Per-document bigram NLL under an add-a bigram LM trained on `lm`.
+    * `P(w2|w1) = (c(w1w2)+a) / (c_head(w1)+a·V)` with head counts over LM
+    * bigram positions (so probabilities per head sum to 1) and V = distinct
+    * LM unigrams. Per-bigram `−ln P` is quantized to micro-nats
+    * (`floor(·1e6+0.5)`, exact int64 — same cross-engine rationale as
+    * [[importanceWeightsMicro]]) and summed per document.
+    *
+    * Returns the corpus + `n_bigrams` + `nll_unats` (both 0 for docs
+    * shorter than 2 tokens) + `ppl_nats` (mean NLL in nats, null when no
+    * bigrams — `exp` of it is the conventional perplexity). Scale shape:
+    * LM building aggregates the (small) reference corpus; scoring joins
+    * corpus bigrams with the count tables — the exact face.
+    * [[perplexityBigramHashed]] is the narrow 100 TB face. */
+  def perplexityBigram(corpus: DataFrame, lm: DataFrame, idCol: String,
+                       textCol: String, smoothing: Double = 1.0): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val lmTok = lm.select(T.tokens(col(textCol)).as("tk"))
+    val v = lmTok.select(explode(col("tk")).as("w")).distinct().count()
+    val heads = lmTok.filter(size(col("tk")) >= 2)
+      .select(explode(slice(col("tk"), lit(1), size(col("tk")) - 1)).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1")).persist(lvl)
+    val bigr = lmTok.filter(size(col("tk")) >= 2)
+      .select(explode(T.shingles(col("tk"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c12")).persist(lvl)
+    val a = smoothing
+    val perDoc = corpus
+      .select(col(idCol).as("__id"), T.tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("__id"), explode(T.shingles(col("tk"), 2)).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(bigr, Seq("bg"), "left").join(heads, Seq("w1"), "left")
+      .select(col("__id"),
+        floor((log(coalesce(col("c1"), lit(0L)) + lit(a * v)) -
+          log(coalesce(col("c12"), lit(0L)) + lit(a))) * lit(1e6) + lit(0.5))
+          .cast("long").as("unll"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("unll")).as("nll_unats"))
+    corpus.join(perDoc, corpus(idCol) === perDoc("__id"), "left")
+      .drop("__id")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .withColumn("nll_unats", coalesce(col("nll_unats"), lit(0L)))
+      .withColumn("ppl_nats",
+        when(col("n_bigrams") > 0,
+          col("nll_unats").cast("double") / lit(1e6) / col("n_bigrams")))
+  }
+
+  /** [[perplexityBigram]] with hashed features — scoring is TWO narrow
+    * [[graft.plans.DsirScoreExpr]] passes and zero corpus shuffle:
+    * `Σ −ln P = Σ ln(c_head[h(w1)]+aB) − Σ ln(c_big[h(w1 w2)]+a)`, so one
+    * kernel folds head tokens over the head-count table and another folds
+    * bigram strings over the (negated) bigram-count table. Both tables are
+    * B-bounded plan literals; V is the bucket count B (the hashed-model
+    * convention, as in [[importanceWeightsHashed]]). */
+  def perplexityBigramHashed(corpus: DataFrame, lm: DataFrame, textCol: String,
+                             buckets: Int = 1 << 18,
+                             smoothing: Double = 1.0): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 22),
+      s"buckets must be in [2, 2^22], got $buckets")
+    graft.plans.DsirExprs.register(corpus.sparkSession)
+    val a = smoothing
+    def counts(unit: DataFrame): Array[Long] = {
+      val out = new Array[Long](buckets)
+      unit.select(pmod(xxhash64(col("u")), lit(buckets.toLong)).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("c"))
+        .collect().foreach(r => out(r.getLong(0).toInt) = r.getLong(1))
+      out
+    }
+    val lmTok = lm.select(T.tokens(col(textCol)).as("tk")).filter(size(col("tk")) >= 2)
+    val cHead = counts(lmTok.select(
+      explode(slice(col("tk"), lit(1), size(col("tk")) - 1)).as("u")))
+    val cBig = counts(lmTok.select(explode(T.shingles(col("tk"), 2)).as("u")))
+    val headTable = Array.tabulate(buckets)(i => math.log(cHead(i) + a * buckets))
+    val bigTableNeg = Array.tabulate(buckets)(i => -math.log(cBig(i) + a))
+    val tk = T.tokens(col(textCol))
+    val headsArr = when(size(tk) >= 2, slice(tk, lit(1), size(tk) - 1))
+      .otherwise(array().cast("array<string>"))
+    val bigArr = when(size(tk) >= 2, T.shingles(tk, 2))
+      .otherwise(array().cast("array<string>"))
+    corpus
+      .withColumn("n_bigrams", greatest(size(tk) - 1, lit(0)).cast("long"))
+      .withColumn("nll_nats",
+        call_function("graft_dsir_score", headsArr, lit(headTable)) +
+          call_function("graft_dsir_score", bigArr, lit(bigTableNeg)))
+      .withColumn("ppl_nats",
+        when(col("n_bigrams") > 0, col("nll_nats") / col("n_bigrams")))
+  }
+
   /** Deterministic top-k selection by weight (ties broken by id): Spark plans
     * this as TakeOrderedAndProject — per-partition k-heaps, one k-row merge
     * at the driver — so the "keep the best slice" step never sorts or
