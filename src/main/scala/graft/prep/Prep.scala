@@ -490,6 +490,27 @@ object Prep {
   def selectTopK(df: DataFrame, weightCol: String, idCol: String, k: Int): DataFrame =
     df.orderBy(col(weightCol).desc, col(idCol)).limit(k)
 
+  /** DSIR's actual selection step: importance RESAMPLING without replacement
+    * via the Gumbel-top-k trick — taking the k largest `logWeight + Gumbel`
+    * keys draws k items without replacement with probability ∝
+    * `exp(logWeight)` (softmax), which is what distinguishes resampling from
+    * the deterministic [[selectTopK]] cut. The Gumbel noise is CONTENT-KEYED
+    * (`xxhash64(id, salt)` → uniform → `−ln(−ln u)`), not `rand()`: the draw
+    * is reproducible across engines, retries, and repartitioning — the same
+    * determinism contract as [[hashBucket]]/[[split]] — and re-salting gives
+    * an independent draw. Plans as TakeOrderedAndProject, same as
+    * [[selectTopK]]: the corpus is never fully sorted. */
+  def resampleTopK(df: DataFrame, logWeightCol: String, idCol: String, k: Int,
+                   salt: Long = 0L): DataFrame = {
+    // 52-bit mantissa-sized uniform in (0,1): +0.5 keeps u off both endpoints
+    val u = (pmod(xxhash64(col(idCol), lit(salt)), lit(1L << 52)).cast("double") + lit(0.5)) /
+      lit((1L << 52).toDouble)
+    val key = col(logWeightCol) + -log(-log(u))
+    df.withColumn("__gk", key)
+      .orderBy(col("__gk").desc, col(idCol)).limit(k)
+      .drop("__gk")
+  }
+
   // ---- context-window chunking -------------------------------------------
 
   /** Split each document into token chunks of `chunkSize` with `stride`

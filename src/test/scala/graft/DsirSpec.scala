@@ -108,6 +108,28 @@ class DsirSpec extends SparkSpec {
         s"doc $id: hashed ${got(id)} want $w")
   }
 
+  test("resampleTopK: deterministic per salt, samples proportional to softmax") {
+    val df = Seq((1L, math.log(9.0)), (2L, 0.0)).toDF("id", "lw")
+    // same salt -> identical draw
+    val a = Prep.resampleTopK(df, "lw", "id", 1, salt = 7L).select("id").as[Long].collect().toSeq
+    val b = Prep.resampleTopK(df, "lw", "id", 1, salt = 7L).select("id").as[Long].collect().toSeq
+    assert(a == b)
+    // Gumbel-top-1 draws id=1 with probability 9/10; 300 independent salts
+    val wins = (1 to 300).count { s =>
+      Prep.resampleTopK(df, "lw", "id", 1, salt = s.toLong)
+        .select("id").as[Long].head() == 1L
+    }
+    assert(wins > 300 * 0.82 && wins < 300 * 0.97,
+      s"expected ~90% wins for the 9x-weighted doc, got $wins/300")
+  }
+
+  test("resampleTopK: draws without replacement") {
+    val df = (1L to 20L).map(i => (i, 0.0)).toDF("id", "lw")
+    val got = Prep.resampleTopK(df, "lw", "id", 8, salt = 3L)
+      .select("id").as[Long].collect()
+    assert(got.length == 8 && got.distinct.length == 8)
+  }
+
   test("selectTopK: deterministic k-slice with id tiebreak") {
     val df = Seq((1L, 5.0), (2L, 7.0), (3L, 5.0), (4L, 7.0), (5L, 1.0))
       .toDF("id", "w")
