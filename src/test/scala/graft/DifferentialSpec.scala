@@ -661,4 +661,33 @@ class DifferentialSpec extends SparkSpec {
       assertSame(df, sql)
     }
   }
+
+  test("fuzz: 300 random dirty unicode strings match DuckDB nfc cleanup") {
+    // grammar 14: the qd38 cleanup (strip C0/DEL controls, then NFC) over
+    // adversarial strings — combining marks adjacent to controls (the case
+    // that forced strip-before-normalize), ligatures, fullwidth forms, CJK,
+    // marks with no base character, bare controls. DuckDB's nfc_normalize is
+    // an independent Unicode implementation, not a mirror of the JDK's.
+    graft.plans.UnicodeExprs.register(spark)
+    val r = new scala.util.Random(20260813)
+    val pool = Seq("a", "b", "Z", "1", " ", "\t", "\n", "\r",
+      "\u0301", "\u0308", "\u00e9", "e", "\u00c5", "A", "\u030a",
+      "\u0007", "\u000b", "\u001f", "\u007f",
+      "\ufb01", "\uff21", "\u4e16\u754c")
+    val rows = (1 to 300).map { i =>
+      (i.toLong, (1 to (1 + r.nextInt(16))).map(_ => pool(r.nextInt(pool.size))).mkString)
+    }
+    val st = duck.createStatement()
+    st.execute("CREATE TABLE graft_dirty(id BIGINT, s VARCHAR)")
+    st.close()
+    val ps = duck.prepareStatement("INSERT INTO graft_dirty VALUES (?, ?)")
+    rows.foreach { case (id, s) => ps.setLong(1, id); ps.setString(2, s); ps.addBatch() }
+    ps.executeBatch(); ps.close()
+    val df = spark.createDataFrame(rows).toDF("id", "s")
+      .select(col("id"), graft.functions.TextFunctions.cleanText(col("s")).as("c"))
+    assertSame(df,
+      """SELECT id, nfc_normalize(regexp_replace(s,
+        |  '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS c
+        |FROM graft_dirty""".stripMargin)
+  }
 }
