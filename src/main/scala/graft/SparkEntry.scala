@@ -914,6 +914,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // C4 line/page quality rules (Raffel et al. 2020 §2.2): the flat word
+    // corpus gets deterministic structure first — 6-word lines, terminal '.'
+    // on (i+doc_id)%3!=0 lines, a 'javascript' mention every 7th line, page
+    // poison ('{' / 'lorem ipsum') on doc_id%13 / %17 — then c4Clean must
+    // keep exactly the punctuated, clean, >=3-word lines and flag pages
+    "qd40_c4_filter" -> ((s, d) => {
+      val tf = graft.functions.TextFunctions
+      val docs = t(s, d, "documents")
+      val w = tf.tokens(col("text"))
+      val nLines = greatest(ceil(size(w) / lit(6.0)).cast("int"), lit(1))
+      val lines = transform(sequence(lit(0), nLines - 1), i =>
+        concat(
+          concat_ws(" ", slice(w, i * 6 + 1, lit(6))),
+          when(i % 7 === 0, lit(" javascript")).otherwise(lit("")),
+          when((i + col("doc_id")) % 3 =!= 0, lit(".")).otherwise(lit(""))))
+      val dirty = concat(
+        array_join(lines, "\n"),
+        when(col("doc_id") % 13 === 0, lit(" {")).otherwise(lit("")),
+        when(col("doc_id") % 17 === 0, lit("\nlorem ipsum.")).otherwise(lit("")))
+      graft.prep.Prep.c4Clean(docs.select(col("doc_id"), dirty.as("text")), "text")
+        .select(col("doc_id"), col("n_kept_lines"), col("keep"), col("kept_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // cross-document LINE dedup (the literal C4 step): spaces become line
     // breaks so every word is a line — common words >= 4 chars dedup
     // corpus-wide (first (doc, position) wins), short words always survive
@@ -1886,6 +1910,43 @@ object SparkEntry {
         |  coalesce(a.nb, 0) > 0 AND coalesce(a.nll, 0) <= 3500000 * coalesce(a.nb, 0) AS keep
         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // C4 mirror: identical integer line construction, then the same three
+    // line rules and two page rules over the rebuilt text
+    "qd40_c4_filter" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents
+        |),
+        |built AS (
+        |  SELECT doc_id,
+        |    [ list_aggregate(w[i*6+1 : i*6+6], 'string_agg', ' ')
+        |        || CASE WHEN i % 7 = 0 THEN ' javascript' ELSE '' END
+        |        || CASE WHEN (i + doc_id) % 3 <> 0 THEN '.' ELSE '' END
+        |      FOR i IN range(0, greatest(CAST(ceil(len(w) / 6.0) AS INT), 1)) ] AS lines
+        |  FROM toks
+        |),
+        |dirty AS (
+        |  SELECT doc_id,
+        |    list_aggregate(lines, 'string_agg', chr(10))
+        |      || CASE WHEN doc_id % 13 = 0 THEN ' {' ELSE '' END
+        |      || CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'lorem ipsum.' ELSE '' END AS text
+        |  FROM built
+        |),
+        |cleaned AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(text, chr(10)), l ->
+        |      l[-1] IN ('.', '!', '?', '"')
+        |      AND len(list_filter(string_split_regex(l, '\s+'), x -> x <> '')) >= 3
+        |      AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM dirty
+        |)
+        |SELECT doc_id,
+        |  CAST(len(kept) AS INT) AS n_kept_lines,
+        |  len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+        |    AND NOT contains(text, '{') AS keep,
+        |  coalesce(list_aggregate(kept, 'string_agg', chr(10)), '') AS kept_text
+        |FROM cleaned ORDER BY doc_id""".stripMargin,
 
     "qd31_line_dedup" ->
       """WITH src AS (

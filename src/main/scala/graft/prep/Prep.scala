@@ -511,6 +511,38 @@ object Prep {
       .drop("__gk")
   }
 
+  // ---- C4 line/page quality filter ---------------------------------------
+
+  /** The C4 cleanup (Raffel et al., JMLR 2020 §2.2) line and page rules,
+    * expression-only and narrow:
+    *
+    *  - keep only lines that END in terminal punctuation (`.` `!` `?` `"`),
+    *    have at least `minWordsPerLine` words, and do not mention
+    *    "javascript";
+    *  - drop the whole page when fewer than `minLines` lines survive, or the
+    *    page contains "lorem ipsum" or a curly brace.
+    *
+    * Returns the frame + `kept_text` (surviving lines re-joined), `n_kept_
+    * lines`, and the page-level `keep`. Rows are never dropped — the caller
+    * filters on `keep` (the flag is the common join-back currency of the
+    * other gates). Every rule is a higher-order filter over the split lines:
+    * zero shuffle, zero UDF, oracle-mirrorable line by line (qd40). */
+  def c4Clean(df: DataFrame, textCol: String, minWordsPerLine: Int = 3,
+              minLines: Int = 3): DataFrame = {
+    val lines = org.apache.spark.sql.functions.split(col(textCol), "\n")
+    val kept = filter(lines, l =>
+      substring(l, -1, 1).isin(".", "!", "?", "\"") &&
+        size(org.apache.spark.sql.functions.filter(
+          org.apache.spark.sql.functions.split(l, "\\s+"), w => w =!= "")) >= minWordsPerLine &&
+        !lower(l).contains("javascript"))
+    df.withColumn("kept_text", array_join(kept, "\n"))
+      .withColumn("n_kept_lines", size(kept))
+      .withColumn("keep",
+        col("n_kept_lines") >= minLines &&
+          !lower(col(textCol)).contains("lorem ipsum") &&
+          !col(textCol).contains("{"))
+  }
+
   // ---- context-window chunking -------------------------------------------
 
   /** Split each document into token chunks of `chunkSize` with `stride`
