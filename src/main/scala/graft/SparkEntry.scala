@@ -938,6 +938,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // THIRD FLAGSHIP pipeline — quality-driven selection: CCNet perplexity
+    // gate → Bloom-prefiltered exact decontamination → DSIR importance
+    // weighting → deterministic top-50. Exercises the round-6 operator set
+    // END-TO-END (each stage's model retrains on the previous stage's
+    // survivors) where qd34/qd36/qd37/qd39 test the pieces in isolation.
+    "qd41_pipeline_quality_select" -> ((s, d) => {
+      val P = graft.prep.Prep
+      val docs = t(s, d, "documents")
+      val baseCols = docs.columns.map(col).toIndexedSeq
+      // stage 1: perplexity gate (LM = every 11th doc, keep <= 3.5 nats/bigram)
+      val s1 = P.perplexityBigram(docs, docs.filter(col("doc_id") % 11 === 0),
+          "doc_id", "text")
+        .filter(col("n_bigrams") > 0 &&
+          col("nll_unats") <= lit(3500000L) * col("n_bigrams"))
+        .select(baseCols: _*)
+      // stage 2: drop survivors sharing any 5-shingle with the eval bench
+      val s2 = P.contaminationBloom(s1, docs.filter(col("doc_id") % 89 === 0),
+          "doc_id", "text", shingleK = 5, minShared = 1, fpp = 0.01)
+        .filter(!col("contaminated"))
+        .select(baseCols: _*)
+      // stage 3: DSIR micro-nat weights on the clean pool, deterministic cut
+      P.selectTopK(
+          P.importanceWeightsMicro(s2, s2.filter(col("doc_id") % 17 === 0),
+            "doc_id", "text"),
+          "dsir_uweight", "doc_id", k = 50)
+        .select(col("doc_id"), col("dsir_uweight"))
+    }),
+
     // cross-document LINE dedup (the literal C4 step): spaces become line
     // breaks so every word is a line — common words >= 4 chars dedup
     // corpus-wide (first (doc, position) wins), short words always survive
@@ -1947,6 +1975,81 @@ object SparkEntry {
         |    AND NOT contains(text, '{') AS keep,
         |  coalesce(list_aggregate(kept, 'string_agg', chr(10)), '') AS kept_text
         |FROM cleaned ORDER BY doc_id""".stripMargin,
+
+    // flagship mirror: the qd39 perplexity CTEs gate s1, the qd34 shingle
+    // join flags s2 (bench drawn from ALL docs, intersected with s1), the
+    // qd36 DSIR CTEs retrain on the s2 pool, LIMIT 50 with the id tiebreak
+    "qd41_pipeline_quality_select" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+        |  FROM documents
+        |),
+        |lmtk AS (SELECT tk FROM toks WHERE doc_id % 11 = 0),
+        |vv AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(tk) AS w FROM lmtk)),
+        |c1 AS (
+        |  SELECT w1, count(*) AS c1 FROM (
+        |    SELECT unnest(tk[1:len(tk)-1]) AS w1 FROM lmtk WHERE len(tk) >= 2
+        |  ) GROUP BY w1
+        |),
+        |c12 AS (
+        |  SELECT bg, count(*) AS c12 FROM (
+        |    SELECT unnest([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]) AS bg
+        |    FROM lmtk WHERE len(tk) >= 2
+        |  ) GROUP BY bg
+        |),
+        |docbg AS (
+        |  SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]) AS bg
+        |  FROM toks WHERE len(tk) >= 2
+        |),
+        |pplscored AS (
+        |  SELECT d.doc_id,
+        |    CAST(floor((ln(coalesce(c1.c1, 0) + 1.0 * vv.v) -
+        |                ln(coalesce(c12.c12, 0) + 1.0)) * 1000000.0 + 0.5) AS BIGINT) AS unll
+        |  FROM docbg d
+        |  LEFT JOIN c12 ON d.bg = c12.bg
+        |  LEFT JOIN c1 ON string_split(d.bg, ' ')[1] = c1.w1, vv
+        |),
+        |s1 AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, count(*) AS nb, sum(unll) AS nll FROM pplscored GROUP BY doc_id
+        |  ) WHERE nll <= 3500000 * nb
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(tk) >= 5
+        |    THEN [list_aggregate(tk[i:i+4], 'string_agg', ' ') FOR i IN range(1, len(tk) - 3)]
+        |    ELSE [list_aggregate(tk, 'string_agg', ' ')] END) AS s
+        |  FROM toks
+        |),
+        |bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 89 = 0),
+        |contaminated AS (SELECT DISTINCT sh.doc_id FROM sh JOIN bsh ON sh.s = bsh.s),
+        |s2 AS (
+        |  SELECT doc_id FROM s1
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |),
+        |ctok AS (SELECT t.doc_id, unnest(t.tk) AS w FROM toks t JOIN s2 ON t.doc_id = s2.doc_id),
+        |ttok AS (SELECT w FROM ctok WHERE doc_id % 17 = 0),
+        |cs AS (SELECT w, count(*) AS c FROM ctok GROUP BY w),
+        |ts AS (SELECT w, count(*) AS c FROM ttok GROUP BY w),
+        |vocab AS (SELECT w FROM cs UNION SELECT w FROM ts),
+        |consts AS (SELECT (SELECT count(*) FROM vocab) AS v,
+        |                  (SELECT count(*) FROM ctok) AS ns,
+        |                  (SELECT count(*) FROM ttok) AS nt),
+        |lr AS (
+        |  SELECT vocab.w,
+        |    CAST(floor((ln((coalesce(ts.c, 0) + 1.0) / (nt + 1.0 * v)) -
+        |                ln((coalesce(cs.c, 0) + 1.0) / (ns + 1.0 * v))) * 1000000.0 + 0.5)
+        |         AS BIGINT) AS ulr
+        |  FROM vocab LEFT JOIN cs ON vocab.w = cs.w
+        |             LEFT JOIN ts ON vocab.w = ts.w, consts
+        |),
+        |wsum AS (
+        |  SELECT t.doc_id, sum(lr.ulr) AS uw
+        |  FROM ctok t JOIN lr ON t.w = lr.w
+        |  GROUP BY t.doc_id
+        |)
+        |SELECT s2.doc_id, CAST(coalesce(ws.uw, 0) AS BIGINT) AS dsir_uweight
+        |FROM s2 LEFT JOIN wsum ws ON s2.doc_id = ws.doc_id
+        |ORDER BY dsir_uweight DESC, s2.doc_id LIMIT 50""".stripMargin,
 
     "qd31_line_dedup" ->
       """WITH src AS (
