@@ -718,6 +718,22 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // temperature mixture (p_i ∝ n_i^0.5): sqrt-share rates derived from the
+    // data itself, then the same deterministic stratified keep as qd22 —
+    // upweights the low-token languages relative to proportional sampling
+    "qd42_temperature_mixture" -> ((s, d) => {
+      val P = graft.prep.Prep
+      val T = graft.functions.TextFunctions
+      val docs = t(s, d, "documents")
+        .withColumn("n_tokens", T.tokenCount(col("text")).cast("long"))
+      val shares = P.temperatureShares(docs, "lang", "n_tokens", alpha = 0.5)
+      val rates = P.mixtureRatesPm(docs, "lang", "n_tokens", shares, tokenBudget = 10000L)
+      docs.filter(P.stratifiedKeep(col("doc_id"), col("lang"), rates, defaultPm = 0))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy(col("lang"))
+    }),
+
     // single-stream packing via the boundary-carry scale path (no grouped
     // window): results are partition-count-independent, so a plain global
     // window is the oracle
@@ -1731,6 +1747,31 @@ object SparkEntry {
         |               WHEN 'zh' THEN CAST(0.1 AS DOUBLE)
         |               ELSE CAST(0 AS DOUBLE) END) * 10000 / tok) AS BIGINT)) AS rate
         |  FROM tot
+        |)
+        |SELECT d.lang, count(*) AS n_docs, CAST(sum(d.n_tokens) AS BIGINT) AS n_tokens
+        |FROM d JOIN r ON d.lang = r.lang
+        |WHERE ((doc_id + 1) % 1000000007) * 2654435761 % 1000000007 % 1000 < rate
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    // temperature-mixture mirror: sqrt is correctly-rounded IEEE (unlike
+    // pow), the denominator folds ascending, every other op is the qd22
+    // rate/bucket arithmetic
+    "qd42_temperature_mixture" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |),
+        |tot AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS tok FROM d GROUP BY lang),
+        |den AS (
+        |  SELECT list_reduce(list_sort(list(sqrt(CAST(tok AS DOUBLE)))), (a, b) -> a + b) AS den
+        |  FROM tot
+        |),
+        |r AS (
+        |  SELECT lang, least(1000, CAST(floor(
+        |    CAST(1000.0 AS DOUBLE) * (sqrt(CAST(tok AS DOUBLE)) / den) * 10000 / tok
+        |  ) AS BIGINT)) AS rate
+        |  FROM tot, den
         |)
         |SELECT d.lang, count(*) AS n_docs, CAST(sum(d.n_tokens) AS BIGINT) AS n_tokens
         |FROM d JOIN r ON d.lang = r.lang

@@ -146,6 +146,26 @@ object Prep {
     }
   }
 
+  /** Temperature-scaled mixture shares — the multilingual sampling rule
+    * (`p_i ∝ n_i^α`, Conneau/Lample XLM and descendants): α = 1 reproduces
+    * the corpus proportions, α → 0 flattens toward uniform, upweighting
+    * low-resource strata. Feeds [[mixtureRatesPm]] → [[stratifiedKeep]].
+    *
+    * Driver-side on the per-stratum aggregate only (#strata rows). Numeric
+    * contract: α = 0.5 routes through `sqrt` (correctly-rounded IEEE op —
+    * `pow` is not) and the denominator folds the powered totals in ASCENDING
+    * order, so the shares — and the integer rates they produce — are
+    * bit-reproducible on any engine (oracle qd42). */
+  def temperatureShares(df: DataFrame, stratumCol: String, nTokensCol: String,
+                        alpha: Double = 0.5): Map[String, Double] = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    def powA(x: Double) = if (alpha == 0.5) math.sqrt(x) else math.pow(x, alpha)
+    val powered = df.groupBy(col(stratumCol)).agg(sum(col(nTokensCol)).as("__tot"))
+      .collect().map(r => r.getString(0) -> powA(r.getLong(1).toDouble)).toMap
+    val denom = powered.values.toSeq.sorted.foldLeft(0.0)(_ + _)
+    powered.view.mapValues(_ / denom).toMap
+  }
+
   // ---- benchmark decontamination -----------------------------------------
 
   /** Flag corpus documents sharing >= `minShared` distinct word k-gram

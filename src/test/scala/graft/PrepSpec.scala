@@ -327,4 +327,21 @@ class PrepSpec extends SparkSpec {
       .as[(Long, Long, String)].collect().toSet
     assert(got == batch && batch.nonEmpty)
   }
+
+  test("temperatureShares: sums to 1, flattens toward uniform as alpha drops") {
+    val df = Seq.tabulate(1000)(i =>
+        (i.toLong, if (i < 810) "big" else if (i < 990) "mid" else "small", 10L))
+      .toDF("id", "stratum", "n_tokens")
+    val prop = Prep.temperatureShares(df, "stratum", "n_tokens", alpha = 1.0)
+    val temp = Prep.temperatureShares(df, "stratum", "n_tokens", alpha = 0.5)
+    assert(math.abs(prop.values.sum - 1.0) < 1e-12)
+    assert(math.abs(temp.values.sum - 1.0) < 1e-12)
+    // alpha=1 reproduces corpus proportions exactly (810:180:10)
+    assert(math.abs(prop("big") - 0.81) < 1e-12 && math.abs(prop("small") - 0.01) < 1e-12)
+    // alpha=0.5 moves every share toward uniform: small up, big down
+    assert(temp("small") > prop("small") && temp("big") < prop("big"))
+    // sqrt law exactly: shares proportional to sqrt(totals)
+    val want = math.sqrt(100.0) / (math.sqrt(8100.0) + math.sqrt(1800.0) + math.sqrt(100.0))
+    assert(math.abs(temp("small") - want) < 1e-12)
+  }
 }
