@@ -13,7 +13,11 @@ object Bench {
     val spark = Sessions.local(cpus)
     // one warm-up action so JVM/codegen startup isn't billed to the first query
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated name filter for targeted A/B runs; the full
+    // suite (empty filter) stays the artifact of record
+    val only = sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", "").split(',').map(_.trim).filter(_.nonEmpty).toSet
+    val selected = if (only.isEmpty) SparkEntry.queries else SparkEntry.queries.filter(kv => only(kv._1))
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (0 until reps).map { _ =>
         // isolate reps AND queries: operators persist internals (signatures,
         // edge lists, IVF cells) that nothing unpersists once the query's

@@ -74,13 +74,21 @@ object SparkEntry {
     // §2.4 inner equi-join (multi-table) + agg — lazy.rs:462-488
     "q03_join_inner" -> ((s, d) => {
       val li = t(s, d, "lineitem"); val o = t(s, d, "orders"); val c = t(s, d, "customer")
-      li.join(o, li("l_orderkey") === o("o_orderkey"), "inner")
+      // pre-aggregate revenue per order BEFORE the customer join: shrinks the
+      // join input from lineitem-cardinality to orders-cardinality, the
+      // orderkey exchange is reused by the join, and countDistinct(o_orderkey)
+      // degenerates to a plain count (one row per order survives the pre-agg),
+      // eliminating the distinct expand. Decimal sums re-associate exactly, so
+      // the result is bit-identical to the single big aggregate.
+      val perOrder = li.groupBy(col("l_orderkey")).agg(
+        sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+          .as("order_rev"))
+      perOrder.join(o, perOrder("l_orderkey") === o("o_orderkey"), "inner")
         .join(c, o("o_custkey") === c("c_custkey"), "inner")
         .groupBy(col("c_mktsegment"))
         .agg(
-          sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
-            .cast("double").as("revenue"),
-          countDistinct(col("o_orderkey")).as("n_orders"))
+          sum(col("order_rev")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
         .orderBy(col("c_mktsegment"))
     }),
 
