@@ -971,17 +971,26 @@ object SparkEntry {
       val P = graft.prep.Prep
       val docs = t(s, d, "documents")
       val baseCols = docs.columns.map(col).toIndexedSeq
+      // inter-stage checkpoints: each stage's survivors feed MULTIPLE
+      // downstream scans (stage 2 reads s1 twice: prefilter + verify
+      // join-back; stage 3 reads s2 four times: corpus counts, target
+      // counts, token join, final join-back). Without the persist every
+      // re-read re-runs the whole upstream pipeline — at 100 TB the
+      // survivors-to-disk checkpoint between stages is the standard shape
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       // stage 1: perplexity gate (LM = every 11th doc, keep <= 3.5 nats/bigram)
       val s1 = P.perplexityBigram(docs, docs.filter(col("doc_id") % 11 === 0),
           "doc_id", "text")
         .filter(col("n_bigrams") > 0 &&
           col("nll_unats") <= lit(3500000L) * col("n_bigrams"))
         .select(baseCols: _*)
+        .persist(lvl)
       // stage 2: drop survivors sharing any 5-shingle with the eval bench
       val s2 = P.contaminationBloom(s1, docs.filter(col("doc_id") % 89 === 0),
           "doc_id", "text", shingleK = 5, minShared = 1, fpp = 0.01)
         .filter(!col("contaminated"))
         .select(baseCols: _*)
+        .persist(lvl)
       // stage 3: DSIR micro-nat weights on the clean pool, deterministic cut
       P.selectTopK(
           P.importanceWeightsMicro(s2, s2.filter(col("doc_id") % 17 === 0),

@@ -353,16 +353,21 @@ object Prep {
       .groupBy("w").agg(count(lit(1)).as("cs")).persist(lvl)
     val ts = target.select(explode(T.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("ct")).persist(lvl)
-    val ns = cs.agg(sum(col("cs"))).first().getLong(0)
-    val nt = ts.agg(sum(col("ct"))).first().getLong(0)
     val vocab = cs.select("w").union(ts.select("w")).distinct()
-    val v = vocab.count()
+    // ns/nt/v ride as a broadcast 1-row side instead of driver first()/count()
+    // actions: the whole model build stays ONE lazy plan (no sequential
+    // blocking jobs per invocation — qd41 chains three of these stages)
+    val totals = broadcast(
+      cs.agg(sum(col("cs")).as("__ns"))
+        .crossJoin(ts.agg(sum(col("ct")).as("__nt")))
+        .crossJoin(vocab.agg(count(lit(1)).as("__v"))))
     val a = smoothing
     vocab
       .join(cs, Seq("w"), "left").join(ts, Seq("w"), "left")
+      .crossJoin(totals)
       .select(col("w"),
-        (log((coalesce(col("ct"), lit(0L)) + lit(a)) / lit(nt + a * v)) -
-          log((coalesce(col("cs"), lit(0L)) + lit(a)) / lit(ns + a * v))).as("__lr"))
+        (log((coalesce(col("ct"), lit(0L)) + lit(a)) / (col("__nt") + lit(a) * col("__v"))) -
+          log((coalesce(col("cs"), lit(0L)) + lit(a)) / (col("__ns") + lit(a) * col("__v")))).as("__lr"))
   }
 
   private def tokenJoin(corpus: DataFrame, lr: DataFrame,
@@ -433,7 +438,11 @@ object Prep {
                        textCol: String, smoothing: Double = 1.0): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val lmTok = lm.select(T.tokens(col(textCol)).as("tk"))
-    val v = lmTok.select(explode(col("tk")).as("w")).distinct().count()
+    // V rides as a broadcast 1-row side (same rationale as logRatioTable's
+    // totals: no blocking driver job per LM build)
+    val vDf = broadcast(
+      lmTok.select(explode(col("tk")).as("w")).distinct()
+        .agg(count(lit(1)).as("__v")))
     val heads = lmTok.filter(size(col("tk")) >= 2)
       .select(explode(slice(col("tk"), lit(1), size(col("tk")) - 1)).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c1")).persist(lvl)
@@ -447,8 +456,9 @@ object Prep {
       .select(col("__id"), explode(T.shingles(col("tk"), 2)).as("bg"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
       .join(bigr, Seq("bg"), "left").join(heads, Seq("w1"), "left")
+      .crossJoin(vDf)
       .select(col("__id"),
-        floor((log(coalesce(col("c1"), lit(0L)) + lit(a * v)) -
+        floor((log(coalesce(col("c1"), lit(0L)) + lit(a) * col("__v")) -
           log(coalesce(col("c12"), lit(0L)) + lit(a))) * lit(1e6) + lit(0.5))
           .cast("long").as("unll"))
       .groupBy(col("__id"))
