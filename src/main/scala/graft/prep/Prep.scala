@@ -559,14 +559,14 @@ object Prep {
     * zero shuffle, zero UDF, oracle-mirrorable line by line (qd40). */
   def c4Clean(df: DataFrame, textCol: String, minWordsPerLine: Int = 3,
               minLines: Int = 3): DataFrame = {
-    val lines = org.apache.spark.sql.functions.split(col(textCol), "\n")
-    val kept = filter(lines, l =>
-      substring(l, -1, 1).isin(".", "!", "?", "\"") &&
-        size(org.apache.spark.sql.functions.filter(
-          org.apache.spark.sql.functions.split(l, "\\s+"), w => w =!= "")) >= minWordsPerLine &&
-        !lower(l).contains("javascript"))
-    df.withColumn("kept_text", array_join(kept, "\n"))
-      .withColumn("n_kept_lines", size(kept))
+    // line filtering is one native pass per document ([[graft.plans.C4KeepLinesExpr]]);
+    // the page-level poison gates stay declarative (codegen'd contains)
+    graft.plans.C4Exprs.register(df.sparkSession)
+    df.withColumn("__c4",
+        call_function("graft_c4_keep_lines", col(textCol), lit(minWordsPerLine)))
+      .withColumn("kept_text", col("__c4").getField("kept_text"))
+      .withColumn("n_kept_lines", col("__c4").getField("n_kept_lines"))
+      .drop("__c4")
       .withColumn("keep",
         col("n_kept_lines") >= minLines &&
           !lower(col(textCol)).contains("lorem ipsum") &&

@@ -51,4 +51,37 @@ class C4CleanSpec extends SparkSpec {
     // line 1 has 3 words >= 3 -> kept; line 2 has 4 words -> kept
     assert(got(1L)._1 == 2)
   }
+
+  test("native one-pass expression == lambda formulation (400 random docs)") {
+    // the declarative tree C4KeepLinesExpr replaced, verbatim
+    def lambdaClean(df: org.apache.spark.sql.DataFrame, minWords: Int) = {
+      val lines = split(col("text"), "\n")
+      val kept = filter(lines, l =>
+        substring(l, -1, 1).isin(".", "!", "?", "\"") &&
+          size(filter(split(l, "\\s+"), w => w =!= "")) >= minWords &&
+          !lower(l).contains("javascript"))
+      df.select(col("id"), array_join(kept, "\n").as("kept_text"),
+        size(kept).as("n_kept_lines"))
+    }
+    val rnd = new scala.util.Random(20260813)
+    val frags = Array("word", "ok.", "?", "\"", "!", "", " ", "  ", "\t", "\r",
+      "", "\f", "JavaScript", "JAVASCRIPT", "javascripX", "İ", "K",
+      "javascrİpt", "ssß.", "end.", "..", "a", "xy z.", "été.")
+    val docs = (1L to 400L).map { id =>
+      val nLines = rnd.nextInt(8)
+      val text = Seq.fill(nLines)(
+        Seq.fill(rnd.nextInt(7))(frags(rnd.nextInt(frags.length))).mkString(" ")
+      ).mkString("\n")
+      (id, if (id % 97 == 0) null else text)
+    }
+    val df = docs.toDF("id", "text")
+    for (minWords <- Seq(0, 1, 3)) {
+      val native = Prep.c4Clean(df, "text", minWordsPerLine = minWords)
+        .select("id", "kept_text", "n_kept_lines")
+        .collect().map(r => r.getLong(0) -> ((r.get(1), r.get(2)))).toMap
+      val lambda = lambdaClean(df, minWords)
+        .collect().map(r => r.getLong(0) -> ((r.get(1), r.get(2)))).toMap
+      assert(native === lambda, s"minWords=$minWords")
+    }
+  }
 }
