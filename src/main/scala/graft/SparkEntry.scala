@@ -742,6 +742,25 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // HTML → text extraction (the crawl step BEFORE every quality gate):
+    // each doc is wrapped in a deterministic page — invisible script/style
+    // (with entity-bait contents), a comment, tags, and the core named
+    // entities — and htmlToText must recover exactly text + decoded suffix.
+    // The regex chain is RE2-portable, so the oracle runs the SAME chain
+    "qd43_html_extract" -> ((s, d) => {
+      val T = graft.functions.TextFunctions
+      val html = concat(
+        lit("<html><head><style>p{color:red}</style>" +
+          "<script>var i=0; if (i<1 && true) { i = 2; }</script></head><body><h1>"),
+        col("text"),
+        lit("</h1><!-- hidden\ncomment --><p>Tom &amp; Jerry &lt;3 " +
+          "&quot;quoted&quot; &#39;s&#39;&nbsp;fin.</p></body></html>"))
+      t(s, d, "documents")
+        .select(col("doc_id"), T.htmlToText(html).as("extracted"))
+        .withColumn("n_chars", length(col("extracted")).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
     // single-stream packing via the boundary-carry scale path (no grouped
     // window): results are partition-count-independent, so a plain global
     // window is the oracle
@@ -1794,6 +1813,39 @@ object SparkEntry {
         |FROM d JOIN r ON d.lang = r.lang
         |WHERE ((doc_id + 1) % 1000000007) * 2654435761 % 1000000007 % 1000 < rate
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    // HTML mirror: the SAME RE2-portable regex chain and entity order as
+    // TextFunctions.htmlToText (chr(10) embeds the comment's newline
+    // without breaking stripMargin)
+    "qd43_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><style>p{color:red}</style><script>var i=0; if (i<1 && true) { i = 2; }</script></head><body><h1>'
+        |    || text ||
+        |    '</h1><!-- hidden' || chr(10) || 'comment --><p>Tom &amp; Jerry &lt;3 &quot;quoted&quot; &#39;s&#39;&nbsp;fin.</p></body></html>'
+        |    AS html
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(html, '(?is)<(script|style)[^>]*>.*?</(script|style)[ \t\n\r\f]*>', ' ', 'g'),
+        |          '(?s)<!--.*?-->', ' ', 'g'),
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+        |    '[ \t\n\r\f]+', ' ', 'g')) AS extracted,
+        |  CAST(length(trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(html, '(?is)<(script|style)[^>]*>.*?</(script|style)[ \t\n\r\f]*>', ' ', 'g'),
+        |          '(?s)<!--.*?-->', ' ', 'g'),
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+        |    '[ \t\n\r\f]+', ' ', 'g'))) AS BIGINT) AS n_chars
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     // shuffle mirror: identical exact-int64 multiplicative-hash key, dense
     // rank from one global row_number (what Spark computes distributed via

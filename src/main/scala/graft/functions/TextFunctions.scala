@@ -207,6 +207,45 @@ object TextFunctions {
   def matchCount(text: Column, re: String): Column =
     size(regexp_extract_all(text, lit(re), lit(0)))
 
+  // ---- HTML → text extraction ---------------------------------------------
+  // The step BEFORE every quality/dedup gate in a crawl pipeline: strip
+  // markup down to the visible text (CommonCrawl WET-style). Deliberately a
+  // deterministic regex chain, not a DOM parser: every pattern below is
+  // backreference-free and uses explicit character classes, so Java regex
+  // (Spark, codegen'd regexp_replace) and RE2 (DuckDB oracle) agree
+  // byte-for-byte, and the whole transform stays a narrow codegen'd map.
+
+  /** `<script>`/`<style>` elements vanish WITH their contents (their text was
+    * never visible); non-greedy so adjacent elements don't merge. */
+  val HtmlInvisibleRe = "(?is)<(script|style)[^>]*>.*?</(script|style)[ \\t\\n\\r\\f]*>"
+  /** HTML comments, including multi-line. */
+  val HtmlCommentRe = "(?s)<!--.*?-->"
+  /** Any remaining tag (open/close/self-closing/doctype). */
+  val HtmlTagRe = "<[^>]*>"
+  /** Whitespace runs → single space (explicit class: Java and RE2 disagree
+    * on `\s`'s unicode coverage). */
+  val HtmlSpaceRe = "[ \\t\\n\\r\\f]+"
+
+  /** Visible text of an HTML document: invisible elements and comments
+    * removed with their contents, remaining tags replaced by spaces (so
+    * `a</td><td>b` keeps its word boundary), the five core named entities
+    * plus `&#39;` decoded (`&amp;` LAST so `&amp;lt;` single-decodes to
+    * `&lt;`, exactly like a real entity decoder), whitespace collapsed and
+    * trimmed. Documented subset: numeric entities beyond `&#39;` are left
+    * as-is — the quality gates downstream treat them as symbols. */
+  def htmlToText(text: Column): Column = {
+    val noMarkup = regexp_replace(
+      regexp_replace(
+        regexp_replace(text, HtmlInvisibleRe, " "),
+        HtmlCommentRe, " "),
+      HtmlTagRe, " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noMarkup) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, HtmlSpaceRe, " "))
+  }
+
   /** Corpus vocabulary: one row per token with its corpus frequency,
     * `minCount` floor. One explode + one map-side-combinable groupBy —
     * the canonical distributed word-count; at 100 TB the shuffle carries

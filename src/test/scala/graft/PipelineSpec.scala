@@ -187,6 +187,29 @@ class PipelineSpec extends SparkSpec {
     assert(bad.count() == 0, bad.collect().mkString("; "))
   }
 
+  test("HTML extraction: invisible elements, comments, tags, entities, whitespace") {
+    val cases = Seq(
+      // script/style vanish WITH contents; tags become word boundaries
+      (0L, "<p>a</p><script>var x = '<b>bait</b>';</script><div>b</div>", "a b"),
+      (1L, "<style type=\"text/css\">p > a { color: red }</style>ok.", "ok."),
+      // multi-line comment; doctype; self-closing
+      (2L, "<!DOCTYPE html><!-- multi\nline\ncomment -->x<br/>y", "x y"),
+      // entity decoding with &amp; LAST: &amp;lt; single-decodes to &lt;
+      (3L, "Tom &amp; Jerry &lt;3 &quot;hi&quot; &#39;s&#39;&nbsp;end &amp;lt;", "Tom & Jerry <3 \"hi\" 's' end &lt;"),
+      // case-insensitive SCRIPT; adjacent scripts don't merge (non-greedy)
+      (4L, "<SCRIPT>a</SCRIPT>keep<script>b</script>.", "keep ."),
+      // whitespace collapse across tabs/newlines/feeds + trim
+      (5L, "  a\t\tb\n\nc\fd  ", "a b c d"),
+      // documented limitation: '>' inside an attribute value ends the tag
+      (6L, "<a title=\"x>y\">link</a>", "y\">link"),
+      (7L, null, null))
+    val got = cases.map(c => (c._1, c._2)).toDF("id", "html")
+      .select(col("id"), T.htmlToText(col("html")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    cases.foreach { case (id, _, want) =>
+      assert(got(id) == want, s"case $id: got '${got(id)}' want '$want'") }
+  }
+
   test("vocab builder: corpus word-count with floor") {
     val docs = Seq("a b a", "b c b", "a").toDF("text")
     val v = graft.functions.TextFunctions.vocab(docs, "text", minCount = 2L)
