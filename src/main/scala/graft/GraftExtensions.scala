@@ -41,6 +41,8 @@ import org.apache.spark.sql.types.DataType
   *  - `graft_bloom_might_contain(key, filter)` — Bloom membership prefilter
   *  - `graft_dsir_score(tokens, table)` — DSIR hashed-feature log weight
   *  - `graft_normalize_unicode(text, form)` — NFC/NFD/NFKC/NFKD
+  *  - `graft_c4_keep_lines(text, minWords)` — C4 line filter, one pass
+  *  - `graft_gopher_stats(text)` — Gopher quality statistics, one pass
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -154,5 +156,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_bloom_might_contain(key, filter) - Bloom membership test of a BIGINT key (filter = serialized spark BloomFilter binary literal)"),
       (exprs: Seq[Expression]) =>
         plans.BloomMightContainExpr(exprs(0), plans.BloomExprs.bytes(exprs(1)))))
+
+    ext.injectFunction((FunctionIdentifier("graft_c4_keep_lines"),
+      info("graft_c4_keep_lines",
+        "graft_c4_keep_lines(text, minWords) - C4 line filter: struct<kept_text, n_kept_lines> in one pass"),
+      (exprs: Seq[Expression]) =>
+        plans.C4KeepLinesExpr(exprs(0), plans.C4Exprs.intArg(exprs(1), "graft_c4_keep_lines"))))
+
+    ext.injectFunction((FunctionIdentifier("graft_gopher_stats"),
+      info("graft_gopher_stats",
+        "graft_gopher_stats(text) - Gopher quality statistics struct (words/lines/symbols/stopwords) in one pass"),
+      (exprs: Seq[Expression]) => plans.GopherStatsExpr(exprs(0))))
   }
 }

@@ -761,6 +761,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher quality rules (Rae et al. 2021 §A1.1): the flat corpus gets
+    // deterministic structure — 6-word lines, "- " bullets on (i+doc_id)%5
+    // lines, "..." vs "." endings on %7, " the"/" of" stopword injection on
+    // %3/%4, " #" symbols on %11 — then gopherQuality computes the full
+    // signal set and page verdict, every rule mirrored in the oracle
+    "qd44_gopher_quality" -> ((s, d) => {
+      val tf = graft.functions.TextFunctions
+      val docs = t(s, d, "documents")
+      val w = tf.tokens(col("text"))
+      val nLines = greatest(ceil(size(w) / lit(6.0)).cast("int"), lit(1))
+      val lines = transform(sequence(lit(0), nLines - 1), i =>
+        concat(
+          when((i + col("doc_id")) % 5 === 0, lit("- ")).otherwise(lit("")),
+          concat_ws(" ", slice(w, i * 6 + 1, lit(6))),
+          when((i + col("doc_id")) % 3 === 0, lit(" the")).otherwise(lit("")),
+          when((i + col("doc_id")) % 4 === 0, lit(" of")).otherwise(lit("")),
+          when((i + col("doc_id")) % 11 === 0, lit(" #")).otherwise(lit("")),
+          when((i + col("doc_id")) % 7 === 0, lit("...")).otherwise(lit("."))))
+      graft.prep.Prep.gopherQuality(
+          docs.select(col("doc_id"), array_join(lines, "\n").as("text")), "text")
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("symbol_ratio"), col("bullet_frac"), col("ellipsis_frac"),
+          col("alpha_frac"), col("n_stopwords"), col("gopher_keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // single-stream packing via the boundary-carry scale path (no grouped
     // window): results are partition-count-independent, so a plain global
     // window is the oracle
@@ -1846,6 +1872,66 @@ object SparkEntry {
         |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
         |    '[ \t\n\r\f]+', ' ', 'g'))) AS BIGINT) AS n_chars
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    // Gopher mirror: same synthesized structure, every statistic recomputed
+    // with list functions, thresholds verbatim; mean/ratio doubles are one
+    // int64/int64 division each so they compare bit-exactly
+    "qd44_gopher_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents
+        |),
+        |built AS (
+        |  SELECT doc_id,
+        |    [ CASE WHEN (i + doc_id) % 5 = 0 THEN '- ' ELSE '' END
+        |        || list_aggregate(w[i*6+1 : i*6+6], 'string_agg', ' ')
+        |        || CASE WHEN (i + doc_id) % 3 = 0 THEN ' the' ELSE '' END
+        |        || CASE WHEN (i + doc_id) % 4 = 0 THEN ' of' ELSE '' END
+        |        || CASE WHEN (i + doc_id) % 11 = 0 THEN ' #' ELSE '' END
+        |        || CASE WHEN (i + doc_id) % 7 = 0 THEN '...' ELSE '.' END
+        |      FOR i IN range(0, greatest(CAST(ceil(len(w) / 6.0) AS INT), 1)) ] AS lines
+        |  FROM toks
+        |),
+        |dirty AS (
+        |  SELECT doc_id, list_aggregate(lines, 'string_agg', chr(10)) AS text FROM built
+        |),
+        |st AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tw,
+        |    string_split(text, chr(10)) AS lns
+        |  FROM dirty
+        |),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(len(tw) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(tw, x -> length(x))) AS BIGINT) AS word_chars,
+        |    CAST(len(list_filter(tw, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+        |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      sw -> list_contains(tw, sw))) AS BIGINT) AS stop_hits,
+        |    CAST(len(lns) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lns, l -> l LIKE '•%' OR l LIKE '- %')) AS BIGINT) AS bullet_lines,
+        |    CAST(len(list_filter(lns, l -> l LIKE '%...' OR l LIKE '%…')) AS BIGINT) AS ellipsis_lines,
+        |    CAST((length(text) - length(replace(text, '#', '')))
+        |      + (length(text) - length(replace(text, '...', ''))) / 3
+        |      + (length(text) - length(replace(text, '…', ''))) AS BIGINT) AS symbols
+        |  FROM st
+        |)
+        |SELECT doc_id, n_words,
+        |  CASE WHEN n_words > 0 THEN CAST(word_chars AS DOUBLE) / n_words END AS mean_word_len,
+        |  CASE WHEN n_words > 0 THEN CAST(symbols AS DOUBLE) / n_words END AS symbol_ratio,
+        |  CAST(bullet_lines AS DOUBLE) / n_lines AS bullet_frac,
+        |  CAST(ellipsis_lines AS DOUBLE) / n_lines AS ellipsis_frac,
+        |  CASE WHEN n_words > 0 THEN CAST(alpha_words AS DOUBLE) / n_words END AS alpha_frac,
+        |  stop_hits AS n_stopwords,
+        |  (n_words >= 50 AND n_words <= 100000
+        |    AND CAST(word_chars AS DOUBLE) / n_words >= 3.0
+        |    AND CAST(word_chars AS DOUBLE) / n_words <= 10.0
+        |    AND CAST(symbols AS DOUBLE) / n_words <= 0.1
+        |    AND CAST(bullet_lines AS DOUBLE) / n_lines <= 0.9
+        |    AND CAST(ellipsis_lines AS DOUBLE) / n_lines <= 0.3
+        |    AND CAST(alpha_words AS DOUBLE) / n_words >= 0.8
+        |    AND stop_hits >= 2) AS gopher_keep
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     // shuffle mirror: identical exact-int64 multiplicative-hash key, dense
     // rank from one global row_number (what Spark computes distributed via

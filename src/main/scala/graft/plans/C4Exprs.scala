@@ -114,7 +114,7 @@ case class C4KeepLinesExpr(child: Expression, minWordsPerLine: Int)
 
 object C4Exprs {
 
-  private def intArg(e: Expression, name: String): Int = e.eval() match {
+  private[graft] def intArg(e: Expression, name: String): Int = e.eval() match {
     case i: Int => i
     case l: Long => l.toInt
     case other => throw new IllegalArgumentException(

@@ -555,7 +555,8 @@ object Prep {
     * Returns the frame + `kept_text` (surviving lines re-joined), `n_kept_
     * lines`, and the page-level `keep`. Rows are never dropped — the caller
     * filters on `keep` (the flag is the common join-back currency of the
-    * other gates). Every rule is a higher-order filter over the split lines:
+    * other gates). Line rules run as one native char walk per document
+    * ([[graft.plans.C4KeepLinesExpr]]), page rules as codegen'd contains:
     * zero shuffle, zero UDF, oracle-mirrorable line by line (qd40). */
   def c4Clean(df: DataFrame, textCol: String, minWordsPerLine: Int = 3,
               minLines: Int = 3): DataFrame = {
@@ -571,6 +572,55 @@ object Prep {
         col("n_kept_lines") >= minLines &&
           !lower(col(textCol)).contains("lorem ipsum") &&
           !col(textCol).contains("{"))
+  }
+
+  // ---- Gopher document-quality rules --------------------------------------
+
+  /** The Gopher quality rule set (Rae et al. 2021 §A1.1) — the other
+    * standard page-level gate next to [[c4Clean]]. Statistics come from ONE
+    * native pass per document ([[graft.plans.GopherStatsExpr]]); thresholds
+    * stay declarative so the DuckDB oracle (qd44) mirrors them in SQL.
+    *
+    * Adds: `n_words`, `mean_word_len`, `symbol_ratio` (`#`/ellipsis per
+    * word), `bullet_frac`, `ellipsis_frac` (of lines), `alpha_frac` (words
+    * containing a letter), `n_stopwords` (distinct hits from Gopher's
+    * 8-word required set), and the page verdict `gopher_keep`. Word-less
+    * documents get null ratios and fail the word-count rule, so
+    * `gopher_keep` is false (never null) for them. Rows are never dropped —
+    * filter on the flag. Narrow, zero shuffle, codegen-safe thresholds. */
+  def gopherQuality(df: DataFrame, textCol: String,
+                    minWords: Long = 50L, maxWords: Long = 100000L,
+                    minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                    maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+                    maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+                    minStopwords: Long = 2L): DataFrame = {
+    graft.plans.GopherStatsExpr.register(df.sparkSession)
+    val hasWords = col("__g").getField("n_words") > 0
+    def ratio(num: String) =
+      when(hasWords, col("__g").getField(num).cast("double") /
+        col("__g").getField("n_words"))
+    df.withColumn("__g", call_function("graft_gopher_stats", col(textCol)))
+      .withColumn("n_words", col("__g").getField("n_words"))
+      .withColumn("mean_word_len", ratio("word_chars"))
+      .withColumn("symbol_ratio", ratio("symbols"))
+      .withColumn("bullet_frac",
+        col("__g").getField("bullet_lines").cast("double") /
+          col("__g").getField("n_lines"))
+      .withColumn("ellipsis_frac",
+        col("__g").getField("ellipsis_lines").cast("double") /
+          col("__g").getField("n_lines"))
+      .withColumn("alpha_frac", ratio("alpha_words"))
+      .withColumn("n_stopwords", col("__g").getField("stop_hits"))
+      .withColumn("gopher_keep",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= minMeanWordLen &&
+          col("mean_word_len") <= maxMeanWordLen &&
+          col("symbol_ratio") <= maxSymbolRatio &&
+          col("bullet_frac") <= maxBulletFrac &&
+          col("ellipsis_frac") <= maxEllipsisFrac &&
+          col("alpha_frac") >= minAlphaFrac &&
+          col("n_stopwords") >= minStopwords)
+      .drop("__g")
   }
 
   // ---- context-window chunking -------------------------------------------

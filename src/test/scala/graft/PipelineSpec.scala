@@ -210,6 +210,56 @@ class PipelineSpec extends SparkSpec {
       assert(got(id) == want, s"case $id: got '${got(id)}' want '$want'") }
   }
 
+  test("gopher stats: native one-pass == declarative formulation (randomized)") {
+    graft.plans.GopherStatsExpr.register(spark)
+    val rnd = new scala.util.Random(44)
+    val frags = Array("the", "be", "to", "of", "and", "that", "have", "with",
+      "word", "xx", "#", "...", "…", "•", "- ", "a.", "ok...", "line…", "\t",
+      "the the", "12345", "---", "e.g.", "....", "w#w")
+    val docs = (1L to 300L).map { id =>
+      val text = Seq.fill(rnd.nextInt(25))(frags(rnd.nextInt(frags.length)))
+        .mkString(Seq(" ", " ", "\n", " \n- ")(rnd.nextInt(4)))
+      (id, if (id % 89 == 0) null else text)
+    } :+ (9001L, "") :+ (9002L, "• bullet line...\n- dash bullet…\nplain the of.")
+    val df = docs.toDF("id", "text")
+    val tw = T.tokens(col("text"))
+    val lns = split(col("text"), "\n", -1)
+    val declared = df.select(col("id"),
+      size(tw).cast("long").as("n_words"),
+      aggregate(transform(tw, w => length(w)), lit(0L), (a, b) => a + b).as("word_chars"),
+      size(filter(tw, w => w.rlike("[A-Za-z]"))).cast("long").as("alpha_words"),
+      // the literal-array filter is not null-preserving on its own
+      when(col("text").isNotNull, size(filter(
+        lit(graft.plans.GopherStatsExpr.Stopwords),
+        sw => array_contains(tw, sw)))).cast("long").as("stop_hits"),
+      size(lns).cast("long").as("n_lines"),
+      size(filter(lns, l => l.startsWith("•") || l.startsWith("- "))).cast("long").as("bullet_lines"),
+      size(filter(lns, l => l.endsWith("...") || l.endsWith("…"))).cast("long").as("ellipsis_lines"),
+      ((length(col("text")) - length(replace(col("text"), lit("#"), lit("")))) +
+        (length(col("text")) - length(replace(col("text"), lit("..."), lit("")))) / 3 +
+        (length(col("text")) - length(replace(col("text"), lit("…"), lit("")))))
+        .cast("long").as("symbols"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val native = df.select(col("id"), call_function("graft_gopher_stats", col("text")).as("g"))
+      .select(col("id"), col("g.n_words"), col("g.word_chars"), col("g.alpha_words"),
+        col("g.stop_hits"), col("g.n_lines"), col("g.bullet_lines"),
+        col("g.ellipsis_lines"), col("g.symbols"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    docs.foreach { case (id, _) =>
+      assert(native(id) === declared(id), s"doc $id") }
+  }
+
+  test("gopherQuality: verdict thresholds and word-less documents") {
+    val fifty = (1 to 50).map(i => s"them of and word$i").mkString(" ")
+    val got = graft.prep.Prep.gopherQuality(
+        Seq((1L, fifty), (2L, ""), (3L, "#### # ## #")).toDF("id", "text"), "text")
+      .select("id", "gopher_keep", "n_words")
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(got(1L)._1 === true && got(1L)._2 === 200L)
+    assert(got(2L) === ((false, 0L)), "empty doc: keep false, not null")
+    assert(got(3L)._1 === false, "symbol spam fails")
+  }
+
   test("vocab builder: corpus word-count with floor") {
     val docs = Seq("a b a", "b c b", "a").toDF("text")
     val v = graft.functions.TextFunctions.vocab(docs, "text", minCount = 2L)

@@ -190,6 +190,12 @@ class PlanSpec extends SparkSpec {
       assert(s2.sql(
         "SELECT graft_vec_sum(v)[0] AS x FROM VALUES (array(1.0D)), (array(2.0D)) AS t(v)")
         .head().getDouble(0) == 3.0)
+      // round-6 additions: C4 line filter + Gopher stats one-pass kernels
+      assert(s2.sql(
+        "SELECT graft_c4_keep_lines('good line here.\nbad', 3).n_kept_lines AS n")
+        .head().getInt(0) == 1)
+      assert(s2.sql("SELECT graft_gopher_stats('the of and that.').stop_hits AS n")
+        .head().getLong(0) == 3L)
     } finally {
       prev.foreach { p => SparkSession.setDefaultSession(p); SparkSession.setActiveSession(p) }
     }
