@@ -1852,26 +1852,27 @@ object SparkEntry {
         |    AS html
         |  FROM documents
         |)
-        |SELECT doc_id,
-        |  trim(regexp_replace(
-        |    replace(replace(replace(replace(replace(replace(
+        |, x AS (
+        |  SELECT doc_id,
+        |    trim(
         |      regexp_replace(
         |        regexp_replace(
-        |          regexp_replace(html, '(?is)<(script|style)[^>]*>.*?</(script|style)[ \t\n\r\f]*>', ' ', 'g'),
-        |          '(?s)<!--.*?-->', ' ', 'g'),
-        |        '<[^>]*>', ' ', 'g'),
-        |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
-        |    '[ \t\n\r\f]+', ' ', 'g')) AS extracted,
-        |  CAST(length(trim(regexp_replace(
-        |    replace(replace(replace(replace(replace(replace(
-        |      regexp_replace(
-        |        regexp_replace(
-        |          regexp_replace(html, '(?is)<(script|style)[^>]*>.*?</(script|style)[ \t\n\r\f]*>', ' ', 'g'),
-        |          '(?s)<!--.*?-->', ' ', 'g'),
-        |        '<[^>]*>', ' ', 'g'),
-        |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
-        |    '[ \t\n\r\f]+', ' ', 'g'))) AS BIGINT) AS n_chars
-        |FROM h ORDER BY doc_id""".stripMargin,
+        |          replace(replace(replace(replace(replace(replace(
+        |            regexp_replace(
+        |              regexp_replace(
+        |                regexp_replace(
+        |                  regexp_replace(html, '(?is)<(script|style)[^>]*>.*?</(script|style)[ \t\n\r\f]*>', ' ', 'g'),
+        |                  '(?s)<!--.*?-->', ' ', 'g'),
+        |                '(?i)</?(br|pre|p|div|h[1-6]|li|tr|table|ul|ol|blockquote|section|article|header|footer)[^>]*>', chr(10), 'g'),
+        |              '<[^>]*>', ' ', 'g'),
+        |            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+        |          '[ \t\r\f]+', ' ', 'g'),
+        |        ' ?\n[\n ]*', chr(10), 'g'),
+        |      ' ' || chr(10)) AS extracted
+        |  FROM h
+        |)
+        |SELECT doc_id, extracted, CAST(length(extracted) AS BIGINT) AS n_chars
+        |FROM x ORDER BY doc_id""".stripMargin,
 
     // Gopher mirror: same synthesized structure, every statistic recomputed
     // with list functions, thresholds verbatim; mean/ratio doubles are one

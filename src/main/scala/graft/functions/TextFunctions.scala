@@ -220,30 +220,49 @@ object TextFunctions {
   val HtmlInvisibleRe = "(?is)<(script|style)[^>]*>.*?</(script|style)[ \\t\\n\\r\\f]*>"
   /** HTML comments, including multi-line. */
   val HtmlCommentRe = "(?s)<!--.*?-->"
+  /** Block-level element boundaries (either side) plus `<br>` — these become
+    * LINE BREAKS so downstream line-based gates ([[graft.prep.Prep.c4Clean]],
+    * bullet/ellipsis line fractions) see the page's visual structure. The
+    * set is the common block elements; an unknown tag falls through to
+    * [[HtmlTagRe]] and becomes a space. */
+  val HtmlBlockTagRe =
+    "(?i)</?(br|pre|p|div|h[1-6]|li|tr|table|ul|ol|blockquote|section|article|header|footer)[^>]*>"
   /** Any remaining tag (open/close/self-closing/doctype). */
   val HtmlTagRe = "<[^>]*>"
-  /** Whitespace runs → single space (explicit class: Java and RE2 disagree
-    * on `\s`'s unicode coverage). */
-  val HtmlSpaceRe = "[ \\t\\n\\r\\f]+"
+  /** Horizontal whitespace runs → single space (explicit class: Java and
+    * RE2 disagree on `\s`'s unicode coverage; `\n` is line structure and
+    * handled by [[HtmlNewlineRunRe]]). */
+  val HtmlSpaceRe = "[ \\t\\r\\f]+"
+  /** Newline runs (with interleaved spaces) → one newline. */
+  val HtmlNewlineRunRe = " ?\\n[\\n ]*"
 
   /** Visible text of an HTML document: invisible elements and comments
-    * removed with their contents, remaining tags replaced by spaces (so
-    * `a</td><td>b` keeps its word boundary), the five core named entities
-    * plus `&#39;` decoded (`&amp;` LAST so `&amp;lt;` single-decodes to
-    * `&lt;`, exactly like a real entity decoder), whitespace collapsed and
-    * trimmed. Documented subset: numeric entities beyond `&#39;` are left
-    * as-is — the quality gates downstream treat them as symbols. */
+    * removed with their contents, block-element boundaries turned into
+    * newlines (so line-based quality gates see the page structure), other
+    * tags replaced by spaces (so `a</td><td>b` keeps its word boundary),
+    * the five core named entities plus `&#39;` decoded (`&amp;` LAST so
+    * `&amp;lt;` single-decodes to `&lt;`, exactly like a real entity
+    * decoder), horizontal whitespace collapsed per line, newline runs
+    * collapsed, and the ends trimmed of spaces and newlines. Documented
+    * subset: numeric entities beyond `&#39;` are left as-is — the quality
+    * gates downstream treat them as symbols. */
   def htmlToText(text: Column): Column = {
     val noMarkup = regexp_replace(
       regexp_replace(
-        regexp_replace(text, HtmlInvisibleRe, " "),
-        HtmlCommentRe, " "),
+        regexp_replace(
+          regexp_replace(text, HtmlInvisibleRe, " "),
+          HtmlCommentRe, " "),
+        HtmlBlockTagRe, "\n"),
       HtmlTagRe, " ")
     val decoded = Seq(
       "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
       "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
       .foldLeft(noMarkup) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
-    trim(regexp_replace(decoded, HtmlSpaceRe, " "))
+    trim(
+      regexp_replace(
+        regexp_replace(decoded, HtmlSpaceRe, " "),
+        HtmlNewlineRunRe, "\n"),
+      " \n")
   }
 
   /** Corpus vocabulary: one row per token with its corpus frequency,

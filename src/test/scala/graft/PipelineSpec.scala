@@ -189,20 +189,23 @@ class PipelineSpec extends SparkSpec {
 
   test("HTML extraction: invisible elements, comments, tags, entities, whitespace") {
     val cases = Seq(
-      // script/style vanish WITH contents; tags become word boundaries
-      (0L, "<p>a</p><script>var x = '<b>bait</b>';</script><div>b</div>", "a b"),
+      // script/style vanish WITH contents; block boundaries become lines
+      (0L, "<p>a</p><script>var x = '<b>bait</b>';</script><div>b</div>", "a\nb"),
       (1L, "<style type=\"text/css\">p > a { color: red }</style>ok.", "ok."),
-      // multi-line comment; doctype; self-closing
-      (2L, "<!DOCTYPE html><!-- multi\nline\ncomment -->x<br/>y", "x y"),
+      // multi-line comment; doctype; <br> is a line break
+      (2L, "<!DOCTYPE html><!-- multi\nline\ncomment -->x<br/>y", "x\ny"),
       // entity decoding with &amp; LAST: &amp;lt; single-decodes to &lt;
       (3L, "Tom &amp; Jerry &lt;3 &quot;hi&quot; &#39;s&#39;&nbsp;end &amp;lt;", "Tom & Jerry <3 \"hi\" 's' end &lt;"),
       // case-insensitive SCRIPT; adjacent scripts don't merge (non-greedy)
       (4L, "<SCRIPT>a</SCRIPT>keep<script>b</script>.", "keep ."),
-      // whitespace collapse across tabs/newlines/feeds + trim
-      (5L, "  a\t\tb\n\nc\fd  ", "a b c d"),
+      // horizontal whitespace collapses per line; raw newline runs -> one
+      (5L, "  a\t\tb\n\nc\fd  ", "a b\nc d"),
       // documented limitation: '>' inside an attribute value ends the tag
       (6L, "<a title=\"x>y\">link</a>", "y\">link"),
-      (7L, null, null))
+      (7L, null, null),
+      // inline tags stay spaces, block structure becomes lines
+      (8L, "<ul><li>one thing.</li><li>two <b>bold</b> things.</li></ul>done.",
+        "one thing.\ntwo bold things.\ndone."))
     val got = cases.map(c => (c._1, c._2)).toDF("id", "html")
       .select(col("id"), T.htmlToText(col("html")).as("t"))
       .collect().map(r => r.getLong(0) -> r.get(1)).toMap
@@ -305,6 +308,42 @@ class PipelineSpec extends SparkSpec {
     assert(batch == Set(1L, 5L), s"batch kept $batch")
     assert(got.size == batch.size && (got - 1L - 2L - 3L) == Set(5L),
       s"stream kept $got") // dedupStream keeps the FIRST arrival per fp (any of 1/2/3)
+  }
+
+  test("streaming crawl extraction: htmlToText -> c4Clean -> gopherQuality match batch") {
+    // the round-6 crawl gates are Column expressions / narrow native
+    // kernels, so they lift to Structured Streaming with zero state
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("crawl_stream").toString
+    val goodBody = (1 to 60).map(i => s"the of and that word$i line.").mkString("\n")
+    val docs = Seq(
+      (1L, s"<html><script>junk</script><body>$goodBody</body></html>"),
+      (2L, "<p>too short.</p>"),
+      (3L, s"<div>$goodBody</div><p>lorem ipsum.</p>")).toDF("doc_id", "html")
+    docs.write.mode("overwrite").parquet(s"$base/in")
+
+    def prep(df: org.apache.spark.sql.DataFrame) =
+      graft.prep.Prep.gopherQuality(
+        graft.prep.Prep.c4Clean(
+          df.withColumn("text", T.htmlToText(col("html"))), "text")
+          .withColumnRenamed("keep", "c4_keep"),
+        "kept_text")
+        .select(col("doc_id"), col("c4_keep"), col("gopher_keep"))
+
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("html", StringType)))
+    val q = graft.streaming.StreamOps.sinkFileStream(
+      prep(spark.readStream.schema(schema).parquet(s"$base/in")),
+      "parquet", s"$base/out", s"$base/ckpt")
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.read.parquet(s"$base/out")
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    val batch = prep(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    assert(got === batch)
+    assert(batch(1L) === ((true, true)), "clean page passes both gates")
+    assert(batch(2L)._1 === false, "short page fails C4")
   }
 
   test("langId picks the dominant stopword language deterministically") {
