@@ -787,6 +787,50 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // FOURTH FLAGSHIP — crawl-to-corpus: deterministic HTML pages (6-word
+    // <p> lines, javascript bait on i%7, unpunctuated lines on (i+doc_id)%3,
+    // '{'-poison pages on doc_id%13) → htmlToText (block tags become line
+    // structure) → C4 line/page clean → Gopher quality gate (relaxed knobs
+    // for the short synthetic docs) → leading-3-token boilerplate dedup →
+    // 32-token chunking → per-lang corpus stats. Every stage oracle-mirrored
+    "q54_pipeline_crawl" -> ((s, d) => {
+      val P = graft.prep.Prep
+      val T = graft.functions.TextFunctions
+      val docs = t(s, d, "documents")
+      val w = T.tokens(col("text"))
+      val nL = greatest(ceil(size(w) / lit(6.0)).cast("int"), lit(1))
+      val paras = transform(sequence(lit(0), nL - 1), i => concat(
+        lit("<p>"),
+        concat_ws(" ", slice(w, i * 6 + 1, lit(6))),
+        when(i % 7 === 0, lit(" javascript")).otherwise(lit("")),
+        when((i + col("doc_id")) % 3 =!= 0, lit(".")).otherwise(lit("")),
+        lit("</p>")))
+      val html = concat(
+        lit("<html><head><style>p{x}</style><script>var i=0;</script></head><body>"),
+        array_join(paras, ""),
+        when(col("doc_id") % 13 === 0, lit("<p>{ x }.</p>")).otherwise(lit("")),
+        lit("<!-- c --></body></html>"))
+      val extracted = docs.select(col("doc_id"), col("lang"),
+        T.htmlToText(html).as("text"))
+      val gated = P.gopherQuality(
+          P.c4Clean(extracted, "text").withColumnRenamed("keep", "c4_keep"),
+          "kept_text", minWords = 20L, minStopwords = 0L)
+        .filter(col("c4_keep") && col("gopher_keep"))
+        .select(col("doc_id"), col("lang"), col("kept_text").as("text"))
+      val deduped = graft.dedup.Dedup.exact(
+          gated.withColumn("__fp",
+            T.fingerprint(concat_ws(" ", slice(T.tokens(col("text")), 1, 3)))),
+          Seq("__fp"), "doc_id")
+        .drop("__fp")
+      P.chunk(deduped, "doc_id", "text", chunkSize = 32, stride = 32,
+          carryCols = Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(col("n_chunk_tokens")).as("n_tokens"))
+        .orderBy(col("lang"))
+    }),
+
     // single-stream packing via the boundary-carry scale path (no grouped
     // window): results are partition-count-independent, so a plain global
     // window is the oracle
@@ -1873,6 +1917,119 @@ object SparkEntry {
         |)
         |SELECT doc_id, extracted, CAST(length(extracted) AS BIGINT) AS n_chars
         |FROM x ORDER BY doc_id""".stripMargin,
+
+    // crawl flagship mirror: page synthesis, the qd43 extraction chain, the
+    // qd40 C4 rules, the qd44 Gopher statistics (relaxed thresholds, stop
+    // clause dropped because minStopwords=0 is trivially true), dedup by the
+    // normalized 3-token prefix (the string the fingerprint hashes), qd19's
+    // chunk-start arithmetic, and the final per-lang rollup
+    "q54_pipeline_crawl" ->
+      """WITH toks0 AS (
+        |  SELECT doc_id, lang, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents
+        |),
+        |built AS (
+        |  SELECT doc_id, lang,
+        |    [ '<p>' || list_aggregate(w[i*6+1 : i*6+6], 'string_agg', ' ')
+        |        || CASE WHEN i % 7 = 0 THEN ' javascript' ELSE '' END
+        |        || CASE WHEN (i + doc_id) % 3 <> 0 THEN '.' ELSE '' END
+        |        || '</p>'
+        |      FOR i IN range(0, greatest(CAST(ceil(len(w) / 6.0) AS INT), 1)) ] AS paras
+        |  FROM toks0
+        |),
+        |page AS (
+        |  SELECT doc_id, lang,
+        |    '<html><head><style>p{x}</style><script>var i=0;</script></head><body>'
+        |    || list_aggregate(paras, 'string_agg', '')
+        |    || CASE WHEN doc_id % 13 = 0 THEN '<p>{ x }.</p>' ELSE '' END
+        |    || '<!-- c --></body></html>' AS html
+        |  FROM built
+        |),
+        |ext AS (
+        |  SELECT doc_id, lang,
+        |    trim(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          replace(replace(replace(replace(replace(replace(
+        |            regexp_replace(
+        |              regexp_replace(
+        |                regexp_replace(
+        |                  regexp_replace(html, '(?is)<(script|style)[^>]*>.*?</(script|style)[ \t\n\r\f]*>', ' ', 'g'),
+        |                  '(?s)<!--.*?-->', ' ', 'g'),
+        |                '(?i)</?(br|pre|p|div|h[1-6]|li|tr|table|ul|ol|blockquote|section|article|header|footer)[^>]*>', chr(10), 'g'),
+        |              '<[^>]*>', ' ', 'g'),
+        |            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+        |          '[ \t\r\f]+', ' ', 'g'),
+        |        ' ?\n[\n ]*', chr(10), 'g'),
+        |      ' ' || chr(10)) AS text
+        |  FROM page
+        |),
+        |c4 AS (
+        |  SELECT doc_id, lang, text,
+        |    list_filter(string_split(text, chr(10)), l ->
+        |      l[-1] IN ('.', '!', '?', '"')
+        |      AND len(list_filter(string_split_regex(l, '\s+'), x -> x <> '')) >= 3
+        |      AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM ext
+        |),
+        |c4k AS (
+        |  SELECT doc_id, lang,
+        |    coalesce(list_aggregate(kept, 'string_agg', chr(10)), '') AS ktext,
+        |    (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+        |      AND NOT contains(text, '{')) AS c4_keep
+        |  FROM c4
+        |),
+        |gst AS (
+        |  SELECT doc_id, lang, ktext, c4_keep,
+        |    list_filter(string_split_regex(ktext, '\s+'), x -> x <> '') AS tw,
+        |    string_split(ktext, chr(10)) AS lns
+        |  FROM c4k
+        |),
+        |gagg AS (
+        |  SELECT doc_id, lang, ktext, c4_keep, tw,
+        |    CAST(len(tw) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(tw, x -> length(x))) AS BIGINT) AS word_chars,
+        |    CAST(len(list_filter(tw, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+        |    CAST(len(lns) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lns, l -> l LIKE '•%' OR l LIKE '- %')) AS BIGINT) AS bullet_lines,
+        |    CAST(len(list_filter(lns, l -> l LIKE '%...' OR l LIKE '%…')) AS BIGINT) AS ellipsis_lines,
+        |    CAST((length(ktext) - length(replace(ktext, '#', '')))
+        |      + (length(ktext) - length(replace(ktext, '...', ''))) / 3
+        |      + (length(ktext) - length(replace(ktext, '…', ''))) AS BIGINT) AS symbols
+        |  FROM gst
+        |),
+        |gated AS (
+        |  SELECT doc_id, lang, ktext, tw
+        |  FROM gagg
+        |  WHERE c4_keep
+        |    AND n_words >= 20 AND n_words <= 100000
+        |    AND CAST(word_chars AS DOUBLE) / n_words >= 3.0
+        |    AND CAST(word_chars AS DOUBLE) / n_words <= 10.0
+        |    AND CAST(symbols AS DOUBLE) / n_words <= 0.1
+        |    AND CAST(bullet_lines AS DOUBLE) / n_lines <= 0.9
+        |    AND CAST(ellipsis_lines AS DOUBLE) / n_lines <= 0.3
+        |    AND CAST(alpha_words AS DOUBLE) / n_words >= 0.8
+        |),
+        |keyed AS (
+        |  SELECT doc_id, lang, tw,
+        |    trim(regexp_replace(regexp_replace(lower(
+        |      coalesce(list_aggregate(tw[1:3], 'string_agg', ' '), '')),
+        |      '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS key
+        |  FROM gated
+        |),
+        |ded AS (
+        |  SELECT doc_id, lang, tw FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY key ORDER BY doc_id) AS rn FROM keyed
+        |  ) WHERE rn = 1
+        |),
+        |ch AS (
+        |  SELECT doc_id, lang,
+        |    unnest([len(tw[st+1 : st+32]) FOR st IN range(0, greatest(len(tw), 1), 32)]) AS n_chunk_tokens
+        |  FROM ded
+        |)
+        |SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+        |  CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens
+        |FROM ch GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Gopher mirror: same synthesized structure, every statistic recomputed
     // with list functions, thresholds verbatim; mean/ratio doubles are one

@@ -209,6 +209,20 @@ class PlanSpec extends SparkSpec {
     assert(!planOf(df).contains("Exchange"), "deterministic split must not shuffle")
   }
 
+  test("crawl gates are narrow maps: html extract + c4 + gopher, zero exchange") {
+    val P = graft.prep.Prep
+    val T = graft.functions.TextFunctions
+    val df = P.gopherQuality(
+      P.c4Clean(
+        SparkEntry.t(spark, "/root/testdata/sf0.001", "documents")
+          .withColumn("text", T.htmlToText(col("text"))), "text")
+        .withColumnRenamed("keep", "c4_keep"),
+      "kept_text")
+    val plan = planOf(df)
+    assert(!plan.contains("Exchange"),
+      "the whole extract->clean->quality chain must stream at scan speed")
+  }
+
   test("decontamination broadcasts the benchmark shingle set; corpus never shuffles") {
     val docs = SparkEntry.t(spark, "/root/testdata/sf0.001", "documents")
     val bench = docs.filter(col("doc_id") % 97 === 0)
