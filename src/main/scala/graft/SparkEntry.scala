@@ -1088,6 +1088,19 @@ object SparkEntry {
         .select(col("doc_id"), col("dsir_uweight"))
     }),
 
+    // cross-document SENTENCE dedup: every word becomes a one-word sentence
+    // ("w1. w2. ... wn.") — the same deliberate collision surface as qd31 —
+    // and common sentences >= 5 chars dedup corpus-wide (first (doc,
+    // position) wins); short sentences always survive
+    "qd45_sentence_dedup" -> ((s, d) => {
+      graft.dedup.Dedup.sentenceDedupGlobal(
+          t(s, d, "documents").select(col("doc_id"), col("lang"),
+            concat(replace(col("text"), lit(" "), lit(". ")), lit(".")).as("text")),
+          "doc_id", "text", minChars = 5)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // cross-document LINE dedup (the literal C4 step): spaces become line
     // breaks so every word is a line — common words >= 4 chars dedup
     // corpus-wide (first (doc, position) wins), short words always survive
@@ -2404,6 +2417,38 @@ object SparkEntry {
         |SELECT s2.doc_id, CAST(coalesce(ws.uw, 0) AS BIGINT) AS dsir_uweight
         |FROM s2 LEFT JOIN wsum ws ON s2.doc_id = ws.doc_id
         |ORDER BY dsir_uweight DESC, s2.doc_id LIMIT 50""".stripMargin,
+
+    // sentence-dedup mirror: the same sentinel-split segmentation (RE2 `\1`
+    // backreference = Java `$1`), keep-first election by (doc, position),
+    // single-space reassembly
+    "qd45_sentence_dedup" ->
+      """WITH src AS (
+        |  SELECT doc_id, lang, replace(text, ' ', '. ') || '.' AS text FROM documents
+        |),
+        |seg AS (
+        |  SELECT doc_id, lang, text,
+        |    list_filter(list_transform(
+        |      string_split(regexp_replace(text, '([.!?]+) +', '\1' || chr(1), 'g'), chr(1)),
+        |      x -> trim(x)), x -> x <> '') AS ss
+        |  FROM src
+        |),
+        |l AS (
+        |  SELECT doc_id, unnest(ss) AS u, unnest(range(len(ss))) AS pos FROM seg
+        |),
+        |r AS (
+        |  SELECT doc_id, pos, u,
+        |    CASE WHEN length(u) >= 5
+        |         THEN row_number() OVER (PARTITION BY u ORDER BY doc_id, pos)
+        |         ELSE 1 END AS rn
+        |  FROM l
+        |),
+        |k AS (
+        |  SELECT doc_id, string_agg(u, ' ' ORDER BY pos) AS text
+        |  FROM r WHERE rn = 1 GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, d.lang, coalesce(k.text, '') AS text
+        |FROM src d LEFT JOIN k USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "qd31_line_dedup" ->
       """WITH src AS (

@@ -292,6 +292,19 @@ object Dedup {
     keepFirstUnits(df, idCol, textCol, lines, length(col("__unit")) >= minChars, sep)
   }
 
+  /** Corpus-wide SENTENCE dedup — the granularity of Lee et al. 2021's
+    * substring dedup that line/span dedup bracket from either side: units
+    * are [[graft.functions.TextFunctions.sentences]] segments (terminal
+    * punctuation kept), each distinct sentence of at least `minChars` chars
+    * survives once corpus-wide (first (id, position) wins), short sentences
+    * always survive. Reassembly joins with a single space, so the cleaned
+    * document is single-spaced prose. Same keep-first machinery, null
+    * semantics, and scale shape as [[spanDedupGlobal]]. */
+  def sentenceDedupGlobal(df: DataFrame, idCol: String, textCol: String,
+                          minChars: Int = 0): DataFrame =
+    keepFirstUnits(df, idCol, textCol, T.sentences(col(textCol)),
+      length(col("__unit")) >= minChars, " ")
+
   /** Shared keep-first core: explode `unitsArr` with positions, elect one
     * global winner per distinct unit value among rows satisfying
     * `subject` (a predicate over `__unit`; non-subject units always

@@ -236,6 +236,27 @@ object TextFunctions {
   /** Newline runs (with interleaved spaces) → one newline. */
   val HtmlNewlineRunRe = " ?\\n[\\n ]*"
 
+  // ---- sentence segmentation ----------------------------------------------
+
+  /** A sentence boundary: a run of terminal punctuation followed by spaces.
+    * RE2 has no lookbehind, so the portable formulation inserts a `\u0001`
+    * sentinel AFTER the punctuation via backreference replacement (`$1` in
+    * Java, `\1` in RE2 — each engine's own syntax, same semantics) and
+    * splits on the sentinel. */
+  val SentenceBoundaryRe = "([.!?]+) +"
+
+  /** Sentence list of a document: segments keep their terminal punctuation,
+    * edges are trimmed, empty segments drop. Deliberately heuristic (an
+    * abbreviation like "e.g. x" splits) — the standard trade for a
+    * dictionary-free segmenter; sentence-level dedup is collision-tolerant
+    * by design. */
+  def sentences(text: Column): Column =
+    filter(
+      transform(
+        split(regexp_replace(text, SentenceBoundaryRe, "$1\u0001"), "\u0001", -1),
+        s => trim(s)),
+      s => s =!= "")
+
   /** Visible text of an HTML document: invisible elements and comments
     * removed with their contents, block-element boundaries turned into
     * newlines (so line-based quality gates see the page structure), other

@@ -213,6 +213,35 @@ class PipelineSpec extends SparkSpec {
       assert(got(id) == want, s"case $id: got '${got(id)}' want '$want'") }
   }
 
+  test("sentence segmentation: punctuation runs, trimming, heuristic edges") {
+    val got = Seq(
+      (1L, "First one. Second two!  Third three?No gap. tail"),
+      (2L, "what?! ok... done."),
+      (3L, "e.g. split here"), // documented heuristic: abbreviations split
+      (4L, ""), (5L, null))
+      .toDF("id", "text")
+      .select(col("id"), T.sentences(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(1L).get == Seq("First one.", "Second two!",
+      "Third three?No gap.", "tail"), got(1L))
+    assert(got(2L).get == Seq("what?!", "ok...", "done."))
+    assert(got(3L).get == Seq("e.g.", "split here"))
+    assert(got(4L).get == Seq())
+    assert(got(5L).isEmpty)
+  }
+
+  test("sentence dedup: first (doc, position) wins; short sentences survive") {
+    val got = graft.dedup.Dedup.sentenceDedupGlobal(Seq(
+        (1L, "Common boilerplate here. Unique alpha text."),
+        (2L, "Common boilerplate here. Unique beta text. Hi."),
+        (3L, "Hi. Common boilerplate here."))
+        .toDF("doc_id", "text"), "doc_id", "text", minChars = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "Common boilerplate here. Unique alpha text.")
+    assert(got(2L) == "Unique beta text. Hi.", "dup sentence removed, short 'Hi.' kept")
+    assert(got(3L) == "Hi.", "dup removed even at different position")
+  }
+
   test("gopher stats: native one-pass == declarative formulation (randomized)") {
     graft.plans.GopherStatsExpr.register(spark)
     val rnd = new scala.util.Random(44)
