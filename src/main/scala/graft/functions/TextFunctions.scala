@@ -266,7 +266,11 @@ object TextFunctions {
     * decoder), horizontal whitespace collapsed per line, newline runs
     * collapsed, and the ends trimmed of spaces and newlines. Documented
     * subset: numeric entities beyond `&#39;` are left as-is — the quality
-    * gates downstream treat them as symbols. */
+    * gates downstream treat them as symbols. Portability caveat (tag NAMES
+    * only): Java's `(?i)` folds ASCII while RE2 also simple-folds exotic
+    * case pairs (long s U+017F → s, Kelvin U+212A → k), so a tag spelled
+    * `<ſcript>` parses differently across engines — no real document does
+    * this; the fuzz grammar pins the realistic input space. */
   def htmlToText(text: Column): Column = {
     val noMarkup = regexp_replace(
       regexp_replace(

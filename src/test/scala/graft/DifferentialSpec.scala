@@ -690,4 +690,61 @@ class DifferentialSpec extends SparkSpec {
         |  '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS c
         |FROM graft_dirty""".stripMargin)
   }
+
+  test("fuzz: 300 random HTML-ish strings — extraction + sentences match DuckDB") {
+    // grammar 15: htmlToText and sentence segmentation over adversarial
+    // markup — unclosed tags and comments, attributes containing '>',
+    // entity bait (incl. double-encoded &amp;lt;), script/style with inner
+    // markup, case-shuffled tag names, block/inline mixes, VT/FF/CRLF
+    // whitespace, unicode text. Both engines run the SAME RE2-portable
+    // chain, so this pins the Java-vs-RE2 agreement across the whole input
+    // space the extractor claims (exotic case-fold pairs inside tag names
+    // are the documented out-of-scope edge).
+    val r = new scala.util.Random(15)
+    val pool = Seq(
+      "<p>", "</p>", "<P >", "<div class='x'>", "</div>", "<br/>", "<BR>",
+      "<span>", "</span>", "<b>", "</b>", "<h2>", "</h2>", "<li>", "</li>",
+      "<script>", "</script>", "<SCRIPT type=\"t\">", "</STYLE>", "<style>",
+      "<!--", "-->", "<!-- c -->", "<a href=\"u?q=1&x=2\">", "</a>",
+      "<a title=\"x>y\">", "<", ">", "words here", "end.", "más", "世界",
+      "Tom &amp; Jerry", "&lt;tag&gt;", "&amp;lt;", "&nbsp;", "&#39;", "&bogus;",
+      "what?!", "ok...", "e.g.", " ", "  ", "\t", "\r\n", "\n", "", "\f")
+    val rows = (1 to 300).map { i =>
+      (i.toLong, (1 to (1 + r.nextInt(12))).map(_ => pool(r.nextInt(pool.size))).mkString(" "))
+    }
+    val st = duck.createStatement()
+    st.execute("CREATE TABLE graft_html(id BIGINT, s VARCHAR)")
+    st.close()
+    val ps = duck.prepareStatement("INSERT INTO graft_html VALUES (?, ?)")
+    rows.foreach { case (id, s) => ps.setLong(1, id); ps.setString(2, s); ps.addBatch() }
+    ps.executeBatch(); ps.close()
+    val T = graft.functions.TextFunctions
+    val df = spark.createDataFrame(rows).toDF("id", "s")
+      .select(col("id"), T.htmlToText(col("s")).as("t"),
+        array_join(T.sentences(col("s")), "").as("sj"))
+    assertSame(df,
+      """SELECT id,
+        |  trim(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        replace(replace(replace(replace(replace(replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(
+        |                regexp_replace(s, '(?is)<(script|style)[^>]*>.*?</(script|style)[ \t\n\r\f]*>', ' ', 'g'),
+        |                '(?s)<!--.*?-->', ' ', 'g'),
+        |              '(?i)</?(br|pre|p|div|h[1-6]|li|tr|table|ul|ol|blockquote|section|article|header|footer)[^>]*>', chr(10), 'g'),
+        |            '<[^>]*>', ' ', 'g'),
+        |          '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+        |        '[ \t\r\f]+', ' ', 'g'),
+        |      ' ?\n[\n ]*', chr(10), 'g'),
+        |    ' ' || chr(10)) AS t,
+        |  CASE WHEN len(list_filter(list_transform(
+        |      string_split(regexp_replace(s, '([.!?]+) +', '\1' || chr(1), 'g'), chr(1)),
+        |      x -> trim(x)), x -> x <> '')) = 0 THEN ''
+        |    ELSE list_aggregate(list_filter(list_transform(
+        |      string_split(regexp_replace(s, '([.!?]+) +', '\1' || chr(1), 'g'), chr(1)),
+        |      x -> trim(x)), x -> x <> ''), 'string_agg', chr(31)) END AS sj
+        |FROM graft_html""".stripMargin)
+  }
 }
