@@ -1088,6 +1088,29 @@ object SparkEntry {
         .select(col("doc_id"), col("dsir_uweight"))
     }),
 
+    // duplicate-PARAGRAPH repetition signals (Gopher §A1.1's paragraph
+    // variants): 8-word paragraphs with an inner newline (must fold to a
+    // space, not split the paragraph), every i%3==2 paragraph a copy of
+    // paragraph 0 — dup fractions computed by the native line-stats kernel
+    // over the blank-line→sentinel transform
+    "qd46_dup_paragraphs" -> ((s, d) => {
+      graft.plans.SketchExprs.register(s)
+      val T = graft.functions.TextFunctions
+      val docs = t(s, d, "documents")
+      val w = T.tokens(col("text"))
+      val nP = greatest(ceil(size(w) / lit(8.0)).cast("int"), lit(1))
+      def para(j: Column) = concat(
+        concat_ws(" ", slice(w, j * 8 + 1, lit(4))), lit("\n"),
+        concat_ws(" ", slice(w, j * 8 + 5, lit(4))))
+      val paras = transform(sequence(lit(0), nP - 1), i =>
+        when(i % 3 === 2, para(lit(0))).otherwise(para(i)))
+      docs.select(col("doc_id"), array_join(paras, "\n\n").as("text"))
+        .select(col("doc_id"),
+          T.dupParagraphFraction(col("text")).as("dup_para_frac"),
+          T.dupParagraphCharFraction(col("text")).as("dup_para_char_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // cross-document SENTENCE dedup: every word becomes a one-word sentence
     // ("w1. w2. ... wn.") — the same deliberate collision surface as qd31 —
     // and common sentences >= 5 chars dedup corpus-wide (first (doc,
@@ -2417,6 +2440,53 @@ object SparkEntry {
         |SELECT s2.doc_id, CAST(coalesce(ws.uw, 0) AS BIGINT) AS dsir_uweight
         |FROM s2 LEFT JOIN wsum ws ON s2.doc_id = ws.doc_id
         |ORDER BY dsir_uweight DESC, s2.doc_id LIMIT 50""".stripMargin,
+
+    // dup-paragraph mirror: same synthesis, same blank-line→sentinel
+    // transform, dup fractions via group-count aggregation (one division
+    // each, so the doubles compare bit-exactly)
+    "qd46_dup_paragraphs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents
+        |),
+        |built AS (
+        |  SELECT doc_id,
+        |    [ CASE WHEN i % 3 = 2
+        |        THEN coalesce(list_aggregate(w[1:4], 'string_agg', ' '), '') || chr(10)
+        |          || coalesce(list_aggregate(w[5:8], 'string_agg', ' '), '')
+        |        ELSE coalesce(list_aggregate(w[i*8+1 : i*8+4], 'string_agg', ' '), '') || chr(10)
+        |          || coalesce(list_aggregate(w[i*8+5 : i*8+8], 'string_agg', ' '), '')
+        |      END
+        |      FOR i IN range(0, greatest(CAST(ceil(len(w) / 8.0) AS INT), 1)) ] AS paras
+        |  FROM toks
+        |),
+        |dirty AS (
+        |  SELECT doc_id, list_aggregate(paras, 'string_agg', chr(10) || chr(10)) AS text
+        |  FROM built
+        |),
+        |pl AS (
+        |  SELECT doc_id,
+        |    replace(replace(regexp_replace(text, '\n{2,}', chr(1), 'g'),
+        |      chr(10), ' '), chr(1), chr(10)) AS text
+        |  FROM dirty
+        |),
+        |lrow AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, chr(10)), x -> x <> '')) AS line
+        |  FROM pl
+        |),
+        |lg AS (SELECT doc_id, line, count(*) AS c, length(line) AS len
+        |       FROM lrow GROUP BY doc_id, line),
+        |lagg AS (
+        |  SELECT doc_id,
+        |    CAST(sum(c) - count(*) AS DOUBLE) / sum(c) AS dup_para_frac,
+        |    CAST(sum(CASE WHEN c > 1 THEN c * len ELSE 0 END) AS DOUBLE)
+        |      / sum(c * len) AS dup_para_char_frac
+        |  FROM lg GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(l.dup_para_frac, 0.0) AS dup_para_frac,
+        |  coalesce(l.dup_para_char_frac, 0.0) AS dup_para_char_frac
+        |FROM documents d LEFT JOIN lagg l USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // sentence-dedup mirror: the same sentinel-split segmentation (RE2 `\1`
     // backreference = Java `$1`), keep-first election by (doc, position),

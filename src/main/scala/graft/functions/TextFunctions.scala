@@ -176,6 +176,24 @@ object TextFunctions {
     when(totalChars === 0, lit(0.0)).otherwise(dupChars.cast("double") / totalChars)
   }
 
+  /** Paragraph view of a document for the duplicate-PARAGRAPH signals
+    * (Gopher §A1.1 lists both line and paragraph variants): blank-line
+    * separated blocks become single lines — runs of 2+ newlines turn into a
+    * U+0001 sentinel, remaining single newlines fold to spaces, the
+    * sentinel becomes the line break — so the native line-stats kernel
+    * applies unchanged. */
+  private def paragraphsAsLines(text: Column): Column =
+    translate(translate(
+      regexp_replace(text, "\n{2,}", ""), "\n", " "), "", "\n")
+
+  /** [[dupLineFraction]] over blank-line-separated paragraphs. */
+  def dupParagraphFraction(text: Column): Column =
+    dupLineFraction(paragraphsAsLines(text))
+
+  /** [[dupLineCharFraction]] over blank-line-separated paragraphs. */
+  def dupParagraphCharFraction(text: Column): Column =
+    dupLineCharFraction(paragraphsAsLines(text))
+
   /** Count share of the most frequent word n-gram (native
     * [[graft.plans.TopNgramShareExpr]] one-pass loop). Callers must have
     * run `SketchExprs.register` on the session. */

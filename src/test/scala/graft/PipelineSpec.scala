@@ -213,6 +213,25 @@ class PipelineSpec extends SparkSpec {
       assert(got(id) == want, s"case $id: got '${got(id)}' want '$want'") }
   }
 
+  test("dup-paragraph signals: blank-line blocks, inner newlines fold to spaces") {
+    graft.plans.SketchExprs.register(spark)
+    val got = Seq(
+      // para A repeated (with DIFFERENT inner line structure - must still
+      // match after the fold), one unique para: 2 of 3 paras dup
+      (1L, "aa bb\ncc\n\naa\nbb cc\n\nunique here"),
+      (2L, "no blank lines\njust one para"),
+      (3L, ""))
+      .toDF("id", "text")
+      .select(col("id"),
+        T.dupParagraphFraction(col("text")).as("f"),
+        T.dupParagraphCharFraction(col("text")).as("cf"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got(1L)._1 == 1.0 / 3, got(1L)) // (3 paras - 2 distinct) / 3
+    assert(got(1L)._2 == 16.0 / (16 + 11), "char-weighted: 2x'aa bb cc'=16 of 27")
+    assert(got(2L) == ((0.0, 0.0)), "single paragraph, no dups")
+    assert(got(3L) == ((0.0, 0.0)), "empty doc")
+  }
+
   test("sentence segmentation: punctuation runs, trimming, heuristic edges") {
     val got = Seq(
       (1L, "First one. Second two!  Third three?No gap. tail"),
