@@ -134,7 +134,7 @@ object Pq {
     * nprobe nearest cells and ADC-scan only those. */
   def searchIvfPq(assignedEncoded: DataFrame, centroids: DataFrame,
                   codebook: Array[Float], queries: DataFrame, k: Int,
-                  m: Int = 8, ksub: Int = 16, nprobe: Int = 4,
+                  m: Int = 8, ksub: Int = 16, nprobe: Int = 4, rescore: Int = 0,
                   idCol: String = "vec_id", vecCol: String = "embedding",
                   queryIdCol: String = "query_id"): DataFrame = {
     graft.plans.PqExprs.register(assignedEncoded.sparkSession)
@@ -150,6 +150,21 @@ object Pq {
       .withColumn("adc", call_function("graft_pq_adc", col("pq_codes"), col("__lut"), lit(ksub)))
     // BoundedTopKAgg dedups by neighbor id, covering the multi-cell
     // duplicate case the old `.distinct()` handled with an extra exchange
-    Ann.topKPerQuery(scored, queryIdCol, "adc", k)
+    val top = Ann.topKPerQuery(scored, queryIdCol, "adc", math.max(k, rescore))
+    if (rescore <= k) top
+    else {
+      // same refinement as [[searchAdc]]: the queries×rescore shortlist —
+      // already bounded — re-ranks by exact cosine against the original
+      // vectors; the id-keyed join never touches the full corpus
+      graft.plans.CosineSimilarityExpr.register(assignedEncoded.sparkSession)
+      val origs = assignedEncoded.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+        .dropDuplicates("neighbor_id") // a vector assigned to several cells re-ranks once
+      val qv = queries.select(col(idCol).as(queryIdCol), col(vecCol).as("__qv"))
+      val rescored = top.join(origs, "neighbor_id")
+        .join(broadcast(qv), queryIdCol)
+        .withColumn("cosine", call_function("graft_cosine", col("__qv"), col("__cv")))
+      Ann.topKPerQuery(rescored, queryIdCol, "cosine", k)
+        .select(col(queryIdCol), col("neighbor_id"), col("cosine"), col("rank"))
+    }
   }
 }

@@ -94,4 +94,22 @@ class PqSpec extends SparkSpec {
       .as[(Int, Int)].collect()
     assert(byCluster.forall { case (qc, nc) => qc == nc })
   }
+
+  test("IVF-PQ exact rescore matches brute force restricted to probed cells") {
+    val e = sf("embeddings")
+    val queries = e.filter($"vec_id" < 5)
+    val (cents, assigned) = graft.similarity.Ivf.buildIndex(
+      e, nlist = 4, idCol = "vec_id", vecCol = "embedding", lloydIters = 1)
+    val cb = P.train(e, dim = 64, m = 16, ksub = 16, sampleN = 1000)
+    val enc = P.encode(assigned, cb, m = 16, ksub = 16)
+    // nprobe = nlist: every cell probed, so the rescored result must EQUAL
+    // brute force (the rescore pool is deep enough to hold the true top-k)
+    val got = P.searchIvfPq(enc, cents, cb, queries, k = 5, m = 16, ksub = 16,
+        nprobe = 4, rescore = 200)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = graft.similarity.Ann.bruteForceTopK(e, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF-PQ rescored recall $recall < 0.8")
+  }
 }
