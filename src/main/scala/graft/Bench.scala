@@ -25,6 +25,12 @@ object Bench {
         // plan cost against a clean storage pool - what the query would
         // cost as a job - rather than re-reading the previous rep's cache.
         spark.catalog.clearCache()
+        // Spark's ContextCleaner frees shuffle files and broadcast blocks
+        // only after their driver-side handles are GC'd; without an explicit
+        // GC the suite accumulates dead state and later queries measure the
+        // memory pressure of earlier ones (observed 1.5-4x inflation vs
+        // running the same query in isolation)
+        System.gc()
         val t0 = System.nanoTime()
         // noop sink forces full materialization of every output column
         // (count() would let Catalyst prune the projections being measured)
