@@ -90,6 +90,17 @@ object Profile {
       "qm01" -> (() => graft.SparkEntry.queries("qm01_media_meta")(spark, sfDir)),
       "qm02" -> (() => graft.SparkEntry.queries("qm02_decode_features")(spark, sfDir)),
       "qm04" -> (() => graft.SparkEntry.queries("qm04_video_meta")(spark, sfDir)),
+      // round-6 crawl/quality pipelines + their stage decompositions
+      "qd41_sel" -> (() => graft.SparkEntry.queries("qd41_pipeline_quality_select")(spark, sfDir)),
+      "qd41_ppl" -> (() => graft.SparkEntry.queries("qd39_perplexity")(spark, sfDir)),
+      "qd41_bloom" -> (() => graft.SparkEntry.queries("qd34_decontaminate_bloom")(spark, sfDir)),
+      "qd41_dsir" -> (() => graft.SparkEntry.queries("qd36_dsir_weights")(spark, sfDir)),
+      "q54_crawl" -> (() => graft.SparkEntry.queries("q54_pipeline_crawl")(spark, sfDir)),
+      "q54_extract" -> (() => graft.SparkEntry.queries("qd43_html_extract")(spark, sfDir)),
+      "q54_c4" -> (() => graft.SparkEntry.queries("qd40_c4_filter")(spark, sfDir)),
+      "q54_gopher" -> (() => graft.SparkEntry.queries("qd44_gopher_quality")(spark, sfDir)),
+      "qd45_sent" -> (() => graft.SparkEntry.queries("qd45_sentence_dedup")(spark, sfDir)),
+      "qd46_para" -> (() => graft.SparkEntry.queries("qd46_dup_paragraphs")(spark, sfDir)),
     ).filter { case (n, _) => names.isEmpty || names.contains(n) }
 
     for ((name, mk) <- pipelines; r <- 1 to reps) {
