@@ -36,10 +36,21 @@ object Dedup {
     exactByKey(df, struct(keys.map(col).toIndexedSeq: _*), orderCol)
 
   /** [[exact]] keyed on an arbitrary expression (e.g. a normalized-URL or
-    * fingerprint column that need not be materialized first). */
+    * fingerprint column that need not be materialized first).
+    *
+    * groupBy + `min_by`, NOT a window over the key: map-side combine
+    * collapses a hot duplicate key to one candidate row per partition
+    * BEFORE the exchange, where `row_number().over(partitionBy(key))`
+    * funnels every occurrence of the key into a single un-splittable
+    * window task — the boilerplate-skew cliff [[keepFirstUnits]] already
+    * avoids for the same reason. Ties on a non-unique `orderCol` resolve
+    * arbitrarily (as they did under the window formulation); pass a unique
+    * id for deterministic keeps. */
   def exactByKey(df: DataFrame, key: Column, orderCol: String): DataFrame = {
-    val w = Window.partitionBy(key).orderBy(col(orderCol))
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val cols = df.columns.toIndexedSeq
+    df.groupBy(key.as("__k"))
+      .agg(min_by(struct(cols.map(col): _*), col(orderCol)).as("__w"))
+      .select(cols.map(c => col("__w").getField(c).as(c)): _*)
   }
 
   /** Fingerprint dedup: exact dedup over the normalized-text fingerprint. */

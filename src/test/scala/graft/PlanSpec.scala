@@ -209,6 +209,16 @@ class PlanSpec extends SparkSpec {
     assert(!planOf(df).contains("Exchange"), "deterministic split must not shuffle")
   }
 
+  test("exact dedup is a groupBy-min aggregate, never a window over the key") {
+    val df = graft.dedup.Dedup.byFingerprint(
+      SparkEntry.t(spark, "/root/testdata/sf0.001", "documents"), "text", "doc_id")
+    val plan = planOf(df)
+    assert(!plan.contains("Window"),
+      "a window over the dedup key funnels hot duplicate keys into one task")
+    assert(plan.contains("partial_min_by") || plan.contains("min_by"),
+      s"expected a map-side-combinable min_by aggregate:\n$plan")
+  }
+
   test("crawl gates are narrow maps: html extract + c4 + gopher, zero exchange") {
     val P = graft.prep.Prep
     val T = graft.functions.TextFunctions
