@@ -844,6 +844,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // attention-mask spans over the packed corpus: one row per (sequence,
+    // doc fragment), straddling docs split at every budget boundary —
+    // narrow generator over qd23's packing, zero extra shuffle
+    "qd47_pack_spans" -> ((s, d) => {
+      val T = graft.functions.TextFunctions
+      graft.prep.Prep.packSpans(
+          graft.prep.Prep.packGlobal(
+            t(s, d, "documents")
+              .withColumn("n_tokens", T.tokenCount(col("text")).cast("long")),
+            Seq("doc_id"), "n_tokens", budget = 1024L),
+          budget = 1024L, idCol = "doc_id")
+        .orderBy(col("doc_id"), col("seq_id"))
+    }),
+
     // near-dup decontamination (MinHash-banded vs broadcast benchmark) —
     // sketch-based, no SQL oracle; rows-only + recall property in PrepSpec
     "qd21_decontaminate_neardup" -> ((s, d) => {
@@ -2588,6 +2602,29 @@ object SparkEntry {
     // global-pack mirror: one unpartitioned exclusive running sum — what
     // the Spark side computes distributed via per-partition sums + a
     // broadcast offset carry
+    // pack-spans mirror: the qd23 prefix-sum packing, then one span per
+    // budget-boundary-delimited fragment (integer interval arithmetic)
+    "qd47_pack_spans" ->
+      """WITH packed AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+        |  FROM (
+        |    SELECT doc_id,
+        |      CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |    FROM documents
+        |  )
+        |),
+        |sp AS (
+        |  SELECT doc_id, prev, n_tokens,
+        |    unnest(range(prev // 1024, (prev + n_tokens - 1) // 1024 + 1)) AS seq_id
+        |  FROM packed WHERE n_tokens > 0
+        |)
+        |SELECT doc_id, seq_id,
+        |  greatest(prev, seq_id * 1024) - seq_id * 1024 AS span_start,
+        |  least(prev + n_tokens, (seq_id + 1) * 1024) - greatest(prev, seq_id * 1024) AS span_len
+        |FROM sp ORDER BY doc_id, seq_id""".stripMargin,
+
     "qd23_pack_global" ->
       """SELECT doc_id, n_tokens, prev // 1024 AS seq_id, prev % 1024 AS seq_offset
         |FROM (

@@ -726,6 +726,42 @@ object Prep {
       .drop("__pid", "__lprev", "__off", "__prev")
   }
 
+  /** Attention-mask spans for packed sequences: one row per (sequence,
+    * document-fragment) with the fragment's start offset and length INSIDE
+    * that sequence. A document straddling budget boundaries splits into one
+    * span per sequence it touches — the input a trainer needs for
+    * block-diagonal attention masking / per-document loss boundaries over
+    * packed batches. Input is [[pack]]/[[packGlobal]] output; span
+    * generation is a pure narrow generator (sequence + transform +
+    * explode), so it adds ZERO shuffle beyond the packing itself.
+    * Zero-token documents yield no spans. */
+  def packSpans(packed: DataFrame, budget: Long, idCol: String,
+                nTokensCol: String = "n_tokens", seqCol: String = "seq_id",
+                offCol: String = "seq_offset",
+                carryCols: Seq[String] = Nil): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    // global token interval [S, E) of the document; all exact int64
+    val S = col(seqCol) * budget + col(offCol)
+    val E = S + col(nTokensCol)
+    // exact integral division (the operands are exact multiples after the
+    // pmod subtraction, so the double division below 2^53 is lossless)
+    def idiv(x: org.apache.spark.sql.Column) =
+      ((x - pmod(x, lit(budget))) / lit(budget)).cast("long")
+    val spans = when(col(nTokensCol) > 0,
+      transform(sequence(idiv(S), idiv(E - 1)), j =>
+        struct(
+          j.as("span_seq_id"),
+          (greatest(S, j * budget) - j * budget).as("span_start"),
+          (least(E, (j + lit(1L)) * budget) - greatest(S, j * budget)).as("span_len"))))
+    val carried = carryCols.map(col)
+    packed
+      .select(col(idCol) +: carried :+ explode(spans).as("__sp"): _*)
+      .select(col(idCol) +: carried :+
+        col("__sp").getField("span_seq_id").as(seqCol) :+
+        col("__sp").getField("span_start").as("span_start") :+
+        col("__sp").getField("span_len").as("span_len"): _*)
+  }
+
   /** Write a packed corpus as range-sharded files: rows are range-
     * partitioned on `shardCol` (so each output file covers a disjoint,
     * contiguous id range — trainers can map files to workers without an

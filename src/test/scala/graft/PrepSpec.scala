@@ -328,6 +328,34 @@ class PrepSpec extends SparkSpec {
     assert(got == batch && batch.nonEmpty)
   }
 
+  test("packSpans: spans tile sequences exactly, straddles split, zero-token docs drop") {
+    val budget = 10L
+    val docs = Seq((1L, 4L), (2L, 0L), (3L, 13L), (4L, 3L), (5L, 25L))
+      .toDF("doc_id", "n_tokens")
+    val packed = Prep.packGlobal(docs, Seq("doc_id"), "n_tokens", budget)
+    val spans = Prep.packSpans(packed, budget, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every doc's fragments sum back to its token count; zero-token doc absent
+    val byDoc = spans.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    assert(byDoc == Map(1L -> 4L, 3L -> 13L, 4L -> 3L, 5L -> 25L), byDoc)
+    // every sequence except the last is tiled exactly [0, budget)
+    val bySeq = spans.groupBy(_._2)
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (seq, ss) =>
+      val sorted = ss.sortBy(_._3)
+      assert(sorted.head._3 == 0L, s"seq $seq starts at ${sorted.head._3}")
+      sorted.sliding(2).foreach {
+        case Array((_, _, s1, l1), (_, _, s2, _)) =>
+          assert(s1 + l1 == s2, s"seq $seq gap at $s2")
+        case _ =>
+      }
+      if (seq != lastSeq)
+        assert(ss.map(_._4).sum == budget, s"seq $seq not fully tiled")
+    }
+    // doc 5 (25 tokens from global offset 20) spans sequences 2,3,4
+    assert(spans.filter(_._1 == 5L).map(_._2).sorted.toSeq == Seq(2L, 3L, 4L))
+  }
+
   test("temperatureShares: sums to 1, flattens toward uniform as alpha drops") {
     val df = Seq.tabulate(1000)(i =>
         (i.toLong, if (i < 810) "big" else if (i < 990) "mid" else "small", 10L))
