@@ -43,6 +43,7 @@ import org.apache.spark.sql.types.DataType
   *  - `graft_normalize_unicode(text, form)` — NFC/NFD/NFKC/NFKD
   *  - `graft_c4_keep_lines(text, minWords)` — C4 line filter, one pass
   *  - `graft_gopher_stats(text)` — Gopher quality statistics, one pass
+  *  - `graft_blocklist_hits(text, phrases)` — Aho–Corasick blocklist gate
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -167,5 +168,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_gopher_stats",
         "graft_gopher_stats(text) - Gopher quality statistics struct (words/lines/symbols/stopwords) in one pass"),
       (exprs: Seq[Expression]) => plans.GopherStatsExpr(exprs(0))))
+
+    ext.injectFunction((FunctionIdentifier("graft_blocklist_hits"),
+      info("graft_blocklist_hits",
+        "graft_blocklist_hits(text, phrases) - distinct blocklist phrases present (Aho-Corasick, ASCII-CI)"),
+      (exprs: Seq[Expression]) =>
+        plans.BlocklistHitsExpr(exprs(0), plans.BlocklistHitsExpr.strings(exprs(1)))))
   }
 }

@@ -17,6 +17,12 @@ import graft.api.syntax._
   */
 object SparkEntry {
 
+  /** qd48's demo blocklist: overlapping prefixes ("bad ...") and a nested
+    * phrase pair ("casino bonus" contains "bonus") to exercise the
+    * Aho-Corasick suffix output links; mirrored verbatim in the oracle. */
+  private[graft] val DemoBlocklist: Seq[String] =
+    Seq("bad phrase one", "badword", "casino bonus", "bonus", "zzz qqq")
+
   private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
     // events.ts is TIMESTAMP(NANOS) parquet, read as long nanos under
@@ -841,6 +847,24 @@ object SparkEntry {
             .withColumn("n_tokens", T.tokenCount(col("text")).cast("long")),
           Seq("doc_id"), "n_tokens", budget = 1024L)
         .select(col("doc_id"), col("n_tokens"), col("seq_id"), col("seq_offset"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // phrase-blocklist page gate (C4 "bad words"): deterministic phrase
+    // injections (mixed case on %7, nested phrase pair on %13 — "casino
+    // bonus" must count BOTH itself and its suffix "bonus"), hits counted
+    // by one Aho-Corasick pass, mirrored by per-phrase contains in SQL
+    "qd48_blocklist" -> ((s, d) => {
+      graft.plans.BlocklistHitsExpr.register(s)
+      val T = graft.functions.TextFunctions
+      val dirty = concat(col("text"),
+        when(col("doc_id") % 7 === 0, lit(" Bad Phrase One")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" some badword here")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit(" casino bonus spin")).otherwise(lit("")))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          T.blocklistHits(dirty, SparkEntry.DemoBlocklist).as("hits"))
+        .withColumn("keep", col("hits") === 0)
         .orderBy(col("doc_id"))
     }),
 
@@ -2602,6 +2626,26 @@ object SparkEntry {
     // global-pack mirror: one unpartitioned exclusive running sum — what
     // the Spark side computes distributed via per-partition sums + a
     // broadcast offset carry
+    // blocklist mirror: per-phrase contains over the same injected text
+    // (the O(phrases x text) formulation the Aho-Corasick pass replaces)
+    "qd48_blocklist" ->
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |    text
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' Bad Phrase One' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN ' some badword here' ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0 THEN ' casino bonus spin' ELSE '' END AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(
+        |    ['bad phrase one', 'badword', 'casino bonus', 'bonus', 'zzz qqq'],
+        |    p -> contains(lower(t), p))) AS INT) AS hits,
+        |  CAST(len(list_filter(
+        |    ['bad phrase one', 'badword', 'casino bonus', 'bonus', 'zzz qqq'],
+        |    p -> contains(lower(t), p))) AS INT) = 0 AS keep
+        |FROM dirty ORDER BY doc_id""".stripMargin,
+
     // pack-spans mirror: the qd23 prefix-sum packing, then one span per
     // budget-boundary-delimited fragment (integer interval arithmetic)
     "qd47_pack_spans" ->

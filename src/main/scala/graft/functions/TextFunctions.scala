@@ -254,6 +254,17 @@ object TextFunctions {
   /** Newline runs (with interleaved spaces) → one newline. */
   val HtmlNewlineRunRe = " ?\\n[\\n ]*"
 
+  /** Number of DISTINCT blocklist phrases present in the document
+    * (ASCII-case-insensitive substring containment) — the C4 "bad words"
+    * page gate is `blocklistHits(text, list) === 0`. ONE Aho–Corasick pass
+    * regardless of list size ([[graft.plans.BlocklistHitsExpr]]; register
+    * it or use [[graft.GraftExtensions]]) where the declarative
+    * `filter(phrases, p => contains(lower(text), p))` rescans the document
+    * once per phrase. Phrases must be lowercase. */
+  def blocklistHits(text: Column, phrases: Seq[String]): Column =
+    call_function("graft_blocklist_hits", text,
+      org.apache.spark.sql.functions.lit(phrases.toArray))
+
   // ---- sentence segmentation ----------------------------------------------
 
   /** A sentence boundary: a run of terminal punctuation followed by spaces.

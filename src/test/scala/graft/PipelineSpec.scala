@@ -213,6 +213,34 @@ class PipelineSpec extends SparkSpec {
       assert(got(id) == want, s"case $id: got '${got(id)}' want '$want'") }
   }
 
+  test("blocklist: Aho-Corasick pass == per-phrase contains (randomized, nested)") {
+    graft.plans.BlocklistHitsExpr.register(spark)
+    // nested and overlapping phrases stress the suffix output links
+    val phrases = Seq("ab", "abc", "bc", "c", "bad phrase", "phrase one", "xyz")
+    val rnd = new scala.util.Random(48)
+    val frags = Array("a", "ab", "abc", "abcd", "b", "bc", "c", " ", "bad",
+      "phrase", "one", "bad phrase one", "AB", "ABC", "İ", "K", "x", "xy",
+      "xyz", "zzz", "")
+    val docs = (1L to 400L).map { id =>
+      (id, if (id % 97 == 0) null
+      else Seq.fill(rnd.nextInt(10))(frags(rnd.nextInt(frags.length)))
+        .mkString(frags(rnd.nextInt(frags.length))))
+    }
+    val df = docs.toDF("id", "text")
+    val native = df.select(col("id"),
+        T.blocklistHits(col("text"), phrases).as("h"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val declared = df.select(col("id"),
+        when(col("text").isNotNull, size(filter(lit(phrases.toArray),
+          p => contains(lower(col("text")), p)))).as("h"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(native === declared)
+    // golden: "abcd" contains ab, abc, bc, c -> 4 distinct phrases
+    val g = df.sparkSession.sql("SELECT graft_blocklist_hits('abcd', array('ab','abc','bc','c','bad phrase','phrase one','xyz')) AS h")
+      .head().getInt(0)
+    assert(g == 4)
+  }
+
   test("dup-paragraph signals: blank-line blocks, inner newlines fold to spaces") {
     graft.plans.SketchExprs.register(spark)
     val got = Seq(

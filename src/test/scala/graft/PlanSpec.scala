@@ -151,6 +151,7 @@ class PlanSpec extends SparkSpec {
 
   test("GraftExtensions: graft_* functions available from session start (no register)") {
     import org.apache.spark.sql.SparkSession
+    spark.sparkContext // force the shared context so getOrCreate below reuses it
     val prev = SparkSession.getDefaultSession
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -196,6 +197,8 @@ class PlanSpec extends SparkSpec {
         .head().getInt(0) == 1)
       assert(s2.sql("SELECT graft_gopher_stats('the of and that.').stop_hits AS n")
         .head().getLong(0) == 3L)
+      assert(s2.sql("SELECT graft_blocklist_hits('a Bad Word here', array('bad word', 'other')) AS n")
+        .head().getInt(0) == 1)
     } finally {
       prev.foreach { p => SparkSession.setDefaultSession(p); SparkSession.setActiveSession(p) }
     }
