@@ -16,6 +16,10 @@ object Bench {
     // optional comma-separated name filter for targeted A/B runs; the full
     // suite (empty filter) stays the artifact of record
     val only = sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", "").split(',').map(_.trim).filter(_.nonEmpty).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty)
+      System.err.println(s"[bench] WARNING: unknown names in SPARK_GRAFT_BENCH_ONLY " +
+        s"(selected nothing): ${unknown.toSeq.sorted.mkString(", ")}")
     val selected = if (only.isEmpty) SparkEntry.queries else SparkEntry.queries.filter(kv => only(kv._1))
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (0 until reps).map { _ =>
@@ -48,7 +52,12 @@ object Bench {
     // headline metric is named for its semantics (sum of per-query
     // min-across-reps) so trend consumers can't silently mix it with the
     // pre-reps single-run "total"; schema_version marks the methodology
-    val json = s"""{"metric":"total_warm_min","value":$total,"unit":"sec","schema_version":2,"queries":${jmap(_._2)},"queries_cold":${jmap(_._3)},"cold_total":$coldTotal,"reps":$reps,"sf":"$sfDir"}"""
+    // a filtered run is marked in the artifact so a partial total can never
+    // be mistaken for the suite total by a trend consumer
+    val onlyField =
+      if (only.isEmpty) ""
+      else only.toSeq.sorted.map("\"" + _ + "\"").mkString("\"only\":[", ",", "],")
+    val json = s"""{"metric":"total_warm_min","value":$total,"unit":"sec","schema_version":2,$onlyField"queries":${jmap(_._2)},"queries_cold":${jmap(_._3)},"cold_total":$coldTotal,"reps":$reps,"sf":"$sfDir"}"""
     println(json)
     // stdout tail-capture can truncate the per-query maps (round 5 lost the
     // warm map for q01-q33); the full artifact is always written to a file

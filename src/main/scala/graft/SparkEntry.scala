@@ -1981,7 +1981,7 @@ object SparkEntry {
         |                regexp_replace(
         |                  regexp_replace(html, '(?is)<(script|style)[^>]*>.*?</(script|style)[ \t\n\r\f]*>', ' ', 'g'),
         |                  '(?s)<!--.*?-->', ' ', 'g'),
-        |                '(?i)</?(br|pre|p|div|h[1-6]|li|tr|table|ul|ol|blockquote|section|article|header|footer)[^>]*>', chr(10), 'g'),
+        |                '(?i)</?(br|pre|p|div|h[1-6]|li|tr|table|ul|ol|blockquote|section|article|header|footer)\b[^>]*>', chr(10), 'g'),
         |              '<[^>]*>', ' ', 'g'),
         |            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
         |          '[ \t\r\f]+', ' ', 'g'),
@@ -2030,7 +2030,7 @@ object SparkEntry {
         |                regexp_replace(
         |                  regexp_replace(html, '(?is)<(script|style)[^>]*>.*?</(script|style)[ \t\n\r\f]*>', ' ', 'g'),
         |                  '(?s)<!--.*?-->', ' ', 'g'),
-        |                '(?i)</?(br|pre|p|div|h[1-6]|li|tr|table|ul|ol|blockquote|section|article|header|footer)[^>]*>', chr(10), 'g'),
+        |                '(?i)</?(br|pre|p|div|h[1-6]|li|tr|table|ul|ol|blockquote|section|article|header|footer)\b[^>]*>', chr(10), 'g'),
         |              '<[^>]*>', ' ', 'g'),
         |            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
         |          '[ \t\r\f]+', ' ', 'g'),

@@ -45,11 +45,15 @@ object Dedup {
     * window task — the boilerplate-skew cliff [[keepFirstUnits]] already
     * avoids for the same reason. Ties on a non-unique `orderCol` resolve
     * arbitrarily (as they did under the window formulation); pass a unique
-    * id for deterministic keeps. */
+    * id for deterministic keeps. The ordering rides inside a struct because
+    * `min_by` SKIPS rows whose bare ordering value is null — a group whose
+    * rows all had null `orderCol` would collapse to one all-NULL phantom
+    * row; a struct with a null field still participates and sorts
+    * nulls-first, the window's `orderBy` default. */
   def exactByKey(df: DataFrame, key: Column, orderCol: String): DataFrame = {
     val cols = df.columns.toIndexedSeq
     df.groupBy(key.as("__k"))
-      .agg(min_by(struct(cols.map(col): _*), col(orderCol)).as("__w"))
+      .agg(min_by(struct(cols.map(col): _*), struct(col(orderCol))).as("__w"))
       .select(cols.map(c => col("__w").getField(c).as(c)): _*)
   }
 

@@ -244,7 +244,7 @@ object TextFunctions {
     * set is the common block elements; an unknown tag falls through to
     * [[HtmlTagRe]] and becomes a space. */
   val HtmlBlockTagRe =
-    "(?i)</?(br|pre|p|div|h[1-6]|li|tr|table|ul|ol|blockquote|section|article|header|footer)[^>]*>"
+    "(?i)</?(br|pre|p|div|h[1-6]|li|tr|table|ul|ol|blockquote|section|article|header|footer)\\b[^>]*>"
   /** Any remaining tag (open/close/self-closing/doctype). */
   val HtmlTagRe = "<[^>]*>"
   /** Horizontal whitespace runs → single space (explicit class: Java and

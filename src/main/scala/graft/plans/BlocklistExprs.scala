@@ -22,12 +22,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * presence count, not occurrence count, matching the `filter`+`contains`
   * semantics the oracle mirrors.
   *
-  * Matching is ASCII-case-insensitive substring containment. Phrases are
-  * expected lowercase ASCII (real blocklists are); Unicode chars in the
-  * document only ever fail to match them, the same verdict
-  * `contains(lower(text), p)` produces for every realistic phrase (the İ /
-  * long-s lowering edges cannot spell an ASCII phrase — same argument as
-  * [[C4KeepLinesExpr]]'s sentinel, fuzz-checked in PipelineSpec).
+  * Matching is case-insensitive substring containment under the SAME fold
+  * `lower()` applies: ASCII A–Z, plus the two code points that lower INTO
+  * ASCII letters — U+0130 İ (→ i + combining dot, fed as the same two
+  * chars) and U+212A Kelvin (→ k) — so obfuscations like "POKER"
+  * cannot slip past the native gate while blocking under the declarative
+  * one. Phrases are expected lowercase ASCII (real blocklists are);
+  * equivalence with `contains(lower(text), p)` is fuzz-checked in
+  * PipelineSpec including both special code points.
   */
 case class BlocklistHitsExpr(child: Expression, phrases: Array[String])
     extends UnaryExpression with CodegenFallback {
@@ -77,16 +79,16 @@ object BlocklistHitsExpr {
       0 // unreachable
     }
 
-    /** Number of DISTINCT patterns occurring in `text` (ASCII-folded). */
+    /** Number of DISTINCT patterns occurring in `text` under the same
+      * folding `lower()` applies: ASCII A–Z plus the two Unicode code
+      * points that lower INTO ASCII letters — U+0130 İ → 'i' + U+0307
+      * (two chars, fed in sequence exactly as `lower()` inserts them) and
+      * U+212A Kelvin → 'k'. */
     def distinctHits(text: String): Int = {
       val seen = new Array[Boolean](nPatterns)
       var found = 0
       var s = 0
-      var i = 0
-      val n = text.length
-      while (i < n && found < nPatterns) {
-        val c0 = text.charAt(i)
-        val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+      def feed(c: Char): Unit = {
         s = step(s, c)
         val hits = out(s)
         var k = 0
@@ -94,6 +96,14 @@ object BlocklistHitsExpr {
           if (!seen(hits(k))) { seen(hits(k)) = true; found += 1 }
           k += 1
         }
+      }
+      var i = 0
+      val n = text.length
+      while (i < n && found < nPatterns) {
+        val c0 = text.charAt(i)
+        if (c0 == '\u0130') { feed('i'); feed('\u0307') }
+        else if (c0 == '\u212A') feed('k')
+        else feed(if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0)
         i += 1
       }
       found

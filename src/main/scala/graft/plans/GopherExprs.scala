@@ -65,7 +65,9 @@ case class GopherStatsExpr(child: Expression)
 
     def endWord(endExcl: Int): Unit = if (wordStart >= 0) {
       nWords += 1
-      wordChars += endExcl - wordStart
+      // code points, not UTF-16 units: Spark/DuckDB length() (the declared
+      // parity contract) counts an astral char (emoji) as ONE
+      wordChars += s.codePointCount(wordStart, endExcl)
       if (wordHasAlpha) alphaWords += 1
       val w = endExcl - wordStart
       if (w >= 2 && w <= 4) {

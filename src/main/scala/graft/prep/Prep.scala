@@ -612,7 +612,11 @@ object Prep {
       .withColumn("alpha_frac", ratio("alpha_words"))
       .withColumn("n_stopwords", col("__g").getField("stop_hits"))
       .withColumn("gopher_keep",
-        col("n_words") >= minWords && col("n_words") <= maxWords &&
+        // the explicit n_words > 0 head conjunct keeps the verdict FALSE
+        // (not null) for word-less documents even at minWords = 0, where
+        // the null ratios would otherwise leak a null verdict
+        col("n_words") > 0 &&
+          col("n_words") >= minWords && col("n_words") <= maxWords &&
           col("mean_word_len") >= minMeanWordLen &&
           col("mean_word_len") <= maxMeanWordLen &&
           col("symbol_ratio") <= maxSymbolRatio &&

@@ -114,18 +114,25 @@ object Pq {
     val top = Ann.topKPerQuery(scored, queryIdCol, "adc", math.max(k, rescore))
       .select(col(queryIdCol), col("neighbor_id"), col("adc"), col("rank"))
     if (rescore <= k) top.filter(col("rank") <= k)
-    else {
-      graft.plans.CosineSimilarityExpr.register(encoded.sparkSession)
-      val origs = encoded.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-      val qv = queries.select(col(idCol).as(queryIdCol), col(vecCol).as("__qv"))
-      // the rescore pool is queries×rescore rows — already bounded; the
-      // same aggregate re-ranks it by exact cosine
-      val rescored = top.join(origs, "neighbor_id")
-        .join(broadcast(qv), queryIdCol)
-        .withColumn("cosine", call_function("graft_cosine", col("__qv"), col("__cv")))
-      Ann.topKPerQuery(rescored, queryIdCol, "cosine", k)
-        .select(col(queryIdCol), col("neighbor_id"), col("cosine"), col("rank"))
-    }
+    else rescoreExact(top, encoded, queries, k, idCol, vecCol, queryIdCol)
+  }
+
+  /** Exact-cosine re-rank of a bounded ADC shortlist (the standard PQ
+    * refinement, shared by [[searchAdc]] and [[searchIvfPq]]): the id-keyed
+    * join touches only queries×rescore shortlist rows, never the full
+    * corpus, and the final [[Ann.topKPerQuery]] dedups by neighbor id, so a
+    * source frame with repeated ids re-ranks each neighbor once. */
+  private def rescoreExact(top: DataFrame, source: DataFrame, queries: DataFrame,
+                           k: Int, idCol: String, vecCol: String,
+                           queryIdCol: String): DataFrame = {
+    graft.plans.CosineSimilarityExpr.register(source.sparkSession)
+    val origs = source.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val qv = queries.select(col(idCol).as(queryIdCol), col(vecCol).as("__qv"))
+    val rescored = top.join(origs, "neighbor_id")
+      .join(broadcast(qv), queryIdCol)
+      .withColumn("cosine", call_function("graft_cosine", col("__qv"), col("__cv")))
+    Ann.topKPerQuery(rescored, queryIdCol, "cosine", k)
+      .select(col(queryIdCol), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
   /** IVF-PQ: cells bound how much corpus a query scans (nprobe of nlist),
@@ -152,19 +159,6 @@ object Pq {
     // duplicate case the old `.distinct()` handled with an extra exchange
     val top = Ann.topKPerQuery(scored, queryIdCol, "adc", math.max(k, rescore))
     if (rescore <= k) top
-    else {
-      // same refinement as [[searchAdc]]: the queries×rescore shortlist —
-      // already bounded — re-ranks by exact cosine against the original
-      // vectors; the id-keyed join never touches the full corpus
-      graft.plans.CosineSimilarityExpr.register(assignedEncoded.sparkSession)
-      val origs = assignedEncoded.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-        .dropDuplicates("neighbor_id") // a vector assigned to several cells re-ranks once
-      val qv = queries.select(col(idCol).as(queryIdCol), col(vecCol).as("__qv"))
-      val rescored = top.join(origs, "neighbor_id")
-        .join(broadcast(qv), queryIdCol)
-        .withColumn("cosine", call_function("graft_cosine", col("__qv"), col("__cv")))
-      Ann.topKPerQuery(rescored, queryIdCol, "cosine", k)
-        .select(col(queryIdCol), col("neighbor_id"), col("cosine"), col("rank"))
-    }
+    else rescoreExact(top, assignedEncoded, queries, k, idCol, vecCol, queryIdCol)
   }
 }

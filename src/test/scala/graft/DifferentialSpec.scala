@@ -733,7 +733,7 @@ class DifferentialSpec extends SparkSpec {
         |              regexp_replace(
         |                regexp_replace(s, '(?is)<(script|style)[^>]*>.*?</(script|style)[ \t\n\r\f]*>', ' ', 'g'),
         |                '(?s)<!--.*?-->', ' ', 'g'),
-        |              '(?i)</?(br|pre|p|div|h[1-6]|li|tr|table|ul|ol|blockquote|section|article|header|footer)[^>]*>', chr(10), 'g'),
+        |              '(?i)</?(br|pre|p|div|h[1-6]|li|tr|table|ul|ol|blockquote|section|article|header|footer)\b[^>]*>', chr(10), 'g'),
         |            '<[^>]*>', ' ', 'g'),
         |          '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
         |        '[ \t\r\f]+', ' ', 'g'),

@@ -20,6 +20,18 @@ class PipelineSpec extends SparkSpec {
     assert(!got.select("doc_id").as[Long].collect().contains(3L))
   }
 
+  test("exact dedup: null order values participate nulls-first, no phantom rows") {
+    val df = Seq((Option(5L), "a"), (Option.empty[Long], "a"), (Option(2L), "b"))
+      .toDF("id", "text")
+    val got = graft.dedup.Dedup.exact(df, Seq("text"), "id")
+      .collect()
+      .map(r => r.getString(1) -> (if (r.isNullAt(0)) None else Some(r.getLong(0))))
+      .toMap
+    // the null-id duplicate wins (nulls-first, the window orderBy default);
+    // min_by's bare-ordering null-skip would instead emit an all-NULL row
+    assert(got == Map("a" -> None, "b" -> Some(2L)), got.toString)
+  }
+
   test("fingerprint dedup collapses case/punct/whitespace variants") {
     val variants = Seq((0L, "Hello,   World!"), (1L, "hello world"), (2L, "other")).toDF("doc_id", "text")
     val got = graft.dedup.Dedup.byFingerprint(variants, "text", "doc_id")
@@ -215,12 +227,15 @@ class PipelineSpec extends SparkSpec {
 
   test("blocklist: Aho-Corasick pass == per-phrase contains (randomized, nested)") {
     graft.plans.BlocklistHitsExpr.register(spark)
-    // nested and overlapping phrases stress the suffix output links
-    val phrases = Seq("ab", "abc", "bc", "c", "bad phrase", "phrase one", "xyz")
+    // nested and overlapping phrases stress the suffix output links; "kq"
+    // plus the Kelvin/İ frags pin the lower()-parity fold (U+212A -> k,
+    // U+0130 -> i + combining dot)
+    val phrases = Seq("ab", "abc", "bc", "c", "bad phrase", "phrase one",
+      "xyz", "kq", "ai")
     val rnd = new scala.util.Random(48)
     val frags = Array("a", "ab", "abc", "abcd", "b", "bc", "c", " ", "bad",
       "phrase", "one", "bad phrase one", "AB", "ABC", "İ", "K", "x", "xy",
-      "xyz", "zzz", "")
+      "xyz", "zzz", "", "KQ", "Aİ", "AİB")
     val docs = (1L to 400L).map { id =>
       (id, if (id % 97 == 0) null
       else Seq.fill(rnd.nextInt(10))(frags(rnd.nextInt(frags.length)))
@@ -294,7 +309,7 @@ class PipelineSpec extends SparkSpec {
     val rnd = new scala.util.Random(44)
     val frags = Array("the", "be", "to", "of", "and", "that", "have", "with",
       "word", "xx", "#", "...", "…", "•", "- ", "a.", "ok...", "line…", "\t",
-      "the the", "12345", "---", "e.g.", "....", "w#w")
+      "the the", "12345", "---", "e.g.", "....", "w#w", "a😀b", "𝄞note")
     val docs = (1L to 300L).map { id =>
       val text = Seq.fill(rnd.nextInt(25))(frags(rnd.nextInt(frags.length)))
         .mkString(Seq(" ", " ", "\n", " \n- ")(rnd.nextInt(4)))
@@ -337,6 +352,12 @@ class PipelineSpec extends SparkSpec {
     assert(got(1L)._1 === true && got(1L)._2 === 200L)
     assert(got(2L) === ((false, 0L)), "empty doc: keep false, not null")
     assert(got(3L)._1 === false, "symbol spam fails")
+    // word-less doc stays FALSE (not null) even when minWords = 0 — the
+    // null ratios must not leak a null verdict
+    val zero = graft.prep.Prep.gopherQuality(
+        Seq((1L, "")).toDF("id", "text"), "text", minWords = 0L)
+      .select("gopher_keep").collect().head
+    assert(!zero.isNullAt(0) && !zero.getBoolean(0))
   }
 
   test("vocab builder: corpus word-count with floor") {
