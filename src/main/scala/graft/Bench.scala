@@ -58,7 +58,18 @@ object Bench {
       if (only.isEmpty) ""
       else only.toSeq.sorted.map("\"" + _ + "\"").mkString("\"only\":[", ",", "],")
     val json = s"""{"metric":"total_warm_min","value":$total,"unit":"sec","schema_version":2,$onlyField"queries":${jmap(_._2)},"queries_cold":${jmap(_._3)},"cold_total":$coldTotal,"reps":$reps,"sf":"$sfDir"}"""
+    // The driver's stdout capture truncated the round-6 artifact into an
+    // unparseable fragment ("parsed": null — the warm map was lost). Guard
+    // the headline against truncation from EITHER end: a compact summary
+    // line (totals + 10 slowest warm queries, a few hundred bytes) prints
+    // both BEFORE and AFTER the full artifact line, so any capture that
+    // keeps either end of the output keeps machine-readable warm totals.
+    val slowest = results.sortBy(-_._2).take(10)
+      .map(r => "\"" + r._1 + "\":" + r._2).mkString("{", ",", "}")
+    val summary = s"""{"metric":"total_warm_min_summary","value":$total,"unit":"sec","schema_version":2,$onlyField"n_queries":${results.size},"cold_total":$coldTotal,"reps":$reps,"sf":"$sfDir","slowest_warm":$slowest}"""
+    println(summary)
     println(json)
+    println(summary)
     // stdout tail-capture can truncate the per-query maps (round 5 lost the
     // warm map for q01-q33); the full artifact is always written to a file
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_latest.json")

@@ -40,6 +40,20 @@ object SparkEntry {
   private def dec2(c: Column): Column = c.cast("decimal(18,2)")
   private def dec4(c: Column): Column = c.cast("decimal(18,4)")
 
+  /** Eagerly materialize a BOUNDED result (top-k selections, per-query
+    * neighbor lists) into a driver-local frame so the query lambda can
+    * release its stage caches deterministically before returning — the
+    * caller's later action replays a LocalRelation, not the pipeline, and
+    * `getPersistentRDDs` is empty the moment the lambda returns
+    * (CacheHygieneSpec). Only legal where the result is bounded by
+    * construction: `maxRows` is a hard guard, not a limit. */
+  private def localize(s: SparkSession, df: DataFrame, maxRows: Int = 100000): DataFrame = {
+    val rows = df.collect()
+    require(rows.length <= maxRows,
+      s"localize() is for bounded results; got ${rows.length} rows > $maxRows")
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q01_groupby_agg")(spark, "/root/testdata/sf0.001")
@@ -1104,6 +1118,10 @@ object SparkEntry {
       // counts, token join, final join-back). Without the persist every
       // re-read re-runs the whole upstream pipeline — at 100 TB the
       // survivors-to-disk checkpoint between stages is the standard shape
+      // (SCALE_CONTRACTS.md "flagship cache lifecycle"). The top-50 result
+      // is BOUNDED, so it localizes eagerly and BOTH stage caches release
+      // before the lambda returns — a long-lived session chaining flagship
+      // runs retains nothing.
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       // stage 1: perplexity gate (LM = every 11th doc, keep <= 3.5 nats/bigram)
       val s1 = P.perplexityBigram(docs, docs.filter(col("doc_id") % 11 === 0),
@@ -1118,12 +1136,57 @@ object SparkEntry {
         .filter(!col("contaminated"))
         .select(baseCols: _*)
         .persist(lvl)
-      // stage 3: DSIR micro-nat weights on the clean pool, deterministic cut
-      P.selectTopK(
-          P.importanceWeightsMicro(s2, s2.filter(col("doc_id") % 17 === 0),
-            "doc_id", "text"),
-          "dsir_uweight", "doc_id", k = 50)
-        .select(col("doc_id"), col("dsir_uweight"))
+      try
+        // stage 3: DSIR micro-nat weights on the clean pool, deterministic cut
+        localize(s, P.selectTopK(
+            P.importanceWeightsMicro(s2, s2.filter(col("doc_id") % 17 === 0),
+              "doc_id", "text"),
+            "dsir_uweight", "doc_id", k = 50)
+          .select(col("doc_id"), col("dsir_uweight")))
+      finally {
+        s2.unpersist(blocking = false)
+        s1.unpersist(blocking = false)
+      }
+    }),
+
+    // qd41's HASHED twin — the same three-stage selection with every scoring
+    // pass on its 100 TB face: perplexity and DSIR models are B-bounded
+    // bucket arrays riding as plan literals, so BOTH scoring stages are
+    // narrow maps (zero corpus shuffle; the only corpus-wide exchanges left
+    // are the bloom-verify join and the top-k). qd41 stays the exact,
+    // oracle-checked face; this is the plan a real corpus build runs, and
+    // the bench face that should stay cheap under suite pressure.
+    // Rows-only check; PipelineSpec pins selection overlap vs exact qd41.
+    "qd41h_pipeline_quality_select_hashed" -> ((s, d) => {
+      val P = graft.prep.Prep
+      val docs = t(s, d, "documents")
+      val baseCols = docs.columns.map(col).toIndexedSeq
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      // stage 1: hashed perplexity gate — the hashed face smooths over its
+      // occupied-bucket support, so its NLL sits on the exact face's scale
+      // and the SAME 3.5 nats/bigram cut applies
+      val s1 = P.perplexityBigramHashed(docs, docs.filter(col("doc_id") % 11 === 0),
+          "text")
+        .filter(col("n_bigrams") > 0 && col("ppl_nats") <= 3.5)
+        .select(baseCols: _*)
+        .persist(lvl)
+      // stage 2: identical decontamination (already the scale face)
+      val s2 = P.contaminationBloom(s1, docs.filter(col("doc_id") % 89 === 0),
+          "doc_id", "text", shingleK = 5, minShared = 1, fpp = 0.01)
+        .filter(!col("contaminated"))
+        .select(baseCols: _*)
+        .persist(lvl)
+      try
+        // stage 3: hashed DSIR — scoring is one narrow expression over s2
+        localize(s, P.selectTopK(
+            P.importanceWeightsHashed(s2, s2.filter(col("doc_id") % 17 === 0),
+              "text"),
+            "dsir_weight", "doc_id", k = 50)
+          .select(col("doc_id"), col("dsir_weight")))
+      finally {
+        s2.unpersist(blocking = false)
+        s1.unpersist(blocking = false)
+      }
     }),
 
     // duplicate-PARAGRAPH repetition signals (Gopher §A1.1's paragraph
@@ -1247,10 +1310,18 @@ object SparkEntry {
     // approximate, rows-only (recall asserted vs exact in ScalaTest)
     "qs03_ann_ivf" -> ((s, d) => {
       val e = t(s, d, "embeddings")
+      // the index (centroids + cell-partitioned corpus) is a caller-owned
+      // handle; this query's neighbor lists are bounded (10 queries × k), so
+      // it localizes the result and releases the index before returning
       val (centroids, assigned) = graft.similarity.Ivf.buildIndex(e, nlist = 16)
-      graft.similarity.Ivf.search(assigned, centroids, e.filter(col("vec_id") < 10),
-          k = 5, nprobe = 4)
-        .orderBy(col("query_id"), col("rank"))
+      try
+        localize(s, graft.similarity.Ivf.search(assigned, centroids,
+            e.filter(col("vec_id") < 10), k = 5, nprobe = 4)
+          .orderBy(col("query_id"), col("rank")))
+      finally {
+        assigned.unpersist(blocking = false)
+        centroids.unpersist(blocking = false)
+      }
     }),
 
     // product-quantization ANN: train codebook on a bounded sample, encode

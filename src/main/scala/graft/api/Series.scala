@@ -85,6 +85,28 @@ final class Series private (val name: String, private val df: DataFrame) {
     if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
   }
 
+  /** Positional slice (series.rs:214 `pl_series_slice(offset, length)`;
+    * Series.cs:610 — negative offset counts from the end). Semantics match
+    * the reference exactly: `start = offset >= 0 ? min(offset, len) :
+    * max(len + offset, 0)`, then length clips to what remains — out-of-range
+    * never throws, it returns the empty/short series. A non-negative offset
+    * stays fully lazy (row-index filter, no job); a negative offset needs
+    * the length and pays one count — the same cost the eager reference pays
+    * implicitly by owning the materialized array. */
+  def slice(offset: Long, length: Long): Series = {
+    require(length >= 0, s"slice length must be >= 0, got $length")
+    val start =
+      if (offset >= 0) offset
+      else math.max(len() + offset, 0L)
+    val sliced = graft.api.frame.withRowIndex(df)
+      .filter(col("__idx") >= start && col("__idx") < start + length)
+      .select(col(name))
+    new Series(name, sliced)
+  }
+  /** First/last n rows (reference head/tail via slice). */
+  def head(n: Long = 10L): Series = slice(0L, n)
+  def tail(n: Long = 10L): Series = slice(-n, n)
+
   /** Materialize (reference per-cell getters, series.rs:439-553). */
   def toSeq[T: scala.reflect.ClassTag]: Seq[T] = df.collect().map(_.getAs[T](0)).toSeq
   def toFrame: DataFrame = df

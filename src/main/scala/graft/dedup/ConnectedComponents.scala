@@ -134,6 +134,12 @@ object ConnectedComponents {
       if (sys.props.contains("graft.cc.verbose"))
         println(s"[components] iter=$iter changed=$changed")
     }
+    // the final labels are fully materialized (the convergence count is a
+    // full-table agg), so the edge cache is dead weight from here on —
+    // release it. The labels' own persist/checkpoint IS the returned result's
+    // backing store in the distributed path; it lives exactly as long as the
+    // caller holds the frame (ContextCleaner reclaims it on GC).
+    edges.unpersist(blocking = false)
     labels
   }
 

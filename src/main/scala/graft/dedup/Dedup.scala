@@ -80,11 +80,20 @@ object Dedup {
   def newSinceSnapshot(current: DataFrame, previous: DataFrame,
                        textCol: String, fpp: Double = 0.01): DataFrame = {
     graft.plans.BloomExprs.register(current.sparkSession)
+    // the snapshot fingerprint set is read three times — count and Bloom
+    // build (both EAGER) plus the lazy rescue anti-join. The persist serves
+    // the two eager actions and is released before return; the anti-join
+    // recomputes the set once inside the caller's action. At 100 TB that is
+    // the honest shape anyway: a snapshot too big to broadcast is also too
+    // big to pin in cache across the caller's job.
     val prevFps = previous.select(T.fingerprint(col(textCol)).as("__fp")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val expected = math.max(prevFps.count(), 64L)
-    val bytes = graft.plans.BloomExprs.serialize(
-      prevFps.stat.bloomFilter("__fp", expected, fpp))
+    val bytes =
+      try {
+        val expected = math.max(prevFps.count(), 64L)
+        graft.plans.BloomExprs.serialize(
+          prevFps.stat.bloomFilter("__fp", expected, fpp))
+      } finally prevFps.unpersist(blocking = false)
     val cur = current.withColumn("__fp", T.fingerprint(col(textCol)))
     val hit = graft.plans.BloomExprs.mightContain(col("__fp"), bytes)
     val definitelyNew = cur.filter(!hit)
@@ -99,14 +108,16 @@ object Dedup {
                    numHashes: Int = 128, bands: Int = 32, shingleK: Int = 5,
                    threshold: Double = 0.8): DataFrame = {
     graft.plans.SketchExprs.register(df.sparkSession)
-    // native sketch expressions (tight loops) + persist: the signature scan
-    // runs ONCE; only (id, band, bucket) flows through the self-join shuffle,
-    // and signatures re-attach by id for the estimate.
+    // native sketch expressions (tight loops), no persist: only (id, band,
+    // bucket) flows through the self-join shuffle, and signatures re-attach
+    // by id for the estimate. The three plan references to `sigs` share one
+    // logical subplan, so ReuseExchange collapses them to two physical
+    // computations (the band-bucket exchange feeds both candidate sides; the
+    // id exchange feeds both re-attach sides) and the op retains no cache.
     val sigs = df.select(col(idCol).as("id"),
         call_function("graft_minhash",
           distinctShingleHashes(col(textCol), shingleK), lit(numHashes))
           .as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandsDf = sigs
       .withColumn("bh", explode(H.bandHashes(col("sig"), numHashes, bands)))
       .select(col("id"), col("bh.band"), col("bh.bucket"))
@@ -159,12 +170,12 @@ object Dedup {
                         shingleK: Int = 5, threshold: Double = 0.5): DataFrame = {
     graft.plans.SketchExprs.register(df.sparkSession)
     // the exploded shingle set feeds three consumers (both self-join sides
-    // and the per-doc counts) — materialize it once. Shingles travel as
-    // 8-byte hashes: the self-join shuffle is the cost center and its key
-    // width dominates exchange volume.
+    // and the per-doc counts); the identical subplans dedupe via
+    // ReuseExchange instead of a persist, so nothing stays cached after the
+    // caller's action. Shingles travel as 8-byte hashes: the self-join
+    // shuffle is the cost center and its key width dominates exchange volume.
     val sh = df.select(col(idCol).as("id"),
         explode(distinctShingleHashes(col(textCol), shingleK)).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val shared = sh.alias("a")
       .join(sh.alias("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
@@ -224,12 +235,14 @@ object Dedup {
     // per-partition partials are a second (much smaller) shuffle.
     val dfTab = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     // per-doc sorted shingle array (rarest-first global order) + set size;
-    // feeds candidate generation AND verification — materialize once
+    // feeds candidate generation AND verification. No persist: the three
+    // references share the aggregation's exchange, so ReuseExchange computes
+    // the heavy upstream (shingle explode + df join) once per action and the
+    // op leaves no cache behind.
     val sets = sh.join(dfTab, "s")
       .groupBy(col("id"))
       .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("arr"),
         count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // arr keeps (df, s) structs: df is a pure function of s, so set ops on
     // the structs equal set ops on the shingles — and carrying df lets the
     // candidate join drop df=1 prefix shingles (below), which by definition
@@ -249,12 +262,21 @@ object Dedup {
       .distinct()
     // verification intersects PLAIN shingle-hash arrays: df is a pure
     // function of s, so |A∩B| over s equals |A∩B| over (df, s) structs —
-    // and long-array intersection halves the bytes and the comparator cost
-    def sarr = transform(col("arr"), e => e.getField("s"))
+    // and long-array intersection halves the bytes and the comparator cost.
+    // The arrays are re-sorted ascending-by-s (the struct sort was by
+    // (df, s)) BELOW the id exchange — a cheap narrow per-doc sort — so the
+    // intersection is a sorted merge with the PPJoin early exit
+    // ([[graft.plans.SortedLongInterSizeExpr]]): a candidate pair that can
+    // no longer reach the threshold bails after a few elements instead of
+    // paying array_intersect's full per-pair hash set. -1 marks proven
+    // failures; survivors carry the exact size, so jaccard is unchanged.
+    def sarr = array_sort(transform(col("arr"), e => e.getField("s")))
     cand
       .join(sets.select(col("id").as("id_a"), sarr.as("__aa"), col("n").as("n_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), sarr.as("__ab"), col("n").as("n_b")), "id_b")
-      .withColumn("__inter", size(array_intersect(col("__aa"), col("__ab"))))
+      .withColumn("__inter", call_function("graft_sorted_inter_size",
+        col("__aa"), col("__ab"), lit(threshold)))
+      .filter(col("__inter") >= 0)
       .withColumn("jaccard",
         col("__inter").cast("double") / (col("n_a") + col("n_b") - col("__inter")))
       .filter(col("jaccard") >= threshold)
@@ -421,8 +443,17 @@ object Dedup {
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     nlist: Int, threshold: Double, lloydIters: Int = 2,
                     seed: Long = 42L): DataFrame = {
-    val (_, assigned) = graft.similarity.Ivf.buildIndex(
+    val (centroids, assigned) = graft.similarity.Ivf.buildIndex(
       df.select(col(idCol), col(vecCol)), nlist, seed, idCol, vecCol, lloydIters)
+    // release the index handles BEFORE building the result plan: the trained
+    // centroid table already rode into `assigned`'s lineage as a plan
+    // literal (assignCells collects it eagerly at build time), so the plan
+    // below recomputes only the narrow assignment + cell exchange — once,
+    // shared by both self-join sides via ReuseExchange — and this op leaves
+    // no cache blocks behind (CacheHygieneSpec). Lloyd refinement cost was
+    // already paid eagerly inside buildIndex.
+    centroids.unpersist(blocking = false)
+    assigned.unpersist(blocking = false)
     val drops = embeddingCosinePairs(assigned, idCol, vecCol, "cell", threshold)
       .select(col("id_b").as(idCol)).distinct()
     df.join(drops, Seq(idCol), "left_anti")

@@ -75,6 +75,17 @@ object Skew {
   def saltedSelfJoin(df: DataFrame, key: String, idCol: String, nSalts: Int,
                      suffix: String = "_b"): DataFrame = {
     require(nSalts > 0, s"nSalts must be positive, got $nSalts")
+    // validate the synthesized names up front: a pre-existing '__salt' would
+    // corrupt the join condition, and a column that already carries the
+    // suffix of another (x and x_b both present) would collide after the
+    // right-side rename — both silently wrong, so fail fast instead
+    require(!df.columns.contains("__salt"),
+      "saltedSelfJoin: input already has a '__salt' column")
+    val renamed = df.columns.map(c => if (c == key) c else c + suffix)
+    val clash = renamed.diff(Array(key)).intersect(df.columns) ++
+      renamed.diff(renamed.distinct)
+    require(clash.isEmpty,
+      s"saltedSelfJoin: suffix '$suffix' collides on ${clash.distinct.mkString(", ")}")
     val l = df.withColumn("__salt", pmod(xxhash64(col(idCol)), lit(nSalts.toLong)))
     val r = df.select(df.columns.map(c =>
         col(c).as(if (c == key) c else c + suffix)).toIndexedSeq: _*)

@@ -38,6 +38,14 @@ case class BlocklistHitsExpr(child: Expression, phrases: Array[String])
     "graft_blocklist_hits: empty phrase list")
   require(phrases.forall(_.nonEmpty),
     "graft_blocklist_hits: blank phrase in the list")
+  // the documented equivalence with contains(lower(text), p) holds only for
+  // lowercase-ASCII phrases (the matcher folds TEXT, never phrases) — fail
+  // fast instead of silently diverging on e.g. 'Café'
+  require(phrases.forall(_.forall(c => c < 0x80 && !(c >= 'A' && c <= 'Z'))), {
+    val bad = phrases.filter(_.exists(c => c >= 0x80 || (c >= 'A' && c <= 'Z')))
+    s"graft_blocklist_hits: phrases must be lowercase ASCII (the fold is " +
+      s"applied to the text side only); offending: ${bad.mkString("'", "', '", "'")}"
+  })
 
   override def dataType: DataType = IntegerType
 

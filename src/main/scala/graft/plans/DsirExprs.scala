@@ -48,10 +48,15 @@ case class DsirScoreExpr(child: Expression, table: Array[Double])
     var sum = 0.0
     var i = 0
     while (i < n) {
-      val w = toks.getUTF8String(i)
-      val h = XXH64.hashUnsafeBytes(w.getBaseObject, w.getBaseOffset, w.numBytes(), 42L)
-      val b = ((h % buckets) + buckets) % buckets
-      sum += table(b.toInt)
+      // null elements contribute nothing: internal callers (Prep.tokens)
+      // never yield them, but a session-registered SQL caller may pass
+      // containsNull arrays and must not kill the task
+      if (!toks.isNullAt(i)) {
+        val w = toks.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(w.getBaseObject, w.getBaseOffset, w.numBytes(), 42L)
+        val b = ((h % buckets) + buckets) % buckets
+        sum += table(b.toInt)
+      }
       i += 1
     }
     sum

@@ -272,9 +272,13 @@ case class SpanHashPairsExpr(child: Expression, k: Int)
       var j = w * k
       val end = math.min(n, j + k)
       while (j < end) {
+        // null elements hash as absent (internal callers never yield them;
+        // a session-registered SQL caller's containsNull array must not NPE)
         val s = arr.getUTF8String(j)
-        h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), h1)
-        h2 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), h2)
+        if (s != null) {
+          h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), h1)
+          h2 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), h2)
+        }
         j += 1
       }
       out(w) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
@@ -462,10 +466,64 @@ case class LangIdExpr(child: Expression) extends UnaryExpression with CodegenFal
     copy(child = newChild)
 }
 
+/** Size of the intersection of two SORTED ascending long arrays (distinct
+  * elements — set semantics), with the PPJoin-style positional early exit:
+  * given the Jaccard threshold t, a pair needs
+  * `|A∩B| >= r = ceil(t·(|A|+|B|)/(1+t))` to pass, so the merge bails with
+  * -1 the moment `inter_so_far + min(remaining_a, remaining_b) < r` — for a
+  * failing pair that is usually a few elements in, not the full scan.
+  * `array_intersect` can't do this: it builds a hash set of one side per
+  * row-pair and always touches every element of both (and the qd16 verify
+  * stage is exactly row-pair-heavy). Survivors return the EXACT size, so the
+  * caller's jaccard value is unchanged; -1 only ever replaces pairs that are
+  * provably below threshold (the epsilon relaxes r downward — bailing never
+  * fires on a borderline pass). Eval-only like the other sketch kernels: the
+  * cost is the merge loop itself. */
+case class SortedLongInterSizeExpr(left: Expression, right: Expression,
+                                   threshold: Double)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+
+  require(threshold > 0.0 && threshold <= 1.0,
+    s"graft_sorted_inter_size: threshold must be in (0,1], got $threshold")
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_sorted_inter_size expects (array<long>, array<long>), got $other")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]
+    val ab = b.asInstanceOf[ArrayData]
+    val na = aa.numElements()
+    val nb = ab.numElements()
+    val r = math.ceil(threshold * (na + nb) / (1.0 + threshold) - 1e-9).toInt
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      if (inter + math.min(na - i, nb - j) < r) return Int.box(-1)
+      val va = aa.getLong(i)
+      val vb = ab.getLong(j)
+      if (va == vb) { inter += 1; i += 1; j += 1 }
+      else if (va < vb) i += 1
+      else j += 1
+    }
+    Int.box(inter)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object SketchExprs {
   /** Register SQL-callable forms: graft_minhash(shingles, k),
     * graft_simhash(tokens), graft_shingles(tokens, k, distinct). */
   def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sorted_inter_size", exprs => SortedLongInterSizeExpr(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Double]), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_span_hash_pairs", exprs => SpanHashPairsExpr(exprs(0),
         exprs(1).eval().asInstanceOf[Int]), "built-in")

@@ -160,8 +160,14 @@ object Prep {
                         alpha: Double = 0.5): Map[String, Double] = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
     def powA(x: Double) = if (alpha == 0.5) math.sqrt(x) else math.pow(x, alpha)
-    val powered = df.groupBy(col(stratumCol)).agg(sum(col(nTokensCol)).as("__tot"))
-      .collect().map(r => r.getString(0) -> powA(r.getLong(1).toDouble)).toMap
+    val rows = df.groupBy(col(stratumCol)).agg(sum(col(nTokensCol)).as("__tot"))
+      .collect()
+    // fail fast instead of propagating NaN shares (empty input → denom 0)
+    // or a silent null map key into mixtureRatesPm
+    require(rows.nonEmpty, "temperatureShares: no strata (empty input)")
+    require(rows.forall(!_.isNullAt(0)),
+      s"temperatureShares: null $stratumCol value — filter or impute first")
+    val powered = rows.map(r => r.getString(0) -> powA(r.getLong(1).toDouble)).toMap
     val denom = powered.values.toSeq.sorted.foldLeft(0.0)(_ + _)
     powered.view.mapValues(_ / denom).toMap
   }
@@ -222,14 +228,19 @@ object Prep {
     graft.plans.SketchExprs.register(corpus.sparkSession)
     graft.plans.BloomExprs.register(corpus.sparkSession)
     def hashes(c: Column) = call_function("graft_shingle_hashes", T.tokens(c), lit(shingleK))
-    // bench shingles are read three times (count, filter build, verify join):
-    // cache the distinct set — it is the SMALL side by assumption, and the
-    // corpus side is never cached
+    // bench shingles are read three times — count and filter build (both
+    // EAGER, here) plus the lazy verify join. The persist serves exactly the
+    // two eager model-build actions and is RELEASED before return: the verify
+    // join recomputes the distinct set once inside the caller's action (it is
+    // the SMALL side by assumption), and the library call leaves no retained
+    // cache blocks behind (CacheHygieneSpec).
     val benchSet = bench.select(explode(hashes(col(textCol))).as("__s")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val expected = math.max(benchSet.count(), 64L)
-    val filter = benchSet.stat.bloomFilter("__s", expected, fpp)
-    val bytes = graft.plans.BloomExprs.serialize(filter)
+    val bytes =
+      try {
+        val expected = math.max(benchSet.count(), 64L)
+        graft.plans.BloomExprs.serialize(benchSet.stat.bloomFilter("__s", expected, fpp))
+      } finally benchSet.unpersist(blocking = false)
     val hits = corpus
       .select(col(idCol).as("__id"), explode(hashes(col(textCol))).as("__s"))
       .filter(graft.plans.BloomExprs.mightContain(col("__s"), bytes))
@@ -348,11 +359,16 @@ object Prep {
     * identical doubles before the divide and ln. */
   private def logRatioTable(corpus: DataFrame, target: DataFrame,
                             textCol: String, smoothing: Double): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // cs/ts each appear three times in the final plan (vocab union, count
+    // join, totals) but are NOT persisted: the three references share one
+    // logical subplan, so physical planning collapses them to a single
+    // shuffle via ReuseExchange — the count tables are computed once per
+    // action with ZERO retained cache blocks (library calls leave
+    // `getPersistentRDDs` empty; CacheHygieneSpec enforces this).
     val cs = corpus.select(explode(T.tokens(col(textCol))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cs")).persist(lvl)
+      .groupBy("w").agg(count(lit(1)).as("cs"))
     val ts = target.select(explode(T.tokens(col(textCol))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("ct")).persist(lvl)
+      .groupBy("w").agg(count(lit(1)).as("ct"))
     val vocab = cs.select("w").union(ts.select("w")).distinct()
     // ns/nt/v ride as a broadcast 1-row side instead of driver first()/count()
     // actions: the whole model build stays ONE lazy plan (no sequential
@@ -405,9 +421,20 @@ object Prep {
     val ns = csArr.sum
     val nt = ctArr.sum
     val a = smoothing
+    // Smooth over the OCCUPIED bucket count (the support of either model),
+    // not the full hash range: with B >> vocab the a·B mass otherwise
+    // dwarfs both models' totals and — because ns ≠ nt — injects a constant
+    // per-token bias of ln((ns+aB)/(nt+aB)) − ln-exact-equivalent into every
+    // score, i.e. a hidden document-LENGTH preference that reorders any
+    // top-k selection. With the support count, a collision-free vocabulary
+    // gives bucket-for-word identical tables to [[importanceWeights]]'s
+    // (whose V is the union vocab size) — the hashed face approximates the
+    // exact face, which is the estimator's contract.
+    val vUsed = math.max(1L,
+      (0 until buckets).count(i => csArr(i) + ctArr(i) > 0L).toLong)
     val table = Array.tabulate(buckets)(i =>
-      math.log((ctArr(i) + a) / (nt + a * buckets)) -
-        math.log((csArr(i) + a) / (ns + a * buckets)))
+      math.log((ctArr(i) + a) / (nt + a * vUsed)) -
+        math.log((csArr(i) + a) / (ns + a * vUsed)))
     corpus.withColumn("dsir_weight",
       coalesce(call_function("graft_dsir_score", T.tokens(col(textCol)),
         lit(table)), lit(0.0)))
@@ -436,19 +463,19 @@ object Prep {
     * [[perplexityBigramHashed]] is the narrow 100 TB face. */
   def perplexityBigram(corpus: DataFrame, lm: DataFrame, idCol: String,
                        textCol: String, smoothing: Double = 1.0): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val lmTok = lm.select(T.tokens(col(textCol)).as("tk"))
     // V rides as a broadcast 1-row side (same rationale as logRatioTable's
-    // totals: no blocking driver job per LM build)
+    // totals: no blocking driver job per LM build). heads/bigr are each
+    // referenced once in the scoring joins — no persist, no retained blocks.
     val vDf = broadcast(
       lmTok.select(explode(col("tk")).as("w")).distinct()
         .agg(count(lit(1)).as("__v")))
     val heads = lmTok.filter(size(col("tk")) >= 2)
       .select(explode(slice(col("tk"), lit(1), size(col("tk")) - 1)).as("w1"))
-      .groupBy("w1").agg(count(lit(1)).as("c1")).persist(lvl)
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
     val bigr = lmTok.filter(size(col("tk")) >= 2)
       .select(explode(T.shingles(col("tk"), 2)).as("bg"))
-      .groupBy("bg").agg(count(lit(1)).as("c12")).persist(lvl)
+      .groupBy("bg").agg(count(lit(1)).as("c12"))
     val a = smoothing
     val perDoc = corpus
       .select(col(idCol).as("__id"), T.tokens(col(textCol)).as("tk"))
@@ -474,11 +501,14 @@ object Prep {
 
   /** [[perplexityBigram]] with hashed features — scoring is TWO narrow
     * [[graft.plans.DsirScoreExpr]] passes and zero corpus shuffle:
-    * `Σ −ln P = Σ ln(c_head[h(w1)]+aB) − Σ ln(c_big[h(w1 w2)]+a)`, so one
+    * `Σ −ln P = Σ ln(c_head[h(w1)]+aV) − Σ ln(c_big[h(w1 w2)]+a)`, so one
     * kernel folds head tokens over the head-count table and another folds
     * bigram strings over the (negated) bigram-count table. Both tables are
-    * B-bounded plan literals; V is the bucket count B (the hashed-model
-    * convention, as in [[importanceWeightsHashed]]). */
+    * B-bounded plan literals; V is the OCCUPIED unigram-bucket count — the
+    * hashed estimate of the LM's distinct-unigram vocabulary (same support
+    * convention as [[importanceWeightsHashed]]), so collision-free inputs
+    * give NLLs identical to the exact face and threshold gates calibrated
+    * on one face transfer to the other. */
   def perplexityBigramHashed(corpus: DataFrame, lm: DataFrame, textCol: String,
                              buckets: Int = 1 << 18,
                              smoothing: Double = 1.0): DataFrame = {
@@ -493,11 +523,17 @@ object Prep {
         .collect().foreach(r => out(r.getLong(0).toInt) = r.getLong(1))
       out
     }
-    val lmTok = lm.select(T.tokens(col(textCol)).as("tk")).filter(size(col("tk")) >= 2)
+    val lmTokAll = lm.select(T.tokens(col(textCol)).as("tk"))
+    val lmTok = lmTokAll.filter(size(col("tk")) >= 2)
     val cHead = counts(lmTok.select(
       explode(slice(col("tk"), lit(1), size(col("tk")) - 1)).as("u")))
     val cBig = counts(lmTok.select(explode(T.shingles(col("tk"), 2)).as("u")))
-    val headTable = Array.tabulate(buckets)(i => math.log(cHead(i) + a * buckets))
+    // V = occupied unigram buckets over the WHOLE LM (incl. single-token
+    // docs) — mirrors the exact face's distinct-unigram V exactly when
+    // collision-free, so its absolute NLL scale carries over
+    val cUni = counts(lmTokAll.select(explode(col("tk")).as("u")))
+    val vUsed = math.max(1L, cUni.count(_ > 0L).toLong)
+    val headTable = Array.tabulate(buckets)(i => math.log(cHead(i) + a * vUsed))
     val bigTableNeg = Array.tabulate(buckets)(i => -math.log(cBig(i) + a))
     val tk = T.tokens(col(textCol))
     val headsArr = when(size(tk) >= 2, slice(tk, lit(1), size(tk) - 1))

@@ -109,6 +109,34 @@ object IO {
   def sinkJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** Async facade (DataFrame.cs:163-196 `ReadCsvAsync`/`ReadParquetAsync`,
+    * LazyFrame `CollectAsync`; AsyncTests.cs). Spark actions block their
+    * calling thread, so the async face is a `Future` around the blocking
+    * call with `blocking` marked — a `ForkJoinPool`-backed context spawns a
+    * compensation thread instead of starving its parallelism. Spark's
+    * scheduler is thread-safe: concurrent submissions run as independent
+    * jobs and share the cluster per `spark.scheduler.mode`. The reference
+    * awaits a task that polls a native completion handle; the observable
+    * contract (caller thread free, result delivered on completion) is the
+    * same. */
+  def scanCsvAsync(spark: SparkSession, path: String,
+                   schema: Option[StructType] = None,
+                   hasHeader: Boolean = true,
+                   separator: String = ",",
+                   skipRows: Int = 0,
+                   tryParseDates: Boolean = false)
+                  (implicit ec: scala.concurrent.ExecutionContext): scala.concurrent.Future[DataFrame] =
+    scala.concurrent.Future(scala.concurrent.blocking(
+      scanCsv(spark, path, schema, hasHeader, separator, skipRows, tryParseDates)))
+
+  def scanParquetAsync(spark: SparkSession, path: String)
+                      (implicit ec: scala.concurrent.ExecutionContext): scala.concurrent.Future[DataFrame] =
+    scala.concurrent.Future(scala.concurrent.blocking(scanParquet(spark, path)))
+
+  def collectAsync(df: DataFrame)
+                  (implicit ec: scala.concurrent.ExecutionContext): scala.concurrent.Future[Array[org.apache.spark.sql.Row]] =
+    scala.concurrent.Future(scala.concurrent.blocking(df.collect()))
+
   /** Batch export to the caller (io.rs:608-657 pl_dataframe_export_batches):
     * partition-at-a-time iterator without materializing the whole result. */
   def exportBatches(df: DataFrame): Iterator[org.apache.spark.sql.Row] = {

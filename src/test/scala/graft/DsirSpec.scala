@@ -88,17 +88,20 @@ class DsirSpec extends SparkSpec {
       .distinct()
       .select(pmod(xxhash64(col("w")), lit(b.toLong)).as("bk"))
     assert(vocab.count() == vocab.distinct().count(), "bucket collision in test vocab")
-    // with V_hashed = buckets the smoothing denominators differ from the
-    // word-feature variant, so compare via a reference computed with v = b
+    // the hashed face smooths over the OCCUPIED bucket count, which on a
+    // collision-free vocabulary equals the union vocab size — i.e. exactly
+    // the exact face's denominators, so the two faces must agree per doc
+    // (up to fp summation order; the exact face sorts contributions)
     def toks(s: String) = s.split("\\s+").filter(_.nonEmpty).toSeq
     val docs = corpus.as[(Long, String)].collect().toSeq
     val tgtTok = target.select("text").as[String].collect().toSeq.flatMap(toks)
     val srcTok = docs.flatMap(d => toks(d._2))
     val cs = srcTok.groupBy(identity).view.mapValues(_.size.toLong).toMap
     val ts = tgtTok.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val vUnion = (cs.keySet ++ ts.keySet).size
     def lr(w: String) =
-      math.log((ts.getOrElse(w, 0L) + 1.0) / (tgtTok.size + 1.0 * b)) -
-        math.log((cs.getOrElse(w, 0L) + 1.0) / (srcTok.size + 1.0 * b))
+      math.log((ts.getOrElse(w, 0L) + 1.0) / (tgtTok.size + 1.0 * vUnion)) -
+        math.log((cs.getOrElse(w, 0L) + 1.0) / (srcTok.size + 1.0 * vUnion))
     val want = docs.map { case (id, text) => id -> toks(text).map(lr).sum }.toMap
     val got = Prep.importanceWeightsHashed(corpus, target, "text", buckets = b)
       .select("doc_id", "dsir_weight").collect()
@@ -106,6 +109,13 @@ class DsirSpec extends SparkSpec {
     for ((id, w) <- want)
       assert(math.abs(got(id) - w) <= 1e-9 * (1 + math.abs(w)),
         s"doc $id: hashed ${got(id)} want $w")
+    // and therefore the hashed face == the exact word-feature face here
+    val exact = Prep.importanceWeights(corpus, target, "doc_id", "text")
+      .select("doc_id", "dsir_weight").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((id, w) <- exact)
+      assert(math.abs(got(id) - w) <= 1e-9 * (1 + math.abs(w)),
+        s"doc $id: hashed ${got(id)} vs exact $w")
   }
 
   test("resampleTopK: deterministic per salt, samples proportional to softmax") {
@@ -136,5 +146,22 @@ class DsirSpec extends SparkSpec {
     val got = Prep.selectTopK(df, "w", "id", 3).select("id").as[Long].collect().toSet
     // 7.0 x2, then the 5.0 tie resolves to the lower id
     assert(got == Set(2L, 4L, 1L))
+  }
+
+  test("qd41h hashed flagship selects (nearly) the exact flagship's documents") {
+    // the hashed twin runs the same 3-stage selection with bucket-hashed
+    // models; at 2^18 buckets over the synthetic vocabulary collisions are
+    // rare, so the two top-50 cuts must agree on the vast majority of docs —
+    // a coarse-but-real guard that the twin is the SAME pipeline, not a
+    // lookalike. (Stage-1 gates are near-identical; residual daylight is
+    // hashed-vs-exact score ties around the cut boundary.)
+    val d = "/root/testdata/sf0.001"
+    val exact = SparkEntry.queries("qd41_pipeline_quality_select")(spark, d)
+      .select("doc_id").as[Long].collect().toSet
+    val hashed = SparkEntry.queries("qd41h_pipeline_quality_select_hashed")(spark, d)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact.size == 50 && hashed.size == 50)
+    val overlap = (exact intersect hashed).size
+    assert(overlap >= 40, s"hashed/exact flagship overlap $overlap/50")
   }
 }

@@ -75,11 +75,14 @@ class PerplexitySpec extends SparkSpec {
     assert(ppl(5L).isNaN && ppl(6L).isNaN)
   }
 
-  test("hashed face matches the exact estimator under the V=buckets convention") {
+  test("hashed face matches the exact estimator when collision-free (support-V convention)") {
+    // the hashed face smooths over occupied unigram buckets, which equals
+    // the exact face's distinct-unigram V on a collision-free vocabulary —
+    // so the two faces produce the SAME NLLs and a threshold calibrated on
+    // one transfers to the other
     val b = 1 << 16
     val docs = corpus.as[(Long, String)].collect().toSeq
-    val want = reference(docs, lm.select("text").as[String].collect().toSeq,
-      vOverride = Some(b.toLong))
+    val want = reference(docs, lm.select("text").as[String].collect().toSeq)
     val got = Prep.perplexityBigramHashed(corpus, lm, "text", buckets = b)
       .select("doc_id", "n_bigrams", "nll_nats").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap

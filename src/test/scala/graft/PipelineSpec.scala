@@ -88,6 +88,32 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("sorted-merge intersection: exact size for passers, -1 only for provable failures") {
+    graft.plans.SketchExprs.register(spark)
+    val rnd = new scala.util.Random(7)
+    val cases = (0 until 200).map { _ =>
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      (a, b)
+    } :+ ((Seq.empty[Long], Seq(1L, 2L))) :+ ((Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)))
+    for (t <- Seq(0.3, 0.5, 0.8, 1.0)) {
+      val df0 = cases.toDF("a", "b")
+      val got = df0.select(call_function("graft_sorted_inter_size",
+        col("a"), col("b"), lit(t)).as("i")).collect().map(_.getInt(0))
+      cases.zip(got).foreach { case ((a, b), g) =>
+        val inter = a.toSet.intersect(b.toSet).size
+        val na = a.size; val nb = b.size
+        val passes = na + nb - inter > 0 &&
+          inter.toDouble / (na + nb - inter) >= t
+        if (passes) assert(g == inter, s"t=$t a=$a b=$b: passer must be exact, got $g")
+        else assert(g == inter || g == -1, s"t=$t a=$a b=$b: got $g expected $inter or -1")
+        // -1 must never hide a passer (checked above), and when it fires the
+        // pair must genuinely be below threshold
+        if (g == -1) assert(!passes)
+      }
+    }
+  }
+
   test("native graft_shingles == HOF shingles (randomized, incl. short docs)") {
     graft.plans.SketchExprs.register(spark)
     val rnd = new scala.util.Random(7)

@@ -129,12 +129,22 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
   }
 
-  test("minhash pairs: signatures scan once (cached), bands shuffle only ids") {
+  test("minhash pairs: no cache retained; repeated signature subplans dedupe at runtime") {
     val docs = SparkEntry.t(spark, "/root/testdata/sf0.001", "documents")
     val pairs = graft.dedup.Dedup.minhashPairs(docs, "doc_id", "text",
       numHashes = 32, bands = 8, shingleK = 3, threshold = 0.5)
-    val plan = planOf(pairs)
-    assert(plan.contains("InMemoryTableScan"), "signatures not cached")
+    // the op used to persist the signature frame; the cache-hygiene contract
+    // replaced that with ReuseExchange sharing, so the plan must carry no
+    // cache scan and leave no retained blocks behind...
+    spark.catalog.clearCache()
+    pairs.collect()
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("InMemoryTableScan"), "minhashPairs must not cache")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty, "retained cache blocks")
+    // ...and the multiply-referenced signature subplan must dedupe in the
+    // executed adaptive plan instead of recomputing per reference
+    assert(plan.contains("isFinalPlan=true"), s"expected executed adaptive plan:\n$plan")
+    assert(plan.contains("ReusedExchange"), s"expected runtime subplan reuse in:\n$plan")
   }
 
   test("q51 flagship plan: 3 exchanges, langid CSE blowup stays fixed") {

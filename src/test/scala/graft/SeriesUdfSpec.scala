@@ -82,4 +82,25 @@ class SeriesUdfSpec extends SparkSpec {
     }
     assert(got.agg(sum("doubled")).collect()(0).getLong(0) == 2 * 5050)
   }
+
+  test("series slice/head/tail: positional, negative offset, clipping (series.rs:214, Series.cs:610)") {
+    implicit val s = spark
+    val a = Series("a", Seq(10, 20, 30, 40, 50))
+    // plain positional slice
+    assert(a.slice(1, 3).toSeq[Int] == Seq(20, 30, 40))
+    // negative offset counts from the end
+    assert(a.slice(-2, 2).toSeq[Int] == Seq(40, 50))
+    // length clips to what remains, never throws
+    assert(a.slice(3, 100).toSeq[Int] == Seq(40, 50))
+    assert(a.slice(10, 5).toSeq[Int] == Seq())
+    // negative offset beyond the start clamps to 0 (polars semantics)
+    assert(a.slice(-100, 2).toSeq[Int] == Seq(10, 20))
+    assert(a.slice(0, 0).toSeq[Int] == Seq())
+    assert(a.head(2).toSeq[Int] == Seq(10, 20))
+    assert(a.tail(2).toSeq[Int] == Seq(40, 50))
+    // tail longer than the series returns the whole series
+    assert(a.tail(99).toSeq[Int] == Seq(10, 20, 30, 40, 50))
+    // sliced series still participates in positional ops
+    assert((a.slice(0, 2) + a.slice(-2, 2)).toSeq[Int] == Seq(50, 70))
+  }
 }
