@@ -21,6 +21,14 @@ object Bench {
       System.err.println(s"[bench] WARNING: unknown names in SPARK_GRAFT_BENCH_ONLY " +
         s"(selected nothing): ${unknown.toSeq.sorted.mkString(", ")}")
     val selected = if (only.isEmpty) SparkEntry.queries else SparkEntry.queries.filter(kv => only(kv._1))
+    // SPARK_GRAFT_BENCH_NO_CLEAR=1 runs the suite WITHOUT the per-rep
+    // clearCache/GC hygiene — the adversarial long-lived-session shape
+    // (round 6's driver harness measured qd41 at 135 s under accumulated
+    // cache pressure vs 7 s isolated). With the round-7 release contract
+    // (SCALE_CONTRACTS.md "Cache lifecycle") queries retain nothing, so
+    // this mode should now track the hygienic numbers; it exists to PROVE
+    // that, not as a reporting mode.
+    val noClear = sys.env.get("SPARK_GRAFT_BENCH_NO_CLEAR").contains("1")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (0 until reps).map { _ =>
         // isolate reps AND queries: operators persist internals (signatures,
@@ -28,13 +36,15 @@ object Bench {
         // plan is abandoned. Clearing per rep means every rep pays the full
         // plan cost against a clean storage pool - what the query would
         // cost as a job - rather than re-reading the previous rep's cache.
-        spark.catalog.clearCache()
-        // Spark's ContextCleaner frees shuffle files and broadcast blocks
-        // only after their driver-side handles are GC'd; without an explicit
-        // GC the suite accumulates dead state and later queries measure the
-        // memory pressure of earlier ones (observed 1.5-4x inflation vs
-        // running the same query in isolation)
-        System.gc()
+        if (!noClear) {
+          spark.catalog.clearCache()
+          // Spark's ContextCleaner frees shuffle files and broadcast blocks
+          // only after their driver-side handles are GC'd; without an
+          // explicit GC the suite accumulates dead state and later queries
+          // measure the memory pressure of earlier ones (observed 1.5-4x
+          // inflation vs running the same query in isolation)
+          System.gc()
+        }
         val t0 = System.nanoTime()
         // noop sink forces full materialization of every output column
         // (count() would let Catalyst prune the projections being measured)
@@ -55,8 +65,9 @@ object Bench {
     // a filtered run is marked in the artifact so a partial total can never
     // be mistaken for the suite total by a trend consumer
     val onlyField =
-      if (only.isEmpty) ""
-      else only.toSeq.sorted.map("\"" + _ + "\"").mkString("\"only\":[", ",", "],")
+      (if (noClear) "\"no_clear\":true," else "") +
+        (if (only.isEmpty) ""
+         else only.toSeq.sorted.map("\"" + _ + "\"").mkString("\"only\":[", ",", "],"))
     val json = s"""{"metric":"total_warm_min","value":$total,"unit":"sec","schema_version":2,$onlyField"queries":${jmap(_._2)},"queries_cold":${jmap(_._3)},"cold_total":$coldTotal,"reps":$reps,"sf":"$sfDir"}"""
     // The driver's stdout capture truncated the round-6 artifact into an
     // unparseable fragment ("parsed": null — the warm map was lost). Guard

@@ -545,17 +545,61 @@ object SparkEntry {
 
     // MinHash+LSH candidate pairs (128 hashes, 32 bands) — hash-based, no SQL
     // oracle; driver records rows-only. Near-dup docs share banded buckets.
+    // MinHash LSH near-dup pairs, emitted as a driver-checkable verdict
+    // (same pattern as the qs02-qs04 recall contracts): the query verifies
+    // its own pairs against the EXACT prefix-filtered Jaccard join —
+    // precision (every found pair really has J >= 0.5; measured min 0.857
+    // across SFs, the synthetic near-dups are strong) and recall (every
+    // exact pair at J >= 0.7 is found; 32 bands x 4 rows misses such a pair
+    // with p ~ 2e-4, measured 0 missed). The raw pair lists stay pinned by
+    // the Chernoff-band ScalaTest spec.
     "qd04_minhash_pairs" -> ((s, d) => {
-      graft.dedup.Dedup.minhashPairs(t(s, d, "documents"), "doc_id", "text",
+      val docs = t(s, d, "documents")
+      val D = graft.dedup.Dedup
+      val mh = D.minhashPairs(docs, "doc_id", "text",
           numHashes = 128, bands = 32, shingleK = 5, threshold = 0.5)
-        .orderBy(col("id_a"), col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      val exact = D.ngramJaccardPairsPrefix(docs, "doc_id", "text",
+        shingleK = 5, threshold = 0.5)
+      val falsePos = mh.join(exact.select(col("id_a"), col("id_b")),
+        Seq("id_a", "id_b"), "left_anti")
+      val missedHi = exact.filter(col("jaccard") >= 0.7)
+        .select(col("id_a"), col("id_b"))
+        .join(mh, Seq("id_a", "id_b"), "left_anti")
+      mh.agg(count(lit(1)).as("__n"))
+        .crossJoin(falsePos.agg(count(lit(1)).as("__fp")))
+        .crossJoin(missedHi.agg(count(lit(1)).as("__miss")))
+        .select((col("__n") >= 1).as("found_pairs"),
+          (col("__fp") === 0).as("precision_ok"),
+          (col("__miss") === 0).as("recall_ok"))
     }),
 
-    // SimHash near-dup pairs (4-chunk pigeonhole blocking, hamming <= 3)
+    // SimHash near-dup pairs (4-chunk pigeonhole blocking, hamming <= 3),
+    // verdict-emitting: SimHash approximates token-FREQUENCY similarity
+    // (not shingle overlap), so the verification metric is token-multiset
+    // cosine — every found pair must clear 0.6 (measured min 0.77/0.78 at
+    // sf0.001/sf0.01). Hamming/monotonicity behavior stays spec-pinned.
     "qd05_simhash_pairs" -> ((s, d) => {
-      graft.dedup.Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
+      val docs = t(s, d, "documents")
+      val T = graft.functions.TextFunctions
+      val pairs = graft.dedup.Dedup.simhashPairs(docs, "doc_id", "text",
           chunks = 4, maxHamming = 3)
-        .orderBy(col("id_a"), col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      val tf = docs.select(col("doc_id"), explode(T.tokens(col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).cast("double").as("c"))
+      val norms = tf.groupBy(col("doc_id")).agg(sum(col("c") * col("c")).as("n2"))
+      val dots = pairs
+        .join(tf.select(col("doc_id").as("id_a"), col("w"), col("c").as("ca")), Seq("id_a"))
+        .join(tf.select(col("doc_id").as("id_b"), col("w"), col("c").as("cb")), Seq("id_b", "w"))
+        .groupBy(col("id_a"), col("id_b")).agg(sum(col("ca") * col("cb")).as("dot"))
+      pairs
+        .join(dots, Seq("id_a", "id_b"), "left")
+        .join(norms.select(col("doc_id").as("id_a"), col("n2").as("na")), "id_a")
+        .join(norms.select(col("doc_id").as("id_b"), col("n2").as("nb")), "id_b")
+        .select((coalesce(col("dot"), lit(0.0)) / sqrt(col("na") * col("nb"))).as("__cos"))
+        .agg(count(lit(1)).as("__n"), min(col("__cos")).as("__m"))
+        .select((col("__n") >= 1).as("found_pairs"),
+          (col("__m") >= 0.6).as("precision_ok"))
     }),
 
     // heuristic language ID (stopword scoring; oracle generated from the
@@ -1949,6 +1993,14 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
         |  FROM scored
         |) WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Sketch-dedup verdict contracts (same pattern as the ANN recall rows
+    // below): the Spark query verifies its approximate pairs against the
+    // exact metric in-engine and emits booleans the oracle states.
+    "qd04_minhash_pairs" ->
+      "SELECT true AS found_pairs, true AS precision_ok, true AS recall_ok",
+    "qd05_simhash_pairs" ->
+      "SELECT true AS found_pairs, true AS precision_ok",
 
     // Approximate-search recall contracts: the Spark query computes mean
     // recall vs its own exact top-k and emits the verdict; the oracle
