@@ -543,8 +543,6 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // MinHash+LSH candidate pairs (128 hashes, 32 bands) — hash-based, no SQL
-    // oracle; driver records rows-only. Near-dup docs share banded buckets.
     // MinHash LSH near-dup pairs, emitted as a driver-checkable verdict
     // (same pattern as the qs02-qs04 recall contracts): the query verifies
     // its own pairs against the EXACT prefix-filtered Jaccard join —
@@ -974,13 +972,44 @@ object SparkEntry {
 
     // near-dup decontamination (MinHash-banded vs broadcast benchmark) —
     // sketch-based, no SQL oracle; rows-only + recall property in PrepSpec
+    // verdict-emitting (the per-doc minhash estimates are hash-valued, so
+    // the contract verifies the CLASSIFICATION against the exact shingle
+    // jaccard vs the benchmark): soundness — every flagged doc really
+    // shares >= 0.6 exact max-J with some bench doc (the flagged set is the
+    // bench docs themselves, J = 1, plus their strong near-dups, J >= 0.86);
+    // completeness — every doc at exact max-J >= 0.9 is flagged (banded
+    // minhash misses such a doc with p ~ 1e-4; measured clean separation:
+    // unflagged docs top out at exact 0.009)
     "qd21_decontaminate_neardup" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val bench = docs.filter(col("doc_id") % 97 === 0)
-      graft.prep.Prep.contaminationNearDup(docs, bench, "doc_id", "text",
+      val flags = graft.prep.Prep.contaminationNearDup(docs, bench, "doc_id", "text",
           numHashes = 128, bands = 32, shingleK = 5, threshold = 0.8)
-        .select(col("doc_id"), col("lang"), col("max_sim_est"), col("contaminated"))
-        .orderBy(col("doc_id"))
+        .select(col("doc_id"), col("contaminated"))
+      graft.plans.SketchExprs.register(s)
+      // exact per-doc max jaccard vs bench: bench shingle sets broadcast
+      // (the small side by construction), corpus stays narrow until the
+      // per-doc max agg
+      val bsh = broadcast(bench.select(col("doc_id").as("__bid"),
+        graft.dedup.Dedup.distinctShingleHashes(col("text"), 5).as("__bs"),
+        size(graft.dedup.Dedup.distinctShingleHashes(col("text"), 5)).as("__bn")))
+      val exactJ = docs.select(col("doc_id"),
+          graft.dedup.Dedup.distinctShingleHashes(col("text"), 5).as("__cs"))
+        .withColumn("__cn", size(col("__cs")))
+        .crossJoin(bsh)
+        .withColumn("__i", size(array_intersect(col("__cs"), col("__bs"))))
+        .withColumn("__j", when(col("__cn") + col("__bn") - col("__i") > 0,
+          col("__i").cast("double") / (col("__cn") + col("__bn") - col("__i")))
+          .otherwise(lit(0.0)))
+        .groupBy(col("doc_id")).agg(max(col("__j")).as("__maxj"))
+      val joined = flags.join(exactJ, Seq("doc_id"))
+      joined.agg(
+          sum(when(col("contaminated"), 1L).otherwise(0L)).as("__nc"),
+          sum(when(col("contaminated") && col("__maxj") < 0.6, 1L).otherwise(0L)).as("__unsound"),
+          sum(when(col("__maxj") >= 0.9 && !col("contaminated"), 1L).otherwise(0L)).as("__missed"))
+        .select((col("__nc") >= 1).as("found_some"),
+          (col("__unsound") === 0).as("soundness_ok"),
+          (col("__missed") === 0).as("completeness_ok"))
     }),
 
     // deterministic global training-order shuffle: multiplicative-hash key
@@ -1333,11 +1362,32 @@ object SparkEntry {
     // embeddings are near-orthogonal, so 0.3 plays the role 0.9+ plays for
     // real encoders — same dial as qd09). k-means output has no SQL oracle;
     // CorpusCleanSpec pins exact-dup recall, precision, and determinism
+    // verdict-emitting: the survivor set depends on k-means cell blocking,
+    // so the contract is SOUNDNESS against the exact metric — every dropped
+    // vector must have at least one other vector at exact cosine >= the 0.3
+    // threshold (a drop without a justifying near-duplicate partner means
+    // the op removed unique data, the one failure semantic dedup must never
+    // have). Cell-blocking recall stays pinned by the SemDeDup witness spec.
     "qd29_semantic_dedup" -> ((s, d) => {
-      graft.dedup.Dedup.semanticDedup(t(s, d, "embeddings"),
-          "vec_id", "embedding", nlist = 8, threshold = 0.3, lloydIters = 2)
-        .select(col("vec_id"), col("label"))
-        .orderBy(col("vec_id"))
+      graft.plans.CosineSimilarityExpr.register(s)
+      val emb = t(s, d, "embeddings")
+      val surv = graft.dedup.Dedup.semanticDedup(emb, "vec_id", "embedding",
+        nlist = 8, threshold = 0.3, lloydIters = 2)
+      val drops = emb.select(col("vec_id"), col("embedding"))
+        .join(surv.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      // justification scan: dropped side is the small side — broadcast it
+      // against the full corpus, exact cosine, per-drop max
+      val justified = emb.select(col("vec_id").as("__oid"), col("embedding").as("__ov"))
+        .join(broadcast(drops.select(col("vec_id").as("__did"), col("embedding").as("__dv"))),
+          col("__oid") =!= col("__did"))
+        .select(col("__did"),
+          call_function("graft_cosine", col("__dv"), col("__ov")).as("__cos"))
+        .groupBy(col("__did")).agg(max(col("__cos")).as("__maxcos"))
+      drops.agg(count(lit(1)).as("__nd"))
+        .crossJoin(justified.agg(
+          sum(when(col("__maxcos") < 0.3, 1L).otherwise(0L)).as("__unjust")))
+        .select((col("__nd") >= 1).as("dropped_some"),
+          (coalesce(col("__unjust"), lit(0L)) === 0).as("all_drops_justified"))
     }),
 
     // compression-ratio quality signal: deflate/raw byte ratio per document
@@ -1623,11 +1673,24 @@ object SparkEntry {
         max(v).as("vmax"))
     }),
 
-    // §2.3 deterministic seeded sampling (hash-ranked exact-n) — rows-only
+    // §2.3 deterministic seeded sampling (hash-ranked exact-n), verdict-
+    // emitting: the drawn SET is seed/hash-valued (no SQL formulation), but
+    // its invariants are exact — exactly n rows, no duplicates (without
+    // replacement), and every drawn row is a real orders row. The draw's
+    // determinism and seed-sensitivity stay pinned by the sampling spec.
     "q36_sample" -> ((s, d) => {
-      t(s, d, "orders").sampleN(100, seed = 7)
+      val orders = t(s, d, "orders")
+      val samp = orders.sampleN(100, seed = 7)
         .select(col("o_orderkey"), col("o_custkey"))
-        .orderBy(col("o_orderkey"))
+      val notInOrders = samp.join(
+        orders.select(col("o_orderkey"), col("o_custkey")),
+        Seq("o_orderkey", "o_custkey"), "left_anti")
+      samp.agg(count(lit(1)).as("__n"),
+          countDistinct(col("o_orderkey")).as("__nd"))
+        .crossJoin(notInOrders.agg(count(lit(1)).as("__bad")))
+        .select((col("__n") === 100).as("n_ok"),
+          (col("__nd") === 100).as("distinct_ok"),
+          (col("__bad") === 0).as("subset_ok"))
     }),
 
     // multimodal decode plumbing: partition-parallel decode over binary
@@ -2001,6 +2064,12 @@ object SparkEntry {
       "SELECT true AS found_pairs, true AS precision_ok, true AS recall_ok",
     "qd05_simhash_pairs" ->
       "SELECT true AS found_pairs, true AS precision_ok",
+    "qd21_decontaminate_neardup" ->
+      "SELECT true AS found_some, true AS soundness_ok, true AS completeness_ok",
+    "qd29_semantic_dedup" ->
+      "SELECT true AS dropped_some, true AS all_drops_justified",
+    "q36_sample" ->
+      "SELECT true AS n_ok, true AS distinct_ok, true AS subset_ok",
 
     // Approximate-search recall contracts: the Spark query computes mean
     // recall vs its own exact top-k and emits the verdict; the oracle

@@ -27,7 +27,7 @@ object Dedup {
     * string, and no shingle string is ever materialized. Same seed as the
     * minhash-internal shingle hash, so `graft_minhash` over these values
     * equals `graft_minhash` over the string shingles. */
-  private def distinctShingleHashes(text: Column, k: Int): Column =
+  private[graft] def distinctShingleHashes(text: Column, k: Int): Column =
     call_function("graft_shingle_hashes", T.tokens(text), lit(k))
 
   /** Exact dedup: keep the row with the smallest `orderCol` per duplicate
