@@ -1068,24 +1068,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // trainable BPE tokenizer (Sennrich ACL'16): corpus-exact merges from a
-    // distributed word-frequency table (driver sees only the bounded
-    // maxVocab cut), applied corpus-wide in a narrow map.
-    // Sequential merge learning has no SQL oracle; BpeSpec pins the classic
-    // corpus merges, expression==reference equivalence, and monotonicity
+    // trainable BPE tokenizer (Sennrich ACL'16) — merge-ORDER oracle on a
+    // deterministic fixture: every document carries the classic
+    // running-example corpus (low x5, lower x2, newest x6, widest x3), so
+    // the distributed word-frequency table is the classic table scaled by
+    // ndocs — uniform scaling preserves every argmax and every count tie,
+    // making the 10-merge sequence (which exercises three distinct
+    // lexicographic tie-breaks) SF-invariant and hand-derivable; the oracle
+    // states it as literals. This hash-pins the FULL distributed training
+    // path (explode → map-side-combined word table → bounded vocab cut →
+    // incremental merge learner) end to end. The real-corpus train+encode
+    // workload stays the BENCH face of this name (benchQueries); encode
+    // itself is hash-pinned by qd49's DuckDB replay and BpeSpec.
     "qd32_bpe_tokenize" -> ((s, d) => {
-      graft.plans.BpeExprs.register(s)
-      val B = graft.functions.Bpe
-      val T = graft.functions.TextFunctions
-      val docs = t(s, d, "documents")
-      // distributed word-frequency table (corpus-exact merges); the
-      // synthetic corpus has a tiny vocabulary — enough merges would
-      // collapse every word to one token; 40 keeps real sub-word splits
-      val merges = B.trainCorpus(docs, "text", numMerges = 40)
-      docs.select(col("doc_id"),
-          T.tokenCount(col("text")).as("n_words"),
-          B.tokenCount(col("text"), merges).as("n_bpe_tokens"))
-        .orderBy(col("doc_id"))
+      import s.implicits._
+      val classic = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+      val fixture = t(s, d, "documents").select(col("doc_id"))
+        .withColumn("text", lit(classic))
+      graft.functions.Bpe.trainCorpus(fixture, "text", numMerges = 10)
+        .zipWithIndex
+        .map { case ((a, b), i) => (i, a, b) }
+        .toDF("m_rank", "m_left", "m_right")
+        .orderBy(col("m_rank"))
     }),
 
     // the ENCODE half of the tokenizer under a FIXED merge table — the
@@ -1693,16 +1698,37 @@ object SparkEntry {
           (col("__bad") === 0).as("subset_ok"))
     }),
 
-    // multimodal decode plumbing: partition-parallel decode over binary
-    // payloads (real ImageIO behind a magic-byte gate; the text payloads
-    // here all take the deterministic fallback) — rows-only check
+    // multimodal decode round-trip through REAL JDK codecs: payloads are
+    // SYNTHESIZED from doc_id formulas (even ids → gray PNG via ImageIO,
+    // odd ids → mono 16-bit square-wave WAV via javax.sound —
+    // [[graft.multimodal.MediaFixtures]]), decoded back by the
+    // partition-parallel decodeFeatures pipeline (mediaDecode: the real
+    // ImageIO / AudioSystem codecs), and the oracle recomputes the formulas
+    // in SQL — decoded dimensions (width/height; sample-rate/channels/
+    // frames) hash-compare exactly, and the analog signal level (mean
+    // luminance / RMS+peak of the square wave) is a banded in-engine check
+    // whose verdict the oracle states. Same round-trip pattern as qm04's
+    // MP4 header walk, now through actual compression codecs.
     "qm02_decode_features" -> ((s, d) => {
-      val docs = t(s, d, "documents").withColumn("bin", col("text").cast("binary"))
-      val media = graft.multimodal.Multimodal.asMediaTable(docs, "doc_id", "bin")
-      graft.multimodal.Multimodal.decodeFeatures(media, featureDim = 16)
-        .select(col("media_id"), size(col("features")).as("n_features"),
-          element_at(col("features"), 1).as("f0"))
-        .orderBy(col("media_id"))
+      import s.implicits._
+      val M = graft.multimodal.Multimodal
+      val media0 = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, graft.multimodal.MediaFixtures.payload(id))))
+        .toDF("doc_id", "bin")
+      val media = M.asMediaTable(media0, "doc_id", "bin")
+      def f(i: Int) = element_at(col("features"), i)
+      val id = col("media_id")
+      val expLum = ((id % 16) * 16).cast("double") / lit(255.0)
+      val expAmp = (lit(8192) + (id % 7) * 1024).cast("double") / lit(32768.0)
+      M.decodeFeatures(media, featureDim = 16, decodeFn = M.mediaDecode)
+        .select(id, col("meta.format").as("format"),
+          f(1).cast("long").as("d0"),
+          f(2).cast("long").as("d1"),
+          when(col("meta.format") === "riff", f(3).cast("long")).as("d2"),
+          when(col("meta.format") === "png", abs(f(3) - expLum) < 0.02)
+            .otherwise(abs(f(4) - expAmp) < 1e-4 && abs(f(5) - expAmp) < 1e-4)
+            .as("signal_ok"))
+        .orderBy(id)
     }),
 
     // multimodal frame sampling: deterministic byte-offset "frames" — the
@@ -1787,6 +1813,59 @@ object SparkEntry {
       val losers = comps.filter(col("id") =!= col("component")).select(col("id"))
       docs.join(losers, docs("doc_id") === losers("id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+  )
+
+  // ------------------------------------------------------------ bench faces
+
+  /** BENCH faces: the benchmark times each operator's PRODUCTION plan. Four
+    * queries' correctness faces run something other than the raw operator —
+    * qd04/qd05/qs04 embed an exact self-verification contract (round 9
+    * measured qd04 at 4.8x its operator-only baseline because the bench was
+    * timing the embedded verifier, not the operator), and qd32 trains on the
+    * small fixture corpus its merge-order oracle needs. Overridden here
+    * under the SAME names with the raw operator workload, so `BENCH_r{N}`
+    * gates the plan a 100 TB user runs while `CORRECTNESS_r{N}` (Verify →
+    * `queries`) keeps gating the verification contracts. */
+  val benchQueries: Map[String, (SparkSession, String) => DataFrame] = queries ++ Map[String, (SparkSession, String) => DataFrame](
+
+    // raw MinHash-LSH candidate pairs (the qd04 contract's operator half;
+    // its exact-verify half is qd16's workload, benched there)
+    "qd04_minhash_pairs" -> ((s, d) => {
+      graft.dedup.Dedup.minhashPairs(t(s, d, "documents"), "doc_id", "text",
+        numHashes = 128, bands = 32, shingleK = 5, threshold = 0.5)
+    }),
+
+    // raw SimHash pigeonhole candidate pairs
+    "qd05_simhash_pairs" -> ((s, d) => {
+      graft.dedup.Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
+        chunks = 4, maxHamming = 3)
+    }),
+
+    // PQ ANN: codebook train + corpus encode + ADC search with rescore —
+    // the full production index+search path, minus the brute-force exact
+    // re-scan that exists only to feed the correctness contract
+    "qs04_ann_pq" -> ((s, d) => {
+      val P = graft.similarity.Pq
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      val cb = P.train(e, dim = 64, m = 16, ksub = 16, sampleN = 1000)
+      P.searchAdc(P.encode(e, cb, m = 16, ksub = 16), cb,
+        q, k = 5, m = 16, ksub = 16, rescore = 100)
+    }),
+
+    // trainable BPE on the REAL corpus (distributed word-frequency table →
+    // corpus-exact merges → narrow-map encode) — the original qd32 workload
+    "qd32_bpe_tokenize" -> ((s, d) => {
+      graft.plans.BpeExprs.register(s)
+      val B = graft.functions.Bpe
+      val T = graft.functions.TextFunctions
+      val docs = t(s, d, "documents")
+      val merges = B.trainCorpus(docs, "text", numMerges = 40)
+      docs.select(col("doc_id"),
+          T.tokenCount(col("text")).as("n_words"),
+          B.tokenCount(col("text"), merges).as("n_bpe_tokens"))
         .orderBy(col("doc_id"))
     }),
   )
@@ -2083,8 +2162,42 @@ object SparkEntry {
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 10 ORDER BY query_id",
 
     // BPE encode under the fixed merge table (the trainable pipeline's
-    // encode half, qd32's no-SQL gap): full replay in DuckDB
+    // encode half): full replay in DuckDB
     "qd49_bpe_encode_fixed" -> bpeEncodeFixedSql,
+
+    // BPE merge-order fixture oracle: the classic Sennrich corpus (low x5,
+    // lower x2, newest x6, widest x3) repeated per document scales every
+    // pair count by ndocs, so the greedy merge sequence is SF-invariant.
+    // Hand derivation (count, tie-break on lexicographically smallest pair):
+    //   es(9) over {es,st,t</w>} ties → est(9) over {est,t</w>} →
+    //   est</w>(9) → lo(7) over {lo,ow} → low(7) →
+    //   ew(6) over {ew,ne,w·est</w>} → ewest</w>(6) over {ew·est</w>,n·ew} →
+    //   newest</w>(6) → low</w>(5) → dest</w>(3) over {d·est</w>,id,wi}
+    "qd32_bpe_tokenize" ->
+      """SELECT CAST(r AS INTEGER) AS m_rank, l AS m_left, rt AS m_right
+        |FROM (VALUES
+        |  (0, 'e', 's'), (1, 'es', 't'), (2, 'est', '</w>'),
+        |  (3, 'l', 'o'), (4, 'lo', 'w'),
+        |  (5, 'e', 'w'), (6, 'ew', 'est</w>'), (7, 'n', 'ewest</w>'),
+        |  (8, 'low', '</w>'), (9, 'd', 'est</w>')) AS t(r, l, rt)
+        |ORDER BY m_rank""".stripMargin,
+
+    // Real-codec decode round-trip: payload dimensions are doc_id formulas
+    // (MediaFixtures), the Spark side decodes through actual ImageIO /
+    // javax.sound codecs, and this mirror recomputes the formulas — any
+    // encode or decode fidelity loss breaks the hash. The banded analog
+    // check (luminance/RMS/peak) is an in-engine verdict this states.
+    "qm02_decode_features" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'riff' END AS format,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 16 + (doc_id // 2) % 8
+        |            ELSE 8000 END AS BIGINT) AS d0,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 12 + (doc_id // 2) % 5
+        |            ELSE 1 END AS BIGINT) AS d1,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN NULL
+        |            ELSE 800 + doc_id % 97 END AS BIGINT) AS d2,
+        |  true AS signal_ok
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     // Repetition signals: line ratios via per-line GROUP BY (counts exact,
     // each ratio one division — bit-identical doubles), top-n-gram shares

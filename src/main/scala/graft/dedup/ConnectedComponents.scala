@@ -46,10 +46,13 @@ object ConnectedComponents {
 
     // Small-graph fast path — same philosophy as Spark's broadcast-join
     // threshold: the edge count is already known (the forced count above),
-    // and below the threshold (default 4M directed edges; collected as
-    // primitive-pair tuples this is a few hundred MB of driver heap at the
-    // limit, comparable to a large broadcast) driver-side union-find
-    // replaces 2–4 full shuffle/codegen iteration rounds. Near-dup graphs
+    // and at or below `smallGraphEdges` (default 4M directed edges; as
+    // primitive-pair tuples a few hundred MB of driver heap at the limit,
+    // comparable to a large broadcast) driver-side union-find replaces 2–4
+    // full shuffle/codegen iteration rounds. Within the fast path the edges
+    // reach the driver two ways (see below): up to 1M in ONE collect job;
+    // 1M–4M streamed partition-at-a-time via toLocalIterator, bounding
+    // driver heap to one partition + the parent map. Near-dup graphs
     // are tiny relative to their corpora (edges ∝ duplicates found, not
     // corpus size), so in practice even 100 TB corpora often land here;
     // graphs over the threshold take the iterative distributed loop below,

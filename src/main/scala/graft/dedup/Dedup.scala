@@ -78,22 +78,34 @@ object Dedup {
     * anti-join (oracle qd35), but the shuffled fraction is ≈ the true dup
     * rate + fpp instead of 1.0. */
   def newSinceSnapshot(current: DataFrame, previous: DataFrame,
-                       textCol: String, fpp: Double = 0.01): DataFrame = {
+                       textCol: String, fpp: Double = 0.01,
+                       expectedDistinct: Option[Long] = None): DataFrame = {
     graft.plans.BloomExprs.register(current.sparkSession)
-    // the snapshot fingerprint set is read three times — count and Bloom
-    // build (both EAGER) plus the lazy rescue anti-join. The persist serves
-    // the two eager actions and is released before return; the anti-join
-    // recomputes the set once inside the caller's action. At 100 TB that is
-    // the honest shape anyway: a snapshot too big to broadcast is also too
-    // big to pin in cache across the caller's job.
+    // the snapshot fingerprint set is read TWICE, not three times: the Bloom
+    // build (EAGER) and the lazy rescue anti-join, which recomputes the set
+    // once inside the caller's action. At 100 TB that is the honest shape:
+    // a snapshot too big to broadcast is also too big to pin in cache across
+    // the caller's job. The Bloom's expected-item count is a cost-free
+    // optimizer size estimate (or a caller hint) instead of an exact count()
+    // pass — sizing only trades filter bits against fpp, never correctness:
+    // an undersized Bloom raises the false-positive rate and every false
+    // positive is still removed by the rescue anti-join below.
     val prevFps = previous.select(T.fingerprint(col(textCol)).as("__fp")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bytes =
-      try {
-        val expected = math.max(prevFps.count(), 64L)
-        graft.plans.BloomExprs.serialize(
-          prevFps.stat.bloomFilter("__fp", expected, fpp))
-      } finally prevFps.unpersist(blocking = false)
+    val expected = math.max(64L, expectedDistinct.getOrElse {
+      val stats = previous.queryExecution.optimizedPlan.stats
+      stats.rowCount.map(_.toLong).getOrElse {
+        // sizeInBytes is compressed on-disk size for file sources, so rows
+        // are UNDER-estimated; the 4x overshoot buys the fpp margin back in
+        // bits. Cap the estimate where the Bloom itself (~10 bits/item at
+        // 1%) would outgrow a sane broadcast — beyond that the caller must
+        // size it explicitly via expectedDistinct.
+        val rowBytes = math.max(1, previous.schema.defaultSize)
+        val est = (stats.sizeInBytes.min(BigInt(1L << 50)) / rowBytes + 1).toLong
+        math.min(est * 4L, 1L << 27)
+      }
+    })
+    val bytes = graft.plans.BloomExprs.serialize(
+      prevFps.stat.bloomFilter("__fp", expected, fpp))
     val cur = current.withColumn("__fp", T.fingerprint(col(textCol)))
     val hit = graft.plans.BloomExprs.mightContain(col("__fp"), bytes)
     val definitelyNew = cur.filter(!hit)

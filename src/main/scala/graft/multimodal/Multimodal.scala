@@ -19,7 +19,10 @@ import org.apache.spark.sql.types._
   * video codecs are not in the JDK). Swapping in a heavier decoder changes
   * only `decodeFn`.
   */
-object Multimodal {
+// Serializable: passing a decoder method (e.g. `Multimodal.mediaDecode`) as
+// a `decodeFn` value eta-expands to a lambda that captures this module
+// instance, which then rides inside the mapPartitions closure to executors.
+object Multimodal extends Serializable {
 
   // ImageIO defaults to a disk-backed stream cache: every read of an
   // in-memory payload would create/write/delete a temp file on the executor.
