@@ -22,6 +22,28 @@ class BpeSpec extends SparkSpec {
       ("e", "s"), ("es", "t"), ("est", B.EndOfWord), ("l", "o")), merges.toString)
   }
 
+  test("classic 10-merge sequence matches the hand derivation (the qd32 oracle)") {
+    // The qd32 fixture oracle states these 10 merges as literals; this pins
+    // the trainer to the same hand derivation locally, so a tie-break or
+    // count change fails here before it hash-mismatches the driver compare.
+    // Derivation: es(9 tie {es,st,t</w>}) -> est(9) -> est</w>(9) ->
+    // lo(7 tie {lo,ow}) -> low(7) -> ew(6 tie {ew,ne,w·est</w>}) ->
+    // ewest</w>(6 tie {ew·est</w>, n·ew}) -> newest</w>(6) -> low</w>(5) ->
+    // dest</w>(3 tie {d·est</w>, id, wi})
+    val expected = Seq(
+      ("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w"),
+      ("e", "w"), ("ew", "est</w>"), ("n", "ewest</w>"), ("low", "</w>"),
+      ("d", "est</w>"))
+    assert(B.train(corpus, "text", numMerges = 10) == expected)
+    // and through the DISTRIBUTED trainer on a multi-doc fixture (the exact
+    // qd32 shape: the same corpus text per doc scales every count uniformly,
+    // preserving argmaxes and ties)
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val multi = (1L to 7L).map(i => (i, words.mkString(" "))).toDF("doc_id", "text")
+    assert(B.trainCorpus(multi, "text", numMerges = 10) == expected)
+  }
+
   test("expression encode == reference encoder on random words") {
     graft.plans.BpeExprs.register(spark)
     val merges = B.train(sf("documents"), "text", numMerges = 150, sampleN = 100,

@@ -678,6 +678,40 @@ class PipelineSpec extends SparkSpec {
       M.fakeDecode("plain text".getBytes, 8).toSeq)
   }
 
+  test("multimodal: MediaFixtures encode->decode round-trips the id formulas (qm02 contract)") {
+    val M = graft.multimodal.Multimodal
+    val F = graft.multimodal.MediaFixtures
+    for (id <- 0L until 40L) {
+      val f = M.mediaDecode(F.payload(id), 8)
+      if (id % 2 == 0) {
+        // PNG: [w, h, mean lum, quadrants...] — dims exact, luminance = gray/255
+        assert(f(0) == (16 + (id / 2) % 8).toFloat, s"id $id width ${f(0)}")
+        assert(f(1) == (12 + (id / 2) % 5).toFloat, s"id $id height ${f(1)}")
+        val lum = ((id % 16) * 16) / 255.0f
+        assert(math.abs(f(2) - lum) < 0.02f, s"id $id lum ${f(2)} vs $lum")
+      } else {
+        // WAV: [rate, ch, frames, rms, peak, zcr] — square wave so rms == peak == A/32768
+        assert(f(0) == 8000f && f(1) == 1f, s"id $id fmt ${f.toSeq}")
+        assert(f(2) == (800 + id % 97).toFloat, s"id $id frames ${f(2)}")
+        val amp = (8192 + (id % 7) * 1024) / 32768.0f
+        assert(math.abs(f(3) - amp) < 1e-4f, s"id $id rms ${f(3)} vs $amp")
+        assert(math.abs(f(4) - amp) < 1e-4f, s"id $id peak ${f(4)} vs $amp")
+      }
+    }
+    // the SQL-side sniff agrees with the formula split (qm02's format column)
+    import spark.implicits._
+    val media = M.asMediaTable(
+      (0L until 20L).map(id => (id, F.payload(id))).toDF("id", "bin"), "id", "bin")
+    val fmts = media.select(col("media_id"), col("meta.format")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((0L until 20L).forall(id => fmts(id) == (if (id % 2 == 0) "png" else "riff")), fmts.toString)
+    // PNG dims parsed from IHDR in SQL match the decoded dims
+    val dims = media.filter(col("meta.format") === "png")
+      .select(col("media_id"), col("meta.width"), col("meta.height")).collect()
+    assert(dims.forall(r => r.getInt(1) == 16 + (r.getLong(0) / 2) % 8 &&
+      r.getInt(2) == 12 + (r.getLong(0) / 2) % 5), dims.mkString(","))
+  }
+
   test("multimodal: MP4 moov-atom metadata (hand-built atoms, v0/v1, largesize, junk)") {
     val Mp4 = graft.multimodal.Mp4
     val M = graft.multimodal.Multimodal
