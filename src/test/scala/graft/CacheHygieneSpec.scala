@@ -45,6 +45,26 @@ class CacheHygieneSpec extends SparkSpec {
       }
     }
 
+  // The bench-only operator faces (round 10: qd04/qd05/qs04/qd32 overrides)
+  // run under the same contract — the bench's long 5-rep suite would
+  // amplify any leak 5x per query.
+  private val benchOnly =
+    (SparkEntry.benchQueries.keySet -- SparkEntry.queries.keySet) ++
+      SparkEntry.benchQueries.keys.filter(k =>
+        SparkEntry.benchQueries(k) ne SparkEntry.queries.getOrElse(k, null))
+
+  test(s"no retained cache blocks after bench faces: ${benchOnly.toSeq.sorted.mkString(", ")}") {
+    for (name <- benchOnly.toSeq.sorted) {
+      spark.catalog.clearCache()
+      SparkEntry.benchQueries(name)(spark, dir).write.mode("overwrite")
+        .format("noop").save()
+      val retained = spark.sparkContext.getPersistentRDDs
+      assert(retained.isEmpty,
+        s"bench face $name retained ${retained.size} cached RDD(s): " +
+          retained.values.map(_.name).mkString("; "))
+    }
+  }
+
   test("DSIR exact face dedupes its count tables via ReuseExchange, not persist") {
     val docs = sf("documents")
     val df = graft.prep.Prep
