@@ -691,6 +691,70 @@ class DifferentialSpec extends SparkSpec {
         |FROM graft_dirty""".stripMargin)
   }
 
+  test("fuzz: 300 random adversarial URLs — canonicalization matches DuckDB") {
+    // grammar 16: UrlFunctions over adversarial component combinations —
+    // missing/uppercase schemes, WWW./nested-www hosts, explicit ports
+    // (default and not), IPv4/IPv6/single-label hosts, empty and trailing-
+    // slash paths, tracking params mixed with bare/empty/duplicate params,
+    // query-less '?', fragments containing '?'. Both engines run the same
+    // RE2-portable regex chain (the qd12 oracle's), so this pins the
+    // Java-regex-vs-RE2 and split/sort/array-semantics agreement across the
+    // whole input space the canonicalizer claims, where qd12 exercises one
+    // fixed URL shape.
+    val r = new scala.util.Random(1016)
+    val schemes = Seq("https://", "http://", "HTTP://", "FtP://", "")
+    val hosts = Seq("www.Example.COM", "WWW.example.com", "example.com",
+      "sub.www.example.co.uk", "EXAMPLE.com:8080", "example.com:443",
+      "10.0.0.1:80", "localhost", "www.localhost", "[::1]:8080",
+      "a.b.c.d.example.org", "www.x")
+    val paths = Seq("", "/", "/Path/", "/a/b", "/a//b/", "/trailing/",
+      "/%7Euser", "/a.b/c..", "/UPPER/Case", "//lead")
+    val queries = Seq("", "?", "?a=1", "?b=2&a=1", "?utm_source=x&a=1",
+      "?fbclid=z", "?gclid=1&utm_x=2", "?a=1&&b=2", "?a", "?a=1&a=0",
+      "?=v", "?x=%20y", "?utm_=1&z=9", "?A=1&a=2")
+    val frags = Seq("", "#frag", "#a?b=1", "#")
+    val rows = (1 to 300).map { i =>
+      (i.toLong, schemes(r.nextInt(schemes.size)) + hosts(r.nextInt(hosts.size)) +
+        paths(r.nextInt(paths.size)) + queries(r.nextInt(queries.size)) +
+        frags(r.nextInt(frags.size)))
+    }
+    val st = duck.createStatement()
+    st.execute("CREATE TABLE graft_urls(id BIGINT, url VARCHAR)")
+    st.close()
+    val ps = duck.prepareStatement("INSERT INTO graft_urls VALUES (?, ?)")
+    rows.foreach { case (id, s) => ps.setLong(1, id); ps.setString(2, s); ps.addBatch() }
+    ps.executeBatch(); ps.close()
+    val U = graft.functions.UrlFunctions
+    val df = spark.createDataFrame(rows).toDF("id", "url")
+      .select(col("id"), U.scheme(col("url")).as("sch"),
+        U.host(col("url")).as("host"), U.domain(col("url")).as("domain"),
+        U.normalize(col("url")).as("norm"))
+    assertSame(df,
+      """WITH n AS (
+        |  SELECT id,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+        |    regexp_replace(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', '') AS rest
+        |  FROM graft_urls
+        |),
+        |parts AS (
+        |  SELECT id, sch,
+        |    regexp_replace(regexp_replace(lower(regexp_extract(rest, '^([^/?]+)', 1)),
+        |      ':[0-9]+$', ''), '^www\.', '') AS host,
+        |    regexp_extract(regexp_replace(rest, '^[^/?]+', ''), '^([^?]*)', 1) AS rawpath,
+        |    regexp_extract(rest, '\?(.*)$', 1) AS q
+        |  FROM n
+        |)
+        |SELECT id, sch, host,
+        |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+        |  (CASE WHEN sch = '' THEN '' ELSE sch || '://' END) || host ||
+        |  (CASE WHEN regexp_replace(rawpath, '/$', '') = '' THEN '/'
+        |        ELSE regexp_replace(rawpath, '/$', '') END) ||
+        |  (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END) AS norm
+        |FROM (SELECT *, list_sort(list_filter(string_split(q, '&'),
+        |        p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)=') AND p <> '')) AS kept
+        |      FROM parts)""".stripMargin)
+  }
+
   test("fuzz: 300 random HTML-ish strings — extraction + sentences match DuckDB") {
     // grammar 15: htmlToText and sentence segmentation over adversarial
     // markup — unclosed tags and comments, attributes containing '>',
