@@ -207,7 +207,18 @@ object TextFunctions {
 
   /** Email addresses → `<EMAIL>`. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  /** Dotted-quad IPv4 → `<IP>`. */
+  /** Dotted-quad IPv4 → `<IP>`.
+    *
+    * Portability edge (found by the grammar-17 differential fuzz): `\b` is
+    * the ONE construct here whose semantics differ between Java regex
+    * (Spark) and RE2 (DuckDB oracle) — Java's `\b` is Unicode-aware, RE2's
+    * is ASCII, so an IPv4 abutting a non-ASCII word character ("…3.4世")
+    * has a boundary under RE2 but not under Java: RE2 redacts, Spark does
+    * not. This library pins the Spark/Java behavior (DifferentialSpec
+    * asserts it); ASCII-adjacent contexts — the space the qd13 oracle
+    * exercises — agree byte-for-byte. RE2 has no lookaround, so there is no
+    * portable boundary formulation that preserves adjacent-match behavior;
+    * the divergence is documented rather than papered over. */
   val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
   /** International-format phone numbers (+ then 7-15 digits) → `<PHONE>`. */
   val PhoneRe = "\\+[0-9]{7,15}"

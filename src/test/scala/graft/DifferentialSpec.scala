@@ -755,6 +755,75 @@ class DifferentialSpec extends SparkSpec {
         |      FROM parts)""".stripMargin)
   }
 
+  test("fuzz: 300 random PII-bait strings — redaction + match counts match DuckDB") {
+    // grammar 17: redactPii's fixed-order regex chain + matchCount over
+    // adversarial fragments — near-miss emails (@nope, x@y, trailing-dot
+    // TLD), out-of-range and over-long dotted quads (the \b boundary
+    // cases), phone prefixes at both length limits, PII butted against
+    // punctuation/unicode, and overlapping bait (email whose digits a phone
+    // rule could half-eat — the reason the order is fixed). Pins Java-vs-RE2
+    // agreement on \b semantics and replacement order across the claimed
+    // input space, where qd13 runs one formula shape.
+    val r = new scala.util.Random(1017)
+    val pool = Seq(
+      "user@example.com", "a.b-c+tag@x.co", "MiXeD@SuB.DoMaIn.ORG", "@nope",
+      "x@y", "no@tld.", "a@b.c", "double@@at.com", "dot.@d.ee",
+      "1.2.3.4", "999.999.1.1", "10.0.0.256", "1.2.3.4.5", "127.0.0.1",
+      "1.2.3", "001.002.003.004", "v1.2.3.4x",
+      "+15551234567", "+1234567", "+123456", "+123456789012345",
+      "+1234567890123456", "tel:+123456789", "x+1234567",
+      // " 世界 " stays space-padded: a dotted quad ABUTTING a non-ASCII
+      // word char is the documented Java-vs-RE2 \b divergence (Unicode vs
+      // ASCII word boundary — see Ipv4Re's scaladoc); the Spark-side
+      // behavior for that shape is pinned by the dedicated test below.
+      "call me", " 世界 ", "más", "(", ")", ".", ",", " ", "  ", "\t",
+      "a", "b-", "_c", "%", "7")
+    val rows = (1 to 300).map { i =>
+      (i.toLong, (1 to (1 + r.nextInt(10))).map(_ => pool(r.nextInt(pool.size)))
+        .mkString(r.nextInt(3) match { case 0 => " "; case 1 => ""; case _ => "," }))
+    }
+    val st = duck.createStatement()
+    st.execute("CREATE TABLE graft_pii(id BIGINT, s VARCHAR)")
+    st.close()
+    val ps = duck.prepareStatement("INSERT INTO graft_pii VALUES (?, ?)")
+    rows.foreach { case (id, s) => ps.setLong(1, id); ps.setString(2, s); ps.addBatch() }
+    ps.executeBatch(); ps.close()
+    val T = graft.functions.TextFunctions
+    val df = spark.createDataFrame(rows).toDF("id", "s")
+      .select(col("id"), T.redactPii(col("s")).as("red"),
+        T.matchCount(col("s"), T.EmailRe).cast("long").as("ne"),
+        T.matchCount(col("s"), T.Ipv4Re).cast("long").as("ni"),
+        T.matchCount(col("s"), T.PhoneRe).cast("long").as("np"))
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    val phone = "\\+[0-9]{7,15}"
+    assertSame(df,
+      s"""SELECT id,
+         |  regexp_replace(regexp_replace(regexp_replace(s,
+         |    '$email', '<EMAIL>', 'g'),
+         |    '$ip', '<IP>', 'g'),
+         |    '$phone', '<PHONE>', 'g') AS red,
+         |  CAST(len(regexp_extract_all(s, '$email')) AS BIGINT) AS ne,
+         |  CAST(len(regexp_extract_all(s, '$ip')) AS BIGINT) AS ni,
+         |  CAST(len(regexp_extract_all(s, '$phone')) AS BIGINT) AS np
+         |FROM graft_pii""".stripMargin)
+  }
+
+  test("Ipv4Re \\b: Unicode-adjacent quad pins JAVA semantics (the documented RE2 divergence)") {
+    // "1.2.3.4世" — Java's Unicode-aware \b sees 4→世 as word→word (no
+    // boundary, no match); RE2 would match. The library runs on Spark, so
+    // Java's behavior is the contract; this assertion fails if the pattern
+    // (or Spark's regex engine) ever changes it silently.
+    val T = graft.functions.TextFunctions
+    import spark.implicits._
+    val got = Seq((1L, "ip 1.2.3.4世 and 5.6.7.8 done")).toDF("id", "s")
+      .select(T.matchCount(col("s"), T.Ipv4Re).as("n"),
+        T.redactPii(col("s")).as("red"))
+      .head()
+    assert(got.getInt(0) == 1, got.toString)
+    assert(got.getString(1) == "ip 1.2.3.4世 and <IP> done", got.toString)
+  }
+
   test("fuzz: 300 random HTML-ish strings — extraction + sentences match DuckDB") {
     // grammar 15: htmlToText and sentence segmentation over adversarial
     // markup — unclosed tags and comments, attributes containing '>',
