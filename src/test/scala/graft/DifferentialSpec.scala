@@ -691,6 +691,48 @@ class DifferentialSpec extends SparkSpec {
         |FROM graft_dirty""".stripMargin)
   }
 
+  test("fuzz: 40 random quantile plans (5 interpolation modes) match DuckDB") {
+    // grammar 18: Quantiles.quantile across all five interpolation modes at
+    // adversarial q values — 0 and 1 (index clamp edges), q where h = q(n−1)
+    // lands exactly on an integer (interpolation degenerates), nearest's
+    // half-up rounding, plus random q — over random filters so group sizes
+    // vary. The SQL is the same position arithmetic (mirror, not an
+    // independent quantile impl: DuckDB's quantile_cont may differ in the
+    // last ulp of its interpolation formula; the mirror pins OUR arithmetic
+    // exactly, q37-style, across the q/mode space q37's single point can't).
+    import graft.functions.Quantiles
+    import graft.functions.Quantiles._
+    val modes: Seq[(Interpolation, String)] = Seq(
+      (Lower, "lower"), (Higher, "higher"), (Nearest, "nearest"),
+      (Midpoint, "midpoint"), (Linear, "linear"))
+    val qPool = Seq(0.0, 1.0, 0.5, 0.25, 0.75, 0.001, 0.999, 1.0 / 3.0, 0.35)
+    for (seed <- 1200 until 1240) {
+      val r = new scala.util.Random(seed)
+      val q = if (r.nextBoolean()) qPool(r.nextInt(qPool.size)) else r.nextDouble()
+      val (mode, modeName) = modes(r.nextInt(modes.size))
+      val pred = genPred(r, 1)
+      val df = li.filter(pred.spark).groupBy(col("l_returnflag"))
+        .agg(Quantiles.quantile(col("l_quantity"), q, mode).as("qv"))
+      val h = s"(CAST($q AS DOUBLE) * (len(xs) - 1))"
+      val lo = s"xs[CAST(floor($h) AS INT) + 1]"
+      val hi = s"xs[CAST(ceil($h) AS INT) + 1]"
+      val expr = modeName match {
+        case "lower" => lo
+        case "higher" => hi
+        case "nearest" => s"xs[CAST(floor($h + 0.5) AS INT) + 1]"
+        case "midpoint" => s"($lo + $hi) / 2.0"
+        case "linear" => s"$lo + ($h - floor($h)) * ($hi - $lo)"
+      }
+      val sql =
+        s"""WITH s AS (
+           |  SELECT l_returnflag, list_sort(list(CAST(l_quantity AS DOUBLE))) AS xs
+           |  FROM lineitem WHERE ${pred.sql} GROUP BY 1
+           |)
+           |SELECT l_returnflag, $expr AS qv FROM s""".stripMargin
+      assertSame(df, sql)
+    }
+  }
+
   test("fuzz: 300 random adversarial URLs — canonicalization matches DuckDB") {
     // grammar 16: UrlFunctions over adversarial component combinations —
     // missing/uppercase schemes, WWW./nested-www hosts, explicit ports
