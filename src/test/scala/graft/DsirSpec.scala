@@ -158,10 +158,15 @@ class DsirSpec extends SparkSpec {
     val d = "/root/testdata/sf0.001"
     val exact = SparkEntry.queries("qd41_pipeline_quality_select")(spark, d)
       .select("doc_id").as[Long].collect().toSet
-    val hashed = SparkEntry.queries("qd41h_pipeline_quality_select_hashed")(spark, d)
+    // the raw hashed pipeline is the qd41h BENCH face (the correctness face
+    // wraps it in the overlap contract this test independently mirrors)
+    val hashed = SparkEntry.benchQueries("qd41h_pipeline_quality_select_hashed")(spark, d)
       .select("doc_id").as[Long].collect().toSet
     assert(exact.size == 50 && hashed.size == 50)
     val overlap = (exact intersect hashed).size
     assert(overlap >= 40, s"hashed/exact flagship overlap $overlap/50")
+    // and the contract query itself verdicts green with the same floor
+    val row = SparkEntry.queries("qd41h_pipeline_quality_select_hashed")(spark, d).head()
+    assert(row.getLong(0) == 50L && row.getBoolean(1), row.toString)
   }
 }
