@@ -925,6 +925,21 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // §2.11 dt.to_string across the specifier space Spark's date_format
+    // cannot express: ISO week fields compile to expressions (Spark bans
+    // Java week-based pattern letters outright), composites expand, literal
+    // runs quote — DuckDB's independent C-style strftime is the oracle
+    "q55_strftime_iso" -> ((s, d) => {
+      t(s, d, "events")
+        .select(col("event_id"),
+          col("ts").dt.toString("%G-W%V-%u").as("iso_week_date"),
+          col("ts").dt.toString("%Y-%m-%dT%H:%M:%S.%f").as("iso_ts"),
+          col("ts").dt.toString("%A, %B %d (%a %b) day %j").as("verbose"),
+          col("ts").dt.toString("%I:%M %p").as("clock12"),
+          col("ts").dt.toString("%w|%u").as("weekday_conventions"))
+        .orderBy(col("event_id"))
+    }),
+
     // single-stream packing via the boundary-carry scale path (no grouped
     // window): results are partition-count-independent, so a plain global
     // window is the oracle
@@ -2544,6 +2559,19 @@ object SparkEntry {
         |SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
         |  CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens
         |FROM ch GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // DuckDB's strftime is an independent C-style implementation of the
+    // same chrono specifier set (%w is C's Sunday-0 weekday, %u ISO's
+    // Monday-1; %f is the µs fraction on both — the engine's documented
+    // chrono-%f delta)
+    "q55_strftime_iso" ->
+      """SELECT event_id,
+        |  strftime(ts, '%G-W%V-%u') AS iso_week_date,
+        |  strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS iso_ts,
+        |  strftime(ts, '%A, %B %d (%a %b) day %j') AS verbose,
+        |  strftime(ts, '%I:%M %p') AS clock12,
+        |  strftime(ts, '%w|%u') AS weekday_conventions
+        |FROM events ORDER BY event_id""".stripMargin,
 
     // Gopher mirror: same synthesized structure, every statistic recomputed
     // with list functions, thresholds verbatim; mean/ratio doubles are one

@@ -135,8 +135,11 @@ object syntax {
     /** time-of-day as nanos-since-midnight i64 (reference Time repr, series.rs:522-530). */
     def time: Column =
       ((unix_micros(uc) - unix_micros(to_date(c).cast("timestamp"))) * 1000L).cast("long")
-    /** strftime (expr.rs:550-564). */
-    def toString(chronoFmt: String): Column = date_format(c, ChronoFormat.toJava(chronoFmt))
+    /** strftime (expr.rs:550-564). Java-safe formats compile to one
+      * `date_format`; ISO-week/space-padded/epoch specifiers compile to
+      * Spark expressions (Spark bans Java week-based pattern letters, and
+      * their locale week rules are not ISO anyway). */
+    def toString(chronoFmt: String): Column = ChronoFormat.formatColumn(c, chronoFmt)
     /** truncate to arbitrary duration (expr.rs:568-579): floor on unix micros;
       * calendar units (mo/q/y) floor to real month boundaries. */
     def truncate(every: String): Column = {

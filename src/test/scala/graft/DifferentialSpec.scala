@@ -922,4 +922,189 @@ class DifferentialSpec extends SparkSpec {
         |      x -> trim(x)), x -> x <> ''), 'string_agg', chr(31)) END AS sj
         |FROM graft_html""".stripMargin)
   }
+
+  test("fuzz: 40 random strftime formats match DuckDB (incl. ISO week fields)") {
+    // grammar 19: dt.to_string across random chrono format strings vs
+    // DuckDB's strftime — an independent C-style strftime, not a mirror.
+    // This is the grammar that catches the Java-pattern trap: Spark BANS
+    // week-based pattern letters (ww/YYYY/e), so %V/%G/%g/%u/%w compile to
+    // Spark expressions (weekofyear, Thursday-of-week year shift); the fuzz
+    // proves those expressions agree with DuckDB's ISO 8601 fields across
+    // the data, and that literal runs/quoting survive both engines.
+    import graft.api.syntax._
+    val st0 = duck.createStatement()
+    try st0.execute(s"CREATE VIEW IF NOT EXISTS events AS SELECT * FROM '$sfDir/events.parquet'")
+    finally st0.close()
+    // specifiers DuckDB also supports, identical semantics both sides
+    val specs = Seq("%Y", "%y", "%m", "%d", "%H", "%I", "%M", "%S", "%p",
+      "%a", "%A", "%b", "%B", "%j", "%f", "%V", "%G", "%u", "%w", "%%")
+    val lits = Seq("-", ":", "/", " ", ".", ",", "T", "W", "wk")
+    val ev = sf("events")
+    for (seed <- 1900 until 1940) {
+      val r = new scala.util.Random(seed)
+      val n = 3 + r.nextInt(6)
+      val fmt = (1 to n).map { _ =>
+        val s = specs(r.nextInt(specs.size))
+        if (r.nextInt(3) == 0) s + lits(r.nextInt(lits.size)) else s
+      }.mkString
+      val df = ev.select(col("event_id"), col("ts").dt.toString(fmt).as("s"))
+      // DuckDB strftime: bare letters are literals, same as our quoting
+      assertSame(df, s"SELECT event_id, strftime(ts, '$fmt') AS s FROM events")
+    }
+    // pinned ISO-week edges on exact boundary dates (Fri Jan 1 in W53 of the
+    // PRIOR iso-year; Mon Dec 28 still W53 of its own; Sun Jan 3 closing W53)
+    // (%g is chrono's 2-digit ISO week-year but DuckDB's MILLISECOND
+    // field — same spelling, different meaning; ours is pinned in ExprSpec)
+    val edges = Seq("2021-01-01 00:00:00", "2026-12-28 13:05:07", "2021-01-03 23:59:59")
+    val edf = spark.createDataFrame(edges.map(Tuple1(_))).toDF("raw")
+      .select(col("raw"), col("raw").cast("timestamp_ntz").dt.toString("%G-%V-%u|%w").as("s"))
+    val esql = edges.map(e => s"SELECT '$e' AS raw, strftime(TIMESTAMP '$e', '%G-%V-%u|%w') AS s")
+      .mkString(" UNION ALL ")
+    assertSame(edf, esql)
+  }
+
+  test("fuzz: 40 random directional-fill plans (limit, keyed + global) match DuckDB") {
+    // grammar 20: forward/backward fill with optional row-limit, keyed and
+    // global, vs a DuckDB formulation built from IGNORE-NULLS window
+    // primitives (last_value + last-non-null-position distance guard) — the
+    // window engine and null-skipping are DuckDB's own. Nulls are punched
+    // deterministically by modular arithmetic so both engines see the same
+    // holes. The global branch exercises fillGlobal's range-partition +
+    // broadcast boundary-carry path (the 100 TB shape), whose cross-
+    // partition carries must agree with DuckDB's single whole-frame window.
+    import graft.operators.Fill
+    val st0 = duck.createStatement()
+    try st0.execute(s"CREATE VIEW IF NOT EXISTS orders AS SELECT * FROM '$sfDir/orders.parquet'")
+    finally st0.close()
+    for (seed <- 2000 until 2040) {
+      val r = new scala.util.Random(seed)
+      val m = Seq(3, 5, 7)(r.nextInt(3))
+      val rsel = r.nextInt(m)
+      val forward = r.nextBoolean()
+      val keyed = r.nextBoolean()
+      val limit = Seq(None, Some(1), Some(2), Some(3))(r.nextInt(4))
+      val holed = sf("orders").select(col("o_orderkey"), col("o_custkey"),
+        when(pmod(col("o_orderkey"), lit(m)) === lit(rsel), lit(null))
+          .otherwise(col("o_totalprice")).as("v"))
+      val df =
+        if (keyed) holed.select(col("o_orderkey"),
+          (if (forward) Fill.forwardFill(col("v"), Seq(col("o_orderkey")), Seq(col("o_custkey")), limit)
+           else Fill.backwardFill(col("v"), Seq(col("o_orderkey")), Seq(col("o_custkey")), limit)).as("f"))
+        else Fill.fillGlobal(holed, Seq("v"), Seq(col("o_orderkey")), forward, limit)
+          .select(col("o_orderkey"), col("v").as("f"))
+      val part = if (keyed) "PARTITION BY o_custkey " else ""
+      val ord = if (forward) "o_orderkey" else "o_orderkey DESC"
+      val fexpr = limit match {
+        case None => "fv"
+        case Some(l) => s"CASE WHEN v IS NOT NULL THEN v WHEN rn - lp <= $l THEN fv END"
+      }
+      val sql =
+        s"""WITH b AS (
+           |  SELECT o_orderkey, o_custkey,
+           |         CASE WHEN o_orderkey % $m = $rsel THEN NULL ELSE o_totalprice END AS v
+           |  FROM orders
+           |), w1 AS (
+           |  SELECT o_orderkey, o_custkey, v,
+           |    row_number() OVER (${part}ORDER BY $ord) AS rn
+           |  FROM b
+           |), w AS (
+           |  SELECT o_orderkey, v, rn,
+           |    last_value(v IGNORE NULLS) OVER (${part}ORDER BY rn
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv,
+           |    max(CASE WHEN v IS NOT NULL THEN rn END) OVER (${part}ORDER BY rn
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lp
+           |  FROM w1
+           |)
+           |SELECT o_orderkey, $fexpr AS f FROM w""".stripMargin
+      assertSame(df, sql)
+    }
+  }
+
+  test("fuzz: 40 random pivot plans match DuckDB conditional aggregation") {
+    // grammar 21: pivotOn across agg kinds × discovered-vs-explicit column
+    // values (including an absent value → all-null column) vs DuckDB
+    // conditional aggregation — an independent formulation (CASE-filtered
+    // aggregates, no pivot operator). Sums ride DECIMAL for exactness.
+    import graft.api.frame._
+    val pivots = Map(
+      "l_linestatus" -> Seq("F", "O"),
+      "l_returnflag" -> Seq("A", "N", "R"))
+    for (seed <- 2100 until 2140) {
+      val r = new scala.util.Random(seed)
+      val pred = genPred(r, 1)
+      val pcol = pivots.keys.toSeq(r.nextInt(2))
+      val idx = (pivots.keys.toSet - pcol).toSeq.sorted
+      val vcol = numCols(r.nextInt(numCols.length))
+      val agg = Seq("sum", "min", "max", "count", "len")(r.nextInt(5))
+      // explicit columnValues half the time, sometimes with an absent value
+      val explicit = r.nextBoolean()
+      val vals =
+        if (!explicit) pivots(pcol)
+        else if (r.nextBoolean()) pivots(pcol) :+ "X" else pivots(pcol)
+      val base = li.filter(pred.spark)
+        .withColumn("__v", col(vcol).cast("decimal(18,4)"))
+      val df = base.pivotOn(idx, pcol, "__v", agg,
+        if (explicit) vals.map(x => x: Any) else Nil)
+      def cell(v: String): String = {
+        val in = s"CASE WHEN $pcol = '$v' THEN CAST($vcol AS DECIMAL(18,4)) END"
+        agg match {
+          case "sum" => s"sum($in)"
+          case "min" => s"min($in)"
+          case "max" => s"max($in)"
+          // Spark's pivot spreads a per-(group, value) aggregate, so an
+          // ABSENT combination is NULL even under count — NULLIF matches
+          // (a present combination always counts ≥ 1 here: vcol never null)
+          case "count" => s"NULLIF(count($in), 0)"
+          case "len" => s"NULLIF(count(CASE WHEN $pcol = '$v' THEN 1 END), 0)"
+        }
+      }
+      // Spark discovers pivot values present UNDER THE FILTER, sorted;
+      // mirror by asking DuckDB for the same distinct set
+      val outVals =
+        if (explicit) vals
+        else duckRows(
+          s"SELECT DISTINCT $pcol FROM lineitem WHERE ${pred.sql} ORDER BY 1").map(_.head)
+      if (outVals.nonEmpty) {
+        val sql =
+          s"""SELECT ${idx.mkString(", ")},
+             |  ${outVals.map(v => s"${cell(v)} AS \"$v\"").mkString(", ")}
+             |FROM lineitem WHERE ${pred.sql}
+             |GROUP BY ${idx.mkString(", ")}""".stripMargin
+        assertSame(df, sql)
+      }
+    }
+  }
+
+  test("fuzz: 40 random multi-sort + top-k plans (null ordering) match DuckDB") {
+    // grammar 22: sortBy's per-key descending flags with Polars'
+    // nulls-always-last default, and topK, vs DuckDB ORDER BY ... NULLS
+    // FIRST/LAST LIMIT. Nulls are punched into the first sort key by
+    // modular arithmetic; a unique key tail makes every ordering total, so
+    // LIMIT prefixes are comparable exactly.
+    import graft.api.frame._
+    for (seed <- 2200 until 2240) {
+      val r = new scala.util.Random(seed)
+      val m = Seq(3, 5, 7)(r.nextInt(3))
+      val rsel = r.nextInt(m)
+      val desc1 = r.nextBoolean()
+      val desc2 = r.nextBoolean()
+      val k = 1 + r.nextInt(200)
+      val pred = genPred(r, 1)
+      val holed = li.filter(pred.spark).select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(pmod(col("l_partkey"), lit(m)) === lit(rsel), lit(null))
+          .otherwise(col("l_partkey")).as("sk"))
+      val df = holed
+        .sortBy(Seq(("sk", desc1), ("l_orderkey", desc2), ("l_linenumber", false)))
+        .limit(k)
+      def d(b: Boolean) = if (b) "DESC" else "ASC"
+      val sql =
+        s"""SELECT l_orderkey, l_linenumber,
+           |  CASE WHEN l_partkey % $m = $rsel THEN NULL ELSE l_partkey END AS sk
+           |FROM lineitem WHERE ${pred.sql}
+           |ORDER BY sk ${d(desc1)} NULLS LAST, l_orderkey ${d(desc2)}, l_linenumber
+           |LIMIT $k""".stripMargin
+      assertSame(df, sql)
+    }
+  }
 }

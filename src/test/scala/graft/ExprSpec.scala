@@ -35,6 +35,29 @@ class ExprSpec extends SparkSpec {
     assert(got(1).isNullAt(0))
   }
 
+  test("dt.to_string: ISO week, space-padded, epoch and composite specifiers (expr.rs:550-564)") {
+    // Spark bans Java week-based pattern letters (ww/YYYY/e), so these
+    // compile to expressions; pin chrono's documented outputs.
+    // 2021-01-01 is a Friday in ISO week 53 of week-year 2020.
+    val df = Seq(java.sql.Timestamp.valueOf("2021-01-01 09:05:07")).toDF("ts")
+    def f(fmt: String): String =
+      df.select(col("ts").dt.toString(fmt)).collect()(0).getString(0)
+    assert(f("%G-W%V-%u") == "2020-W53-5")
+    assert(f("%g|%w|%C") == "20|5|20")
+    assert(f("[%e][%k][%l]%P") == "[ 1][ 9][ 9]am")    // space-padded + lowercase am/pm
+    assert(f("%s") == "1609491907")                     // epoch seconds, session TZ UTC
+    assert(f("%F %T") == "2021-01-01 09:05:07")         // composites
+    assert(f("%r") == "09:05:07 AM")
+    assert(f("%Y-%m-%dT%H:%M:%S") == "2021-01-01T09:05:07") // literal T quoting
+    // Monday Dec 28 2026 stays in ISO week 53 of its OWN year
+    val mon = Seq(java.sql.Timestamp.valueOf("2026-12-28 00:00:00")).toDF("ts")
+    assert(mon.select(col("ts").dt.toString("%G-W%V-%u|%l%P")).collect()(0).getString(0)
+      == "2026-W53-1|12am")
+    // parse direction still rejects non-parseable specifiers
+    intercept[IllegalArgumentException](graft.functions.ChronoFormat.toJava("%V"))
+    assert(graft.functions.ChronoFormat.toJava("%F") == "yyyy-MM-dd")
+  }
+
   test("temporal components: weekday is 1-7 Monday-based (expr.rs:251)") {
     // 2024-01-01 is a Monday
     val df = Seq(java.sql.Timestamp.valueOf("2024-01-01 13:45:30")).toDF("ts")
