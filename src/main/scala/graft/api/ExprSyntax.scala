@@ -107,11 +107,19 @@ object syntax {
     def startsWith(p: String): Column = c.startsWith(p)      // expr.rs:482-499
     def endsWith(s: String): Column = c.endsWith(s)
     /** to_date with chrono format; non-strict → null on failure (expr.rs:503-519). */
-    def toDate(chronoFmt: String): Column =
-      try_to_timestamp(c, lit(ChronoFormat.toJava(chronoFmt))).cast("date")
+    def toDate(chronoFmt: String): Column = chronoParse(c, chronoFmt).cast("date")
     /** to_datetime µs naive (expr.rs:521-536). */
-    def toDatetime(chronoFmt: String): Column =
-      try_to_timestamp(c, lit(ChronoFormat.toJava(chronoFmt)))
+    def toDatetime(chronoFmt: String): Column = chronoParse(c, chronoFmt)
+    /** chrono `%y` parses 00-68 → 20xx, 69-99 → 19xx (the C rule); Java's
+      * reduced-value window is 2000-2099, so shift the 2069-2099 parses back
+      * a century (every 19xx leap year in that range is also a 20xx leap
+      * year, so the year-month shift is always valid). */
+    private def chronoParse(c: Column, chronoFmt: String): Column = {
+      val ts = try_to_timestamp(c, lit(ChronoFormat.toJava(chronoFmt)))
+      if (!ChronoFormat.usesSpec(chronoFmt, 'y')) ts
+      else when(year(ts).between(2069, 2099), ts + make_ym_interval(lit(-100), lit(0)))
+        .otherwise(ts)
+    }
   }
 
   /** Temporal namespace (reference: expr.rs:247-700 `dt_*`). */

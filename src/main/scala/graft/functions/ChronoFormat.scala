@@ -143,6 +143,16 @@ object ChronoFormat {
     out.toString
   }
 
+  /** True if the (composite-expanded) format uses the given specifier —
+    * e.g. `usesSpec(fmt, 'y')`: two-digit year, whose PARSE century rule
+    * differs between Java (2000-2099) and chrono/C (69-99 → 19xx). */
+  def usesSpec(chrono: String, spec: Char): Boolean =
+    tokenize(chrono).exists {
+      case JavaTok(s) => s == spec
+      case ExprTok(s) => s == spec
+      case _ => false
+    }
+
   /** Translate a chrono/strftime pattern into a Java datetime pattern (the
     * PARSE direction). Specifiers with no Java-parseable equivalent (ISO
     * week fields, space-padded numbers, epoch seconds) are rejected —

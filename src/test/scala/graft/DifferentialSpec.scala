@@ -1107,4 +1107,45 @@ class DifferentialSpec extends SparkSpec {
       assertSame(df, sql)
     }
   }
+
+  test("fuzz: 30 random strptime round-trips match DuckDB (incl. %y century rule)") {
+    // grammar 23: the PARSE direction — DuckDB renders events.ts to strings
+    // with a random info-complete format, then BOTH engines parse those same
+    // strings back with the same chrono format (our toDatetime via the Java
+    // translator + century fix, DuckDB via its own strptime). Exercises
+    // month-name/AM-PM/day-of-year resolution and the chrono %y rule
+    // (69-99 → 19xx) that Java's 2000-2099 reduced-value window gets wrong.
+    import graft.api.syntax._
+    val st0 = duck.createStatement()
+    try st0.execute(s"CREATE VIEW IF NOT EXISTS events AS SELECT * FROM '$sfDir/events.parquet'")
+    finally st0.close()
+    val dateFmts = Seq("%Y-%m-%d", "%d/%m/%Y", "%m.%d.%Y", "%Y%m%d",
+      "%y-%m-%d", "%d %b %Y", "%B %d, %Y")
+    val timeFmts = Seq("", " %H:%M", " %H:%M:%S", " %I:%M:%S %p", "T%H:%M:%S.%f")
+    for (seed <- 2300 until 2330) {
+      val r = new scala.util.Random(seed)
+      val fmt = dateFmts(r.nextInt(dateFmts.size)) + timeFmts(r.nextInt(timeFmts.size))
+      val rows = duckRows(
+        s"SELECT event_id, strftime(ts, '$fmt') AS s FROM events")
+        .map(x => (x(0).toLong, x(1)))
+      val df = spark.createDataFrame(rows).toDF("event_id", "s")
+        .select(col("event_id"), col("s").str.toDatetime(fmt).cast("string").as("t"))
+      val st = duck.createStatement()
+      try {
+        st.execute("CREATE OR REPLACE TABLE g23(event_id BIGINT, s VARCHAR)")
+        val ps = duck.prepareStatement("INSERT INTO g23 VALUES (?, ?)")
+        rows.foreach { case (id, s) => ps.setLong(1, id); ps.setString(2, s); ps.addBatch() }
+        ps.executeBatch(); ps.close()
+      } finally st.close()
+      assertSame(df,
+        s"SELECT event_id, CAST(strptime(s, '$fmt') AS VARCHAR) AS t FROM g23")
+    }
+    // pinned: the %y century boundary, both sides of the C rule
+    val pin = Seq("68-03-04", "69-03-04", "99-12-31", "00-01-01")
+    val pdf = spark.createDataFrame(pin.map(Tuple1(_))).toDF("s")
+      .select(col("s"), col("s").str.toDatetime("%y-%m-%d").cast("string").as("t"))
+    val psql = pin.map(s =>
+      s"SELECT '$s' AS s, CAST(strptime('$s', '%y-%m-%d') AS VARCHAR) AS t").mkString(" UNION ALL ")
+    assertSame(pdf, psql)
+  }
 }
