@@ -1148,4 +1148,131 @@ class DifferentialSpec extends SparkSpec {
       s"SELECT '$s' AS s, CAST(strptime('$s', '%y-%m-%d') AS VARCHAR) AS t").mkString(" UNION ALL ")
     assertSame(pdf, psql)
   }
+
+  test("fuzz: 40 random str-namespace compositions match DuckDB") {
+    // grammar 24: random 4-op samples from the str namespace over part
+    // names/types — case, byte-vs-char length, positive slices, literal and
+    // regex contains/replace/extract, char-class trims, prefix strip — plus
+    // a direction-random trim every plan. DuckDB's string and regex engines
+    // are independent; regex patterns stay inside the RE2∩Java common
+    // subset (the same discipline the PII/URL grammars pin).
+    import graft.api.syntax._
+    val st0 = duck.createStatement()
+    try st0.execute(s"CREATE VIEW IF NOT EXISTS part AS SELECT * FROM '$sfDir/part.parquet'")
+    finally st0.close()
+    val pt = sf("part")
+    for (seed <- 2400 until 2440) {
+      val r = new scala.util.Random(seed)
+      val lits = Seq("lav", "spring", "co", "ol", "e", "anti")
+      val trims = Seq("aeiou", "aeiou ", "abcdef", " ")
+      def op(i: Int): (Column, String) = i match {
+        case 0 => (col("p_name").str.toUppercase, "upper(p_name)")
+        case 1 => (col("p_type").str.toLowercase, "lower(p_type)")
+        case 2 => (col("p_name").str.lenBytes, "strlen(p_name)")
+        case 3 => (col("p_name").str.lenChars, "length(p_name)")
+        case 4 =>
+          val o = r.nextInt(12); val l = 1 + r.nextInt(8)
+          (col("p_name").str.slice(o, l), s"substr(p_name, ${o + 1}, $l)")
+        case 5 =>
+          val s = lits(r.nextInt(lits.size))
+          (col("p_name").str.containsLiteral(s), s"contains(p_name, '$s')")
+        case 6 =>
+          val p = Seq("[aeiou]{2}", "[a-z]+ [a-z]+", "o.e", "^s", "d$")(r.nextInt(5))
+          (col("p_name").str.contains(p), s"regexp_matches(p_name, '$p')")
+        case 7 =>
+          val g = 1 + r.nextInt(2)
+          (col("p_name").str.extract("([a-z]+) ([a-z]+)", g),
+            s"NULLIF(regexp_extract(p_name, '([a-z]+) ([a-z]+)', $g), '')")
+        case 8 => (col("p_name").str.replaceAll("[aeiou]", "_"),
+          "regexp_replace(p_name, '[aeiou]', '_', 'g')")
+        case 9 =>
+          val s = lits(r.nextInt(lits.size))
+          (col("p_name").str.replaceAll(s, "*", useRegex = false),
+            s"replace(p_name, '$s', '*')")
+        case _ =>
+          val t = trims(r.nextInt(trims.size))
+          (col("p_name").str.stripChars(t), s"trim(p_name, '$t')")
+      }
+      val pairs = r.shuffle((0 to 10).toList).take(4).map(op)
+      val dirTrim = {
+        val t = trims(r.nextInt(trims.size))
+        if (r.nextBoolean())
+          (col("p_name").str.stripCharsStart(t), s"ltrim(p_name, '$t')")
+        else (col("p_name").str.stripCharsEnd(t), s"rtrim(p_name, '$t')")
+      }
+      val strip = {
+        val p = Seq("gol", "bla", "x", "")(r.nextInt(4))
+        (col("p_name").str.stripPrefix(p),
+          s"CASE WHEN starts_with(p_name, '$p') THEN substr(p_name, ${p.length + 1}) ELSE p_name END")
+      }
+      val all = pairs ++ Seq(dirTrim, strip)
+      val df = pt.select(col("p_partkey") +:
+        all.zipWithIndex.map { case ((c0, _), i) => c0.as(s"c$i") }: _*)
+      val sql =
+        s"""SELECT p_partkey, ${all.zipWithIndex.map { case ((_, s), i) => s"$s AS c$i" }.mkString(", ")}
+           |FROM part""".stripMargin
+      assertSame(df, sql)
+    }
+  }
+
+  test("fuzz: 40 random list-namespace compositions match DuckDB") {
+    // grammar 25: the list namespace over word-lists (literal split of
+    // p_name) and real float arrays (embeddings) — 0-based/negative/OOB
+    // get, sort asc/desc + join, distinct (order-free: both sides sorted),
+    // reverse, contains, first, len, and min/max/head-mean over float
+    // vectors (forced through DOUBLE so both engines print the same value).
+    import graft.api.syntax._
+    val st0 = duck.createStatement()
+    try {
+      st0.execute(s"CREATE VIEW IF NOT EXISTS part AS SELECT * FROM '$sfDir/part.parquet'")
+      st0.execute(s"CREATE VIEW IF NOT EXISTS embeddings AS SELECT * FROM '$sfDir/embeddings.parquet'")
+    } finally st0.close()
+    val words = col("p_name").str.split(" ")
+    for (seed <- 2500 until 2540) {
+      val r = new scala.util.Random(seed)
+      if (r.nextBoolean()) {
+        val idx = r.nextInt(9) - 4 // -4..4 incl. OOB both ends
+        val w = Seq("spring", "lace", "misty", "zzz")(r.nextInt(4))
+        val descSort = r.nextBoolean()
+        val sortDir = if (descSort) "DESC" else "ASC"
+        val df = sf("part").select(col("p_partkey"),
+          words.list.get(idx).as("g"),
+          words.list.len.as("n"),
+          words.list.sort(descending = descSort).list.join("-").as("sj"),
+          sort_array(words.list.unique).list.join("|").as("uq"),
+          words.list.reverse.list.join("_").as("rev"),
+          words.list.contains(lit(w)).as("has"),
+          words.list.first.as("fst"))
+        val duckIdx = if (idx >= 0) idx + 1 else idx
+        val sql =
+          s"""SELECT p_partkey,
+             |  string_split(p_name, ' ')[$duckIdx] AS g,
+             |  len(string_split(p_name, ' ')) AS n,
+             |  list_aggregate(list_sort(string_split(p_name, ' '), '$sortDir'), 'string_agg', '-') AS sj,
+             |  list_aggregate(list_sort(list_distinct(string_split(p_name, ' ')), 'ASC'), 'string_agg', '|') AS uq,
+             |  list_aggregate(list_reverse(string_split(p_name, ' ')), 'string_agg', '_') AS rev,
+             |  list_contains(string_split(p_name, ' '), '$w') AS has,
+             |  string_split(p_name, ' ')[1] AS fst
+             |FROM part""".stripMargin
+        assertSame(df, sql)
+      } else {
+        val k = 2 + r.nextInt(4)
+        val emb = col("embedding")
+        val headMean = new ListNamespace(transform(slice(emb, 1, k), x => x.cast("double"))).mean
+        val df = sf("embeddings").select(col("vec_id"),
+          emb.list.min.cast("double").as("mn"),
+          emb.list.max.cast("double").as("mx"),
+          emb.list.len.as("n"),
+          headMean.as("hm"))
+        val sql =
+          s"""SELECT vec_id,
+             |  CAST(list_min(embedding) AS DOUBLE) AS mn,
+             |  CAST(list_max(embedding) AS DOUBLE) AS mx,
+             |  len(embedding) AS n,
+             |  list_sum(list_transform(embedding[1:$k], x -> CAST(x AS DOUBLE))) / $k AS hm
+             |FROM embeddings""".stripMargin
+        assertSame(df, sql)
+      }
+    }
+  }
 }
