@@ -1275,4 +1275,65 @@ class DifferentialSpec extends SparkSpec {
       }
     }
   }
+
+  test("fuzz: 40 random dt truncate/offset_by plans match DuckDB date arithmetic") {
+    // grammar 26: dt.truncate across calendar (mo/q/y, incl. multi-month)
+    // and fixed-width durations vs DuckDB's date_trunc/time_bucket, and
+    // dt.offset_by (calendar month arithmetic with end-of-month clamping,
+    // compound month+fixed, negatives) vs DuckDB interval addition — all
+    // independent implementations. Multi-unit buckets are chosen so both
+    // engines' anchor epochs (1970-01-01 vs 2000-01-01) are phase-aligned:
+    // sub-day buckets dividing 86400 s, month counts dividing 360.
+    import graft.api.syntax._
+    val st0 = duck.createStatement()
+    try st0.execute(s"CREATE VIEW IF NOT EXISTS events AS SELECT * FROM '$sfDir/events.parquet'")
+    finally st0.close()
+    val ev = sf("events")
+    val truncCal = Seq("1mo" -> "CAST(date_trunc('month', ts) AS TIMESTAMP)",
+      "1q" -> "CAST(date_trunc('quarter', ts) AS TIMESTAMP)",
+      "1y" -> "CAST(date_trunc('year', ts) AS TIMESTAMP)",
+      "2mo" -> "time_bucket(INTERVAL '2 months', ts)",
+      "3mo" -> "time_bucket(INTERVAL '3 months', ts)",
+      "6mo" -> "time_bucket(INTERVAL '6 months', ts)")
+    val truncFix = Seq("1d" -> "CAST(date_trunc('day', ts) AS TIMESTAMP)", "1h" -> "date_trunc('hour', ts)",
+      "1m" -> "date_trunc('minute', ts)", "1s" -> "date_trunc('second', ts)",
+      "30m" -> "time_bucket(INTERVAL '30 minutes', ts)",
+      "90m" -> "time_bucket(INTERVAL '90 minutes', ts)",
+      "2h" -> "time_bucket(INTERVAL '2 hours', ts)",
+      "12h" -> "time_bucket(INTERVAL '12 hours', ts)")
+    val offs = Seq(
+      "3h" -> "ts + INTERVAL '3 hours'",
+      "-45m" -> "ts - INTERVAL '45 minutes'",
+      "90s" -> "ts + INTERVAL '90 seconds'",
+      "2d12h" -> "ts + INTERVAL '2 days' + INTERVAL '12 hours'",
+      "1mo" -> "ts + INTERVAL '1 month'",
+      "-2mo" -> "ts - INTERVAL '2 months'",
+      "1y" -> "ts + INTERVAL '1 year'",
+      "3q" -> "ts + INTERVAL '9 months'",
+      "1mo12h" -> "ts + INTERVAL '1 month' + INTERVAL '12 hours'")
+    for (seed <- 2600 until 2640) {
+      val r = new scala.util.Random(seed)
+      val (t1, t1sql) = truncCal(r.nextInt(truncCal.size))
+      val (t2, t2sql) = truncFix(r.nextInt(truncFix.size))
+      val (o1, o1sql) = offs(r.nextInt(offs.size))
+      val df = ev.select(col("event_id"),
+        col("ts").dt.truncate(t1).cast("string").as("tc"),
+        col("ts").dt.truncate(t2).cast("string").as("tf"),
+        col("ts").dt.offsetBy(o1).cast("string").as("off"))
+      val sql =
+        s"""SELECT event_id,
+           |  CAST($t1sql AS VARCHAR) AS tc,
+           |  CAST($t2sql AS VARCHAR) AS tf,
+           |  CAST($o1sql AS VARCHAR) AS off
+           |FROM events""".stripMargin
+      assertSame(df, sql)
+    }
+    // pinned: end-of-month clamping through a leap February, both engines
+    val pin = spark.createDataFrame(Seq(Tuple1("2024-01-31 22:15:00"))).toDF("s")
+      .select(col("s").cast("timestamp_ntz").dt.offsetBy("1mo").cast("string").as("t"),
+        col("s").cast("timestamp_ntz").dt.offsetBy("13mo").cast("string").as("t2"))
+    assertSame(pin,
+      """SELECT CAST(TIMESTAMP '2024-01-31 22:15:00' + INTERVAL '1 month' AS VARCHAR) AS t,
+        |  CAST(TIMESTAMP '2024-01-31 22:15:00' + INTERVAL '13 months' AS VARCHAR) AS t2""".stripMargin)
+  }
 }
