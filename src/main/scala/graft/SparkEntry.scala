@@ -940,6 +940,49 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // §2.1/2.2 CSV round-trip, driver-graded like q47's JDBC one: write a
+    // lineitem slice (quoted comment strings, doubles, timestamps) to CSV,
+    // scan it back with the explicit schema, compare against the parquet
+    // truth. Java's shortest-round-trip double printing makes the numeric
+    // cells bit-exact; the oracle never sees the CSV
+    "q56_csv_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_q56").toString
+      val src = t(s, d, "lineitem").filter(col("l_orderkey") % 7 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"),
+          // synthesized comma+quote payload: the column that makes the CSV
+          // writer actually quote and escape
+          concat(col("l_returnflag"), lit(", \""), col("l_linestatus"), lit("\""))
+            .as("quoted_note"),
+          col("l_shipdate"))
+      graft.sources.IO.sinkCsv(src, dir)
+      graft.sources.IO.scanCsv(s, dir, Some(src.schema))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // §2.1/2.2 Arrow-IPC (Feather) round-trip through the custom
+    // batch-granular reader/streamed writer
+    "q57_ipc_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_q57").toString
+      val path = dir + "/events.arrow"
+      val src = t(s, d, "events").filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      graft.sources.ArrowIpc.write(src, path)
+      graft.sources.ArrowIpc.read(s, path).orderBy(col("event_id"))
+    }),
+
+    // §2.1/2.2 NDJSON round-trip (schema re-asserted after inference:
+    // JSON has no int32, so inferred longs cast back to the parquet types)
+    "q58_ndjson_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_q58").toString
+      val src = t(s, d, "part").filter(col("p_partkey") % 3 === 0)
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"), col("p_size"))
+      graft.sources.IO.sinkJson(src, dir)
+      val back = graft.sources.IO.scanNdjson(s, dir)
+      back.select(src.schema.fields.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
+        .orderBy(col("p_partkey"))
+    }),
+
     // single-stream packing via the boundary-carry scale path (no grouped
     // window): results are partition-count-independent, so a plain global
     // window is the oracle
@@ -2559,6 +2602,25 @@ object SparkEntry {
         |SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
         |  CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens
         |FROM ch GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // round-trip oracles: the SQL is the parquet truth; any write/read
+    // fidelity loss (quoting, type mapping, timestamp format) breaks the hash
+    "q56_csv_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+        |  l_returnflag || ', "' || l_linestatus || '"' AS quoted_note,
+        |  l_shipdate
+        |FROM lineitem WHERE l_orderkey % 7 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q57_ipc_roundtrip" ->
+      """SELECT event_id, user_id, ts, value
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
+    "q58_ndjson_roundtrip" ->
+      """SELECT p_partkey, p_name, p_retailprice, p_size
+        |FROM part WHERE p_partkey % 3 = 0
+        |ORDER BY p_partkey""".stripMargin,
 
     // DuckDB's strftime is an independent C-style implementation of the
     // same chrono specifier set (%w is C's Sunday-0 weekday, %u ISO's
