@@ -983,6 +983,24 @@ object SparkEntry {
         .orderBy(col("p_partkey"))
     }),
 
+    // §2.14 SQL context: register frames, run ANSI SQL through the facade —
+    // the same text DuckDB executes as the oracle (join + grouped agg +
+    // having + order, exercising the whole register/execute path)
+    "q59_sql_context" -> ((s, d) => {
+      graft.api.SqlContext(s)
+        .register("g59_orders", t(s, d, "orders"))
+        .register("g59_customer", t(s, d, "customer"))
+        .execute(
+          """SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio,
+            |  count(*) AS n,
+            |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            |FROM g59_orders o JOIN g59_customer c ON o.o_custkey = c.c_custkey
+            |WHERE o.o_orderstatus <> 'P'
+            |GROUP BY c.c_mktsegment, o.o_orderpriority
+            |HAVING count(*) > 5
+            |ORDER BY seg, prio""".stripMargin)
+    }),
+
     // single-stream packing via the boundary-carry scale path (no grouped
     // window): results are partition-count-independent, so a plain global
     // window is the oracle
@@ -2621,6 +2639,16 @@ object SparkEntry {
       """SELECT p_partkey, p_name, p_retailprice, p_size
         |FROM part WHERE p_partkey % 3 = 0
         |ORDER BY p_partkey""".stripMargin,
+
+    "q59_sql_context" ->
+      """SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderstatus <> 'P'
+        |GROUP BY c.c_mktsegment, o.o_orderpriority
+        |HAVING count(*) > 5
+        |ORDER BY seg, prio""".stripMargin,
 
     // DuckDB's strftime is an independent C-style implementation of the
     // same chrono specifier set (%w is C's Sunday-0 weekday, %u ISO's
