@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Partition-count invariance: the property that makes a result trustworthy
+  * at 100 TB. A cluster never controls how many input splits or shuffle
+  * partitions a stage gets — AQE coalesces, files split differently as data
+  * grows, executors scale. Every EXACT operator must therefore produce the
+  * identical row multiset under any partitioning.
+  *
+  * This suite re-runs driver-contract queries under an adversarial config —
+  * input files shattered into ~64 KB splits and a shuffle-partition count
+  * nothing else uses (3) — and compares the full result multiset against the
+  * default-config run. Operators with explicit cross-partition carry logic
+  * (fillGlobal's boundary carries, packGlobal's offset prefix, chunk's
+  * per-doc arithmetic, span/line dedup elections, connected components) are
+  * exactly the ones where a partition-boundary bug would hide.
+  *
+  * Deliberately excluded: q36_sample / qd24_shuffle-style seeded randomness
+  * is per-partition-seeded BY DESIGN (Spark's Bernoulli sampling), so those
+  * queries pin determinism under a FIXED partitioning in their own
+  * contracts, not invariance across partitionings.
+  */
+class PartitionInvarianceSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private val queries = Seq(
+    "q01_groupby_agg",          // map-side combine vs 3 reducers
+    "q08_sort_limit",           // global top-k across split counts
+    "q21_asof_backward",        // as-of partition boundary handoff
+    "q25_group_by_dynamic",     // window grid across splits
+    "q26_rolling_rows",         // keyed rolling window
+    "q42_fill_global",          // range-partition + broadcast boundary carry
+    "q45_rolling_global_rows",  // global rolling scale path
+    "qd01_dedup_exact",         // groupBy+min_by election
+    "qd10_dedup_components",    // connected components iteration
+    "qd17_hash_split",          // content-hash split must ignore layout
+    "qd19_chunk",               // per-doc chunk arithmetic
+    "qd23_pack_global",         // boundary-carry packing
+    "qd28_span_dedup",          // span election across partitions
+    "qd31_line_dedup",          // line election across partitions
+    "qd47_pack_spans")          // pack + span arithmetic
+
+  private def rows(name: String): Seq[String] = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)
+    df.collect().toSeq
+      .map(_.toSeq.map {
+        case null => "NULL"
+        case b: java.math.BigDecimal => b.stripTrailingZeros.toPlainString
+        case d: Double => java.lang.Double.toString(d)
+        case x => x.toString
+      }.mkString("|"))
+      .sorted
+  }
+
+  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  for (name <- queries)
+    test(s"$name: identical multiset under 64KB splits + 3 shuffle partitions") {
+      val base = rows(name)
+      assert(base.nonEmpty, s"$name returned no rows at $sfDir")
+      val adversarial = withConf(
+        "spark.sql.files.maxPartitionBytes" -> (64 * 1024).toString,
+        "spark.sql.files.openCostInBytes" -> "0",
+        "spark.sql.shuffle.partitions" -> "3") {
+        rows(name)
+      }
+      assert(adversarial.size == base.size,
+        s"$name: ${adversarial.size} rows adversarial vs ${base.size} default")
+      for ((a, b) <- adversarial.zip(base) if a != b)
+        fail(s"$name differs under repartitioning:\n  adversarial $a\n  default     $b")
+    }
+}
