@@ -1336,4 +1336,54 @@ class DifferentialSpec extends SparkSpec {
       """SELECT CAST(TIMESTAMP '2024-01-31 22:15:00' + INTERVAL '1 month' AS VARCHAR) AS t,
         |  CAST(TIMESTAMP '2024-01-31 22:15:00' + INTERVAL '13 months' AS VARCHAR) AS t2""".stripMargin)
   }
+
+  test("fuzz: 40 random ranking/frame window plans match DuckDB") {
+    // grammar 27: the ranking family (rank/dense_rank over non-unique
+    // orderings, lead, first_value, ntile) plus bounded sliding frames
+    // (k PRECEDING .. m FOLLOWING) — the frame shapes grammar 'windows'
+    // (running prefix only) doesn't reach. Rank ties are REAL here: the
+    // ordering is the low-cardinality measure column itself, so rank vs
+    // dense_rank vs row_number genuinely diverge; output determinism comes
+    // from the unique key tail on the ntile/lead ordering and from rank
+    // values being tie-invariant.
+    import org.apache.spark.sql.expressions.Window
+    for (seed <- 2700 until 2740) {
+      val r = new scala.util.Random(seed)
+      val pred = genPred(r, 1)
+      val pcol = Seq("l_returnflag", "l_linestatus")(r.nextInt(2))
+      val mcol = numCols(r.nextInt(numCols.length))
+      val nt = 2 + r.nextInt(5)
+      val kPre = r.nextInt(4); val kFol = r.nextInt(4)
+      // ties-real window: rank/dense_rank order by the measure alone
+      val wTies = Window.partitionBy(col(pcol)).orderBy(col(mcol))
+      // total-order window for tie-sensitive functions
+      val wTotal = Window.partitionBy(col(pcol))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col(mcol))
+      val frame = wTotal.rowsBetween(-kPre, kFol)
+      val df = li.filter(pred.spark)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          rank().over(wTies).as("rk"),
+          dense_rank().over(wTies).as("drk"),
+          lead(col(mcol), 1).over(wTotal).as("ld"),
+          first_value(col(mcol)).over(wTotal).as("fv"),
+          ntile(nt).over(wTotal).as("nt"),
+          min(col(mcol)).over(frame).as("fmn"),
+          sum(col(mcol).cast("decimal(18,4)")).over(frame).as("fsum"),
+          count(lit(1)).over(frame).as("fcnt"))
+      val sql =
+        s"""SELECT l_orderkey, l_linenumber,
+           |  rank() OVER (PARTITION BY $pcol ORDER BY $mcol) AS rk,
+           |  dense_rank() OVER (PARTITION BY $pcol ORDER BY $mcol) AS drk,
+           |  lead($mcol, 1) OVER wt AS ld,
+           |  first_value($mcol) OVER (wt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv,
+           |  ntile($nt) OVER wt AS nt,
+           |  min($mcol) OVER (wt ROWS BETWEEN $kPre PRECEDING AND $kFol FOLLOWING) AS fmn,
+           |  sum(CAST($mcol AS DECIMAL(18,4))) OVER
+           |    (wt ROWS BETWEEN $kPre PRECEDING AND $kFol FOLLOWING) AS fsum,
+           |  count(*) OVER (wt ROWS BETWEEN $kPre PRECEDING AND $kFol FOLLOWING) AS fcnt
+           |FROM lineitem WHERE ${pred.sql}
+           |WINDOW wt AS (PARTITION BY $pcol ORDER BY l_orderkey, l_linenumber, $mcol)""".stripMargin
+      assertSame(df, sql)
+    }
+  }
 }

@@ -79,4 +79,14 @@ class PartitionInvarianceSpec extends SparkSpec {
       for ((a, b) <- adversarial.zip(base) if a != b)
         fail(s"$name differs under repartitioning:\n  adversarial $a\n  default     $b")
     }
+
+  // AQE re-plans at runtime (coalesced shuffle reads, skew splits,
+  // broadcast demotions); exact results must not depend on it either way
+  for (name <- Seq("q21_asof_backward", "q42_fill_global", "qd23_pack_global",
+    "qd28_span_dedup", "qd10_dedup_components"))
+    test(s"$name: identical multiset with AQE disabled") {
+      val base = rows(name)
+      val noAqe = withConf("spark.sql.adaptive.enabled" -> "false") { rows(name) }
+      assert(noAqe == base, s"$name differs with AQE off")
+    }
 }
