@@ -1337,6 +1337,33 @@ class DifferentialSpec extends SparkSpec {
         |  CAST(TIMESTAMP '2024-01-31 22:15:00' + INTERVAL '13 months' AS VARCHAR) AS t2""".stripMargin)
   }
 
+  test("fuzz: 60 random SQL texts execute identically through SqlContext and DuckDB") {
+    // grammar 28: the §2.14 SQL surface itself — the SAME ANSI text (from
+    // the shared query AST, which already renders portable SQL) is executed
+    // by Spark's SQL parser via graft.api.SqlContext AND by DuckDB, so the
+    // parser/analyzer path is fuzzed directly rather than through the
+    // DataFrame rendering. Filters+projection and grouped-agg shapes.
+    val ctx = graft.api.SqlContext(spark).register("lineitem", li)
+    try {
+      for (seed <- 2800 until 2860) {
+        val r = new scala.util.Random(seed)
+        val sql =
+          if (r.nextBoolean()) {
+            val pred = genPred(r, 2); val proj = genNum(r, 2)
+            s"SELECT l_orderkey, l_linenumber, ${proj.sql} AS x FROM lineitem WHERE ${pred.sql}"
+          } else {
+            val pred = genPred(r, 1)
+            val keys = Seq("l_returnflag", "l_linestatus").take(1 + r.nextInt(2))
+            val aggCol = numCols(r.nextInt(numCols.length))
+            s"""SELECT ${keys.mkString(", ")}, count(*) AS n, min($aggCol) AS mn,
+               |max($aggCol) AS mx, sum(CAST($aggCol AS DECIMAL(18,4))) AS s
+               |FROM lineitem WHERE ${pred.sql} GROUP BY ${keys.mkString(", ")}""".stripMargin
+          }
+        assertSame(ctx.execute(sql), sql)
+      }
+    } finally ctx.unregister("lineitem")
+  }
+
   test("fuzz: 40 random ranking/frame window plans match DuckDB") {
     // grammar 27: the ranking family (rank/dense_rank over non-unique
     // orderings, lead, first_value, ntile) plus bounded sliding frames
