@@ -1337,6 +1337,37 @@ class DifferentialSpec extends SparkSpec {
         |  CAST(TIMESTAMP '2024-01-31 22:15:00' + INTERVAL '13 months' AS VARCHAR) AS t2""".stripMargin)
   }
 
+  test("fuzz: 40 random diagonal-concat plans match DuckDB UNION ALL BY NAME") {
+    // grammar 29: concatDiagonal (align by name, null-fill missing) over
+    // random overlapping column subsets and random concat arity vs DuckDB's
+    // independent UNION ALL BY NAME. Every frame carries a disjoint key
+    // range so the multiset compare is total.
+    import graft.api.frame._
+    val allCols = Seq("l_partkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus")
+    for (seed <- 2900 until 2940) {
+      val r = new scala.util.Random(seed)
+      val nFrames = 2 + r.nextInt(2)
+      val picks = (0 until nFrames).map { i =>
+        val cols = r.shuffle(allCols).take(1 + r.nextInt(4)).sorted
+        val lo = i * 2000
+        (cols, lo)
+      }
+      val frames = picks.map { case (cols, lo) =>
+        li.filter(col("l_orderkey").between(lo, lo + 1999))
+          .select((col("l_orderkey") +: col("l_linenumber") +: cols.map(col)): _*)
+      }
+      val df = frames.head.concatDiagonal(frames.tail: _*)
+      val sel = picks.map { case (cols, lo) =>
+        s"""(SELECT l_orderkey, l_linenumber, ${cols.mkString(", ")} FROM lineitem
+           | WHERE l_orderkey BETWEEN $lo AND ${lo + 1999})""".stripMargin
+      }
+      // project the union to the Spark output's column order (first-seen)
+      val outCols = df.columns.mkString(", ")
+      val sql = s"SELECT $outCols FROM (${sel.mkString(" UNION ALL BY NAME ")})"
+      assertSame(df, sql)
+    }
+  }
+
   test("fuzz: 60 random SQL texts execute identically through SqlContext and DuckDB") {
     // grammar 28: the §2.14 SQL surface itself — the SAME ANSI text (from
     // the shared query AST, which already renders portable SQL) is executed
