@@ -1337,6 +1337,56 @@ class DifferentialSpec extends SparkSpec {
         |  CAST(TIMESTAMP '2024-01-31 22:15:00' + INTERVAL '13 months' AS VARCHAR) AS t2""".stripMargin)
   }
 
+  test("fuzz: 40 random explode/unpivot plans match DuckDB unnest/UNPIVOT") {
+    // grammar 30: explodeCol / explodeOuter (null row on empty list) and
+    // unpivotOn vs DuckDB's unnest (zipped parallel unnest gives positions)
+    // and UNPIVOT operator — both independent implementations. Empty lists
+    // are punched by modular arithmetic so the outer-vs-inner distinction
+    // is live on both engines.
+    import graft.api.frame._
+    import graft.api.syntax._
+    val st0 = duck.createStatement()
+    try st0.execute(s"CREATE VIEW IF NOT EXISTS part AS SELECT * FROM '$sfDir/part.parquet'")
+    finally st0.close()
+    for (seed <- 3000 until 3040) {
+      val r = new scala.util.Random(seed)
+      if (r.nextBoolean()) {
+        // explode: lists from a slice of split words; m-modular rows get an
+        // EMPTY list (slice len 0) → explode drops them, explode_outer keeps
+        // a null row
+        val m = Seq(3, 5)(r.nextInt(2))
+        val outer = r.nextBoolean()
+        val nTake = 1 + r.nextInt(3)
+        val base = sf("part").select(col("p_partkey"),
+          when(pmod(col("p_partkey"), lit(m)) === lit(0), array().cast("array<string>"))
+            .otherwise(slice(col("p_name").str.split(" "), 1, nTake)).as("ws"))
+        val df = (if (outer) base.explodeOuter("ws") else base.explodeCol("ws"))
+          .select(col("p_partkey"), col("ws"))
+        val listSql = s"CASE WHEN p_partkey % $m = 0 THEN [] ELSE string_split(p_name, ' ')[1:$nTake] END"
+        val sql =
+          if (outer)
+            // LEFT JOIN against the exploded rows keeps empty-list parents as null
+            s"""SELECT p.p_partkey, e.ws FROM part p LEFT JOIN
+               |  (SELECT p_partkey, unnest($listSql) AS ws FROM part) e
+               |  ON p.p_partkey = e.p_partkey""".stripMargin
+          else s"SELECT p_partkey, unnest($listSql) AS ws FROM part"
+        assertSame(df, sql)
+      } else {
+        // unpivot random value-column subsets
+        val valueCols = r.shuffle(List("p_size", "p_retailprice")).take(1 + r.nextInt(2))
+        val df = sf("part")
+          .select((col("p_partkey") +: valueCols.map(c => col(c).cast("double").as(c))): _*)
+          .unpivotOn(Seq("p_partkey"), valueCols, "k", "v")
+        val sql =
+          s"""SELECT p_partkey, k, v FROM (
+             |  SELECT p_partkey, ${valueCols.map(c => s"CAST($c AS DOUBLE) AS $c").mkString(", ")}
+             |  FROM part)
+             |UNPIVOT (v FOR k IN (${valueCols.mkString(", ")}))""".stripMargin
+        assertSame(df, sql)
+      }
+    }
+  }
+
   test("fuzz: 40 random diagonal-concat plans match DuckDB UNION ALL BY NAME") {
     // grammar 29: concatDiagonal (align by name, null-fill missing) over
     // random overlapping column subsets and random concat arity vs DuckDB's
