@@ -1337,6 +1337,52 @@ class DifferentialSpec extends SparkSpec {
         |  CAST(TIMESTAMP '2024-01-31 22:15:00' + INTERVAL '13 months' AS VARCHAR) AS t2""".stripMargin)
   }
 
+  test("fuzz: 40 random outer-join plans (full/left/right, null keys, coalescing) match DuckDB") {
+    // grammar 31: joinCoalesced's Polars output contract — keys appear once
+    // (coalesce(l,r) on full joins), right collisions suffixed — across
+    // full/left/right joins with NULL KEYS punched into either side
+    // (SQL null keys never match; an engine that hashed nulls together
+    // would diverge here). Mirrored as explicit FULL/LEFT/RIGHT OUTER JOIN
+    // with COALESCE in DuckDB.
+    import graft.api.frame._
+    val st0 = duck.createStatement()
+    try st0.execute(s"CREATE VIEW IF NOT EXISTS orders AS SELECT * FROM '$sfDir/orders.parquet'")
+    finally st0.close()
+    for (seed <- 3100 until 3140) {
+      val r = new scala.util.Random(seed)
+      val how = Seq("full", "left", "right")(r.nextInt(3))
+      val mL = Seq(0, 3, 5)(r.nextInt(3))   // 0 = no nulls on that side
+      val mR = Seq(0, 4, 7)(r.nextInt(3))
+      val pred = genPred(r, 1)
+      def nullify(c: Column, m: Int): Column =
+        if (m == 0) c else when(pmod(c, lit(m)) === lit(0), lit(null)).otherwise(c)
+      val left = li.filter(pred.spark)
+        .select(nullify(col("l_orderkey"), mL).as("k"),
+          col("l_linenumber"), col("l_quantity").as("v"))
+      val right = sf("orders").filter(col("o_orderstatus") =!= lit("P"))
+        .select(nullify(col("o_orderkey"), mR).as("k"),
+          col("o_totalprice").as("v"))
+      val df = left.joinCoalesced(right, Seq("k"), Seq("k"), how)
+      def nl(side: String, m: Int, key: String) =
+        if (m == 0) key else s"CASE WHEN $key % $m = 0 THEN NULL ELSE $key END"
+      val joinKind = how match {
+        case "full" => "FULL OUTER JOIN"; case "left" => "LEFT JOIN"; case "right" => "RIGHT JOIN"
+      }
+      val outKey = if (how == "full") "COALESCE(l.k, r.k)" else "l.k"
+      val sql =
+        s"""WITH l AS (
+           |  SELECT ${nl("l", mL, "l_orderkey")} AS k, l_linenumber, l_quantity AS v
+           |  FROM lineitem WHERE ${pred.sql}
+           |), r AS (
+           |  SELECT ${nl("r", mR, "o_orderkey")} AS k, o_totalprice AS v
+           |  FROM orders WHERE o_orderstatus <> 'P'
+           |)
+           |SELECT $outKey AS k, l.l_linenumber, l.v, r.v AS v_right
+           |FROM l $joinKind r ON l.k = r.k""".stripMargin
+      assertSame(df, sql)
+    }
+  }
+
   test("fuzz: 40 random explode/unpivot plans match DuckDB unnest/UNPIVOT") {
     // grammar 30: explodeCol / explodeOuter (null row on empty list) and
     // unpivotOn vs DuckDB's unnest (zipped parallel unnest gives positions)
