@@ -1001,6 +1001,15 @@ object SparkEntry {
             |ORDER BY seg, prio""".stripMargin)
     }),
 
+    // §1.1 Series: the eager single-column surface driven end to end —
+    // fromColumn → vectorized arith/abs/sqrt chain → toFrame. The result is
+    // a keyless single column; the driver compare sorts rows, so the value
+    // multiset is the contract
+    "q60_series_ops" -> ((s, d) => {
+      val ser = graft.api.Series.fromColumn("l_quantity", t(s, d, "lineitem"))
+      ((ser * 2.0) - 5.0).abs.sqrt.rename("sv").toFrame
+    }),
+
     // single-stream packing via the boundary-carry scale path (no grouped
     // window): results are partition-count-independent, so a plain global
     // window is the oracle
@@ -2639,6 +2648,10 @@ object SparkEntry {
       """SELECT p_partkey, p_name, p_retailprice, p_size
         |FROM part WHERE p_partkey % 3 = 0
         |ORDER BY p_partkey""".stripMargin,
+
+    "q60_series_ops" ->
+      """SELECT sqrt(abs(l_quantity * CAST(2.0 AS DOUBLE) - CAST(5.0 AS DOUBLE))) AS sv
+        |FROM lineitem""".stripMargin,
 
     "q59_sql_context" ->
       """SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio,
