@@ -40,7 +40,15 @@ class PartitionInvarianceSpec extends SparkSpec {
     "qd23_pack_global",         // boundary-carry packing
     "qd28_span_dedup",          // span election across partitions
     "qd31_line_dedup",          // line election across partitions
-    "qd47_pack_spans")          // pack + span arithmetic
+    "qd47_pack_spans",          // pack + span arithmetic
+    "q34_concat_horizontal",    // positional zip: fast path vs index join
+    "q41_asof_unkeyed",         // unkeyed as-of boundary handoff
+    "q43_calendar_month",       // calendar dynamic grid
+    "q46_rolling_global_time",  // global time rolling scale path
+    "qd45_sentence_dedup",      // sentence election across partitions
+    "qd46_dup_paragraphs",      // paragraph stats across partitions
+    "q53_pipeline_clean_pack",  // composite: span dedup → floor → global pack
+    "q54_pipeline_crawl")       // composite: extract → clean → dedup → chunk
 
   private def rows(name: String): Seq[String] = {
     val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)
