@@ -89,22 +89,17 @@ object Bench {
         (if (only.isEmpty) ""
          else only.toSeq.sorted.map("\"" + _ + "\"").mkString("\"only\":[", ",", "],"))
     val json = s"""{"metric":"total_warm_median","value":$total,"unit":"sec","schema_version":3,$onlyField"queries":${jmap(_.med)},"queries_cold":${jmap(_.cold)},"queries_spread":${jmap(_.spread)},"cold_total":$coldTotal,"noise_floor_rel":$noiseFloor,"reps":$reps,"sf":"$sfDir"}"""
-    // The driver's stdout capture truncated the round-6 artifact into an
-    // unparseable fragment ("parsed": null — the warm map was lost). Guard
-    // the headline against truncation from EITHER end: a compact summary
-    // line (totals + 10 slowest warm queries, a few hundred bytes) prints
-    // both BEFORE and AFTER the full artifact line, so any capture that
-    // keeps either end of the output keeps machine-readable warm totals.
-    val slowest = results.sortBy(-_.med).take(10)
-      .map(r => "\"" + r.name + "\":" + r.med).mkString("{", ",", "}")
-    val summary = s"""{"metric":"total_warm_median_summary","value":$total,"unit":"sec","schema_version":3,$onlyField"n_queries":${results.size},"cold_total":$coldTotal,"noise_floor_rel":$noiseFloor,"reps":$reps,"sf":"$sfDir","slowest_warm":$slowest}"""
-    println(summary)
-    println(json)
-    println(summary)
-    // stdout tail-capture can truncate the per-query maps (round 5 lost the
-    // warm map for q01-q33); the full artifact is always written to a file
-    // — and committed as BENCH_LOCAL_r{N}.json each round so the per-query
-    // medians survive in the tree even when the driver's capture truncates
+    // The driver's stdout capture truncated the round-6/round-10 artifacts
+    // into unparseable fragments ("parsed": null). Guard against truncation
+    // from EITHER end (round-10 directive 8):
+    //   1. the FULL artifact line is the program's FIRST stdout line (Spark
+    //      logs go to stderr), so a head capture recovers the whole map;
+    //   2. a compact summary (totals + 25 slowest warm medians, well under
+    //      the 2000-char tail window even with sbt's line prefixes) is the
+    //      program's LAST stdout line, so a tail capture recovers the
+    //      totals plus every query that materially contributes to them;
+    //   3. the file write happens BEFORE the prints so no stderr notice or
+    //      sbt epilogue competes with the summary for the tail window.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_latest.json")
     try {
       val p = java.nio.file.Paths.get(outPath)
@@ -114,6 +109,12 @@ object Bench {
     } catch {
       case e: Throwable => System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
+    def r4(x: Double): Double = math.rint(x * 1e4) / 1e4
+    val slowest = results.sortBy(-_.med).take(25)
+      .map(r => "\"" + r.name + "\":" + r4(r.med)).mkString("{", ",", "}")
+    val summary = s"""{"metric":"total_warm_median_summary","value":$total,"unit":"sec","schema_version":3,$onlyField"n_queries":${results.size},"cold_total":$coldTotal,"noise_floor_rel":$noiseFloor,"reps":$reps,"sf":"$sfDir","slowest_warm":$slowest}"""
+    println(json)
+    println(summary)
     spark.stop()
   }
 }

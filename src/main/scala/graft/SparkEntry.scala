@@ -40,6 +40,23 @@ object SparkEntry {
   private def dec2(c: Column): Column = c.cast("decimal(18,2)")
   private def dec4(c: Column): Column = c.cast("decimal(18,4)")
 
+  /** Stable per-query scratch directory for round-trip queries (q56-q58):
+    * one fixed path keyed by query name, recursively cleared on each call.
+    * Repeated bench reps / verify runs overwrite in place instead of
+    * accumulating a fresh parquet-sized temp copy per invocation
+    * (ADVICE r10: Files.createTempDirectory leaked a dir per call). */
+  private def scratchDir(name: String): String = {
+    val base = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_scratch", name)
+    if (java.nio.file.Files.exists(base)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    java.nio.file.Files.createDirectories(base)
+    base.toString
+  }
+
   /** Eagerly materialize a BOUNDED result (top-k selections, per-query
     * neighbor lists) into a driver-local frame so the query lambda can
     * release its stage caches deterministically before returning — the
@@ -946,7 +963,7 @@ object SparkEntry {
     // truth. Java's shortest-round-trip double printing makes the numeric
     // cells bit-exact; the oracle never sees the CSV
     "q56_csv_roundtrip" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_q56").toString
+      val dir = scratchDir("q56")
       val src = t(s, d, "lineitem").filter(col("l_orderkey") % 7 === 0)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_returnflag"),
@@ -963,7 +980,7 @@ object SparkEntry {
     // §2.1/2.2 Arrow-IPC (Feather) round-trip through the custom
     // batch-granular reader/streamed writer
     "q57_ipc_roundtrip" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_q57").toString
+      val dir = scratchDir("q57")
       val path = dir + "/events.arrow"
       val src = t(s, d, "events").filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"), col("value"))
@@ -974,7 +991,7 @@ object SparkEntry {
     // §2.1/2.2 NDJSON round-trip (schema re-asserted after inference:
     // JSON has no int32, so inferred longs cast back to the parquet types)
     "q58_ndjson_roundtrip" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_q58").toString
+      val dir = scratchDir("q58")
       val src = t(s, d, "part").filter(col("p_partkey") % 3 === 0)
         .select(col("p_partkey"), col("p_name"), col("p_retailprice"), col("p_size"))
       graft.sources.IO.sinkJson(src, dir)
@@ -987,18 +1004,22 @@ object SparkEntry {
     // the same text DuckDB executes as the oracle (join + grouped agg +
     // having + order, exercising the whole register/execute path)
     "q59_sql_context" -> ((s, d) => {
-      graft.api.SqlContext(s)
+      val ctx = graft.api.SqlContext(s)
         .register("g59_orders", t(s, d, "orders"))
         .register("g59_customer", t(s, d, "customer"))
-        .execute(
-          """SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio,
-            |  count(*) AS n,
-            |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-            |FROM g59_orders o JOIN g59_customer c ON o.o_custkey = c.c_custkey
-            |WHERE o.o_orderstatus <> 'P'
-            |GROUP BY c.c_mktsegment, o.o_orderpriority
-            |HAVING count(*) > 5
-            |ORDER BY seg, prio""".stripMargin)
+      val out = ctx.execute(
+        """SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM g59_orders o JOIN g59_customer c ON o.o_custkey = c.c_custkey
+          |WHERE o.o_orderstatus <> 'P'
+          |GROUP BY c.c_mktsegment, o.o_orderpriority
+          |HAVING count(*) > 5
+          |ORDER BY seg, prio""".stripMargin)
+      // the plan is resolved at execute(); drop the views so repeated
+      // invocations don't leak catalog entries into the long-lived session
+      ctx.unregister("g59_orders").unregister("g59_customer")
+      out
     }),
 
     // §1.1 Series: the eager single-column surface driven end to end —

@@ -113,10 +113,14 @@ object syntax {
     /** chrono `%y` parses 00-68 → 20xx, 69-99 → 19xx (the C rule); Java's
       * reduced-value window is 2000-2099, so shift the 2069-2099 parses back
       * a century (every 19xx leap year in that range is also a 20xx leap
-      * year, so the year-month shift is always valid). */
+      * year, so the year-month shift is always valid). When the format ALSO
+      * carries a full-year field (%Y, or ISO %G) that field resolved the
+      * year, so the shift must not fire: '%Y %y' on "2075 75" is 2075, not
+      * 1975 (ADVICE r10). */
     private def chronoParse(c: Column, chronoFmt: String): Column = {
       val ts = try_to_timestamp(c, lit(ChronoFormat.toJava(chronoFmt)))
-      if (!ChronoFormat.usesSpec(chronoFmt, 'y')) ts
+      if (!ChronoFormat.usesSpec(chronoFmt, 'y') ||
+          ChronoFormat.usesSpec(chronoFmt, 'Y') || ChronoFormat.usesSpec(chronoFmt, 'G')) ts
       else when(year(ts).between(2069, 2099), ts + make_ym_interval(lit(-100), lit(0)))
         .otherwise(ts)
     }

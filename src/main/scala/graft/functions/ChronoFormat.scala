@@ -153,14 +153,28 @@ object ChronoFormat {
       case _ => false
     }
 
+  /** Space-padded numeric specifiers (chrono prints " 5"): parseable via a
+    * 1-2-digit Java numeric field behind an optional-section literal space
+    * that absorbs the pad — "[ ]d" accepts both " 5" and "15". Chrono
+    * parses these fine (they're plain numeric fields to its parser), so
+    * rejecting them was a real gap for %e and the %c/%v composites. */
+  private val parseSpaced: Map[Char, String] = Map(
+    'e' -> "[ ]d",  // space-padded day of month
+    'k' -> "[ ]H",  // space-padded hour 00-23
+    'l' -> "[ ]h",  // space-padded hour 01-12
+  )
+
   /** Translate a chrono/strftime pattern into a Java datetime pattern (the
-    * PARSE direction). Specifiers with no Java-parseable equivalent (ISO
-    * week fields, space-padded numbers, epoch seconds) are rejected —
-    * chrono itself cannot resolve a date from most of them. */
+    * PARSE direction). Space-padded numerics (%e/%k/%l) become optional-pad
+    * Java fields; the remaining expression-only specifiers (ISO week
+    * fields, epoch seconds, %P/%C) are rejected — chrono cannot resolve a
+    * date from them either (week fields and derived values don't form a
+    * complete date in its parser). */
   def toJava(chrono: String): String =
     tokenize(chrono).map {
       case LitTok(s) => javaLiteral(s)
       case JavaTok(s) => javaMapping(s)
+      case ExprTok(s) if parseSpaced.contains(s) => parseSpaced(s)
       case ExprTok(s) => throw new IllegalArgumentException(
         s"chrono specifier %$s is not supported for parsing in '$chrono'")
     }.mkString

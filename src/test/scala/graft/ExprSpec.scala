@@ -58,6 +58,32 @@ class ExprSpec extends SparkSpec {
     assert(graft.functions.ChronoFormat.toJava("%F") == "yyyy-MM-dd")
   }
 
+  test("parse direction: space-padded %e/%k/%l and the %y century rule (ADVICE r10)") {
+    // chrono parses %e (space-padded day) as a plain numeric field; the
+    // Java translation is an optional-pad section, accepting " 5" and "15"
+    val days = Seq(" 5-Jan-2020", "15-Jan-2020", "5-Jan-2020").toDF("s")
+    val d = days.select(col("s").str.toDate("%e-%b-%Y").as("d")).collect()
+    assert(d(0).getDate(0).toString == "2020-01-05")
+    assert(d(1).getDate(0).toString == "2020-01-15")
+    assert(d(2).getDate(0).toString == "2020-01-05")
+    // %v composite = %e-%b-%Y, %c embeds %e and %k/%l parse via the same path
+    val v = Seq(" 7-Feb-1999").toDF("s")
+      .select(col("s").str.toDate("%v").as("d")).collect()
+    assert(v(0).getDate(0).toString == "1999-02-07")
+    val kl = Seq("2021-01-01  9:05").toDF("s")
+      .select(col("s").str.toDatetime("%Y-%m-%d %k:%M").as("t")).collect()
+    assert(kl(0).getTimestamp(0).toString == "2021-01-01 09:05:00.0")
+    // %y alone: C century rule (69-99 -> 19xx)
+    val y = Seq("75-03-01", "25-03-01").toDF("s")
+      .select(col("s").str.toDate("%y-%m-%d").as("d")).collect()
+    assert(y(0).getDate(0).toString == "1975-03-01")
+    assert(y(1).getDate(0).toString == "2025-03-01")
+    // mixed %Y + %y: the full-year field resolves the year — no shift
+    val mixed = Seq("2075 75").toDF("s")
+      .select(col("s").str.toDate("%Y %y").as("d")).collect()
+    assert(mixed(0).getDate(0).toString == "2075-01-01")
+  }
+
   test("temporal components: weekday is 1-7 Monday-based (expr.rs:251)") {
     // 2024-01-01 is a Monday
     val df = Seq(java.sql.Timestamp.valueOf("2024-01-01 13:45:30")).toDF("ts")
