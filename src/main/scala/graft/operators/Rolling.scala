@@ -106,12 +106,24 @@ object Rolling {
   // back margin (last n−1 rows / last `window` µs) into the next partition(s)
   // as context rows. Every partition then computes its windows locally —
   // context rows get wrong (prefix-truncated) results but are dropped before
-  // returning. Margins come from a P-row broadcast of per-partition offsets,
-  // so the only data shuffles are the range exchange and the (tiny) context
-  // duplication; all window computation is fully parallel.
+  // returning. Margins come from a P-row broadcast of per-partition offsets;
+  // each margin row derives its candidate target pids NARROWLY (a bounded
+  // contiguous pid range, exploded) and verifies them through a broadcast
+  // equi-join — never a nested-loop theta probe over all P targets — so the
+  // only data shuffles are the range exchange and the (tiny) context
+  // duplication, and per-row work is O(candidates), not O(P).
 
   /** Unkeyed fixed-row rolling ("3i") over the whole frame.
-    * `aggs`: output column name → aggregate over the rolling spec. */
+    * `aggs`: output column name → aggregate over the rolling spec.
+    *
+    * Context duplication is EQUI-joined (round-10 verdict item 1): a row's
+    * candidate targets are the contiguous pids `(p, qmax_p]` where `qmax_p`
+    * (the largest partition whose n−1-row lookback any row of p enters) is
+    * computed on the P-row bounds frame by a sorted merge of partition
+    * starts vs partition reaches under one running max. Only the last n−1
+    * rows of each partition explode their candidates, and the exact range
+    * test runs as the residual filter of a broadcast HASH join on the pid —
+    * no O(rows × P) BroadcastNestedLoopJoin probe anywhere (PlanSpec). */
   def fixedGlobal(df: DataFrame, windowSize: String, order: Seq[Column],
                   aggs: Seq[(String, WindowSpec => Column)]): DataFrame = {
     val n = Durations.parseRows(windowSize)
@@ -120,18 +132,38 @@ object Rolling {
     val w0 = Window.partitionBy("__pid").orderBy(ordered: _*)
     val withRn = parted.withColumn("__rn", row_number().over(w0).cast("long"))
     val prefix = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    val bounds = withRn.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+    val boundsBase = withRn.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
       .withColumn("__off", coalesce(sum(col("__cnt")).over(prefix), lit(0L)))
-      .select(col("__pid"), col("__off"))
+
+    // qmax_p = max q with off_q ≤ off_{p+1} + n − 2: merge the P starts
+    // (__off as values) with the P reaches (as queries) on one sorted
+    // single-partition window — same cost class as the prefix sum above
+    val vals = boundsBase.select(col("__off").as("__k"), lit(0).as("__t"),
+      col("__pid").as("__q"), lit(null).cast("int").as("__p"))
+    val qrys = boundsBase.select((col("__off") + col("__cnt") + lit(n - 2)).as("__k"),
+      lit(1).as("__t"), lit(null).cast("int").as("__q"), col("__pid").as("__p"))
+    val mw = Window.orderBy(col("__k"), col("__t")).rowsBetween(Window.unboundedPreceding, 0)
+    val qmaxByPid = vals.unionByName(qrys)
+      .withColumn("__qmax", max(col("__q")).over(mw))
+      .filter(col("__p").isNotNull)
+      .select(col("__p").as("__pid"), col("__qmax"))
+    val bounds = boundsBase.join(qmaxByPid, Seq("__pid"))
+
     val withGrn = withRn.join(broadcast(bounds), Seq("__pid"))
       .withColumn("__grn", col("__rn") + col("__off"))
 
-    // a row is context for partition q when it falls in q's n−1-row lookback
-    val targets = bounds.select(col("__pid").as("__tq"), col("__off").as("__toff"))
-    val ctx = withGrn.join(broadcast(targets),
-        col("__tq") > col("__pid") &&
+    // a row is context for q iff __grn ∈ [off_q − n + 2, off_q]; only the
+    // last n−1 rows of a partition qualify for ANY target, so gate before
+    // exploding the candidate pids, then verify each candidate against its
+    // real offset as the residual of the broadcast equi-join
+    val targets = boundsBase.select(col("__pid").as("__tq"), col("__off").as("__toff"))
+    val cand = withGrn
+      .filter(col("__rn") > col("__cnt") - lit(n - 1) && col("__qmax") >= col("__pid") + 1)
+      .withColumn("__tpid", explode(sequence(col("__pid") + 1, col("__qmax"))))
+    val ctx = cand.join(broadcast(targets),
+        col("__tpid") === col("__tq") &&
         col("__grn") >= col("__toff") - lit(n - 1) && col("__grn") <= col("__toff"))
-      .withColumn("__tpid", col("__tq")).drop("__tq", "__toff")
+      .drop("__tq", "__toff")
       .withColumn("__ctx", lit(true))
     val own = withGrn.withColumn("__tpid", col("__pid")).withColumn("__ctx", lit(false))
     val all = own.unionByName(ctx.select(own.columns.map(col).toIndexedSeq: _*))
@@ -158,13 +190,36 @@ object Rolling {
     val u = unix_micros(timeCol.cast("timestamp"))
     val parted = df.withColumn("__u", u).repartitionByRange(col("__u"))
       .withColumn("__pid", spark_partition_id())
-    val prefixBounds = parted.groupBy("__pid").agg(min(col("__u")).as("__lo"))
-    val ctx = parted.join(broadcast(prefixBounds.select(col("__pid").as("__tq"), col("__lo"))),
-        col("__tq") > col("__pid") &&
-        col("__u") >= col("__lo") - lit(us) && col("__u") < col("__lo"))
-      .withColumn("__tpid", col("__tq")).drop("__tq", "__lo")
+    // same equi-joined context shape as fixedGlobal: qmax_p = max q with
+    // lo_q ≤ hi_p + us via the P-row sorted-merge running max; only rows in
+    // the next partition's lookback (__u ≥ nextlo − us) explode candidates,
+    // verified against the real lo_q as a broadcast-hash-join residual
+    val boundsBase = parted.groupBy("__pid")
+      .agg(min(col("__u")).as("__lo"), max(col("__u")).as("__hi"))
+    val vals = boundsBase.select(col("__lo").as("__k"), lit(0).as("__t"),
+      col("__pid").as("__q"), lit(null).cast("int").as("__p"))
+    val qrys = boundsBase.select((col("__hi") + lit(us)).as("__k"), lit(1).as("__t"),
+      lit(null).cast("int").as("__q"), col("__pid").as("__p"))
+    val mw = Window.orderBy(col("__k"), col("__t")).rowsBetween(Window.unboundedPreceding, 0)
+    val qmaxByPid = vals.unionByName(qrys)
+      .withColumn("__qmax", max(col("__q")).over(mw))
+      .filter(col("__p").isNotNull)
+      .select(col("__p").as("__pid"), col("__qmax"))
+    val pw = Window.orderBy("__pid")
+    val bounds = boundsBase.withColumn("__nextlo", lead(col("__lo"), 1).over(pw))
+      .select(col("__pid"), col("__nextlo"))
+      .join(qmaxByPid, Seq("__pid"))
+    val rows = parted.join(broadcast(bounds), Seq("__pid"))
+    val targets = boundsBase.select(col("__pid").as("__tq"), col("__lo").as("__tlo"))
+    val cand = rows
+      .filter(col("__u") >= col("__nextlo") - lit(us) && col("__qmax") >= col("__pid") + 1)
+      .withColumn("__tpid", explode(sequence(col("__pid") + 1, col("__qmax"))))
+    val ctx = cand.join(broadcast(targets),
+        col("__tpid") === col("__tq") &&
+        col("__u") >= col("__tlo") - lit(us) && col("__u") < col("__tlo"))
+      .drop("__tq", "__tlo")
       .withColumn("__ctx", lit(true))
-    val own = parted.withColumn("__tpid", col("__pid")).withColumn("__ctx", lit(false))
+    val own = rows.withColumn("__tpid", col("__pid")).withColumn("__ctx", lit(false))
     val all = own.unionByName(ctx.select(own.columns.map(col).toIndexedSeq: _*))
 
     val (lo, hi) = closed match {

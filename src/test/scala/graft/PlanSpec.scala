@@ -63,6 +63,26 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("global rolling (rows + time): context duplication is equi-joined, no BNLJ (q45/q46 shape)") {
+    // round-10 verdict item 1: the boundary-context join must be a
+    // broadcast HASH join on the target pid (range test as residual), not a
+    // BroadcastNestedLoopJoin theta probe costing O(rows × P) at scale
+    val orders = SparkEntry.t(spark, "/root/testdata/sf0.001", "orders")
+    val rowsPlan = planOf(graft.operators.Rolling.fixedGlobal(
+      orders, "25i", Seq(col("o_orderkey")),
+      Seq("roll_sum" -> (w => sum(col("o_totalprice")).over(w)))))
+    assert(!rowsPlan.contains("BroadcastNestedLoopJoin") && !rowsPlan.contains("CartesianProduct"),
+      s"fixedGlobal must not theta-probe the targets:\n$rowsPlan")
+    assert(rowsPlan.contains("BroadcastHashJoin"), s"expected broadcast equi-join:\n$rowsPlan")
+
+    val ev = SparkEntry.t(spark, "/root/testdata/sf0.001", "events")
+    val timePlan = planOf(graft.operators.Rolling.timeGlobal(
+      ev, "3d", col("ts"), diffSums = Seq("roll_sum" -> col("value").cast("decimal(18,4)"))))
+    assert(!timePlan.contains("BroadcastNestedLoopJoin") && !timePlan.contains("CartesianProduct"),
+      s"timeGlobal must not theta-probe the targets:\n$timePlan")
+    assert(timePlan.contains("BroadcastHashJoin"), s"expected broadcast equi-join:\n$timePlan")
+  }
+
   test("as-of NEAREST: one exchange, one window, no id join (q24 shape)") {
     val ev = SparkEntry.t(spark, "/root/testdata/sf0.001", "events")
     val p = ev.filter(col("event_type") === "purchase")
