@@ -1575,17 +1575,42 @@ object SparkEntry {
     }),
 
     // compression-ratio quality signal: deflate/raw byte ratio per document
-    // + the quality gate it feeds. DuckDB has no deflate — CompressSpec pins
-    // the value against java.util.zip directly
+    // + the quality gate it feeds. DuckDB has no deflate, so the contract
+    // is a VERDICT row (the qd41h/qs02-qs04 pattern): the native
+    // DeflateRatioExpr output is recomputed per row by an INDEPENDENT
+    // java.util.zip UDF (its own Deflater, the spec-pinned level-6/nowrap
+    // parameters CompressSpec also pins byte-exactly) and must match
+    // bit-for-bit; the oracle states the expected verdict plus the
+    // SQL-expressible aggregates. An expression regression flips the hash
+    // red where the previous rows-only check was blind. The raw per-row
+    // operator stays the BENCH face.
     "qd30_compress_ratio" -> ((s, d) => {
       graft.plans.DeflateRatioExpr.register(s)
       val T = graft.functions.TextFunctions
+      val refRatio = udf((text: String) => {
+        if (text == null || text.isEmpty) null.asInstanceOf[java.lang.Double]
+        else {
+          val bytes = text.getBytes("UTF-8")
+          val dfl = new java.util.zip.Deflater(6, true)
+          dfl.setInput(bytes); dfl.finish()
+          val sink = new Array[Byte](8192)
+          var total = 0L
+          while (!dfl.finished()) total += dfl.deflate(sink)
+          dfl.end()
+          java.lang.Double.valueOf(total.toDouble / bytes.length)
+        }
+      })
       t(s, d, "documents")
         .select(col("doc_id"),
-          T.compressionRatio(col("text")).as("compress_ratio"),
-          T.tokenCount(col("text")).as("n_tokens"))
-        .withColumn("keep", col("compress_ratio").between(0.25, 1.1))
-        .orderBy(col("doc_id"))
+          T.compressionRatio(col("text")).as("ratio"),
+          refRatio(col("text")).as("ref_ratio"),
+          T.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens_total"),
+          count(col("ratio")).as("n_rated"),
+          (count(lit(1)) === sum(when(col("ratio") === col("ref_ratio") ||
+            (col("ratio").isNull && col("ref_ratio").isNull), 1L).otherwise(0L)))
+            .as("ratio_ok"))
     }),
 
     // SECOND FLAGSHIP pipeline — corpus build: benchmark decontamination →
@@ -2075,6 +2100,19 @@ object SparkEntry {
     "qm02_decode_features" -> ((s, d) =>
       qm02Run(fixtureScan(s, d, "qm02")(qm02Payloads(s, t(s, d, "documents"))))),
 
+    // raw per-row deflate walk + gate — the contract face additionally
+    // recomputes every ratio through the independent UDF reference
+    "qd30_compress_ratio" -> ((s, d) => {
+      graft.plans.DeflateRatioExpr.register(s)
+      val T = graft.functions.TextFunctions
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          T.compressionRatio(col("text")).as("compress_ratio"),
+          T.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("keep", col("compress_ratio").between(0.25, 1.1))
+        .orderBy(col("doc_id"))
+    }),
+
     // trainable BPE on the REAL corpus (distributed word-frequency table →
     // corpus-exact merges → narrow-map encode) — the original qd32 workload
     "qd32_bpe_tokenize" -> ((s, d) => {
@@ -2367,6 +2405,17 @@ object SparkEntry {
       "SELECT true AS found_some, true AS soundness_ok, true AS completeness_ok",
     "qd29_semantic_dedup" ->
       "SELECT true AS dropped_some, true AS all_drops_justified",
+    // deflate-ratio verdict contract: DuckDB cannot deflate, so the query
+    // proves every native-expression ratio equals an independent
+    // java.util.zip recomputation and the oracle states the verdict plus
+    // the SQL-expressible token/row aggregates (zero-no_oracle, r10 d3)
+    "qd30_compress_ratio" ->
+      """SELECT count(*) AS n_docs,
+        |  CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT)
+        |    AS n_tokens_total,
+        |  count(*) FILTER (WHERE length(text) > 0) AS n_rated,
+        |  true AS ratio_ok
+        |FROM documents""".stripMargin,
     // hashed flagship vs exact flagship selection-overlap contract
     "qd41h_pipeline_quality_select_hashed" ->
       "SELECT CAST(50 AS BIGINT) AS n_selected, true AS overlap_ok",
