@@ -110,6 +110,34 @@ object Bench {
       case e: Throwable => System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     def r4(x: Double): Double = math.rint(x * 1e4) / 1e4
+    // SPARK_GRAFT_BENCH_COMPARE=<baseline bench json>: per-query parity
+    // contract (round-10 directive 6) — after a hygienic run wrote its
+    // artifact, a no-clear run compared against it must show per-query
+    // inflation within max(1.25, 1 + the query's own measured warm
+    // spread). Violations print as one machine-readable line; the run
+    // itself still reports normally.
+    sys.env.get("SPARK_GRAFT_BENCH_COMPARE").foreach { basePath =>
+      try {
+        val text = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(basePath)), "UTF-8")
+        val qmap = "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(text).map(_.group(1))
+        val baseMed = qmap.toSeq.flatMap(
+          "\"([^\"]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(_).map(m =>
+            m.group(1) -> m.group(2).toDouble)).toMap
+        val ratios = results.flatMap(r => baseMed.get(r.name).map(b =>
+          (r.name, if (b > 0) r.med / b else 1.0, r.spread)))
+        val bad = ratios.filter { case (_, ratio, spread) =>
+          ratio > math.max(1.25, 1.0 + spread) }
+        val rj = ratios.map { case (n, ratio, _) => "\"" + n + "\":" + r4(ratio) }
+          .mkString("{", ",", "}")
+        val bj = bad.map { case (n, ratio, _) => "\"" + n + "\":" + r4(ratio) }
+          .mkString("{", ",", "}")
+        println(s"""{"metric":"bench_parity","baseline":"$basePath","n_violations":${bad.size},"violations":$bj,"ratios":$rj}""")
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] parity compare vs $basePath failed: ${e.getMessage}")
+      }
+    }
     val slowest = results.sortBy(-_.med).take(25)
       .map(r => "\"" + r.name + "\":" + r4(r.med)).mkString("{", ",", "}")
     val summary = s"""{"metric":"total_warm_median_summary","value":$total,"unit":"sec","schema_version":3,$onlyField"n_queries":${results.size},"cold_total":$coldTotal,"noise_floor_rel":$noiseFloor,"reps":$reps,"sf":"$sfDir","slowest_warm":$slowest}"""

@@ -1486,8 +1486,8 @@ object SparkEntry {
             "dsir_uweight", "doc_id", k = 50)
           .select(col("doc_id"), col("dsir_uweight")))
       finally {
-        s2.unpersist(blocking = false)
-        s1.unpersist(blocking = false)
+        s2.unpersist(blocking = true)
+        s1.unpersist(blocking = true)
       }
     }),
 
@@ -1674,8 +1674,8 @@ object SparkEntry {
           graft.similarity.Ann.bruteForceTopK(e, q, k = 5),
           k = 5, minMeanRecall = 0.4))
       finally {
-        assigned.unpersist(blocking = false)
-        centroids.unpersist(blocking = false)
+        assigned.unpersist(blocking = true)
+        centroids.unpersist(blocking = true)
       }
     }),
 
@@ -2036,8 +2036,8 @@ object SparkEntry {
           "dsir_weight", "doc_id", k = 50)
         .select(col("doc_id"), col("dsir_weight")))
     finally {
-      s2.unpersist(blocking = false)
-      s1.unpersist(blocking = false)
+      s2.unpersist(blocking = true)
+      s1.unpersist(blocking = true)
     }
   }
 

@@ -142,7 +142,7 @@ object ConnectedComponents {
     // release it. The labels' own persist/checkpoint IS the returned result's
     // backing store in the distributed path; it lives exactly as long as the
     // caller holds the frame (ContextCleaner reclaims it on GC).
-    edges.unpersist(blocking = false)
+    edges.unpersist(blocking = true)
     labels
   }
 

@@ -464,8 +464,8 @@ object Dedup {
     // shared by both self-join sides via ReuseExchange — and this op leaves
     // no cache blocks behind (CacheHygieneSpec). Lloyd refinement cost was
     // already paid eagerly inside buildIndex.
-    centroids.unpersist(blocking = false)
-    assigned.unpersist(blocking = false)
+    centroids.unpersist(blocking = true)
+    assigned.unpersist(blocking = true)
     val drops = embeddingCosinePairs(assigned, idCol, vecCol, "cell", threshold)
       .select(col("id_b").as(idCol)).distinct()
     df.join(drops, Seq(idCol), "left_anti")

@@ -240,7 +240,7 @@ object Prep {
       try {
         val expected = math.max(benchSet.count(), 64L)
         graft.plans.BloomExprs.serialize(benchSet.stat.bloomFilter("__s", expected, fpp))
-      } finally benchSet.unpersist(blocking = false)
+      } finally benchSet.unpersist(blocking = true)
     val hits = corpus
       .select(col(idCol).as("__id"), explode(hashes(col(textCol))).as("__s"))
       .filter(graft.plans.BloomExprs.mightContain(col("__s"), bytes))

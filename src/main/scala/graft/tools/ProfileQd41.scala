@@ -59,7 +59,7 @@ object ProfileQd41 {
     }
     println(s"[qd41-profile] top-50 rows: ${top.length}")
 
-    s2.unpersist(blocking = false); s1.unpersist(blocking = false)
+    s2.unpersist(blocking = true); s1.unpersist(blocking = true)
 
     // whole-query cold replica for reference (fresh cache)
     spark.catalog.clearCache(); System.gc()
