@@ -542,6 +542,82 @@ class DifferentialSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: 40 random NEAREST as-of joins match two-directional DuckDB ASOF + tie-break") {
+    // grammar 32 (round-10 directive 7): `nearest` has no DuckDB primitive,
+    // so render its DEFINITION — a backward ASOF and a forward ASOF
+    // re-joined on the unique left id, tolerance nulling each directional
+    // candidate independently, the nearer survivor winning and ties going
+    // backward (the Polars rule). Grammar 11 fuzzes the two directional
+    // strategies against DuckDB's native operator; this covers the third.
+    // Dimensions: strict/allow-eq × keyed/unkeyed × tolerance on/off ×
+    // right-side density. events.ts is globally unique, so matches and the
+    // tie-break are unambiguous.
+    val st0 = duck.createStatement()
+    try st0.execute(
+      s"CREATE VIEW IF NOT EXISTS events AS SELECT * FROM '$sfDir/events.parquet'")
+    finally st0.close()
+    val ev = sf("events")
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    for (seed <- 3200 until 3240) {
+      val r = new scala.util.Random(seed)
+      val lt = types(r.nextInt(types.length))
+      val rt = types(r.nextInt(types.length))
+      val allowEq = r.nextBoolean()
+      val keyed = r.nextBoolean()
+      val tolMin = if (r.nextBoolean()) Some(Seq(5, 30, 120, 720)(r.nextInt(4))) else None
+      val thr = r.nextInt(100).toDouble
+
+      val l = ev.filter(col("event_type") === lt)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val rFil = ev.filter(col("event_type") === rt && col("value") >= thr)
+      val rr =
+        if (keyed) rFil.select(col("user_id"), col("ts"), col("value").as("rv"))
+        else rFil.select(col("ts"), col("value").as("rv"))
+      val joined = graft.operators.AsofJoin.join(
+        l, rr, "ts", "ts",
+        by = if (keyed) Seq(("user_id", "user_id")) else Seq.empty,
+        strategy = graft.operators.AsofJoin.Nearest,
+        tolerance = tolMin.map(m => s"${m}m"),
+        allowEq = allowEq)
+      val df = joined.select(col("event_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("tsu"), col("rv"))
+
+      val (bOp, fOp) = if (allowEq) (">=", "<=") else (">", "<")
+      val onKeyB = if (keyed) "lb.user_id = rb.user_id AND " else ""
+      val onKeyF = if (keyed) "lf.user_id = rf.user_id AND " else ""
+      val rCols = if (keyed) "user_id, ts, value AS rv" else "ts, value AS rv"
+      // per-direction tolerance guard (engine nulls each candidate struct
+      // before the distance comparison); no tolerance → pass-through
+      val (bGuard, fGuard) = tolMin match {
+        case Some(m) =>
+          val tolUs = m.toLong * 60L * 1000000L
+          (s" AND epoch_us(ts) - epoch_us(bts) <= $tolUs",
+           s" AND epoch_us(fts) - epoch_us(ts) <= $tolUs")
+        case None => ("", "")
+      }
+      val sql =
+        s"""WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = '$lt'),
+           |r AS (SELECT $rCols FROM events WHERE event_type = '$rt' AND value >= $thr),
+           |b AS (SELECT lb.event_id, rb.ts AS bts, rb.rv AS brv
+           |      FROM l lb ASOF LEFT JOIN r rb ON ${onKeyB}lb.ts $bOp rb.ts),
+           |f AS (SELECT lf.event_id, rf.ts AS fts, rf.rv AS frv
+           |      FROM l lf ASOF LEFT JOIN r rf ON ${onKeyF}lf.ts $fOp rf.ts),
+           |fil AS (
+           |  SELECT event_id, ts,
+           |    CASE WHEN bts IS NOT NULL$bGuard THEN bts END AS b2,
+           |    CASE WHEN bts IS NOT NULL$bGuard THEN brv END AS bv,
+           |    CASE WHEN fts IS NOT NULL$fGuard THEN fts END AS f2,
+           |    CASE WHEN fts IS NOT NULL$fGuard THEN frv END AS fv
+           |  FROM l LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id))
+           |SELECT event_id, epoch_us(ts) AS tsu,
+           |  CASE WHEN f2 IS NULL OR (b2 IS NOT NULL AND
+           |         epoch_us(ts) - epoch_us(b2) <= epoch_us(f2) - epoch_us(ts))
+           |       THEN bv ELSE fv END AS rv
+           |FROM fil""".stripMargin
+      assertSame(df, sql)
+    }
+  }
+
   test("fuzz: 60 random prep chunk/pack/split/dedup compositions match DuckDB") {
     // grammar 10: the LLM-prep operator set. Every stage is exact-integer
     // by design (Prep's contract), so a random COMPOSITION — hash-split
