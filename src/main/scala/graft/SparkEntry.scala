@@ -129,7 +129,12 @@ object SparkEntry {
       val p = java.nio.file.Paths.get(
         sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fixtures",
         name + "_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")).toString
-      build.write.mode("overwrite").parquet(p)
+      // spread the fixture over the session's parallelism: the synthesized
+      // tables are small (tens of MB), and a single parquet file would read
+      // back as ONE input split — serializing the per-row decode/kernel the
+      // bench face exists to measure
+      build.repartition(s.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(p)
       p
     })
     s.read.parquet(dir)

@@ -43,6 +43,7 @@ class PartitionInvarianceSpec extends SparkSpec {
     "qd47_pack_spans",          // pack + span arithmetic
     "q34_concat_horizontal",    // positional zip: fast path vs index join
     "q41_asof_unkeyed",         // unkeyed as-of boundary handoff
+    "q24_asof_nearest",         // nearest: both directional carries, one window
     "q43_calendar_month",       // calendar dynamic grid
     "q46_rolling_global_time",  // global time rolling scale path
     "qd45_sentence_dedup",      // sentence election across partitions
@@ -87,6 +88,33 @@ class PartitionInvarianceSpec extends SparkSpec {
       for ((a, b) <- adversarial.zip(base) if a != b)
         fail(s"$name differs under repartitioning:\n  adversarial $a\n  default     $b")
     }
+
+  // UNKEYED nearest rides the range-partition + boundary-patch path
+  // (AsofJoin.unkeyedNearest) — no driver query exercises it, so pin its
+  // invariance directly: partition edges move with the split/partition
+  // config, and a boundary-patch bug would show as edge rows matching the
+  // wrong direction
+  test("unkeyed NEAREST as-of: identical multiset under 64KB splits + 3 shuffle partitions") {
+    import org.apache.spark.sql.functions._
+    def run(): Seq[String] = {
+      val ev = SparkEntry.t(spark, sfDir, "events")
+      val l = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"))
+      val r = ev.filter(col("event_type") === "click")
+        .select(col("ts"), col("value").as("rv"))
+      graft.operators.AsofJoin.join(l, r, "ts", "ts",
+          strategy = graft.operators.AsofJoin.Nearest, tolerance = Some("2h"))
+        .select(col("event_id"), col("rv"))
+        .collect().toSeq.map(_.toString).sorted
+    }
+    val base = run()
+    assert(base.nonEmpty)
+    val adversarial = withConf(
+      "spark.sql.files.maxPartitionBytes" -> (64 * 1024).toString,
+      "spark.sql.files.openCostInBytes" -> "0",
+      "spark.sql.shuffle.partitions" -> "3") { run() }
+    assert(adversarial == base, "unkeyed nearest differs under repartitioning")
+  }
 
   // AQE re-plans at runtime (coalesced shuffle reads, skew splits,
   // broadcast demotions); exact results must not depend on it either way
