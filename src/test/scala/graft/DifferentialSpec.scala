@@ -542,6 +542,78 @@ class DifferentialSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: 40 random unkeyed GLOBAL rolling plans match DuckDB window frames") {
+    // grammar 33: the round-11 rewrite of the unkeyed rolling scale path
+    // (range partition + margin-gated equi-join context duplication in
+    // Rolling.fixedGlobal/timeGlobal) fuzzed directly against DuckDB's
+    // single global window frame — the semantics the distributed plan must
+    // reproduce. Dimensions: rows-based (window size × min_periods ×
+    // sum/min/max over a DECIMAL-exact money view) and time-based (duration
+    // × full closed matrix, sum through the O(n) running-difference path) ×
+    // random input filters. Equal order keys never occur (o_orderkey and
+    // events.ts are unique), so frames are unambiguous.
+    val st0 = duck.createStatement()
+    try {
+      st0.execute(s"CREATE VIEW IF NOT EXISTS orders AS SELECT * FROM '$sfDir/orders.parquet'")
+      st0.execute(s"CREATE VIEW IF NOT EXISTS events AS SELECT * FROM '$sfDir/events.parquet'")
+    } finally st0.close()
+    val R = graft.operators.Rolling
+    for (seed <- 3300 until 3340) {
+      val r = new scala.util.Random(seed)
+      if (r.nextBoolean()) {
+        val n = Seq(2, 3, 5, 10, 25, 100)(r.nextInt(6))
+        val mp = if (r.nextBoolean()) 1 else math.max(1, n / 2)
+        val thr = 50000 + r.nextInt(250000)
+        val agg = r.nextInt(3)
+        val base = sf("orders").filter(col("o_totalprice") <= thr)
+        val aggSpark: org.apache.spark.sql.expressions.WindowSpec => Column = agg match {
+          case 0 => w => sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+          case 1 => w => min(col("o_totalprice")).over(w)
+          case _ => w => max(col("o_totalprice")).over(w)
+        }
+        val df = R.fixedGlobal(base, s"${n}i", Seq(col("o_orderkey")), Seq(
+            "v" -> (w => when(count(lit(1)).over(w) >= lit(mp), aggSpark(w))),
+            "c" -> (w => count(lit(1)).over(w))))
+          .select(col("o_orderkey"), col("v"), col("c"))
+        val aggSql = agg match {
+          case 0 => "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)"
+          case 1 => "min(o_totalprice) OVER w"
+          case _ => "max(o_totalprice) OVER w"
+        }
+        val sql =
+          s"""SELECT o_orderkey,
+             |  CASE WHEN count(*) OVER w >= $mp THEN $aggSql END AS v,
+             |  count(*) OVER w AS c
+             |FROM orders WHERE o_totalprice <= $thr
+             |WINDOW w AS (ORDER BY o_orderkey ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW)""".stripMargin
+        assertSame(df, sql)
+      } else {
+        val (durStr, us) = Seq(("30m", 30L * 60 * 1000000L), ("2h", 2L * 3600 * 1000000L),
+          ("1d", 24L * 3600 * 1000000L), ("3d", 72L * 3600 * 1000000L))(r.nextInt(4))
+        val closed = Seq(R.Right, R.Both, R.Left, R.NoneC)(r.nextInt(4))
+        val thr = r.nextInt(100)
+        val base = sf("events").filter(col("value") >= thr)
+        val df = R.timeGlobal(base, durStr, col("ts"), closed,
+            aggs = Seq("c" -> (w => count(lit(1)).over(w))),
+            diffSums = Seq("v" -> col("value").cast("decimal(18,4)")))
+          .select(col("event_id"), col("v").cast("double").as("v"), col("c"))
+        val frame = closed match {
+          case R.Right => s"${us - 1} PRECEDING AND CURRENT ROW"
+          case R.Both  => s"$us PRECEDING AND CURRENT ROW"
+          case R.Left  => s"$us PRECEDING AND 1 PRECEDING"
+          case R.NoneC => s"${us - 1} PRECEDING AND 1 PRECEDING"
+        }
+        val sql =
+          s"""SELECT event_id,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS v,
+             |  count(*) OVER w AS c
+             |FROM events WHERE value >= $thr
+             |WINDOW w AS (ORDER BY epoch_us(ts) RANGE BETWEEN $frame)""".stripMargin
+        assertSame(df, sql)
+      }
+    }
+  }
+
   test("fuzz: 40 random NEAREST as-of joins match two-directional DuckDB ASOF + tie-break") {
     // grammar 32 (round-10 directive 7): `nearest` has no DuckDB primitive,
     // so render its DEFINITION — a backward ASOF and a forward ASOF
