@@ -128,9 +128,18 @@ object Rolling {
                   aggs: Seq[(String, WindowSpec => Column)]): DataFrame = {
     val n = Durations.parseRows(windowSize)
     val ordered = order.toIndexedSeq
-    val parted = df.repartitionByRange(ordered: _*).withColumn("__pid", spark_partition_id())
-    val w0 = Window.partitionBy("__pid").orderBy(ordered: _*)
-    val withRn = parted.withColumn("__rn", row_number().over(w0).cast("long"))
+    // local row numbers WITHOUT a window exchange: after the range exchange
+    // the rows of a partition are already co-located, so sort within the
+    // partition and read the per-partition counter out of
+    // monotonically_increasing_id ((pid << 33) + rowIndex — indices above
+    // 2^33 rows/partition would wrap, far beyond any sane partition size).
+    // A row_number() window over __pid computes the same value but forces
+    // an extra full-data hashpartitioning(__pid) exchange right after the
+    // range exchange.
+    val parted = df.repartitionByRange(ordered: _*).sortWithinPartitions(ordered: _*)
+      .withColumn("__pid", spark_partition_id())
+    val withRn = parted.withColumn("__rn",
+      monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)) + lit(1L))
     val prefix = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     val boundsBase = withRn.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
       .withColumn("__off", coalesce(sum(col("__cnt")).over(prefix), lit(0L)))
