@@ -83,10 +83,14 @@ object Prep {
     * of token sums. */
   def shuffled(df: DataFrame, idCol: String, salt: Long = 0L): DataFrame = {
     val keyed = df.withColumn("shuffle_key", shuffleKey(col(idCol), salt).cast("long"))
+    // local ranks WITHOUT a window exchange: rows of a partition are
+    // co-located after the range exchange, so sort within partitions and
+    // read the per-partition counter out of monotonically_increasing_id
+    // ((pid << 33) + rowIndex) — a row_number() window over __pid would
+    // re-shuffle the full data on hash(__pid) just to number it
     val parted = keyed.repartitionByRange(col("shuffle_key"), col(idCol))
+      .sortWithinPartitions(col("shuffle_key"), col(idCol))
       .withColumn("__pid", spark_partition_id())
-    val wLocal = Window.partitionBy(col("__pid"))
-      .orderBy(col("shuffle_key"), col(idCol))
     // per-partition row counts -> exclusive prefix offsets (≤P rows: the
     // only single-task window runs over the partition COUNT, not the data)
     val prefix = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
@@ -94,7 +98,8 @@ object Prep {
       .withColumn("__off", coalesce(sum(col("__n")).over(prefix), lit(0L)))
       .select(col("__pid"), col("__off"))
     parted
-      .withColumn("__lrn", row_number().over(wLocal).cast("long"))
+      .withColumn("__lrn",
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)) + lit(1L))
       .join(broadcast(offsets), Seq("__pid"))
       .withColumn("shuffle_pos", col("__lrn") - lit(1L) + col("__off"))
       .drop("__pid", "__lrn", "__off")
