@@ -15,6 +15,11 @@ import graft.api.syntax._
   * data is fixed-decimal: quantities are integers, prices 2dp, event values
   * 4dp).
   */
+/** q66's record type — the "from objects" construction surface (reference
+  * DataFrame.cs FromRecords/object-mapper path): a plain case class turned
+  * into a Dataset through the product encoder. */
+final case class G66Rec(id: Long, name: String, score: Double)
+
 object SparkEntry {
 
   /** qd48's demo blocklist: overlapping prefixes ("bad ...") and a nested
@@ -2004,6 +2009,177 @@ object SparkEntry {
       docs.join(losers, docs("doc_id") === losers("id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
+    }),
+
+    // §2.10 Structured Streaming leaves spec-land: the SAME windowed
+    // aggregation runs as a streaming query (readStream over the events
+    // parquet → event-time watermark → 1d tumbling window → complete-mode
+    // memory sink, Trigger.AvailableNow) and the batch SQL oracle recomputes
+    // it. The memory-sink result is BOUNDED by construction (one row per
+    // (day, event_type) group); the sink view is dropped before returning so
+    // repeated invocations leave no catalog or state residue.
+    "q61_stream_window" -> ((s, d) => {
+      // FileStreamSource wants a DIRECTORY; the per-SF table is a single
+      // parquet file, so link it into a scratch dir (the file is read-only
+      // source data — never copied)
+      val dir = scratchDir("q61")
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(dir, "events.parquet"),
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+      val path = dir
+      val schema = s.read.parquet(path).schema
+      // normalize ts to a session-TZ timestamp before the watermark — long
+      // nanos under legacy nanosAsLong, TIMESTAMP_NTZ otherwise (the same
+      // branch the batch loader `t` takes)
+      val tsIsLong = schema.fields.exists(f =>
+        f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+      val ev0 = s.readStream.schema(schema).parquet(path)
+      val ev =
+        if (tsIsLong)
+          ev0.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp)"))
+        else ev0.withColumn("ts", col("ts").cast("timestamp"))
+      val out = graft.streaming.StreamOps.windowedAgg(ev, "ts", every = "1d",
+          by = Seq("event_type"))(
+          count(lit(1)).as("n"),
+          sum(dec4(col("value"))).as("__sum"))
+      val qn = "g61_stream"
+      val query = out.writeStream.format("memory").queryName(qn)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try query.awaitTermination() finally query.stop()
+      val res = localize(s, s.table(qn)
+        .select(col("ts").cast("timestamp_ntz").as("ts"), col("event_type"),
+          col("n"), col("__sum").cast("double").as("sum_value")))
+      s.catalog.dropTempView(qn)
+      res.orderBy(col("ts"), col("event_type"))
+    }),
+
+    // §2.1 multiline-JSON ARRAY read (reference ReadJson io.rs:130-142, vs
+    // the NDJSON scan q58 covers): the nation table — fixed 25 rows at every
+    // SF by the TPC-H spec, so the array document is bounded — round-trips
+    // through a single pretty-printed JSON array that only
+    // option("multiLine") can parse.
+    "q62_json_multiline" -> ((s, d) => {
+      val dir = scratchDir("q62")
+      val src = t(s, d, "nation")
+      val docs = src.orderBy(col("n_nationkey")).toJSON.collect() // 25 rows by spec
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, "nation.json"),
+        docs.mkString("[\n  ", ",\n  ", "\n]"))
+      graft.sources.IO.readJson(s, dir + "/nation.json")
+        .select(src.schema.fields.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // §2.1 Arrow in-memory stream interchange (the reference's zero-copy
+    // handoff into the host language, eager.rs:824-926): frame → Arrow IPC
+    // stream bytes → frame. The byte buffer is driver-local BY DESIGN — this
+    // is the in-process interchange surface, not a file scan — bounded here
+    // to the filtered supplier slice (s_suppkey % 5, ≈ supplier/5 rows).
+    "q63_arrow_handoff" -> ((s, d) => {
+      val src = t(s, d, "supplier").filter(col("s_suppkey") % 5 === 0)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+        .orderBy(col("s_suppkey"))
+      val bytes = graft.sources.ArrowIpc.toArrowStreamBytes(src)
+      graft.sources.ArrowIpc.fromArrowStreamBytes(s, bytes)
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // §2.1 anonymous scan (AnonymousScan lazy.rs:646-763): four parallel
+    // deterministic generators through the V2 source (projection + limit
+    // pushdown wired); the oracle recomputes the generator formulas over
+    // DuckDB's range(). Scores are multiples of 1/8 so the double sum is
+    // exact under any accumulation order.
+    "q64_anonymous_scan" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("grp", IntegerType, nullable = false),
+        StructField("score", DoubleType, nullable = false)))
+      val parts = 4
+      val perPart = 2500
+      val factories: Seq[() => Iterator[org.apache.spark.sql.Row]] =
+        (0 until parts).map { p => () =>
+          Iterator.tabulate(perPart) { i =>
+            val id = p.toLong * perPart + i
+            org.apache.spark.sql.Row(id, (id % 7).toInt, (id * 31 % 1000) / 8.0)
+          }
+        }
+      graft.sources.IteratorSource.scanPartitioned(s, "q64", schema, factories)
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("score")).as("score_sum"))
+        .orderBy(col("grp"))
+    }),
+
+    // §2.1 async read/collect (CollectAsync/ScanAsync DataFrame.cs:163-196):
+    // the Future-based surface awaited back to a frame, then a normal
+    // aggregation — proves the async path yields the same plan the sync
+    // scan does.
+    "q65_async_read" -> ((s, d) => {
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fut = graft.sources.IO.scanParquetAsync(s, s"$d/orders.parquet")
+      val orders = scala.concurrent.Await.result(
+        fut, scala.concurrent.duration.Duration(120, "s"))
+      orders.filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // §2.1 from objects/records: a case-class Seq through the product
+    // encoder (Dataset[G66Rec]) joined (broadcast) against a real table —
+    // the construction surface plus proof it composes with scans.
+    "q66_from_records" -> ((s, d) => {
+      val recs = (0 until 60).map(i =>
+        G66Rec(i.toLong, "rec_" + (i % 8), (i * 13 % 40) / 4.0))
+      val nat = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+      import s.implicits._
+      s.createDataset(recs).toDF()
+        .join(broadcast(nat), col("id") % 25 === col("n_nationkey"))
+        .select(col("id"), col("name"), col("score"), col("n_name"))
+        .orderBy(col("id"))
+    }),
+
+    // §2.2 batch export (pl_dataframe_export_batches io.rs:608-657): stream
+    // the region table — fixed 5 rows at every SF — to the caller via the
+    // partition-at-a-time iterator and rebuild a frame from the exported
+    // rows. Driver-side BY CONTRACT: the reference streams batches into the
+    // host process the same way.
+    "q67_export_batches" -> ((s, d) => {
+      val src = t(s, d, "region").select(col("r_regionkey"), col("r_name"))
+      val exported = graft.sources.IO.exportBatches(src).toSeq // 5 rows by spec
+      s.createDataFrame(java.util.Arrays.asList(exported: _*), src.schema)
+        .orderBy(col("r_regionkey"))
+    }),
+
+    // §2.3 drop / rename / drop_nulls as the Frame-API chain (eager.rs:
+    // 291-326) — nulls injected first so drop_nulls has real work, two
+    // renames so the rename path is exercised on both a synthesized and an
+    // original column.
+    "q68_drop_rename_nulls" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .withColumn("qty_or_null",
+          when(col("l_quantity") % 5 === 0, lit(null)).otherwise(col("l_quantity")))
+        .dropNulls("qty_or_null")
+        .rename("qty_or_null", "qty")
+        .rename("l_returnflag", "flag")
+        .select(col("l_orderkey"), col("l_linenumber"), col("flag"), col("qty"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // §2.7 per-row list.sort (+ unique / join) — the fuzz-grammar-25
+    // rendering promoted to a driver-graded row: sort_array/array_join vs
+    // DuckDB list_sort/list_aggregate over the same split words.
+    "q69_list_sort" -> ((s, d) => {
+      t(s, d, "part")
+        .select(col("p_partkey"),
+          split(col("p_name"), " ").list.sort(descending = true)
+            .list.join("-").as("sorted_desc"),
+          array_join(array_sort(array_distinct(split(col("p_name"), " "))), "|")
+            .as("uniq_asc"))
+        .orderBy(col("p_partkey"))
     }),
   )
 
@@ -4005,5 +4181,54 @@ object SparkEntry {
         |  date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS trunc_mo,
         |  date_trunc('quarter', CAST(o_orderdate AS TIMESTAMP)) AS trunc_q
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // §2.10 streaming face — the batch recomputation of the 1d tumbling
+    // window (epoch-aligned in UTC == date_trunc('day'))
+    "q61_stream_window" ->
+      """SELECT date_trunc('day', ts) AS ts, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY ts, event_type""".stripMargin,
+
+    "q62_json_multiline" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q63_arrow_handoff" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier WHERE s_suppkey % 5 = 0 ORDER BY s_suppkey""".stripMargin,
+
+    "q64_anonymous_scan" ->
+      """SELECT CAST(i % 7 AS INTEGER) AS grp, count(*) AS n,
+        |  sum(CAST((i * 31) % 1000 AS DOUBLE) / 8.0) AS score_sum
+        |FROM range(0, 10000) t(i) GROUP BY 1 ORDER BY grp""".stripMargin,
+
+    "q65_async_read" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q66_from_records" ->
+      """SELECT i AS id, 'rec_' || CAST(i % 8 AS VARCHAR) AS name,
+        |  CAST((i * 13) % 40 AS DOUBLE) / 4.0 AS score, n_name
+        |FROM range(0, 60) t(i) JOIN nation ON i % 25 = n_nationkey
+        |ORDER BY id""".stripMargin,
+
+    "q67_export_batches" ->
+      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""".stripMargin,
+
+    "q68_drop_rename_nulls" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag AS flag, l_quantity AS qty
+        |FROM lineitem WHERE l_quantity % 5 <> 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q69_list_sort" ->
+      """SELECT p_partkey,
+        |  list_aggregate(list_sort(string_split(p_name, ' '), 'DESC'),
+        |    'string_agg', '-') AS sorted_desc,
+        |  list_aggregate(list_sort(list_distinct(string_split(p_name, ' ')), 'ASC'),
+        |    'string_agg', '|') AS uniq_asc
+        |FROM part ORDER BY p_partkey""".stripMargin,
   )
 }
