@@ -614,6 +614,69 @@ class DifferentialSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: 10 random streaming tumbling-window aggregations match DuckDB (grammar 34)") {
+    // grammar 34 (round 11): the Structured-Streaming RUNTIME path — q61's
+    // face generalized. Random tumbling width × value filter × optional
+    // by-key, each run end-to-end as a real streaming query (file source →
+    // watermark → StreamOps.windowedAgg → complete-mode memory sink,
+    // Trigger.AvailableNow) and compared against DuckDB's epoch-origin
+    // time_bucket recomputation. This proves the streaming source, state
+    // store, and sink produce the batch answer — not merely that
+    // windowedAgg's expressions are correct. Widths beyond DuckDB's
+    // 2000-01-01 anchor phase (2d) pin the origin explicitly to Spark's
+    // epoch alignment; both sides cast the bucket to VARCHAR (grammar 26's
+    // timestamp-compare discipline).
+    val st0 = duck.createStatement()
+    try st0.execute(s"CREATE VIEW IF NOT EXISTS events AS SELECT * FROM '$sfDir/events.parquet'")
+    finally st0.close()
+    // the file stream source needs a DIRECTORY: link the single-file table
+    val dir = java.nio.file.Files.createTempDirectory("g34_events")
+    java.nio.file.Files.createSymbolicLink(dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    try {
+      val schema = spark.read.parquet(dir.toString).schema
+      val tsIsLong = schema.fields.exists(f =>
+        f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+      for (seed <- 3400 until 3410) {
+        val r = new scala.util.Random(seed)
+        val (every, bucketSql) = Seq(
+          ("6h", "INTERVAL '6 hours'"), ("12h", "INTERVAL '12 hours'"),
+          ("1d", "INTERVAL '1 day'"), ("2d", "INTERVAL '2 days'"))(r.nextInt(4))
+        val byType = r.nextBoolean()
+        val thr = r.nextInt(100)
+        val raw = spark.readStream.schema(schema).parquet(dir.toString)
+        val ev0 =
+          if (tsIsLong)
+            raw.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp)"))
+          else raw.withColumn("ts", col("ts").cast("timestamp"))
+        val ev = ev0.filter(col("value") >= thr)
+        val out = graft.streaming.StreamOps.windowedAgg(ev, "ts", every = every,
+            by = if (byType) Seq("event_type") else Seq.empty)(
+            count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,4)")).as("s"))
+        val qn = s"g34_$seed"
+        val q = out.writeStream.format("memory").queryName(qn)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+        val keyCols = if (byType) Seq(col("event_type")) else Seq.empty
+        val res = spark.table(qn).select(
+          (col("ts").cast("timestamp_ntz").cast("string").as("b") +: keyCols) ++
+            Seq(col("n"), col("s").cast("double").as("s")): _*)
+        val keySql = if (byType) ", event_type" else ""
+        val sql =
+          s"""SELECT CAST(time_bucket($bucketSql, CAST(ts AS TIMESTAMP),
+             |    TIMESTAMP '1970-01-01 00:00:00') AS VARCHAR) AS b$keySql,
+             |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s
+             |FROM events WHERE value >= $thr GROUP BY ALL""".stripMargin
+        try assertSame(res, sql) finally spark.catalog.dropTempView(qn)
+      }
+    } finally {
+      java.nio.file.Files.deleteIfExists(dir.resolve("events.parquet"))
+      java.nio.file.Files.deleteIfExists(dir)
+    }
+  }
+
   test("fuzz: 40 random NEAREST as-of joins match two-directional DuckDB ASOF + tie-break") {
     // grammar 32 (round-10 directive 7): `nearest` has no DuckDB primitive,
     // so render its DEFINITION — a backward ASOF and a forward ASOF

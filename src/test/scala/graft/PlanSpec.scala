@@ -83,6 +83,17 @@ class PlanSpec extends SparkSpec {
     assert(timePlan.contains("BroadcastHashJoin"), s"expected broadcast equi-join:\n$timePlan")
   }
 
+  test("bucketed co-located join: zero exchanges, bucket layout feeds the SMJ (q70 shape)") {
+    // the 100 TB fact-fact join story: both sides bucketed+sorted on the
+    // join key at layout time (one file per bucket) → the join itself must
+    // plan WITHOUT any Exchange — re-shuffling bucketed tables would throw
+    // the layout investment away
+    val p = planOf(SparkEntry.q70Join(spark, "/root/testdata/sf0.001"))
+    assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+    assert(!p.contains("Exchange"),
+      s"bucketed join must not re-shuffle either side:\n$p")
+  }
+
   test("as-of NEAREST: one exchange, one window, no id join (q24 shape)") {
     val ev = SparkEntry.t(spark, "/root/testdata/sf0.001", "events")
     val p = ev.filter(col("event_type") === "purchase")
