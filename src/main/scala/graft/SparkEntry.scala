@@ -127,6 +127,47 @@ object SparkEntry {
   private val fixtureCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Build-once-scan-thereafter fixture parquet, keyed by (name, sfDir). */
+  /** qd50's query terms — shared by the Spark face and the generated oracle
+    * so they cannot drift; 'zebra' never occurs in the corpus (df = 0),
+    * exercising the zero-tf / max-idf path. */
+  private[graft] val Bm25Terms: Seq[String] =
+    Seq("hash", "join", "stream", "window", "zebra")
+
+  /** qd50's oracle, generated from [[Bm25Terms]] with the BM25 expression
+    * tree mirrored verbatim (k1 = 1.2, b = 0.75, micro-unit quantization
+    * per term before the exact integer sum). */
+  private def bm25OracleSql: String = {
+    val toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    val dfAggs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS df$i"
+    }.mkString(",\n    ")
+    val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf$i"
+    }.mkString(",\n    ")
+    val dfdCols = Bm25Terms.indices.map(i => s"CAST(df$i AS DOUBLE) AS dfd$i")
+      .mkString(", ")
+    val termSum = Bm25Terms.indices.map { i =>
+      s"CAST(floor(ln((n - dfd$i + 0.5) / (dfd$i + 0.5) + 1.0) * " +
+        s"((tf$i * (1.2 + 1.0)) / (tf$i + 1.2 * (1.0 - 0.75 + 0.75 * " +
+        s"(CAST(len AS DOUBLE) / (CAST(tl AS DOUBLE) / n))))) * 1e6 + 0.5) AS BIGINT)"
+    }.mkString("\n  + ")
+    s"""WITH dd AS (
+       |  SELECT doc_id, lang, $toks AS toks FROM documents
+       |), d2 AS (SELECT doc_id, lang, toks, len(toks) AS len FROM dd),
+       |m AS (
+       |  SELECT count(*) AS n, sum(len) AS tl,
+       |    $dfAggs
+       |  FROM d2
+       |), s AS (
+       |  SELECT doc_id, lang, len, n, tl, $dfdCols,
+       |    $tfCols
+       |  FROM d2 CROSS JOIN m
+       |)
+       |SELECT doc_id, lang,
+       |  $termSum AS bm25_uscore
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   /** q70's co-located join over per-(JVM, SF) bucketed tables. The layout
     * write (`bucketBy(8, key).sortBy(key)` after a repartition that puts
     * exactly one file in each bucket) happens once per session and lives in
@@ -2198,6 +2239,18 @@ object SparkEntry {
         .rename("l_returnflag", "flag")
         .select(col("l_orderkey"), col("l_linenumber"), col("flag"), col("qty"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // Okapi BM25 corpus scoring against a fixed query-term list (incl. a
+    // zero-df term exercising the absent-term path): ONE bounded model
+    // aggregation broadcast back, then narrow per-row scoring — the
+    // retrieval scorer a curation pipeline uses for quality-weighted
+    // selection. The oracle SQL is GENERATED from the same term list
+    // ([[Bm25Terms]]) so the two sides cannot drift.
+    "qd50_bm25" -> ((s, d) => {
+      graft.prep.Prep.bm25(t(s, d, "documents"), "doc_id", "text", Bm25Terms)
+        .select(col("doc_id"), col("lang"), col("bm25_uscore"))
+        .orderBy(col("doc_id"))
     }),
 
     // §2.4 at 100 TB: BUCKETED co-located fact-fact join. Both tables are
@@ -4288,6 +4341,8 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_returnflag AS flag, l_quantity AS qty
         |FROM lineitem WHERE l_quantity % 5 <> 0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "qd50_bm25" -> bm25OracleSql,
 
     "q70_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n,

@@ -821,4 +821,53 @@ object Prep {
       .sortWithinPartitions(col(shardCol))
       .write.format(format).mode("overwrite").save(path)
   }
+
+  // ---- BM25 relevance scoring --------------------------------------------
+
+  /** Okapi BM25 relevance of every corpus document against a fixed
+    * query-term list — the retrieval scorer a curation pipeline uses for
+    * quality-weighted selection or targeted decontamination sweeps
+    * (Robertson & Zaragoza 2009; Lucene's +1 IDF form so scores are never
+    * negative).
+    *
+    * 100 TB shape (the hashed-DSIR discipline): the MODEL — corpus size N,
+    * total token length, per-term document frequencies — is ONE bounded
+    * aggregation riding back as a broadcast 1-row side, and SCORING IS A
+    * NARROW MAP: per-doc term frequencies come straight from each row's
+    * token array (no explode, no join, no shuffle of the corpus beyond the
+    * single model aggregation). |terms| is the query side and assumed small.
+    *
+    * Cross-engine exactness: every float input is an exact int64-valued
+    * double (counts, lengths), the expression tree is mirrored verbatim in
+    * the oracle SQL, and each term's contribution quantizes to micro-units
+    * (`floor(x·1e6 + 0.5)`, the [[importanceWeightsMicro]] discipline)
+    * before the exact integer sum. */
+  def bm25(corpus: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val withToks = corpus
+      .withColumn("__toks", T.tokens(col(textCol)))
+      .withColumn("__len", size(col("__toks")))
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(array_contains(col("__toks"), t), 1L).otherwise(0L)).as(s"__df_$i")
+    }
+    val model = broadcast(withToks.agg(
+      count(lit(1)).as("__n"),
+      (sum(col("__len").cast("long")).as("__tl") +: dfCols): _*))
+    val scored = withToks.crossJoin(model)
+    val avgdl = col("__tl").cast("double") / col("__n")
+    val termScores = terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("__toks"), x => x === lit(t))).cast("double")
+      val dfT = col(s"__df_$i").cast("double")
+      val idf = log((col("__n") - dfT + lit(0.5)) / (dfT + lit(0.5)) + lit(1.0))
+      val denom = tf + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * (col("__len").cast("double") / avgdl))
+      floor(idf * ((tf * (lit(k1) + lit(1.0))) / denom) * lit(1e6) + lit(0.5))
+        .cast("long")
+    }
+    scored
+      .withColumn("bm25_uscore", termScores.reduce(_ + _))
+      .drop(("__toks" +: "__len" +: "__n" +: "__tl" +:
+        terms.indices.map(i => s"__df_$i")): _*)
+  }
 }

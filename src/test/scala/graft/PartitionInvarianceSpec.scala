@@ -49,7 +49,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     "qd45_sentence_dedup",      // sentence election across partitions
     "qd46_dup_paragraphs",      // paragraph stats across partitions
     "q53_pipeline_clean_pack",  // composite: span dedup → floor → global pack
-    "q54_pipeline_crawl")       // composite: extract → clean → dedup → chunk
+    "q54_pipeline_crawl",       // composite: extract → clean → dedup → chunk
+    "qd50_bm25",                // broadcast model + narrow scoring across splits
+    "q70_bucketed_join")        // bucketed layout vs adversarial shuffle config
 
   private def rows(name: String): Seq[String] = {
     val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)

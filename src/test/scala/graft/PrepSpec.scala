@@ -372,4 +372,25 @@ class PrepSpec extends SparkSpec {
     val want = math.sqrt(100.0) / (math.sqrt(8100.0) + math.sqrt(1800.0) + math.sqrt(100.0))
     assert(math.abs(temp("small") - want) < 1e-12)
   }
+
+  test("bm25: hand-computed score, zero-df term contributes nothing, no corpus explode") {
+    val docs = Seq((1L, "cat dog cat"), (2L, "dog dog dog dog"), (3L, "bird"))
+      .toDF("id", "text")
+    val out = Prep.bm25(docs, "id", "text", Seq("cat", "fish"))
+    val got = out.select(col("id"), col("bm25_uscore")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // N=3, tl=8, df(cat)=1, df(fish)=0; doc 1: tf(cat)=2, len=3 — replay the
+    // exact double chain (k1=1.2, b=0.75, Lucene +1 idf, micro quantization)
+    val idfCat = math.log((3.0 - 1.0 + 0.5) / (1.0 + 0.5) + 1.0)
+    val denom = 2.0 + 1.2 * (1.0 - 0.75 + 0.75 * (3.0 / (8.0 / 3.0)))
+    val want = math.floor(idfCat * ((2.0 * (1.2 + 1.0)) / denom) * 1e6 + 0.5).toLong
+    assert(got(1L) == want, s"doc 1 scored ${got(1L)}, hand computation says $want")
+    // docs without any query term score exactly 0 (fish df=0 never fires)
+    assert(got(2L) == 0L && got(3L) == 0L)
+    // scale shape: scoring is a narrow map — the corpus is never exploded
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), s"bm25 must not explode the corpus:\n$plan")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastQueryStage"),
+      s"bm25 model must ride back as a broadcast side:\n$plan")
+  }
 }
