@@ -133,22 +133,27 @@ object SparkEntry {
   private[graft] val Bm25Terms: Seq[String] =
     Seq("hash", "join", "stream", "window", "zebra")
 
-  /** qd50's oracle, generated from [[Bm25Terms]] with the BM25 expression
-    * tree mirrored verbatim (k1 = 1.2, b = 0.75, micro-unit quantization
-    * per term before the exact integer sum). */
-  private def bm25OracleSql: String = {
+  /** BM25 oracle generator — the DuckDB rendering of [[graft.prep.Prep.bm25]]
+    * with the expression tree mirrored verbatim (micro-unit quantization per
+    * term before the exact integer sum). Shared by qd50's oracle and the
+    * grammar-35 differential fuzz so Spark and SQL can never drift. k1/b are
+    * emitted with full `Double.toString` precision so both engines parse the
+    * identical double literal. */
+  private[graft] def bm25OracleSql(terms: Seq[String], k1: Double, b: Double): String = {
     val toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
-    val dfAggs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+    val k1s = java.lang.Double.toString(k1)
+    val bs = java.lang.Double.toString(b)
+    val dfAggs = terms.zipWithIndex.map { case (t, i) =>
       s"sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS df$i"
     }.mkString(",\n    ")
-    val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf$i"
     }.mkString(",\n    ")
-    val dfdCols = Bm25Terms.indices.map(i => s"CAST(df$i AS DOUBLE) AS dfd$i")
+    val dfdCols = terms.indices.map(i => s"CAST(df$i AS DOUBLE) AS dfd$i")
       .mkString(", ")
-    val termSum = Bm25Terms.indices.map { i =>
+    val termSum = terms.indices.map { i =>
       s"CAST(floor(ln((n - dfd$i + 0.5) / (dfd$i + 0.5) + 1.0) * " +
-        s"((tf$i * (1.2 + 1.0)) / (tf$i + 1.2 * (1.0 - 0.75 + 0.75 * " +
+        s"((tf$i * ($k1s + 1.0)) / (tf$i + $k1s * (1.0 - $bs + $bs * " +
         s"(CAST(len AS DOUBLE) / (CAST(tl AS DOUBLE) / n))))) * 1e6 + 0.5) AS BIGINT)"
     }.mkString("\n  + ")
     s"""WITH dd AS (
@@ -4342,7 +4347,7 @@ object SparkEntry {
         |FROM lineitem WHERE l_quantity % 5 <> 0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
-    "qd50_bm25" -> bm25OracleSql,
+    "qd50_bm25" -> bm25OracleSql(Bm25Terms, k1 = 1.2, b = 0.75),
 
     "q70_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n,

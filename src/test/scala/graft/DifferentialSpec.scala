@@ -677,6 +677,35 @@ class DifferentialSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: 20 random BM25 scoring plans match the generated DuckDB rendering (grammar 35)") {
+    // grammar 35 (round 11): Prep.bm25 across random term sets (frequent,
+    // mid, and absent words — df = 0 paths), k1 and b grids including the
+    // b = 0 (no length normalization) and b = 1 (full normalization)
+    // edges. The oracle SQL comes from the SAME generator qd50's oracle
+    // uses (SparkEntry.bm25OracleSql), so this fuzzes the expression-tree
+    // mirroring itself: any associativity or literal-precision drift
+    // between the Spark Column chain and the SQL rendering breaks the
+    // exact integer equality.
+    val st0 = duck.createStatement()
+    try st0.execute(
+      s"CREATE VIEW IF NOT EXISTS documents AS SELECT * FROM '$sfDir/documents.parquet'")
+    finally st0.close()
+    val vocab = Seq("scan", "column", "window", "order", "sort", "part", "agg",
+      "value", "line", "key", "join", "merge", "hash", "stream", "batch",
+      "zebra", "qqqq", "absent") // last three never occur: df = 0
+    val k1s = Seq(0.9, 1.2, 1.5, 2.0)
+    val bsq = Seq(0.0, 0.4, 0.75, 1.0)
+    for (seed <- 3500 until 3520) {
+      val r = new scala.util.Random(seed)
+      val terms = r.shuffle(vocab).take(1 + r.nextInt(4))
+      val k1 = k1s(r.nextInt(k1s.length))
+      val b = bsq(r.nextInt(bsq.length))
+      val df = graft.prep.Prep.bm25(sf("documents"), "doc_id", "text", terms, k1, b)
+        .select(col("doc_id"), col("lang"), col("bm25_uscore"))
+      assertSame(df, SparkEntry.bm25OracleSql(terms, k1, b))
+    }
+  }
+
   test("fuzz: 40 random NEAREST as-of joins match two-directional DuckDB ASOF + tie-break") {
     // grammar 32 (round-10 directive 7): `nearest` has no DuckDB primitive,
     // so render its DEFINITION — a backward ASOF and a forward ASOF
