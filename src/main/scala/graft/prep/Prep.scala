@@ -842,6 +842,47 @@ object Prep {
     * the oracle SQL, and each term's contribution quantizes to micro-units
     * (`floor(x·1e6 + 0.5)`, the [[importanceWeightsMicro]] discipline)
     * before the exact integer sum. */
+  /** A trained BM25 model: the bounded statistics scoring needs (|terms|+2
+    * scalars). Small enough to ship as plan LITERALS, which is what lets
+    * [[bm25Score]] run on a structured STREAM — the offline-train /
+    * online-score split a continuous curation pipeline uses. */
+  final case class Bm25Model(terms: Seq[String], n: Long, totalLen: Long,
+                             df: Seq[Long], k1: Double, b: Double)
+
+  /** Train the [[Bm25Model]]: ONE aggregation job over the corpus, collecting
+    * |terms|+2 scalars (bounded by the query size, never the corpus —
+    * SCALE_CONTRACTS.md). */
+  def bm25Model(corpus: DataFrame, textCol: String, terms: Seq[String],
+                k1: Double = 1.2, b: Double = 0.75): Bm25Model = {
+    require(terms.nonEmpty, "bm25Model needs at least one query term")
+    val toks = T.tokens(col(textCol))
+    val dfCols = terms.map(t =>
+      sum(when(array_contains(toks, t), 1L).otherwise(0L)))
+    val row = corpus.agg(count(lit(1)), (sum(size(toks).cast("long")) +: dfCols): _*)
+      .head()
+    Bm25Model(terms, row.getLong(0), row.getLong(1),
+      terms.indices.map(i => row.getLong(2 + i)), k1, b)
+  }
+
+  /** BM25 score of `textCol` under a pre-trained model — literal-only, so
+    * the column is a pure NARROW map usable on batch frames and structured
+    * streams alike (same micro-unit quantization as [[bm25]]; the two paths
+    * are spec-pinned equal). */
+  def bm25Score(textCol: Column, m: Bm25Model): Column = {
+    val toks = T.tokens(textCol)
+    val len = size(toks)
+    val avgdl = lit(m.totalLen).cast("double") / lit(m.n)
+    m.terms.zip(m.df).map { case (t, dfT) =>
+      val tf = size(filter(toks, x => x === lit(t))).cast("double")
+      val dfD = lit(dfT).cast("double")
+      val idf = log((lit(m.n) - dfD + lit(0.5)) / (dfD + lit(0.5)) + lit(1.0))
+      val denom = tf + lit(m.k1) *
+        (lit(1.0) - lit(m.b) + lit(m.b) * (len.cast("double") / avgdl))
+      floor(idf * ((tf * (lit(m.k1) + lit(1.0))) / denom) * lit(1e6) + lit(0.5))
+        .cast("long")
+    }.reduce(_ + _)
+  }
+
   def bm25(corpus: DataFrame, idCol: String, textCol: String,
            terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")

@@ -373,6 +373,33 @@ class PrepSpec extends SparkSpec {
     assert(math.abs(temp("small") - want) < 1e-12)
   }
 
+  test("bm25 offline-model/online-scoring: literal column == in-plan model, lifts to streaming") {
+    // the continuous-curation split: train the model ONCE offline
+    // (bm25Model — |terms|+2 scalars), score with a literal-only narrow
+    // column that runs identically on a batch frame and a structured stream
+    import org.apache.spark.sql.types._
+    val terms = Seq("w1", "w7", "nope")
+    val m = Prep.bm25Model(docs, "text", terms)
+    val viaLit = docs.select(col("doc_id"), Prep.bm25Score(col("text"), m).as("s"))
+      .as[(Long, Long)].collect().toMap
+    val viaPlan = Prep.bm25(docs, "doc_id", "text", terms)
+      .select(col("doc_id"), col("bm25_uscore")).as[(Long, Long)].collect().toMap
+    assert(viaLit == viaPlan && viaLit.nonEmpty)
+    // stream the same corpus through the same scoring column
+    val base = java.nio.file.Files.createTempDirectory("prep_bm25_stream").toString
+    docs.limit(60).write.mode("overwrite").parquet(s"$base/in")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType), StructField("text", StringType)))
+    val q = graft.streaming.StreamOps.sinkFileStream(
+      spark.readStream.schema(schema).parquet(s"$base/in")
+        .select(col("doc_id"), Prep.bm25Score(col("text"), m).as("s")),
+      "parquet", s"$base/out", s"$base/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(s"$base/out").as[(Long, Long)].collect().toMap
+    assert(streamed == viaLit.filter { case (id, _) => streamed.contains(id) } &&
+      streamed.size == 60)
+  }
+
   test("bm25: hand-computed score, zero-df term contributes nothing, no corpus explode") {
     val docs = Seq((1L, "cat dog cat"), (2L, "dog dog dog dog"), (3L, "bird"))
       .toDF("id", "text")
