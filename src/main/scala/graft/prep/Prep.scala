@@ -229,23 +229,31 @@ object Prep {
     * snapshot decontamination, cross-corpus leakage scans. */
   def contaminationBloom(corpus: DataFrame, bench: DataFrame, idCol: String,
                          textCol: String, shingleK: Int = 5,
-                         minShared: Int = 1, fpp: Double = 0.01): DataFrame = {
+                         minShared: Int = 1, fpp: Double = 0.01,
+                         expectedDistinct: Option[Long] = None): DataFrame = {
     graft.plans.SketchExprs.register(corpus.sparkSession)
     graft.plans.BloomExprs.register(corpus.sparkSession)
     def hashes(c: Column) = call_function("graft_shingle_hashes", T.tokens(c), lit(shingleK))
-    // bench shingles are read three times — count and filter build (both
-    // EAGER, here) plus the lazy verify join. The persist serves exactly the
-    // two eager model-build actions and is RELEASED before return: the verify
-    // join recomputes the distinct set once inside the caller's action (it is
-    // the SMALL side by assumption), and the library call leaves no retained
-    // cache blocks behind (CacheHygieneSpec).
+    // bench shingles are read twice, not three times: the Bloom build
+    // (EAGER, here) and the lazy verify join, which recomputes the distinct
+    // set once inside the caller's action (it is the SMALL side by
+    // assumption) — no persist, no retained cache blocks. The Bloom's
+    // expected-item count is a cost-free optimizer size estimate (or a
+    // caller hint) instead of the exact count() pass this op ran through
+    // round 10 (the same cut newSinceSnapshot took in round 10): sizing
+    // only trades filter bits against fpp, never correctness — the exact
+    // verify join below kills every false positive.
     val benchSet = bench.select(explode(hashes(col(textCol))).as("__s")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bytes =
-      try {
-        val expected = math.max(benchSet.count(), 64L)
-        graft.plans.BloomExprs.serialize(benchSet.stat.bloomFilter("__s", expected, fpp))
-      } finally benchSet.unpersist(blocking = true)
+    val expected = math.max(64L, expectedDistinct.getOrElse {
+      val stats = bench.queryExecution.optimizedPlan.stats
+      // distinct shingles ≤ total shingles ≈ tokens ≈ text bytes / 6; the
+      // 4x overshoot buys the fpp margin back in bits, capped where the
+      // Bloom would outgrow a sane broadcast (size explicitly above that)
+      val est = (stats.sizeInBytes.min(BigInt(1L << 50)) / 6 + 1).toLong
+      math.min(math.max(est, 64L) * 4L, 1L << 27)
+    })
+    val bytes = graft.plans.BloomExprs.serialize(
+      benchSet.stat.bloomFilter("__s", expected, fpp))
     val hits = corpus
       .select(col(idCol).as("__id"), explode(hashes(col(textCol))).as("__s"))
       .filter(graft.plans.BloomExprs.mightContain(col("__s"), bytes))
