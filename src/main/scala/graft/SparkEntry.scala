@@ -2246,6 +2246,17 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // §2.1/2.2 beyond-reference: ORC round-trip (write → scan vs the
+    // parquet truth, the q56/q57/q58 pattern) — covers lakes already on
+    // Spark's other native columnar format, with timestamps in the payload
+    "q71_orc_roundtrip" -> ((s, d) => {
+      val dir = scratchDir("q71")
+      val src = t(s, d, "events").filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      graft.sources.IO.sinkOrc(src, dir)
+      graft.sources.IO.scanOrc(s, dir).orderBy(col("event_id"))
+    }),
+
     // Okapi BM25 corpus scoring against a fixed query-term list (incl. a
     // zero-df term exercising the absent-term path): ONE bounded model
     // aggregation broadcast back, then narrow per-row scoring — the
@@ -4346,6 +4357,11 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_returnflag AS flag, l_quantity AS qty
         |FROM lineitem WHERE l_quantity % 5 <> 0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q71_orc_roundtrip" ->
+      """SELECT event_id, user_id, ts, value
+        |FROM events WHERE event_type = 'click'
+        |ORDER BY event_id""".stripMargin,
 
     "qd50_bm25" -> bm25OracleSql(Bm25Terms, k1 = 1.2, b = 0.75),
 

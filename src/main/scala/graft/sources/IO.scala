@@ -71,6 +71,15 @@ object IO {
   def scanNdjson(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
+  /** ORC scan/sink — a Spark-native columnar format the reference does not
+    * offer (beyond-reference coverage): same predicate-pushdown/column-
+    * pruning properties as parquet, useful where an existing lake is
+    * ORC-based. */
+  def scanOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+  def sinkOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Arrow IPC (Feather v2) scan/sink (io.rs:159-179, 308-319) — see
     * [[ArrowIpc]] for the batch-granular parallel read and per-partition
     * streamed write. */
