@@ -2246,6 +2246,18 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // beyond-reference: gap-based SESSIONIZATION, batch face — the
+    // declarative twin of the streaming state machine (Sessionize.sessions,
+    // FidelitySpec proves stream == batch): per-user 30-min-gap sessions
+    // over click events, vs DuckDB's lag/running-sum recomputation
+    "q72_sessionize" -> ((s, d) => {
+      graft.streaming.Sessionize.sessionsBatch(
+          t(s, d, "events").filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts"), col("value")),
+          "user_id", "ts", "value", gap = "30m")
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
     // §2.1/2.2 beyond-reference: ORC round-trip (write → scan vs the
     // parquet truth, the q56/q57/q58 pattern) — covers lakes already on
     // Spark's other native columnar format, with timestamps in the payload
@@ -4362,6 +4374,27 @@ object SparkEntry {
       """SELECT event_id, user_id, ts, value
         |FROM events WHERE event_type = 'click'
         |ORDER BY event_id""".stripMargin,
+
+    "q72_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+        |), b AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM b
+        |)
+        |SELECT user_id, session_id, min(ts) AS session_start,
+        |  max(ts) AS session_end, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
 
     "qd50_bm25" -> bm25OracleSql(Bm25Terms, k1 = 1.2, b = 0.75),
 

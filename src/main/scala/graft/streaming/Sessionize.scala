@@ -18,6 +18,31 @@ object Sessionize {
   case class Session(userId: Long, sessionStart: Timestamp, sessionEnd: Timestamp,
                      nEvents: Long, sumValue: Double)
 
+  /** Batch twin of [[sessions]] — the same gap-based session semantics as a
+    * DECLARATIVE window composition (boundary where the per-user gap
+    * exceeds `gap`, session id = running boundary count, then one grouped
+    * aggregate): ONE shuffle on the user key, no state machine, fully
+    * SQL-expressible — the oracle face (q72), and the backfill path a
+    * pipeline pairs with the streaming face. */
+  def sessionsBatch(df: org.apache.spark.sql.DataFrame, userCol: String,
+                    tsCol: String, valueCol: String, gap: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val gapUs = Durations.parseMicros(gap)
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val prev = lag(us, 1).over(w)
+    val brk = when(prev.isNull || us - prev > gapUs, 1L).otherwise(0L)
+    df.withColumn("__brk", brk)
+      .withColumn("session_id",
+        sum(col("__brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(userCol), col("session_id"))
+      .agg(min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(18,4)")).cast("double").as("sum_value"))
+  }
+
   /** Close a session after `gap` of event-time silence per user. */
   def sessions(events: Dataset[Event], gap: String, watermarkDelay: String = "10 minutes")
               (implicit spark: SparkSession): Dataset[Session] = {

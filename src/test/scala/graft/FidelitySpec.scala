@@ -95,6 +95,18 @@ class FidelitySpec extends SparkSpec {
       assert(got.length >= 2, got.mkString(";"))
       val u1 = got.filter(_.getLong(0) == 1L)
       assert(u1.head.getLong(1) == 2L && u1.head.getDouble(2) == 3.0)
+      // batch twin (q72's declarative face): identical sessions from the
+      // same events — stream state machine == window composition
+      val batch = graft.streaming.Sessionize.sessionsBatch(
+          spark.read.parquet(dir).filter(col("userId") < 90)
+            .select(col("userId"), col("ts"), col("value")),
+          "userId", "ts", "value", gap = "30m")
+        .select(col("userId"), col("n_events"),
+          col("sum_value").cast("double"))
+        .orderBy(col("userId"), col("session_id")).collect()
+      assert(batch.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+        got.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq,
+        s"batch=${batch.mkString(";")} stream=${got.mkString(";")}")
     } finally q.stop()
   }
 

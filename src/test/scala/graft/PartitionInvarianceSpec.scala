@@ -51,7 +51,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q53_pipeline_clean_pack",  // composite: span dedup → floor → global pack
     "q54_pipeline_crawl",       // composite: extract → clean → dedup → chunk
     "qd50_bm25",                // broadcast model + narrow scoring across splits
-    "q70_bucketed_join")        // bucketed layout vs adversarial shuffle config
+    "q70_bucketed_join",        // bucketed layout vs adversarial shuffle config
+    "q72_sessionize")           // gap boundaries under keyed-window re-partitioning
 
   private def rows(name: String): Seq[String] = {
     val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)
