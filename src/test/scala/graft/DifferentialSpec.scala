@@ -706,6 +706,54 @@ class DifferentialSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: 15 random gap-sessionization plans match DuckDB (grammar 36)") {
+    // grammar 36 (round 11): Sessionize.sessionsBatch (q72's declarative
+    // face) across random gap widths (1m..2d — from every-event-its-own-
+    // session up to one-session-per-user), event filters, and both event
+    // streams, vs the independent DuckDB lag + running-sum rendering.
+    // Boundary semantics under test: strict '>' gap comparison, NULL lag =
+    // first session, per-user isolation.
+    val st0 = duck.createStatement()
+    try st0.execute(
+      s"CREATE VIEW IF NOT EXISTS events AS SELECT * FROM '$sfDir/events.parquet'")
+    finally st0.close()
+    val gaps = Seq(("1m", 60000000L), ("30m", 1800000000L), ("2h", 7200000000L),
+      ("12h", 43200000000L), ("2d", 172800000000L))
+    val types = Seq("click", "purchase", "view")
+    for (seed <- 3600 until 3615) {
+      val r = new scala.util.Random(seed)
+      val (gapStr, gapUs) = gaps(r.nextInt(gaps.length))
+      val et = types(r.nextInt(types.length))
+      val thr = r.nextInt(100)
+      val base = sf("events").filter(col("event_type") === lit(et) && col("value") >= thr)
+        .select(col("user_id"), col("ts"), col("value"))
+      val df = graft.streaming.Sessionize.sessionsBatch(base,
+          "user_id", "ts", "value", gap = gapStr)
+        .select(col("user_id"), col("session_id"),
+          col("n_events"), col("sum_value"))
+      val sql =
+        s"""WITH e AS (
+           |  SELECT user_id, ts, value FROM events
+           |  WHERE event_type = '$et' AND value >= $thr
+           |), b AS (
+           |  SELECT user_id, ts, value,
+           |    CASE WHEN lag(ts) OVER w IS NULL
+           |           OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > $gapUs
+           |         THEN 1 ELSE 0 END AS brk
+           |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+           |), s AS (
+           |  SELECT user_id, value,
+           |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           |  FROM b
+           |)
+           |SELECT user_id, session_id, count(*) AS n_events,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+           |FROM s GROUP BY user_id, session_id""".stripMargin
+      assertSame(df, sql)
+    }
+  }
+
   test("fuzz: 40 random NEAREST as-of joins match two-directional DuckDB ASOF + tie-break") {
     // grammar 32 (round-10 directive 7): `nearest` has no DuckDB primitive,
     // so render its DEFINITION — a backward ASOF and a forward ASOF
