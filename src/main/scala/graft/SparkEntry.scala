@@ -2253,8 +2253,8 @@ object SparkEntry {
     "q72_sessionize" -> ((s, d) => {
       graft.streaming.Sessionize.sessionsBatch(
           t(s, d, "events").filter(col("event_type") === "click")
-            .select(col("user_id"), col("ts"), col("value")),
-          "user_id", "ts", "value", gap = "30m")
+            .select(col("user_id"), col("ts"), col("value"), col("event_id")),
+          "user_id", "ts", "value", gap = "30m", tieCols = Seq("event_id"))
         .orderBy(col("user_id"), col("session_id"))
     }),
 
@@ -4375,19 +4375,24 @@ object SparkEntry {
         |FROM events WHERE event_type = 'click'
         |ORDER BY event_id""".stripMargin,
 
+    // NB: session_id is CAST to BIGINT — DuckDB's integer window sum
+    // returns HUGEINT (int128), which the driver's hasher renders unlike
+    // Spark's BIGINT even when every cell value matches (r11's only red
+    // cell). Both window orderings carry event_id as the tie-break so the
+    // lag pass and the running-sum pass agree on any duplicate (user, ts).
     "q72_sessionize" ->
       """WITH e AS (
-        |  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+        |  SELECT user_id, ts, value, event_id FROM events WHERE event_type = 'click'
         |), b AS (
-        |  SELECT user_id, ts, value,
+        |  SELECT user_id, ts, value, event_id,
         |    CASE WHEN lag(ts) OVER w IS NULL
         |           OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
         |         THEN 1 ELSE 0 END AS brk
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |), s AS (
         |  SELECT user_id, ts, value,
-        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM b
         |)
         |SELECT user_id, session_id, min(ts) AS session_start,

@@ -23,13 +23,22 @@ object Sessionize {
     * exceeds `gap`, session id = running boundary count, then one grouped
     * aggregate): ONE shuffle on the user key, no state machine, fully
     * SQL-expressible — the oracle face (q72), and the backfill path a
-    * pipeline pairs with the streaming face. */
+    * pipeline pairs with the streaming face.
+    *
+    * `tieCols`: deterministic secondary ordering for rows sharing a
+    * (user, ts). Session MEMBERSHIP only depends on it when timestamps tie
+    * exactly at a gap boundary — the lag pass and the running-sum pass are
+    * separate window evaluations, and without a total order they may place
+    * tied rows on different sides of the boundary (ADVICE r11). Pass a
+    * unique event id whenever the source can carry duplicate timestamps. */
   def sessionsBatch(df: org.apache.spark.sql.DataFrame, userCol: String,
-                    tsCol: String, valueCol: String, gap: String): org.apache.spark.sql.DataFrame = {
+                    tsCol: String, valueCol: String, gap: String,
+                    tieCols: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val gapUs = Durations.parseMicros(gap)
-    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
+    val w = Window.partitionBy(col(userCol))
+      .orderBy((col(tsCol) +: tieCols.map(col)): _*)
     val us = unix_micros(col(tsCol).cast("timestamp"))
     val prev = lag(us, 1).over(w)
     val brk = when(prev.isNull || us - prev > gapUs, 1L).otherwise(0L)

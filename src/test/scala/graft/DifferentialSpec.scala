@@ -706,6 +706,31 @@ class DifferentialSpec extends SparkSpec {
     }
   }
 
+  /** The independent DuckDB rendering of gap sessionization over `src`
+    * (any SELECT producing user_id, ts, value, event_id): lag + strict-'>'
+    * gap break + running-sum session id, both windows tie-broken on
+    * event_id, session_id cast to BIGINT (DuckDB's integer window sum is
+    * HUGEINT — the r11 q72 driver-hash artifact). Shared by grammar 36 and
+    * the tie/boundary fixture grammar 36b. */
+  private def sessionizeSql(src: String, gapUs: Long): String =
+    s"""WITH e AS (
+       |  $src
+       |), b AS (
+       |  SELECT user_id, ts, value, event_id,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > $gapUs
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), s AS (
+       |  SELECT user_id, value,
+       |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       |  FROM b
+       |)
+       |SELECT user_id, session_id, count(*) AS n_events,
+       |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+       |FROM s GROUP BY user_id, session_id""".stripMargin
+
   test("fuzz: 15 random gap-sessionization plans match DuckDB (grammar 36)") {
     // grammar 36 (round 11): Sessionize.sessionsBatch (q72's declarative
     // face) across random gap widths (1m..2d — from every-event-its-own-
@@ -726,31 +751,61 @@ class DifferentialSpec extends SparkSpec {
       val et = types(r.nextInt(types.length))
       val thr = r.nextInt(100)
       val base = sf("events").filter(col("event_type") === lit(et) && col("value") >= thr)
-        .select(col("user_id"), col("ts"), col("value"))
+        .select(col("user_id"), col("ts"), col("value"), col("event_id"))
       val df = graft.streaming.Sessionize.sessionsBatch(base,
-          "user_id", "ts", "value", gap = gapStr)
+          "user_id", "ts", "value", gap = gapStr, tieCols = Seq("event_id"))
         .select(col("user_id"), col("session_id"),
           col("n_events"), col("sum_value"))
-      val sql =
-        s"""WITH e AS (
-           |  SELECT user_id, ts, value FROM events
-           |  WHERE event_type = '$et' AND value >= $thr
-           |), b AS (
-           |  SELECT user_id, ts, value,
-           |    CASE WHEN lag(ts) OVER w IS NULL
-           |           OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > $gapUs
-           |         THEN 1 ELSE 0 END AS brk
-           |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-           |), s AS (
-           |  SELECT user_id, value,
-           |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-           |  FROM b
-           |)
-           |SELECT user_id, session_id, count(*) AS n_events,
-           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-           |FROM s GROUP BY user_id, session_id""".stripMargin
-      assertSame(df, sql)
+      assertSame(df, sessionizeSql(
+        s"SELECT user_id, ts, value, event_id FROM events " +
+          s"WHERE event_type = '$et' AND value >= $thr", gapUs))
+    }
+  }
+
+  test("fuzz: sessionization ties / boundary-exact gaps / singletons match DuckDB (grammar 36b)") {
+    // grammar 36b (round-12 directive 5): the surfaces where a declarative
+    // twin classically drifts from the state machine — duplicate (user, ts)
+    // rows (incl. ties ON a session boundary), boundary-exact gaps
+    // (diff == gap stays in-session under the strict '>' rule vs
+    // diff == gap+1µs breaking), and single-event users/sessions. The
+    // fixture FORCES these shapes (the sf events streams carry none), and
+    // event_id tie-breaks both window passes on both engines.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g36b").toString
+    for (seed <- 3650 until 3660) {
+      val r = new scala.util.Random(seed)
+      val (gapStr, gapUs) = Seq(("1m", 60000000L), ("30m", 1800000000L))(r.nextInt(2))
+      val rows = scala.collection.mutable.ArrayBuffer[(Long, java.sql.Timestamp, Double, Long)]()
+      var eid = 0L
+      for (user <- 1L to 12L) {
+        var us = 1700000000000000L + user * 86400000000L
+        val n = 1 + r.nextInt(8) // n == 1: the single-event-user shape
+        for (i <- 0 until n) {
+          if (i > 0) us += (r.nextInt(5) match {
+            case 0 => 0L          // duplicate (user, ts) — tie
+            case 1 => gapUs       // boundary-exact: same session (strict >)
+            case 2 => gapUs + 1000L // just past the boundary: new session
+            case 3 => 1000000L    // 1s — well inside
+            case _ => gapUs * 3   // far outside — guarantees singletons
+          })
+          rows += ((user, new java.sql.Timestamp(us / 1000L), // µs all ‰1000
+            (r.nextInt(10000) + 1) / 100.0, eid))
+          eid += 1
+        }
+      }
+      // shuffled input order: neither engine may depend on arrival order
+      val df0 = r.shuffle(rows.toSeq).toDF("user_id", "ts", "value", "event_id")
+      val path = s"$dir/s$seed"
+      df0.write.mode("overwrite").parquet(path)
+      val st = duck.createStatement()
+      try st.execute(s"CREATE OR REPLACE VIEW sess_fix AS SELECT * FROM '$path/*.parquet'")
+      finally st.close()
+      val got = graft.streaming.Sessionize.sessionsBatch(
+          spark.read.parquet(path), "user_id", "ts", "value",
+          gap = gapStr, tieCols = Seq("event_id"))
+        .select(col("user_id"), col("session_id"), col("n_events"), col("sum_value"))
+      assertSame(got, sessionizeSql(
+        "SELECT user_id, ts, value, event_id FROM sess_fix", gapUs))
     }
   }
 
