@@ -14,6 +14,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes through unprefixed (no "[info] "/"[error] "
+// logger tags): the driver captures Bench/Verify stdout and parses the
+// artifact JSON line from it — sbt's per-line prefixes are one more thing
+// a strict parser can trip on (BENCH_r10/r11 "parsed": null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -43,7 +43,7 @@ object Bench {
     }
     case class R(name: String, med: Double, cold: Double, spread: Double)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (0 until reps).map { _ =>
+      def rep(): Double = {
         // isolate reps AND queries: operators persist internals (signatures,
         // edge lists, IVF cells) that nothing unpersists once the query's
         // plan is abandoned. Clearing per rep means every rep pays the full
@@ -66,6 +66,15 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      // adaptive reps (round-11 directive 8): sub-300 ms queries stop after
+      // 1 cold + 2 warm reps — they gate against max(med, 0.1 s) anyway, so
+      // extra reps only lengthen the suite's exposure to ambient-load
+      // windows; slow queries (where a straggler rep can move the median)
+      // keep the full rep count
+      val first = (0 until math.min(reps, 3)).map(_ => rep())
+      val times =
+        if (reps <= 3 || median(first.tail) < 0.3) first
+        else first ++ (3 until reps).map(_ => rep())
       val warm = if (times.length > 1) times.tail else times
       val med = median(warm)
       // relative warm spread — the query's own noise-floor estimate from its
@@ -73,13 +82,19 @@ object Bench {
       val spread = if (med > 0) (warm.max - warm.min) / med else 0.0
       R(name, med, times.head, spread)
     }
+    def r4(x: Double): Double = math.rint(x * 1e4) / 1e4
+    // 4-decimal (0.1 ms) values everywhere: full double precision is pure
+    // noise at this clock's resolution, and it TRIPLED the artifact line
+    // (17 digits × 3 maps × 131 queries ≈ 20 KB) past whatever the driver's
+    // capture parses — the r09 artifact (9-digit values, ~8 KB) parsed, r10/
+    // r11 (17-digit) did not.
     def jmap(f: R => Double) =
-      results.map { r => "\"" + r.name + "\":" + f(r) }.mkString("{", ",", "}")
-    val total = results.map(_.med).sum
-    val coldTotal = results.map(_.cold).sum
+      results.map { r => "\"" + r.name + "\":" + r4(f(r)) }.mkString("{", ",", "}")
+    val total = r4(results.map(_.med).sum)
+    val coldTotal = r4(results.map(_.cold).sum)
     // suite-level noise floor: median over queries of the per-query relative
     // warm spread — the resolution below which a per-query delta is noise
-    val noiseFloor = median(results.map(_.spread))
+    val noiseFloor = r4(median(results.map(_.spread)))
     // headline metric named for its semantics (sum of per-query warm
     // MEDIANS) so trend consumers can't silently mix it with the
     // schema_version<=2 "total_warm_min"; a filtered run is marked in the
@@ -88,28 +103,25 @@ object Bench {
       (if (noClear) "\"no_clear\":true," else "") +
         (if (only.isEmpty) ""
          else only.toSeq.sorted.map("\"" + _ + "\"").mkString("\"only\":[", ",", "],"))
-    val json = s"""{"metric":"total_warm_median","value":$total,"unit":"sec","schema_version":3,$onlyField"queries":${jmap(_.med)},"queries_cold":${jmap(_.cold)},"queries_spread":${jmap(_.spread)},"cold_total":$coldTotal,"noise_floor_rel":$noiseFloor,"reps":$reps,"sf":"$sfDir"}"""
-    // The driver's stdout capture truncated the round-6/round-10 artifacts
-    // into unparseable fragments ("parsed": null). Guard against truncation
-    // from EITHER end (round-10 directive 8):
-    //   1. the FULL artifact line is the program's FIRST stdout line (Spark
-    //      logs go to stderr), so a head capture recovers the whole map;
-    //   2. a compact summary (totals + 25 slowest warm medians, well under
-    //      the 2000-char tail window even with sbt's line prefixes) is the
-    //      program's LAST stdout line, so a tail capture recovers the
-    //      totals plus every query that materially contributes to them;
-    //   3. the file write happens BEFORE the prints so no stderr notice or
-    //      sbt epilogue competes with the summary for the tail window.
+    // Two artifact shapes (round-11 directive 3, the third attempt at a
+    // non-null driver-side parse):
+    //   - the FILE artifact keeps everything (med + cold + spread maps);
+    //   - the PRIMARY STDOUT line carries only the headline fields + the
+    //     per-query warm-median map — ~4 KB at 131 queries/4 decimals, the
+    //     size class the r09 capture demonstrably parsed;
+    //   - the compact summary (totals + 25 slowest, < 2000 chars) stays the
+    //     LAST stdout line for a pure tail-window capture.
+    val full = s"""{"metric":"total_warm_median","value":$total,"unit":"sec","schema_version":3,$onlyField"queries":${jmap(_.med)},"queries_cold":${jmap(_.cold)},"queries_spread":${jmap(_.spread)},"cold_total":$coldTotal,"noise_floor_rel":$noiseFloor,"reps":$reps,"adaptive_reps":${reps > 3},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total_warm_median","value":$total,"unit":"sec","schema_version":3,$onlyField"queries":${jmap(_.med)},"cold_total":$coldTotal,"noise_floor_rel":$noiseFloor,"reps":$reps,"adaptive_reps":${reps > 3},"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_latest.json")
     try {
       val p = java.nio.file.Paths.get(outPath)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(p, (full + "\n").getBytes("UTF-8"))
       System.err.println(s"[bench] full result JSON written to $outPath")
     } catch {
       case e: Throwable => System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
-    def r4(x: Double): Double = math.rint(x * 1e4) / 1e4
     // SPARK_GRAFT_BENCH_COMPARE=<baseline bench json>: per-query parity
     // contract (round-10 directive 6) — after a hygienic run wrote its
     // artifact, a no-clear run compared against it must show per-query
