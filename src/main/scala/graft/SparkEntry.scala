@@ -765,11 +765,16 @@ object SparkEntry {
     }),
 
     "q46_rolling_global_time" -> ((s, d) => {
-      // diffSums: O(n) running-difference plan — the sliding range frame
-      // would rebuild its buffer per row (O(n·w): 141 s at sf0.1, this ~2 s)
+      // diffSums/diffCounts: O(n) running-difference plan — the sliding
+      // range frame would rebuild its buffer per row (O(n·w): 141 s at
+      // sf0.1, this ~2 s). Both subtractable aggregates go through the
+      // two-incremental-frames path (round-11 directive 6: the count face
+      // is oracle-graded here, not just grammar-33 fuzzed).
       graft.operators.Rolling.timeGlobal(t(s, d, "events"), "3d", col("ts"),
-          diffSums = Seq("roll_sum" -> dec4(col("value"))))
-        .select(col("event_id"), col("roll_sum").cast("double").as("roll_sum"))
+          diffSums = Seq("roll_sum" -> dec4(col("value"))),
+          diffCounts = Seq("roll_n" -> lit(1)))
+        .select(col("event_id"), col("roll_sum").cast("double").as("roll_sum"),
+          col("roll_n"))
         .orderBy(col("event_id"))
     }),
 
@@ -4308,7 +4313,8 @@ object SparkEntry {
 
     "q46_rolling_global_time" ->
       """SELECT event_id,
-        |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS roll_sum
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS roll_sum,
+        |  count(*) OVER w AS roll_n
         |FROM events
         |WINDOW w AS (ORDER BY ts RANGE BETWEEN INTERVAL 3 DAYS PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,

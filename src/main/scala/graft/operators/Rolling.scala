@@ -194,7 +194,8 @@ object Rolling {
   def timeGlobal(df: DataFrame, windowSize: String, timeCol: Column,
                  closed: Closed = Right,
                  aggs: Seq[(String, WindowSpec => Column)] = Seq.empty,
-                 diffSums: Seq[(String, Column)] = Seq.empty): DataFrame = {
+                 diffSums: Seq[(String, Column)] = Seq.empty,
+                 diffCounts: Seq[(String, Column)] = Seq.empty): DataFrame = {
     val us = Durations.parseMicros(windowSize)
     val u = unix_micros(timeCol.cast("timestamp"))
     val parted = df.withColumn("__u", u).repartitionByRange(col("__u"))
@@ -245,7 +246,14 @@ object Rolling {
         when(count(c).over(cumHi) - coalesce(count(c).over(cumLo), lit(0L)) > 0,
           sum(c).over(cumHi) - coalesce(sum(c).over(cumLo), lit(0))))
     }
-    finishGlobal(all, df.columns, base.rangeBetween(lo, hi), aggs ++ diffAggs)
+    // counts are subtractable too (Polars rolling count semantics: counts
+    // NON-NULL values of c; pass lit(1) for a plain row count) — the same
+    // two-incremental-frames O(n) shape, no per-row buffer rebuild
+    val diffCnt: Seq[(String, WindowSpec => Column)] = diffCounts.map { case (name, c) =>
+      name -> ((_: WindowSpec) =>
+        count(c).over(cumHi) - coalesce(count(c).over(cumLo), lit(0L)))
+    }
+    finishGlobal(all, df.columns, base.rangeBetween(lo, hi), aggs ++ diffAggs ++ diffCnt)
   }
 
   private def finishGlobal(all: DataFrame, keep: Array[String],

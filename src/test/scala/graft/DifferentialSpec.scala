@@ -593,9 +593,11 @@ class DifferentialSpec extends SparkSpec {
         val closed = Seq(R.Right, R.Both, R.Left, R.NoneC)(r.nextInt(4))
         val thr = r.nextInt(100)
         val base = sf("events").filter(col("value") >= thr)
+        // count through diffCounts (round-12): BOTH subtractable aggregates
+        // ride the O(n) running-difference path across the closed matrix
         val df = R.timeGlobal(base, durStr, col("ts"), closed,
-            aggs = Seq("c" -> (w => count(lit(1)).over(w))),
-            diffSums = Seq("v" -> col("value").cast("decimal(18,4)")))
+            diffSums = Seq("v" -> col("value").cast("decimal(18,4)")),
+            diffCounts = Seq("c" -> lit(1)))
           .select(col("event_id"), col("v").cast("double").as("v"), col("c"))
         val frame = closed match {
           case R.Right => s"${us - 1} PRECEDING AND CURRENT ROW"
