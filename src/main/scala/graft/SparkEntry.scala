@@ -2263,6 +2263,55 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // beyond-reference: the STREAMING sessionize face driven through the
+    // real Structured-Streaming runtime (flatMapGroupsWithState, event-time
+    // timeout) against the SAME DuckDB recomputation q72's batch twin uses —
+    // completing the stream == batch == oracle triangle q61 has for
+    // windowed aggs. A far-future sentinel click (user_id -1, filtered from
+    // the result) advances the watermark past every real session's
+    // end + gap, and a second empty micro-batch fires the event-time
+    // timeouts so open sessions flush; per-session sums accumulate in 1e-4
+    // fixed point inside the state machine, so the emitted doubles are
+    // bitwise the oracle's exact DECIMAL(18,4) sums.
+    "q73_sessionize_stream" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      implicit val sp: SparkSession = s
+      val dir = scratchDir("q73")
+      val in = dir + "/in"
+      val clicks = t(s, d, "events").filter(col("event_type") === "click")
+        .select(col("user_id").as("userId"),
+          col("ts").cast("timestamp").as("ts"), col("value"))
+      val maxTs = clicks.agg(max(col("ts"))).head.getTimestamp(0) // 1-row agg
+      val sentinel = s.range(1).select(lit(-1L).as("userId"),
+        lit(new java.sql.Timestamp(maxTs.getTime + 365L * 86400000L))
+          .cast("timestamp").as("ts"),
+        lit(0.0).as("value"))
+      clicks.unionByName(sentinel).write.mode("overwrite").parquet(in)
+      val schema = s.read.parquet(in).schema
+      import s.implicits._
+      val stream = s.readStream.schema(schema).parquet(in)
+        .as[graft.streaming.Sessionize.Event]
+      val qn = "g73_stream"
+      val q = graft.streaming.Sessionize
+        .sessions(stream, gap = "30m", watermarkDelay = "0 seconds")
+        .writeStream.outputMode("append").format("memory").queryName(qn).start()
+      try {
+        q.processAllAvailable()
+        // an empty appended batch advances processing past the sentinel
+        // watermark so every remaining open session times out and emits
+        s.emptyDataset[graft.streaming.Sessionize.Event]
+          .write.mode("append").parquet(in)
+        q.processAllAvailable()
+      } finally q.stop()
+      val res = localize(s, s.table(qn).filter(col("userId") >= 0L)
+        .select(col("userId").as("user_id"),
+          col("sessionStart").cast("timestamp_ntz").as("session_start"),
+          col("sessionEnd").cast("timestamp_ntz").as("session_end"),
+          col("nEvents").as("n_events"), col("sumValue").as("sum_value")))
+      s.catalog.dropTempView(qn)
+      res.orderBy(col("user_id"), col("session_start"))
+    }),
+
     // §2.1/2.2 beyond-reference: ORC round-trip (write → scan vs the
     // parquet truth, the q56/q57/q58 pattern) — covers lakes already on
     // Spark's other native columnar format, with timestamps in the payload
@@ -4406,6 +4455,30 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    // q73: same session semantics as q72 but keyed by (user, session_start)
+    // — the stream face emits no session ordinal, and session_start is
+    // unique per user, so the grouped output needs no session_id column
+    "q73_sessionize_stream" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+        |), b AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), s AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM b
+        |)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "qd50_bm25" -> bm25OracleSql(Bm25Terms, k1 = 1.2, b = 0.75),
 

@@ -11,12 +11,29 @@ import graft.functions.Durations
   * `flatMapGroupsWithState` with event-time timeout emits one row per closed
   * session (gap-based), with per-key state bounded by the open session only.
   */
-object Sessionize {
+object Sessionize extends Serializable {
 
   case class Event(userId: Long, ts: Timestamp, value: Double)
-  case class SessionState(start: Long, end: Long, n: Long, sum: Double)
+  /** Per-key state: event-time bounds in MICROSECONDS (the engine's
+    * timestamp resolution — ms-truncated arithmetic would disagree with
+    * the batch face's epoch_us gap test on sub-ms boundaries) and the
+    * value sum in 1e-4 FIXED POINT (the engine's DECIMAL(18,4) value
+    * convention), so the emitted double is order-independent and bitwise
+    * equal to the batch face's exact decimal sum. */
+  case class SessionState(start: Long, end: Long, n: Long, sumQ: Long)
   case class Session(userId: Long, sessionStart: Timestamp, sessionEnd: Timestamp,
                      nEvents: Long, sumValue: Double)
+
+  private def micros(t: Timestamp): Long = {
+    val i = t.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+  private def tsOf(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+  private def quant(v: Double): Long = math.rint(v * 10000.0).toLong
 
   /** Batch twin of [[sessions]] — the same gap-based session semantics as a
     * DECLARATIVE window composition (boundary where the per-user gap
@@ -56,32 +73,37 @@ object Sessionize {
   def sessions(events: Dataset[Event], gap: String, watermarkDelay: String = "10 minutes")
               (implicit spark: SparkSession): Dataset[Session] = {
     import spark.implicits._
-    val gapMs = Durations.parseMicros(gap) / 1000L
+    val gapUs = Durations.parseMicros(gap)
+
+    def emit(userId: Long, s: SessionState): Session =
+      Session(userId, tsOf(s.start), tsOf(s.end), s.n, s.sumQ / 10000.0)
 
     def update(userId: Long, rows: Iterator[Event],
                state: GroupState[SessionState]): Iterator[Session] = {
       if (state.hasTimedOut) {
         val s = state.get
         state.remove()
-        Iterator(Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.sum))
+        Iterator(emit(userId, s))
       } else {
         var closed = List.empty[Session]
         var cur = state.getOption
-        rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
-          val t = e.ts.getTime
+        rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+          val t = micros(e.ts)
           cur match {
-            case Some(s) if t - s.end <= gapMs =>
-              cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.sum + e.value))
+            case Some(s) if t - s.end <= gapUs =>
+              cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.sumQ + quant(e.value)))
             case Some(s) =>
-              closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.sum)
-              cur = Some(SessionState(t, t, 1, e.value))
+              closed ::= emit(userId, s)
+              cur = Some(SessionState(t, t, 1, quant(e.value)))
             case None =>
-              cur = Some(SessionState(t, t, 1, e.value))
+              cur = Some(SessionState(t, t, 1, quant(e.value)))
           }
         }
         cur.foreach { s =>
           state.update(s)
-          state.setTimeoutTimestamp(s.end + gapMs)
+          // timeout is millisecond-granular: CEIL past the µs deadline so a
+          // timeout can never fire before end+gap
+          state.setTimeoutTimestamp(Math.floorDiv(s.end + gapUs + 999L, 1000L))
         }
         closed.reverseIterator
       }
