@@ -183,7 +183,19 @@ object SparkEntry {
     * one-file-per-bucket sorted layout satisfies the SMJ ordering
     * requirement (both properties asserted by PlanSpec). */
   private[graft] def q70Join(s: SparkSession, d: String): DataFrame = {
-    val suf = d.replaceAll("[^A-Za-z0-9]", "_")
+    // key the layout by SOURCE IDENTITY (full path + size + mtime of each
+    // input) and by JVM: a sanitized dir name alone silently reused a stale
+    // layout when the source data changed within a session, could collide
+    // two distinct dirs after sanitization ("sf0.1" vs "sf0_1"), and let
+    // two concurrent JVMs overwrite one shared path mid-read (ADVICE r11)
+    def tok(f: String): String = {
+      val p = java.nio.file.Paths.get(f)
+      val sig = s"$f|${java.nio.file.Files.size(p)}|" +
+        java.nio.file.Files.getLastModifiedTime(p).toMillis
+      java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sig))
+    }
+    val suf = tok(s"$d/lineitem.parquet") + "_" + tok(s"$d/orders.parquet") +
+      "_p" + ProcessHandle.current().pid()
     val lt = s"g70_li_$suf"; val ot = s"g70_o_$suf"
     def ensure(name: String, df: DataFrame, key: String): Unit =
       if (!s.catalog.tableExists(name)) {

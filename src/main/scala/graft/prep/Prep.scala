@@ -248,9 +248,20 @@ object Prep {
       val stats = bench.queryExecution.optimizedPlan.stats
       // distinct shingles ≤ total shingles ≈ tokens ≈ text bytes / 6; the
       // 4x overshoot buys the fpp margin back in bits, capped where the
-      // Bloom would outgrow a sane broadcast (size explicitly above that)
+      // Bloom would outgrow a sane broadcast (size explicitly above that).
+      // CAVEAT (ADVICE r11): for parquet-backed frames sizeInBytes is the
+      // COMPRESSED size — well-compressed text can hold more distinct
+      // shingles than bytes/6*4, silently inflating the effective fpp and
+      // pushing extra rows into the exact verify join (correctness holds;
+      // the narrow-prefilter contract degrades). Pass `expectedDistinct`
+      // at call sites where bench is large or heavily compressed; the
+      // chosen count is logged below so a degraded sizing is visible.
       val est = (stats.sizeInBytes.min(BigInt(1L << 50)) / 6 + 1).toLong
-      math.min(math.max(est, 64L) * 4L, 1L << 27)
+      val chosen = math.min(math.max(est, 64L) * 4L, 1L << 27)
+      System.err.println(s"[graft] contaminationBloom: sizing Bloom for ~$chosen " +
+        s"expected distinct shingles (optimizer estimate ${stats.sizeInBytes} bytes; " +
+        "pass expectedDistinct= to override if bench text is large or well-compressed)")
+      chosen
     })
     val bytes = graft.plans.BloomExprs.serialize(
       benchSet.stat.bloomFilter("__s", expected, fpp))
