@@ -2324,6 +2324,38 @@ object SparkEntry {
       res.orderBy(col("user_id"), col("session_start"))
     }),
 
+    // beyond-reference: streaming EXACT-DEDUP ingest face
+    // (StreamOps.dedupStream = watermark-bounded dropDuplicates, the
+    // exactly-once first stage of a 100 TB/day pipeline) driven through the
+    // real runtime against a deterministically DUPLICATED fixture — every
+    // click once, every 3rd a second time, every 21st a third time. The
+    // oracle is the distinct base truth: keep-first semantics are
+    // unambiguous because duplicate rows are bit-identical. Completes the
+    // stream==batch==oracle triangle for dedup (qd01 is the batch face).
+    "q74_stream_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val dir = scratchDir("q74")
+      val in = dir + "/in"
+      val clicks = t(s, d, "events").filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp").as("ts"), col("value"))
+      clicks.unionByName(clicks.filter(col("event_id") % 3 === 0))
+        .unionByName(clicks.filter(col("event_id") % 21 === 0))
+        .write.mode("overwrite").parquet(in)
+      val schema = s.read.parquet(in).schema
+      val out = graft.streaming.StreamOps.dedupStream(
+        s.readStream.schema(schema).parquet(in), Seq("event_id"), "ts")
+      val qn = "g74_stream"
+      val q = out.writeStream.outputMode("append").format("memory").queryName(qn)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      val res = localize(s, s.table(qn)
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"), col("value")))
+      s.catalog.dropTempView(qn)
+      res.orderBy(col("event_id"))
+    }),
+
     // §2.1/2.2 beyond-reference: ORC round-trip (write → scan vs the
     // parquet truth, the q56/q57/q58 pattern) — covers lakes already on
     // Spark's other native columnar format, with timestamps in the payload
@@ -4491,6 +4523,14 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // q74: the duplicated-ingest stream dedup face must return exactly the
+    // distinct base truth (duplicates are bit-identical, so keep-first is
+    // unambiguous)
+    "q74_stream_dedup" ->
+      """SELECT event_id, user_id, ts, value
+        |FROM events WHERE event_type = 'click'
+        |ORDER BY event_id""".stripMargin,
 
     "qd50_bm25" -> bm25OracleSql(Bm25Terms, k1 = 1.2, b = 0.75),
 
