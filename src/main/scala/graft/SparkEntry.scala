@@ -216,6 +216,24 @@ object SparkEntry {
     li.hint("merge").join(o.hint("merge"), li("l_orderkey") === o("o_orderkey"))
   }
 
+  /** Per-(JVM, SF) cached parquet DIRECTORY for stream-input fixtures
+    * (q73/q74): synthesized once, then every rep/invocation re-streams the
+    * same files instead of paying the fixture write per rep. Returns the
+    * path (readStream needs a directory, not a frame). */
+  private def streamFixture(s: SparkSession, sfDir: String, name: String)
+                           (build: => DataFrame): String =
+    fixtureCache.computeIfAbsent(name + ":stream:" + sfDir, _ => {
+      // per-JVM path: q73 APPENDS flush batches to its fixture dir, so two
+      // JVMs sharing one path would interleave overwrites with live streams
+      // (the q70 layout race, ADVICE r11)
+      val p = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fixtures",
+        name + "_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") +
+          "_p" + ProcessHandle.current().pid()).toString
+      build.write.mode("overwrite").parquet(p)
+      p
+    })
+
   private def fixtureScan(s: SparkSession, sfDir: String, name: String)
                          (build: => DataFrame): DataFrame = {
     val key = name + ":" + sfDir
@@ -2288,17 +2306,17 @@ object SparkEntry {
     "q73_sessionize_stream" -> ((s, d) => {
       import org.apache.spark.sql.streaming.Trigger
       implicit val sp: SparkSession = s
-      val dir = scratchDir("q73")
-      val in = dir + "/in"
-      val clicks = t(s, d, "events").filter(col("event_type") === "click")
-        .select(col("user_id").as("userId"),
-          col("ts").cast("timestamp").as("ts"), col("value"))
-      val maxTs = clicks.agg(max(col("ts"))).head.getTimestamp(0) // 1-row agg
-      val sentinel = s.range(1).select(lit(-1L).as("userId"),
-        lit(new java.sql.Timestamp(maxTs.getTime + 365L * 86400000L))
-          .cast("timestamp").as("ts"),
-        lit(0.0).as("value"))
-      clicks.unionByName(sentinel).write.mode("overwrite").parquet(in)
+      val in = streamFixture(s, d, "q73_in") {
+        val clicks = t(s, d, "events").filter(col("event_type") === "click")
+          .select(col("user_id").as("userId"),
+            col("ts").cast("timestamp").as("ts"), col("value"))
+        val maxTs = clicks.agg(max(col("ts"))).head.getTimestamp(0) // 1-row agg
+        val sentinel = s.range(1).select(lit(-1L).as("userId"),
+          lit(new java.sql.Timestamp(maxTs.getTime + 365L * 86400000L))
+            .cast("timestamp").as("ts"),
+          lit(0.0).as("value"))
+        clicks.unionByName(sentinel)
+      }
       val schema = s.read.parquet(in).schema
       import s.implicits._
       val stream = s.readStream.schema(schema).parquet(in)
@@ -2334,14 +2352,13 @@ object SparkEntry {
     // stream==batch==oracle triangle for dedup (qd01 is the batch face).
     "q74_stream_dedup" -> ((s, d) => {
       import org.apache.spark.sql.streaming.Trigger
-      val dir = scratchDir("q74")
-      val in = dir + "/in"
-      val clicks = t(s, d, "events").filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"),
-          col("ts").cast("timestamp").as("ts"), col("value"))
-      clicks.unionByName(clicks.filter(col("event_id") % 3 === 0))
-        .unionByName(clicks.filter(col("event_id") % 21 === 0))
-        .write.mode("overwrite").parquet(in)
+      val in = streamFixture(s, d, "q74_in") {
+        val clicks = t(s, d, "events").filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"),
+            col("ts").cast("timestamp").as("ts"), col("value"))
+        clicks.unionByName(clicks.filter(col("event_id") % 3 === 0))
+          .unionByName(clicks.filter(col("event_id") % 21 === 0))
+      }
       val schema = s.read.parquet(in).schema
       val out = graft.streaming.StreamOps.dedupStream(
         s.readStream.schema(schema).parquet(in), Seq("event_id"), "ts")
