@@ -2373,6 +2373,56 @@ object SparkEntry {
       res.orderBy(col("event_id"))
     }),
 
+    // beyond-reference: CONTINUOUS event-time as-of join (AsofStream,
+    // flatMapGroupsWithState with a bounded right-frontier state) driven
+    // through the real streaming runtime — same shape as the q21 batch
+    // as-of, so the SAME DuckDB native-ASOF oracle grades both: purchases
+    // stream-joined to the latest click at-or-before them per user. A
+    // far-future right-side sentinel (user -1) advances the unioned
+    // watermark past every purchase so all matches finalize; the empty
+    // appended batch fires the event-time timeouts that flush them.
+    "q75_asof_stream" -> ((s, d) => {
+      val inL = streamFixture(s, d, "q75_left") {
+        t(s, d, "events").filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            col("ts").cast("timestamp").as("ts"), col("value"))
+      }
+      val inR = streamFixture(s, d, "q75_right") {
+        val ev = t(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+            col("value").as("click_value"))
+          .withColumn("click_ts", col("ts"))
+        val maxTs = ev.agg(max(col("ts").cast("timestamp"))).head.getTimestamp(0)
+        clicks.unionByName(s.range(1).select(lit(-1L).as("user_id"),
+          lit(new java.sql.Timestamp(maxTs.getTime + 365L * 86400000L))
+            .cast("timestamp").as("ts"),
+          lit(0.0).as("click_value"),
+          lit(null).cast("timestamp").as("click_ts")))
+      }
+      val lSchema = s.read.parquet(inL).schema
+      val rSchema = s.read.parquet(inR).schema
+      val out = graft.streaming.AsofStream.asofStream(
+        s.readStream.schema(lSchema).parquet(inL),
+        s.readStream.schema(rSchema).parquet(inR),
+        "ts", "ts", by = Seq(("user_id", "user_id")), watermark = "0 seconds")
+      val qn = "g75_stream"
+      val q = out.writeStream.outputMode("append").format("memory").queryName(qn).start()
+      try {
+        q.processAllAvailable()
+        s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), lSchema)
+          .write.mode("append").parquet(inL)
+        q.processAllAvailable()
+      } finally q.stop()
+      val res = localize(s, s.table(qn)
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"), col("value"),
+          col("click_value"),
+          col("click_ts").cast("timestamp_ntz").as("click_ts")))
+      s.catalog.dropTempView(qn)
+      res.orderBy(col("event_id"))
+    }),
+
     // §2.1/2.2 beyond-reference: ORC round-trip (write → scan vs the
     // parquet truth, the q56/q57/q58 pattern) — covers lakes already on
     // Spark's other native columnar format, with timestamps in the payload
@@ -4548,6 +4598,16 @@ object SparkEntry {
       """SELECT event_id, user_id, ts, value
         |FROM events WHERE event_type = 'click'
         |ORDER BY event_id""".stripMargin,
+
+    // q75: identical to q21's oracle — the continuous as-of face must
+    // reproduce the batch backward as-of exactly (DuckDB's native ASOF)
+    "q75_asof_stream" ->
+      """SELECT p.event_id, p.user_id, p.ts, p.value,
+        |  c.value AS click_value, c.ts AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
 
     "qd50_bm25" -> bm25OracleSql(Bm25Terms, k1 = 1.2, b = 0.75),
 
