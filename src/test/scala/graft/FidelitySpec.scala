@@ -110,6 +110,67 @@ class FidelitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fuzz: sessionize stream == batch on ties / boundary-exact gaps / singletons") {
+    // the grammar-36b fixture shapes driven through the STREAMING runtime:
+    // the state machine (arrival-order ties, µs gap arithmetic, fixed-point
+    // sums) must emit exactly the declarative batch twin's sessions —
+    // including duplicate timestamps at a session boundary, diff == gap
+    // staying in-session, and single-event sessions
+    import graft.streaming.Sessionize
+    implicit val sp = spark
+    for (seed <- 4100 until 4104) {
+      val r = new scala.util.Random(seed)
+      val gapUs = 60000000L // 1m
+      val rows = scala.collection.mutable.ArrayBuffer[Sessionize.Event]()
+      for (user <- 1L to 10L) {
+        var us = 1700000000000000L + user * 86400000000L
+        for (i <- 0 until (1 + r.nextInt(7))) {
+          if (i > 0) us += (r.nextInt(5) match {
+            case 0 => 0L            // tie
+            case 1 => gapUs         // boundary-exact: same session
+            case 2 => gapUs + 1000L // just past: new session
+            case 3 => 1000000L      // 1s
+            case _ => gapUs * 3     // singleton guarantee
+          })
+          rows += Sessionize.Event(user,
+            new java.sql.Timestamp(us / 1000L), (r.nextInt(10000) + 1) / 100.0)
+        }
+      }
+      // far-future sentinel closes all real sessions via timeout
+      rows += Sessionize.Event(99999L,
+        new java.sql.Timestamp(1700000000000000L / 1000L + 1000L * 86400000L), 0.0)
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_sfz$seed").toString
+      r.shuffle(rows.toSeq).toDS().write.mode("overwrite").parquet(dir)
+      val stream = spark.readStream.schema(
+        org.apache.spark.sql.Encoders.product[Sessionize.Event].schema)
+        .parquet(dir).as[Sessionize.Event]
+      val qn = s"graft_sfz$seed"
+      val q = Sessionize.sessions(stream, gap = "1m", watermarkDelay = "0 seconds")
+        .writeStream.outputMode("append").format("memory").queryName(qn).start()
+      try {
+        q.processAllAvailable()
+        Seq.empty[Sessionize.Event].toDS().write.mode("append").parquet(dir)
+        q.processAllAvailable()
+        val got = spark.table(qn).filter(col("userId") < 90000L)
+          .select(col("userId"), col("sessionStart"), col("sessionEnd"),
+            col("nEvents"), col("sumValue"))
+          .orderBy(col("userId"), col("sessionStart"))
+          .collect().map(_.toSeq).toSeq
+        val want = Sessionize.sessionsBatch(
+            spark.read.parquet(dir).filter(col("userId") < 90000L).toDF(),
+            "userId", "ts", "value", gap = "1m")
+          .select(col("userId"), col("session_start"), col("session_end"),
+            col("n_events"), col("sum_value").cast("double"))
+          .orderBy(col("userId"), col("session_start"))
+          .collect().map(_.toSeq).toSeq
+        assert(got == want, s"seed=$seed stream=${got.take(5)} batch=${want.take(5)}")
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView(qn)
+      }
+    }
+  }
+
   test("cleaning trio: lenient cast → fill_nan → fill_null (CleaningTests.cs:75-110)") {
     import graft.api.syntax._
     // mixed junk column: parseable numbers, garbage, literal "NaN", null —

@@ -405,4 +405,21 @@ class PlanSpec extends SparkSpec {
     assert("partial_graft_topk|partial_topk|partial".r.findFirstIn(p).isDefined,
       s"expected a partial aggregation stage:\n${p.take(2000)}")
   }
+
+  test("gap sessionization plans exactly one exchange on the user key (q72 shape)") {
+    // the batch twin's 100 TB contract: both window passes (lag gap-break,
+    // running-sum session id) and the final per-session aggregate all reuse
+    // ONE hashpartitioning(user) exchange — a second full-data shuffle
+    // would double the dominant cost at scale
+    val ev = SparkEntry.t(spark, "/root/testdata/sf0.001", "events")
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+    val df = graft.streaming.Sessionize.sessionsBatch(
+      ev, "user_id", "ts", "value", gap = "30m", tieCols = Seq("event_id"))
+    val p = planOf(df)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
+    assert(!p.contains("Exchange rangepartitioning") && !p.contains("Exchange SinglePartition"),
+      s"unexpected global exchange:\n$p")
+  }
 }
