@@ -2446,6 +2446,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // HLL cardinality estimation (approx_count_distinct, rsd=0.02) — the
+    // 100 TB cardinality tool (vocabulary sizes, dedup-key counts, join-key
+    // explosion checks): sketches merge map-side, so the plan is one
+    // partial-agg exchange regardless of key cardinality. Contract face
+    // (the qd04 pattern): exact per-group distincts are hash-checked
+    // against DuckDB, and the sketch estimate must land within 3x rsd of
+    // exact (HLL++ is deterministic — no seed, no flake) — an estimator
+    // regression flips the verdict booleans red.
+    "qd51_approx_distinct" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      ev.groupBy(col("event_type")).agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.02).as("__au"),
+          countDistinct(col("event_id")).as("exact_events"),
+          approx_count_distinct(col("event_id"), 0.02).as("__ae"))
+        .select(col("event_type"), col("exact_users"), col("exact_events"),
+          (abs(col("__au") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.06).as("users_ok"),
+          (abs(col("__ae") - col("exact_events")).cast("double") /
+            col("exact_events") <= 0.06).as("events_ok"))
+        .orderBy(col("event_type"))
+    }),
+
     // §2.4 at 100 TB: BUCKETED co-located fact-fact join. Both tables are
     // laid out once per (JVM, SF) as 8-bucket key-sorted tables (repartition
     // to one file per bucket first), after which the join plans as a
@@ -4610,6 +4633,15 @@ object SparkEntry {
         |ORDER BY p.event_id""".stripMargin,
 
     "qd50_bm25" -> bm25OracleSql(Bm25Terms, k1 = 1.2, b = 0.75),
+
+    // qd51: exact distincts recomputed; the oracle states the EXPECTED
+    // sketch verdict (within 3x rsd) so an estimator regression hashes red
+    "qd51_approx_distinct" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  count(DISTINCT event_id) AS exact_events,
+        |  true AS users_ok, true AS events_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q70_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n,
