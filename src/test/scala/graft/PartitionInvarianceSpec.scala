@@ -52,7 +52,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q54_pipeline_crawl",       // composite: extract → clean → dedup → chunk
     "qd50_bm25",                // broadcast model + narrow scoring across splits
     "q70_bucketed_join",        // bucketed layout vs adversarial shuffle config
-    "q72_sessionize")           // gap boundaries under keyed-window re-partitioning
+    "q72_sessionize",           // gap boundaries under keyed-window re-partitioning
+    "q73_sessionize_stream",    // state machine under 3 shuffle partitions
+    "q74_stream_dedup",         // first-arrival election across splits (identical payloads)
+    "q75_asof_stream",          // pending-left/right-frontier state across splits
+    "qd51_approx_distinct")     // HLL register merge is order/partitioning-invariant
 
   private def rows(name: String): Seq[String] = {
     val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)
