@@ -2557,6 +2557,15 @@ object SparkEntry {
         numHashes = 128, bands = 32, shingleK = 5, threshold = 0.5)
     }),
 
+    // raw HLL sketch aggregation (the qd51 contract's operator half; the
+    // exact countDistinct there is verification workload, not the operator)
+    "qd51_approx_distinct" -> ((s, d) => {
+      t(s, d, "events").groupBy(col("event_type")).agg(
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          approx_count_distinct(col("event_id"), 0.02).as("approx_events"))
+        .orderBy(col("event_type"))
+    }),
+
     // raw SimHash pigeonhole candidate pairs
     "qd05_simhash_pairs" -> ((s, d) => {
       graft.dedup.Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",

@@ -21,6 +21,15 @@ object Sessionize extends Serializable {
     * convention), so the emitted double is order-independent and bitwise
     * equal to the batch face's exact decimal sum. */
   case class SessionState(start: Long, end: Long, n: Long, sumQ: Long)
+  /** Full per-key state: `pending` buffers (µs, quantized-value) events not
+    * yet FINAL — an event is final only once the watermark passes its
+    * timestamp, because any not-yet-arrived event must carry
+    * ts >= watermark, so nothing can still sort before it. Folding only
+    * finalized events (in timestamp order) into the open session makes the
+    * machine correct under out-of-order arrival ACROSS micro-batches — the
+    * normal state of a distributed ingest, where files/partitions reach the
+    * source in arbitrary order within the watermark delay. */
+  case class SessBuf(pending: Seq[(Long, Long)], open: Option[SessionState])
   case class Session(userId: Long, sessionStart: Timestamp, sessionEnd: Timestamp,
                      nEvents: Long, sumValue: Double)
 
@@ -78,35 +87,50 @@ object Sessionize extends Serializable {
     def emit(userId: Long, s: SessionState): Session =
       Session(userId, tsOf(s.start), tsOf(s.end), s.n, s.sumQ / 10000.0)
 
+    // Watermark-buffered fold (data and timeout invocations share it):
+    //  1. incoming events join the pending buffer;
+    //  2. events with ts < watermark are FINAL (no future event can sort
+    //     before them) — fold them, timestamp-sorted, through the gap rule;
+    //  3. the open session closes once the watermark passes end + gap
+    //     (every pending/future event then has ts >= wm > end + gap);
+    //  4. the event-time timeout re-wakes the key when the watermark next
+    //     passes either the oldest pending event or the close deadline.
+    // State is bounded by the watermark delay (pending) + one open session.
     def update(userId: Long, rows: Iterator[Event],
-               state: GroupState[SessionState]): Iterator[Session] = {
-      if (state.hasTimedOut) {
-        val s = state.get
-        state.remove()
-        Iterator(emit(userId, s))
-      } else {
-        var closed = List.empty[Session]
-        var cur = state.getOption
-        rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
-          val t = micros(e.ts)
-          cur match {
-            case Some(s) if t - s.end <= gapUs =>
-              cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.sumQ + quant(e.value)))
-            case Some(s) =>
-              closed ::= emit(userId, s)
-              cur = Some(SessionState(t, t, 1, quant(e.value)))
-            case None =>
-              cur = Some(SessionState(t, t, 1, quant(e.value)))
-          }
+               state: GroupState[SessBuf]): Iterator[Session] = {
+      val prev = state.getOption.getOrElse(SessBuf(Nil, None))
+      val incoming = rows.map(e => (micros(e.ts), quant(e.value))).toVector
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val (fin, pend) = (prev.pending ++ incoming).partition(_._1 < wmUs)
+      var open = prev.open
+      val closed = Vector.newBuilder[Session]
+      fin.sorted.foreach { case (t, qv) =>
+        open match {
+          case Some(s) if t - s.end <= gapUs =>
+            open = Some(SessionState(math.min(s.start, t), math.max(s.end, t),
+              s.n + 1, s.sumQ + qv))
+          case Some(s) =>
+            closed += emit(userId, s)
+            open = Some(SessionState(t, t, 1, qv))
+          case None =>
+            open = Some(SessionState(t, t, 1, qv))
         }
-        cur.foreach { s =>
-          state.update(s)
-          // timeout is millisecond-granular: CEIL past the µs deadline so a
-          // timeout can never fire before end+gap
-          state.setTimeoutTimestamp(Math.floorDiv(s.end + gapUs + 999L, 1000L))
-        }
-        closed.reverseIterator
       }
+      open match {
+        case Some(s) if wmUs > s.end + gapUs =>
+          closed += emit(userId, s); open = None
+        case _ => ()
+      }
+      if (pend.isEmpty && open.isEmpty) state.remove()
+      else {
+        state.update(SessBuf(pend, open))
+        // strictly past the µs deadline, CEILed to the ms granularity of
+        // GroupState timeouts, so a wake can never fire before the
+        // watermark has actually passed the deadline
+        val deadlineUs = (open.map(_.end + gapUs).toSeq ++ pend.map(_._1)).min + 1L
+        state.setTimeoutTimestamp(Math.floorDiv(deadlineUs + 999L, 1000L))
+      }
+      closed.result().iterator
     }
 
     events

@@ -171,6 +171,91 @@ class FidelitySpec extends SparkSpec {
     }
   }
 
+  test("sessionize state carries across micro-batches (maxFilesPerTrigger=1)") {
+    // the property the single-batch replay harness (q73) can't exercise:
+    // per-key session state must survive micro-batch boundaries. Input is
+    // split over 6 files delivered ONE PER BATCH in arbitrary order; the
+    // watermark delay (30d) covers the full inter-file event-time disorder
+    // so nothing is late-dropped, the appended sentinel then advances the
+    // watermark, and the final empty batch fires the timeouts.
+    import graft.streaming.Sessionize
+    implicit val sp = spark
+    val r = new scala.util.Random(4200)
+    val base = 1700000000000000L
+    val rows = scala.collection.mutable.ArrayBuffer[Sessionize.Event]()
+    for (user <- 1L to 8L) {
+      var us = base + user * 86400000000L
+      for (i <- 0 until (2 + r.nextInt(6))) {
+        if (i > 0) us += Seq(0L, 60000000L, 60001000L, 1000000L)(r.nextInt(4))
+        rows += Sessionize.Event(user,
+          new java.sql.Timestamp(us / 1000L), (r.nextInt(10000) + 1) / 100.0)
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_smb").toString
+    r.shuffle(rows.toSeq).toDS().repartition(6).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", 1)
+      .schema(org.apache.spark.sql.Encoders.product[Sessionize.Event].schema)
+      .parquet(dir).as[Sessionize.Event]
+    val qn = "graft_smb"
+    val q = Sessionize.sessions(stream, gap = "1m", watermarkDelay = "30 days")
+      .writeStream.outputMode("append").format("memory").queryName(qn).start()
+    try {
+      q.processAllAvailable() // 6+ micro-batches, state carries between them
+      Seq(Sessionize.Event(99999L,
+          new java.sql.Timestamp(base / 1000L + 3000L * 86400000L), 0.0))
+        .toDS().write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      Seq.empty[Sessionize.Event].toDS().write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val got = spark.table(qn).filter(col("userId") < 90000L)
+        .select(col("userId"), col("sessionStart"), col("sessionEnd"),
+          col("nEvents"), col("sumValue"))
+        .orderBy(col("userId"), col("sessionStart")).collect().map(_.toSeq).toSeq
+      val want = Sessionize.sessionsBatch(
+          spark.read.parquet(dir).filter(col("userId") < 90000L).toDF(),
+          "userId", "ts", "value", gap = "1m")
+        .select(col("userId"), col("session_start"), col("session_end"),
+          col("n_events"), col("sum_value").cast("double"))
+        .orderBy(col("userId"), col("session_start")).collect().map(_.toSeq).toSeq
+      assert(got == want, s"stream=${got.take(5)} batch=${want.take(5)}")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(qn)
+    }
+  }
+
+  test("stream dedup drops duplicates arriving in LATER micro-batches") {
+    // q74's harness delivers all copies in one batch; the watermark-bounded
+    // dedup state must also catch a duplicate whose copy arrives in a later
+    // micro-batch (within the watermark delay)
+    implicit val sp = spark
+    def ev(k: Long, m: Int) = (k, java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00"), k * 1.5)
+    val first = Seq(ev(1, 0), ev(2, 1), ev(3, 2))
+    val dir = java.nio.file.Files.createTempDirectory("graft_dmb").toString
+    first.toDF("k", "ts", "v").write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val out = graft.streaming.StreamOps.dedupStream(
+      spark.readStream.option("maxFilesPerTrigger", 1).schema(schema).parquet(dir),
+      Seq("k"), "ts", "1 hour")
+    val qn = "graft_dmb"
+    val q = out.writeStream.outputMode("append").format("memory").queryName(qn).start()
+    try {
+      q.processAllAvailable()
+      // batch 2: duplicates of keys 1 and 3 (same payload) + one new key
+      Seq(ev(1, 0), ev(3, 2), ev(4, 5)).toDF("k", "ts", "v")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val got = spark.table(qn).orderBy(col("k")).collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      assert(got == Seq((1L, 1.5), (2L, 3.0), (3L, 4.5), (4L, 6.0)),
+        s"got $got")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(qn)
+    }
+  }
+
   test("cleaning trio: lenient cast → fill_nan → fill_null (CleaningTests.cs:75-110)") {
     import graft.api.syntax._
     // mixed junk column: parseable numbers, garbage, literal "NaN", null —
