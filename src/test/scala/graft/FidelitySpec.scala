@@ -225,6 +225,63 @@ class FidelitySpec extends SparkSpec {
     }
   }
 
+  test("sessionize survives a checkpointed stop/restart mid-stream") {
+    // the operational property of a 100 TB/day pipeline: kill the query
+    // after some micro-batches, restart from the checkpoint, and the
+    // recovered SessBuf state (pending buffer + open session) must continue
+    // to EXACTLY the batch twin's sessions — no loss, no duplication. File
+    // sink + checkpoint = the production exactly-once pairing.
+    import graft.streaming.Sessionize
+    implicit val sp = spark
+    val r = new scala.util.Random(4300)
+    val base = 1700000000000000L
+    val rows = scala.collection.mutable.ArrayBuffer[Sessionize.Event]()
+    for (user <- 1L to 6L) {
+      var us = base + user * 86400000000L
+      for (i <- 0 until (2 + r.nextInt(5))) {
+        if (i > 0) us += Seq(0L, 60000000L, 60001000L, 1000000L)(r.nextInt(4))
+        rows += Sessionize.Event(user,
+          new java.sql.Timestamp(us / 1000L), (r.nextInt(10000) + 1) / 100.0)
+      }
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val in = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    r.shuffle(rows.toSeq).toDS().repartition(4).write.mode("overwrite").parquet(in)
+    def start() = {
+      val stream = spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema(org.apache.spark.sql.Encoders.product[Sessionize.Event].schema)
+        .parquet(in).as[Sessionize.Event]
+      Sessionize.sessions(stream, gap = "1m", watermarkDelay = "30 days")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt).start()
+    }
+    val q1 = start()
+    q1.processAllAvailable() // phase 1: all initial files, state checkpointed
+    q1.stop()
+    // phase 2: restart from the checkpoint, deliver the sentinel + flush
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      Seq(Sessionize.Event(99999L,
+          new java.sql.Timestamp(base / 1000L + 3000L * 86400000L), 0.0))
+        .toDS().write.mode("append").parquet(in)
+      q2.processAllAvailable()
+      Seq.empty[Sessionize.Event].toDS().write.mode("append").parquet(in)
+      q2.processAllAvailable()
+      val got = spark.read.parquet(out).filter(col("userId") < 90000L)
+        .select(col("userId"), col("sessionStart"), col("sessionEnd"),
+          col("nEvents"), col("sumValue"))
+        .orderBy(col("userId"), col("sessionStart")).collect().map(_.toSeq).toSeq
+      val want = Sessionize.sessionsBatch(
+          spark.read.parquet(in).filter(col("userId") < 90000L).toDF(),
+          "userId", "ts", "value", gap = "1m")
+        .select(col("userId"), col("session_start"), col("session_end"),
+          col("n_events"), col("sum_value").cast("double"))
+        .orderBy(col("userId"), col("session_start")).collect().map(_.toSeq).toSeq
+      assert(got == want, s"after restart: stream=${got.take(5)} batch=${want.take(5)}")
+    } finally q2.stop()
+  }
+
   test("stream dedup drops duplicates arriving in LATER micro-batches") {
     // q74's harness delivers all copies in one batch; the watermark-bounded
     // dedup state must also catch a duplicate whose copy arrives in a later
