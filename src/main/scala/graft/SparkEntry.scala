@@ -183,6 +183,7 @@ object SparkEntry {
     * one-file-per-bucket sorted layout satisfies the SMJ ordering
     * requirement (both properties asserted by PlanSpec). */
   private[graft] def q70Join(s: SparkSession, d: String): DataFrame = {
+    sweepStaleFixtures
     // key the layout by SOURCE IDENTITY (full path + size + mtime of each
     // input) and by JVM: a sanitized dir name alone silently reused a stale
     // layout when the source data changed within a session, could collide
@@ -216,12 +217,37 @@ object SparkEntry {
     li.hint("merge").join(o.hint("merge"), li("l_orderkey") === o("o_orderkey"))
   }
 
+  /** One-time sweep of pid-suffixed fixture layouts (`..._p<pid>`: q70
+    * bucketed tables, q73/q74/q75 stream inputs) left by JVMs that no
+    * longer exist — without it every bench/verify run leaks its copies
+    * into /tmp forever. Entries owned by LIVE pids are kept (the
+    * concurrent-JVM race the pid suffix exists to prevent). */
+  private lazy val sweepStaleFixtures: Unit = {
+    val root = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fixtures")
+    if (java.nio.file.Files.isDirectory(root)) {
+      val pidRe = ".*_p([0-9]+)$".r
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(root).iterator().asScala.toSeq.foreach { p =>
+        p.getFileName.toString match {
+          case pidRe(pid) if pid.toLong != ProcessHandle.current().pid() &&
+              !ProcessHandle.of(pid.toLong).isPresent() =>
+            try java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+              .foreach(f => java.nio.file.Files.deleteIfExists(f))
+            catch { case _: java.io.IOException => () } // concurrent sweep
+          case _ => ()
+        }
+      }
+    }
+  }
+
   /** Per-(JVM, SF) cached parquet DIRECTORY for stream-input fixtures
     * (q73/q74): synthesized once, then every rep/invocation re-streams the
     * same files instead of paying the fixture write per rep. Returns the
     * path (readStream needs a directory, not a frame). */
   private def streamFixture(s: SparkSession, sfDir: String, name: String)
-                           (build: => DataFrame): String =
+                           (build: => DataFrame): String = {
+    sweepStaleFixtures
     fixtureCache.computeIfAbsent(name + ":stream:" + sfDir, _ => {
       // per-JVM path: q73 APPENDS flush batches to its fixture dir, so two
       // JVMs sharing one path would interleave overwrites with live streams
@@ -233,6 +259,29 @@ object SparkEntry {
       build.write.mode("overwrite").parquet(p)
       p
     })
+  }
+
+  /** Drive a streaming frame through a memory sink to COMPLETION: drain
+    * everything available, append an EMPTY batch to `flushDir` (the
+    * watermark advanced at the previous batch's end, so this batch fires
+    * the event-time timeouts that flush open state), drain again, and
+    * return the projected result as a driver-local frame (`localize`
+    * guard). The temp view is dropped even when projection fails — a
+    * failed bench rep must not leave catalog residue. */
+  private def drainStream(s: SparkSession, out: DataFrame, qn: String,
+                          flushDir: String,
+                          flushSchema: org.apache.spark.sql.types.StructType)
+                         (project: DataFrame => DataFrame): DataFrame = {
+    val q = out.writeStream.outputMode("append").format("memory").queryName(qn).start()
+    try {
+      q.processAllAvailable()
+      s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), flushSchema)
+        .write.mode("append").parquet(flushDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    try localize(s, project(s.table(qn)))
+    finally s.catalog.dropTempView(qn)
+  }
 
   private def fixtureScan(s: SparkSession, sfDir: String, name: String)
                          (build: => DataFrame): DataFrame = {
@@ -2321,25 +2370,15 @@ object SparkEntry {
       import s.implicits._
       val stream = s.readStream.schema(schema).parquet(in)
         .as[graft.streaming.Sessionize.Event]
-      val qn = "g73_stream"
-      val q = graft.streaming.Sessionize
-        .sessions(stream, gap = "30m", watermarkDelay = "0 seconds")
-        .writeStream.outputMode("append").format("memory").queryName(qn).start()
-      try {
-        q.processAllAvailable()
-        // an empty appended batch advances processing past the sentinel
-        // watermark so every remaining open session times out and emits
-        s.emptyDataset[graft.streaming.Sessionize.Event]
-          .write.mode("append").parquet(in)
-        q.processAllAvailable()
-      } finally q.stop()
-      val res = localize(s, s.table(qn).filter(col("userId") >= 0L)
-        .select(col("userId").as("user_id"),
-          col("sessionStart").cast("timestamp_ntz").as("session_start"),
-          col("sessionEnd").cast("timestamp_ntz").as("session_end"),
-          col("nEvents").as("n_events"), col("sumValue").as("sum_value")))
-      s.catalog.dropTempView(qn)
-      res.orderBy(col("user_id"), col("session_start"))
+      val out = graft.streaming.Sessionize
+        .sessions(stream, gap = "30m", watermarkDelay = "0 seconds").toDF()
+      drainStream(s, out, "g73_stream", in, schema) { t =>
+        t.filter(col("userId") >= 0L)
+          .select(col("userId").as("user_id"),
+            col("sessionStart").cast("timestamp_ntz").as("session_start"),
+            col("sessionEnd").cast("timestamp_ntz").as("session_end"),
+            col("nEvents").as("n_events"), col("sumValue").as("sum_value"))
+      }.orderBy(col("user_id"), col("session_start"))
     }),
 
     // beyond-reference: streaming EXACT-DEDUP ingest face
@@ -2406,21 +2445,12 @@ object SparkEntry {
         s.readStream.schema(lSchema).parquet(inL),
         s.readStream.schema(rSchema).parquet(inR),
         "ts", "ts", by = Seq(("user_id", "user_id")), watermark = "0 seconds")
-      val qn = "g75_stream"
-      val q = out.writeStream.outputMode("append").format("memory").queryName(qn).start()
-      try {
-        q.processAllAvailable()
-        s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), lSchema)
-          .write.mode("append").parquet(inL)
-        q.processAllAvailable()
-      } finally q.stop()
-      val res = localize(s, s.table(qn)
-        .select(col("event_id"), col("user_id"),
+      drainStream(s, out, "g75_stream", inL, lSchema) { t =>
+        t.select(col("event_id"), col("user_id"),
           col("ts").cast("timestamp_ntz").as("ts"), col("value"),
           col("click_value"),
-          col("click_ts").cast("timestamp_ntz").as("click_ts")))
-      s.catalog.dropTempView(qn)
-      res.orderBy(col("event_id"))
+          col("click_ts").cast("timestamp_ntz").as("click_ts"))
+      }.orderBy(col("event_id"))
     }),
 
     // §2.1/2.2 beyond-reference: ORC round-trip (write → scan vs the

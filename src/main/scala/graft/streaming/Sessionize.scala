@@ -99,8 +99,18 @@ object Sessionize extends Serializable {
     def update(userId: Long, rows: Iterator[Event],
                state: GroupState[SessBuf]): Iterator[Session] = {
       val prev = state.getOption.getOrElse(SessBuf(Nil, None))
-      val incoming = rows.map(e => (micros(e.ts), quant(e.value))).toVector
       val wmUs = state.getCurrentWatermarkMs() * 1000L
+      // Late-arrival policy: an incoming event OLDER than the watermark is
+      // dropped. Spark 4's FlatMapGroupsWithStateExec already pre-filters
+      // such rows (verified empirically), but the invariant is load-bearing
+      // here — a late event folded into the open session would merge across
+      // an arbitrarily large gap (t - end is negative, trivially <= gap) or
+      // mint a duplicate session after its true session emitted — so the
+      // operator enforces it itself rather than relying on exec-version
+      // behavior. Events in `pending` are NOT late: they arrived >= the
+      // watermark of their batch and finalize once the watermark passes.
+      val incoming = rows.map(e => (micros(e.ts), quant(e.value)))
+        .filter(_._1 >= wmUs).toVector
       val (fin, pend) = (prev.pending ++ incoming).partition(_._1 < wmUs)
       var open = prev.open
       val closed = Vector.newBuilder[Session]

@@ -110,6 +110,33 @@ class FidelitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** grammar-36b session-event shapes, shared by the stream-fidelity
+    * tests: per-user time walks whose steps force duplicate timestamps
+    * (incl. ties at a boundary), boundary-exact gaps (diff == gap,
+    * in-session under strict '>'), just-past boundaries (gap + 1 ms),
+    * ordinary in-session steps, and guaranteed singletons (3x gap). All
+    * µs values are ‰1000 so ms-built Timestamps are exact. */
+  private def genSessionEvents(r: scala.util.Random, users: Long, minN: Int,
+                               maxExtra: Int, gapUs: Long = 60000000L)
+      : Seq[graft.streaming.Sessionize.Event] = {
+    val rows = scala.collection.mutable.ArrayBuffer[graft.streaming.Sessionize.Event]()
+    for (user <- 1L to users) {
+      var us = 1700000000000000L + user * 86400000000L
+      for (i <- 0 until (minN + r.nextInt(maxExtra))) {
+        if (i > 0) us += (r.nextInt(5) match {
+          case 0 => 0L            // duplicate (user, ts) — tie
+          case 1 => gapUs         // boundary-exact: same session (strict >)
+          case 2 => gapUs + 1000L // just past the boundary: new session
+          case 3 => 1000000L      // 1s — well inside
+          case _ => gapUs * 3     // far outside — guarantees singletons
+        })
+        rows += graft.streaming.Sessionize.Event(user,
+          new java.sql.Timestamp(us / 1000L), (r.nextInt(10000) + 1) / 100.0)
+      }
+    }
+    rows.toSeq
+  }
+
   test("fuzz: sessionize stream == batch on ties / boundary-exact gaps / singletons") {
     // the grammar-36b fixture shapes driven through the STREAMING runtime:
     // the state machine (arrival-order ties, µs gap arithmetic, fixed-point
@@ -120,27 +147,12 @@ class FidelitySpec extends SparkSpec {
     implicit val sp = spark
     for (seed <- 4100 until 4104) {
       val r = new scala.util.Random(seed)
-      val gapUs = 60000000L // 1m
-      val rows = scala.collection.mutable.ArrayBuffer[Sessionize.Event]()
-      for (user <- 1L to 10L) {
-        var us = 1700000000000000L + user * 86400000000L
-        for (i <- 0 until (1 + r.nextInt(7))) {
-          if (i > 0) us += (r.nextInt(5) match {
-            case 0 => 0L            // tie
-            case 1 => gapUs         // boundary-exact: same session
-            case 2 => gapUs + 1000L // just past: new session
-            case 3 => 1000000L      // 1s
-            case _ => gapUs * 3     // singleton guarantee
-          })
-          rows += Sessionize.Event(user,
-            new java.sql.Timestamp(us / 1000L), (r.nextInt(10000) + 1) / 100.0)
-        }
-      }
       // far-future sentinel closes all real sessions via timeout
-      rows += Sessionize.Event(99999L,
-        new java.sql.Timestamp(1700000000000000L / 1000L + 1000L * 86400000L), 0.0)
+      val rows = genSessionEvents(r, users = 10, minN = 1, maxExtra = 7) :+
+        Sessionize.Event(99999L,
+          new java.sql.Timestamp(1700000000000000L / 1000L + 1000L * 86400000L), 0.0)
       val dir = java.nio.file.Files.createTempDirectory(s"graft_sfz$seed").toString
-      r.shuffle(rows.toSeq).toDS().write.mode("overwrite").parquet(dir)
+      r.shuffle(rows).toDS().write.mode("overwrite").parquet(dir)
       val stream = spark.readStream.schema(
         org.apache.spark.sql.Encoders.product[Sessionize.Event].schema)
         .parquet(dir).as[Sessionize.Event]
@@ -182,17 +194,9 @@ class FidelitySpec extends SparkSpec {
     implicit val sp = spark
     val r = new scala.util.Random(4200)
     val base = 1700000000000000L
-    val rows = scala.collection.mutable.ArrayBuffer[Sessionize.Event]()
-    for (user <- 1L to 8L) {
-      var us = base + user * 86400000000L
-      for (i <- 0 until (2 + r.nextInt(6))) {
-        if (i > 0) us += Seq(0L, 60000000L, 60001000L, 1000000L)(r.nextInt(4))
-        rows += Sessionize.Event(user,
-          new java.sql.Timestamp(us / 1000L), (r.nextInt(10000) + 1) / 100.0)
-      }
-    }
+    val rows = genSessionEvents(r, users = 8, minN = 2, maxExtra = 6)
     val dir = java.nio.file.Files.createTempDirectory("graft_smb").toString
-    r.shuffle(rows.toSeq).toDS().repartition(6).write.mode("overwrite").parquet(dir)
+    r.shuffle(rows).toDS().repartition(6).write.mode("overwrite").parquet(dir)
     val stream = spark.readStream
       .option("maxFilesPerTrigger", 1)
       .schema(org.apache.spark.sql.Encoders.product[Sessionize.Event].schema)
@@ -235,18 +239,10 @@ class FidelitySpec extends SparkSpec {
     implicit val sp = spark
     val r = new scala.util.Random(4300)
     val base = 1700000000000000L
-    val rows = scala.collection.mutable.ArrayBuffer[Sessionize.Event]()
-    for (user <- 1L to 6L) {
-      var us = base + user * 86400000000L
-      for (i <- 0 until (2 + r.nextInt(5))) {
-        if (i > 0) us += Seq(0L, 60000000L, 60001000L, 1000000L)(r.nextInt(4))
-        rows += Sessionize.Event(user,
-          new java.sql.Timestamp(us / 1000L), (r.nextInt(10000) + 1) / 100.0)
-      }
-    }
+    val rows = genSessionEvents(r, users = 6, minN = 2, maxExtra = 5)
     val root = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     val in = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
-    r.shuffle(rows.toSeq).toDS().repartition(4).write.mode("overwrite").parquet(in)
+    r.shuffle(rows).toDS().repartition(4).write.mode("overwrite").parquet(in)
     def start() = {
       val stream = spark.readStream.option("maxFilesPerTrigger", 1)
         .schema(org.apache.spark.sql.Encoders.product[Sessionize.Event].schema)
@@ -280,6 +276,48 @@ class FidelitySpec extends SparkSpec {
         .orderBy(col("userId"), col("session_start")).collect().map(_.toSeq).toSeq
       assert(got == want, s"after restart: stream=${got.take(5)} batch=${want.take(5)}")
     } finally q2.stop()
+  }
+
+  test("sessionize DROPS events older than the watermark (late-arrival policy)") {
+    // Pins the late-arrival policy end to end: a beyond-watermark event
+    // must never fold into the open session across an arbitrary gap
+    // (t - end is negative, trivially <= gap) or mint a duplicate session
+    // after its true session already emitted. Spark 4's exec pre-filters
+    // such rows AND the operator drops them itself; this test holds
+    // whichever layer does the filtering.
+    import graft.streaming.Sessionize
+    implicit val sp = spark
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(sec: Int) = new java.sql.Timestamp(t0.getTime + sec * 1000L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_late").toString
+    Seq(Sessionize.Event(1L, at(0), 1.0), Sessionize.Event(1L, at(10), 2.0))
+      .toDS().write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(
+      org.apache.spark.sql.Encoders.product[Sessionize.Event].schema)
+      .parquet(dir).as[Sessionize.Event]
+    val qn = "graft_late"
+    val q = Sessionize.sessions(stream, gap = "1m", watermarkDelay = "0 seconds")
+      .writeStream.outputMode("append").format("memory").queryName(qn).start()
+    try {
+      q.processAllAvailable()
+      Seq(Sessionize.Event(999L, at(100 * 86400), 0.0)) // watermark riser
+        .toDS().write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      Seq.empty[Sessionize.Event].toDS().write.mode("append").parquet(dir)
+      q.processAllAvailable() // u1's session [0s,10s] closes and emits
+      // a LATE event inside u1's already-emitted session window
+      Seq(Sessionize.Event(1L, at(5), 100.0)).toDS().write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      Seq.empty[Sessionize.Event].toDS().write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val got = spark.table(qn).filter(col("userId") === 1L)
+        .select(col("nEvents"), col("sumValue")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == Seq((2L, 3.0)), s"late event must be dropped, got $got")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(qn)
+    }
   }
 
   test("stream dedup drops duplicates arriving in LATER micro-batches") {
