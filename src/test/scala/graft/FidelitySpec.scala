@@ -351,6 +351,68 @@ class FidelitySpec extends SparkSpec {
     }
   }
 
+  test("fuzz: as-of stream == batch under multi-batch file disorder (maxFilesPerTrigger=1)") {
+    // AsofStream's pending-left/right-frontier state under out-of-order
+    // delivery ACROSS micro-batches: left and right events are shuffled
+    // over several files delivered one per batch; the 30d watermark delay
+    // covers the disorder, a far-future right sentinel finalizes every
+    // left, and the result must equal the batch backward as-of exactly.
+    implicit val sp = spark
+    for (seed <- 4400 until 4403) {
+      val r = new scala.util.Random(seed)
+      val base = 1700000000000000L
+      def evs(n: Int) = (0 until n).map { _ =>
+        (1L + r.nextInt(5),
+          new java.sql.Timestamp((base + r.nextInt(1000000) * 1000000L) / 1000L),
+          (r.nextInt(10000) + 1) / 100.0)
+      }
+      // unique (user, ts) per side: a tied right with a different bid would
+      // make the backward match ambiguous on both engines
+      val lRows = evs(40).distinctBy(t => (t._1, t._2))
+      val rRows = evs(30).distinctBy(t => (t._1, t._2))
+      val root = java.nio.file.Files.createTempDirectory(s"graft_asb$seed").toString
+      val inL = s"$root/l"; val inR = s"$root/r"
+      lRows.toDF("user_id", "ts", "price").repartition(4)
+        .write.mode("overwrite").parquet(inL)
+      r.shuffle(rRows).toDF("user_id", "ts", "bid").repartition(4)
+        .write.mode("overwrite").parquet(inR)
+      val lS = spark.read.parquet(inL).schema
+      val rS = spark.read.parquet(inR).schema
+      val out = graft.streaming.AsofStream.asofStream(
+        spark.readStream.option("maxFilesPerTrigger", 1).schema(lS).parquet(inL),
+        spark.readStream.option("maxFilesPerTrigger", 1).schema(rS).parquet(inR),
+        "ts", "ts", by = Seq(("user_id", "user_id")), watermark = "30 days")
+      val qn = s"graft_asb$seed"
+      val q = out.writeStream.outputMode("append").format("memory").queryName(qn).start()
+      try {
+        q.processAllAvailable() // all real files, any order — wm stays low
+        // the sentinel must arrive AFTER every real file: delivered early
+        // (one-file-per-trigger picks files in arbitrary order) it would
+        // jump the watermark and legitimately late-drop the rest — the
+        // standard far-future-event hazard, not an operator property
+        Seq((99999L, new java.sql.Timestamp((base + 3000L * 86400000000L) / 1000L), 0.0))
+          .toDF("user_id", "ts", "bid").write.mode("append").parquet(inR)
+        q.processAllAvailable()
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), lS)
+          .write.mode("append").parquet(inL)
+        q.processAllAvailable()
+        val got = spark.table(qn)
+          .select(col("user_id"), col("ts"), col("price"), col("bid"))
+          .orderBy(col("user_id"), col("ts")).collect().map(_.toSeq).toSeq
+        val want = graft.operators.AsofJoin.join(
+            lRows.toDF("user_id", "ts", "price"),
+            rRows.toDF("user_id", "ts", "bid"),
+            "ts", "ts", Seq(("user_id", "user_id")))
+          .select(col("user_id"), col("ts"), col("price"), col("bid"))
+          .orderBy(col("user_id"), col("ts")).collect().map(_.toSeq).toSeq
+        assert(got == want, s"seed=$seed stream=${got.take(4)} batch=${want.take(4)}")
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView(qn)
+      }
+    }
+  }
+
   test("cleaning trio: lenient cast → fill_nan → fill_null (CleaningTests.cs:75-110)") {
     import graft.api.syntax._
     // mixed junk column: parseable numbers, garbage, literal "NaN", null —
