@@ -2453,6 +2453,44 @@ object SparkEntry {
       }.orderBy(col("event_id"))
     }),
 
+    // beyond-reference: FORWARD continuous as-of with tolerance — "the
+    // next error within 1 day of each purchase". The forward direction is
+    // the interesting streaming case: a null can only finalize once the
+    // watermark passes the whole tolerance window (an unbounded forward
+    // wait never could), and a candidate finalizes early once it sits
+    // below the watermark. Same DuckDB rendering as q23 plus q22's
+    // tolerance CASE.
+    "q76_asof_stream_fwd" -> ((s, d) => {
+      val inL = streamFixture(s, d, "q75_left") {
+        t(s, d, "events").filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            col("ts").cast("timestamp").as("ts"), col("value"))
+      }
+      val inR = streamFixture(s, d, "q76_right") {
+        val ev = t(s, d, "events")
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+            col("value").as("err_value"))
+        val maxTs = ev.agg(max(col("ts").cast("timestamp"))).head.getTimestamp(0)
+        errors.unionByName(s.range(1).select(lit(-1L).as("user_id"),
+          lit(new java.sql.Timestamp(maxTs.getTime + 365L * 86400000L))
+            .cast("timestamp").as("ts"),
+          lit(0.0).as("err_value")))
+      }
+      val lSchema = s.read.parquet(inL).schema
+      val rSchema = s.read.parquet(inR).schema
+      val out = graft.streaming.AsofStream.asofStream(
+        s.readStream.schema(lSchema).parquet(inL),
+        s.readStream.schema(rSchema).parquet(inR),
+        "ts", "ts", by = Seq(("user_id", "user_id")), watermark = "0 seconds",
+        strategy = graft.operators.AsofJoin.Forward, tolerance = Some("1d"))
+      drainStream(s, out, "g76_stream", inL, lSchema) { t =>
+        t.select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"), col("value"),
+          col("err_value"))
+      }.orderBy(col("event_id"))
+    }),
+
     // §2.1/2.2 beyond-reference: ORC round-trip (write → scan vs the
     // parquet truth, the q56/q57/q58 pattern) — covers lakes already on
     // Spark's other native columnar format, with timestamps in the payload
@@ -4660,6 +4698,16 @@ object SparkEntry {
       """SELECT event_id, user_id, ts, value
         |FROM events WHERE event_type = 'click'
         |ORDER BY event_id""".stripMargin,
+
+    // q76: forward ASOF (p.ts <= c.ts) with q22's tolerance CASE — the
+    // streaming forward face must reproduce DuckDB's native forward ASOF
+    "q76_asof_stream_fwd" ->
+      """SELECT p.event_id, p.user_id, p.ts, p.value,
+        |  CASE WHEN epoch_us(c.ts) - epoch_us(p.ts) <= 86400000000 THEN c.value END AS err_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') c
+        |  ON p.user_id = c.user_id AND p.ts <= c.ts
+        |ORDER BY p.event_id""".stripMargin,
 
     // q75: identical to q21's oracle — the continuous as-of face must
     // reproduce the batch backward as-of exactly (DuckDB's native ASOF)

@@ -35,9 +35,22 @@ object AsofStream {
   def asofStream(left: DataFrame, right: DataFrame,
                  leftOn: String, rightOn: String,
                  by: Seq[(String, String)],
-                 watermark: String = "10 minutes"): DataFrame = {
+                 watermark: String = "10 minutes",
+                 strategy: graft.operators.AsofJoin.Strategy =
+                   graft.operators.AsofJoin.Backward,
+                 tolerance: Option[String] = None): DataFrame = {
     val spark = left.sparkSession
     val byL = by.map(_._1)
+    val isBackward = strategy == graft.operators.AsofJoin.Backward
+    require(isBackward || strategy == graft.operators.AsofJoin.Forward,
+      "asofStream supports backward and forward strategies (nearest needs both directions final — join two streams via the batch definition instead)")
+    // an unbounded FORWARD match can never finalize a null (a matching
+    // right may arrive arbitrarily later), so the streaming face requires
+    // the wait to be bounded
+    require(isBackward || tolerance.nonEmpty,
+      "forward asofStream requires a tolerance: an unbounded forward wait cannot finalize in a stream")
+    val tolUs: Option[Long] =
+      tolerance.map(graft.functions.Durations.parseMicros)
 
     // normalize to (by..., __t, __side, __lpay, __rpay) and union
     val lPayCols = left.columns.toSeq
@@ -90,22 +103,68 @@ object AsofStream {
               buf = buf.copy(rights = buf.rights :+ (t -> r.getStruct(rIdx).toSeq))
           }
           val wmUs = state.getCurrentWatermarkMs() * 1000L
-          // a left at t is final once wm > t: late rights (rt < wm) are
-          // dropped by the watermark, surviving future rights have rt >= wm > t
-          val (ready, pending) = buf.lefts.partition(_._1 < wmUs)
           val sortedRights = buf.rights.sortBy(_._1)
-          val out = ready.sortBy(_._1).map { case (t, lvals) =>
-            val m = sortedRights.takeWhile(_._1 <= t).lastOption
-            Row.fromSeq(lvals ++ m.map(_._2).getOrElse(Seq.fill[Any](nRight)(null)))
-          }
-          // evict finalized rights except the newest one (frontier carry)
-          val (young, old) = sortedRights.partition(_._1 >= wmUs)
-          buf = Buf(pending, (old.lastOption.toVector ++ young))
+          val out: Vector[Row] =
+            if (isBackward) {
+              // a left at t is final once wm > t: late rights (rt < wm) are
+              // dropped by the watermark, surviving future rights have
+              // rt >= wm > t
+              val (ready, pending) = buf.lefts.partition(_._1 < wmUs)
+              val o = ready.sortBy(_._1).map { case (t, lvals) =>
+                val m = sortedRights.takeWhile(_._1 <= t).lastOption
+                  .filter { case (rt, _) => tolUs.forall(t - rt <= _) }
+                Row.fromSeq(lvals ++ m.map(_._2).getOrElse(Seq.fill[Any](nRight)(null)))
+              }
+              // evict finalized rights except the newest one (frontier carry)
+              val (young, old) = sortedRights.partition(_._1 >= wmUs)
+              buf = Buf(pending, (old.lastOption.toVector ++ young))
+              o
+            } else {
+              // FORWARD: match = earliest right in [t, t + tol]. Final when
+              // either the watermark passed the whole window (wm > t + tol:
+              // every future right has rt >= wm, outside it → the null or
+              // the in-window candidate can no longer change) or the
+              // earliest candidate sits strictly below the watermark (no
+              // future right can arrive earlier than wm and beat it).
+              val tol = tolUs.get
+              def candidate(t: Long) =
+                sortedRights.dropWhile(_._1 < t).headOption.filter(_._1 <= t + tol)
+              val (ready, pending) = buf.lefts.partition { case (t, _) =>
+                wmUs > t + tol || candidate(t).exists(_._1 < wmUs)
+              }
+              val o = ready.sortBy(_._1).map { case (t, lvals) =>
+                Row.fromSeq(lvals ++ candidate(t).map(_._2)
+                  .getOrElse(Seq.fill[Any](nRight)(null)))
+              }
+              // a right is useless once no pending or FUTURE left (t >= wm)
+              // can reach it: evict rt < min(wm, oldest pending left)
+              val keepFrom = math.min(wmUs,
+                pending.map(_._1).minOption.getOrElse(Long.MaxValue))
+              buf = Buf(pending, sortedRights.dropWhile(_._1 < keepFrom))
+              o
+            }
           if (buf.lefts.isEmpty && buf.rights.isEmpty) state.remove()
           else {
             state.update(buf)
-            // flush pending lefts on the next watermark advance
-            state.setTimeoutTimestamp(wmUs / 1000L + 1L)
+            if (isBackward)
+              // flush pending lefts on the next watermark advance
+              state.setTimeoutTimestamp(wmUs / 1000L + 1L)
+            else {
+              // wake when the watermark can next finalize something: the
+              // earliest per-left deadline (its candidate's rt, else the
+              // end of its window), or — with no pending lefts — the oldest
+              // buffered right (so the key self-evicts instead of holding
+              // state forever)
+              val tol = tolUs.get
+              def candidate(t: Long) =
+                sortedRights.dropWhile(_._1 < t).headOption.filter(_._1 <= t + tol)
+              val deadlines =
+                buf.lefts.map { case (t, _) => candidate(t).map(_._1).getOrElse(t + tol) } ++
+                  (if (buf.lefts.isEmpty) buf.rights.map(_._1).take(1) else Vector.empty)
+              val dUs = deadlines.min + 1L
+              state.setTimeoutTimestamp(math.max(Math.floorDiv(dUs + 999L, 1000L),
+                wmUs / 1000L + 1L))
+            }
           }
           out.iterator
       }(bufEnc, outEnc)

@@ -410,6 +410,34 @@ class FidelitySpec extends SparkSpec {
         q.stop()
         spark.catalog.dropTempView(qn)
       }
+      // FORWARD strategy (tolerance-bounded — an unbounded forward wait
+      // can't finalize in a stream): same disorder, earliest right in
+      // [t, t + 2d] or null, vs the batch forward as-of
+      val qnF = s"graft_asbf$seed"
+      val outF = graft.streaming.AsofStream.asofStream(
+        spark.readStream.option("maxFilesPerTrigger", 1).schema(lS).parquet(inL),
+        spark.readStream.option("maxFilesPerTrigger", 1).schema(rS).parquet(inR),
+        "ts", "ts", by = Seq(("user_id", "user_id")), watermark = "30 days",
+        strategy = graft.operators.AsofJoin.Forward, tolerance = Some("2d"))
+      val qF = outF.writeStream.outputMode("append").format("memory").queryName(qnF).start()
+      try {
+        qF.processAllAvailable() // sentinel + flush files are already in place
+        val gotF = spark.table(qnF).filter(col("user_id") < 90000L)
+          .select(col("user_id"), col("ts"), col("price"), col("bid"))
+          .orderBy(col("user_id"), col("ts")).collect().map(_.toSeq).toSeq
+        val wantF = graft.operators.AsofJoin.join(
+            lRows.toDF("user_id", "ts", "price"),
+            rRows.toDF("user_id", "ts", "bid"),
+            "ts", "ts", Seq(("user_id", "user_id")),
+            strategy = graft.operators.AsofJoin.Forward, tolerance = Some("2d"))
+          .select(col("user_id"), col("ts"), col("price"), col("bid"))
+          .orderBy(col("user_id"), col("ts")).collect().map(_.toSeq).toSeq
+        assert(gotF == wantF,
+          s"forward seed=$seed stream=${gotF.take(4)} batch=${wantF.take(4)}")
+      } finally {
+        qF.stop()
+        spark.catalog.dropTempView(qnF)
+      }
     }
   }
 

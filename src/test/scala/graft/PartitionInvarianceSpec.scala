@@ -56,6 +56,7 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q73_sessionize_stream",    // state machine under 3 shuffle partitions
     "q74_stream_dedup",         // first-arrival election across splits (identical payloads)
     "q75_asof_stream",          // pending-left/right-frontier state across splits
+    "q76_asof_stream_fwd",      // forward window finalization across splits
     "qd51_approx_distinct")     // HLL register merge is order/partitioning-invariant
 
   private def rows(name: String): Seq[String] = {
