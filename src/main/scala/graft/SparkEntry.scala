@@ -278,7 +278,10 @@ object SparkEntry {
       s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), flushSchema)
         .write.mode("append").parquet(flushDir)
       q.processAllAvailable()
-    } finally q.stop()
+    } finally {
+      q.stop()
+      graft.streaming.StreamOps.releaseStateStores()
+    }
     try localize(s, project(s.table(qn)))
     finally s.catalog.dropTempView(qn)
   }
@@ -2208,7 +2211,10 @@ object SparkEntry {
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      try query.awaitTermination() finally query.stop()
+      try query.awaitTermination() finally {
+        query.stop()
+        graft.streaming.StreamOps.releaseStateStores()
+      }
       val res = localize(s, s.table(qn)
         .select(col("ts").cast("timestamp_ntz").as("ts"), col("event_type"),
           col("n"), col("__sum").cast("double").as("sum_value")))
@@ -2404,7 +2410,10 @@ object SparkEntry {
       val qn = "g74_stream"
       val q = out.writeStream.outputMode("append").format("memory").queryName(qn)
         .trigger(Trigger.AvailableNow()).start()
-      try q.awaitTermination() finally q.stop()
+      try q.awaitTermination() finally {
+        q.stop()
+        graft.streaming.StreamOps.releaseStateStores()
+      }
       val res = localize(s, s.table(qn)
         .select(col("event_id"), col("user_id"),
           col("ts").cast("timestamp_ntz").as("ts"), col("value")))

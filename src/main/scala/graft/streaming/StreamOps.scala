@@ -45,6 +45,17 @@ object StreamOps {
     stream.withWatermark(timeCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Unload every cached state-store provider. A stopped streaming query
+    * leaves its providers in the executor-side provider cache until the
+    * maintenance thread notices the query is gone (60 s default) — a
+    * harness that starts many short-lived queries back-to-back (bench
+    * reps, Verify) accumulates them as live memory in the meantime
+    * (observed: the streaming faces inflating 1.3-1.8x under the no-clear
+    * parity contract). Call after `query.stop()` when the query's state is
+    * done; the next streaming query transparently reloads what it needs. */
+  def releaseStateStores(): Unit =
+    org.apache.spark.sql.graft.InternalBridge.unloadStateStores()
+
   /** Streaming file sinks (reference io.rs:391-479 streaming sink_csv/
     * parquet/json): append mode, exactly-once per partition via the
     * checkpoint + file-sink commit log. Returns the running query. */

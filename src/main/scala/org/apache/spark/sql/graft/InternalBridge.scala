@@ -22,4 +22,12 @@ object InternalBridge {
     val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     spark.internalCreateDataFrame(rdd, schema)
   }
+
+  /** Unload every cached state-store provider (`StateStore.unloadAll` is
+    * `private[sql]`). A stopped streaming query's providers stay in the
+    * provider cache until the maintenance thread notices the query is gone
+    * (60 s default); harnesses that run many short-lived queries
+    * back-to-back reclaim that memory immediately instead. */
+  def unloadStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
 }
