@@ -132,15 +132,23 @@ object Bench {
       try {
         val text = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(basePath)), "UTF-8")
-        val qmap = "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(text).map(_.group(1))
-        val baseMed = qmap.toSeq.flatMap(
-          "\"([^\"]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(_).map(m =>
-            m.group(1) -> m.group(2).toDouble)).toMap
-        val ratios = results.flatMap(r => baseMed.get(r.name).map(b =>
+        def numMap(key: String): Map[String, Double] =
+          ("\"" + key + "\":\\{([^}]*)\\}").r.findFirstMatchIn(text).map(_.group(1))
+            .toSeq.flatMap(
+              "\"([^\"]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(_).map(m =>
+                m.group(1) -> m.group(2).toDouble)).toMap
+        val baseMed = numMap("queries")
+        val baseSpread = numMap("queries_spread")
+        val ratios = results.flatMap(r => baseMed.get(r.name).map { b =>
+          // pair the ratio with the NOISIER of the two windows it spans
+          // (the frozen-gate rule): the run's own spread AND the baseline's
+          // recorded spread both bound what a real regression must exceed;
+          // 2-sample spreads (adaptive early-stop) additionally floor at
+          // 0.40 — they systematically underestimate true warm noise
+          val own = if (r.nreps <= 3) math.max(r.spread, 0.40) else r.spread
           (r.name, if (b > 0) r.med / b else 1.0,
-            // 2-sample spreads (adaptive early-stop) systematically
-            // underestimate true warm noise — widen their parity floor
-            if (r.nreps <= 3) math.max(r.spread, 0.40) else r.spread)))
+            math.max(own, baseSpread.getOrElse(r.name, 0.0)))
+        })
         val bad = ratios.filter { case (_, ratio, spread) =>
           ratio > math.max(1.25, 1.0 + spread) }
         val rj = ratios.map { case (n, ratio, _) => "\"" + n + "\":" + r4(ratio) }
