@@ -139,15 +139,19 @@ object Bench {
                 m.group(1) -> m.group(2).toDouble)).toMap
         val baseMed = numMap("queries")
         val baseSpread = numMap("queries_spread")
+        val baseReps = numMap("queries_reps")
+        // 2-sample spreads (adaptive early-stop) systematically
+        // underestimate true warm noise — floor them at 0.40 on BOTH sides
+        def floored(spread: Double, nreps: Double): Double =
+          if (nreps <= 3) math.max(spread, 0.40) else spread
         val ratios = results.flatMap(r => baseMed.get(r.name).map { b =>
           // pair the ratio with the NOISIER of the two windows it spans
           // (the frozen-gate rule): the run's own spread AND the baseline's
-          // recorded spread both bound what a real regression must exceed;
-          // 2-sample spreads (adaptive early-stop) additionally floor at
-          // 0.40 — they systematically underestimate true warm noise
-          val own = if (r.nreps <= 3) math.max(r.spread, 0.40) else r.spread
+          // recorded spread both bound what a real regression must exceed
           (r.name, if (b > 0) r.med / b else 1.0,
-            math.max(own, baseSpread.getOrElse(r.name, 0.0)))
+            math.max(floored(r.spread, r.nreps.toDouble),
+              floored(baseSpread.getOrElse(r.name, 0.0),
+                baseReps.getOrElse(r.name, Double.MaxValue))))
         })
         val bad = ratios.filter { case (_, ratio, spread) =>
           ratio > math.max(1.25, 1.0 + spread) }

@@ -102,8 +102,18 @@ object AsofStream {
             else
               buf = buf.copy(rights = buf.rights :+ (t -> r.getStruct(rIdx).toSeq))
           }
-          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // getCurrentWatermarkMs() returns 0 when NO watermark exists yet
+          // (first batch); treating that as a real watermark would finalize
+          // pre-epoch (negative-µs) events prematurely — model "unset" as -∞
+          val wmMs = state.getCurrentWatermarkMs()
+          val wmUs = if (wmMs == 0L) Long.MinValue else wmMs * 1000L
           val sortedRights = buf.rights.sortBy(_._1)
+          // earliest right in [t, t + tol] — the forward candidate; shared
+          // by the emission and timeout-deadline paths so they can't drift
+          def fwdCandidate(t: Long) = {
+            val tol = tolUs.get
+            sortedRights.dropWhile(_._1 < t).headOption.filter(_._1 <= t + tol)
+          }
           val out: Vector[Row] =
             if (isBackward) {
               // a left at t is final once wm > t: late rights (rt < wm) are
@@ -127,13 +137,13 @@ object AsofStream {
               // earliest candidate sits strictly below the watermark (no
               // future right can arrive earlier than wm and beat it).
               val tol = tolUs.get
-              def candidate(t: Long) =
-                sortedRights.dropWhile(_._1 < t).headOption.filter(_._1 <= t + tol)
               val (ready, pending) = buf.lefts.partition { case (t, _) =>
-                wmUs > t + tol || candidate(t).exists(_._1 < wmUs)
+                // no overflow: event times are µs magnitudes, tol a duration
+                wmUs != Long.MinValue &&
+                  (wmUs > t + tol || fwdCandidate(t).exists(_._1 < wmUs))
               }
               val o = ready.sortBy(_._1).map { case (t, lvals) =>
-                Row.fromSeq(lvals ++ candidate(t).map(_._2)
+                Row.fromSeq(lvals ++ fwdCandidate(t).map(_._2)
                   .getOrElse(Seq.fill[Any](nRight)(null)))
               }
               // a right is useless once no pending or FUTURE left (t >= wm)
@@ -146,9 +156,11 @@ object AsofStream {
           if (buf.lefts.isEmpty && buf.rights.isEmpty) state.remove()
           else {
             state.update(buf)
+            // GroupState timeouts must be positive ms; clamp (wm may be
+            // "unset" = -∞, deadlines may be pre-epoch)
             if (isBackward)
               // flush pending lefts on the next watermark advance
-              state.setTimeoutTimestamp(wmUs / 1000L + 1L)
+              state.setTimeoutTimestamp(math.max(1L, wmMs + 1L))
             else {
               // wake when the watermark can next finalize something: the
               // earliest per-left deadline (its candidate's rt, else the
@@ -156,14 +168,12 @@ object AsofStream {
               // buffered right (so the key self-evicts instead of holding
               // state forever)
               val tol = tolUs.get
-              def candidate(t: Long) =
-                sortedRights.dropWhile(_._1 < t).headOption.filter(_._1 <= t + tol)
               val deadlines =
-                buf.lefts.map { case (t, _) => candidate(t).map(_._1).getOrElse(t + tol) } ++
+                buf.lefts.map { case (t, _) => fwdCandidate(t).map(_._1).getOrElse(t + tol) } ++
                   (if (buf.lefts.isEmpty) buf.rights.map(_._1).take(1) else Vector.empty)
               val dUs = deadlines.min + 1L
-              state.setTimeoutTimestamp(math.max(Math.floorDiv(dUs + 999L, 1000L),
-                wmUs / 1000L + 1L))
+              state.setTimeoutTimestamp(math.max(math.max(1L,
+                Math.floorDiv(dUs + 999L, 1000L)), wmMs + 1L))
             }
           }
           out.iterator

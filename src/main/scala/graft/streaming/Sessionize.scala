@@ -99,7 +99,11 @@ object Sessionize extends Serializable {
     def update(userId: Long, rows: Iterator[Event],
                state: GroupState[SessBuf]): Iterator[Session] = {
       val prev = state.getOption.getOrElse(SessBuf(Nil, None))
-      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      // getCurrentWatermarkMs() returns 0 when NO watermark exists yet
+      // (first batch); treating that as real would finalize/close/late-drop
+      // around pre-epoch (negative-µs) events — model "unset" as -∞
+      val wmMs = state.getCurrentWatermarkMs()
+      val wmUs = if (wmMs == 0L) Long.MinValue else wmMs * 1000L
       // Late-arrival policy: an incoming event OLDER than the watermark is
       // dropped. Spark 4's FlatMapGroupsWithStateExec already pre-filters
       // such rows (verified empirically), but the invariant is load-bearing
@@ -138,7 +142,9 @@ object Sessionize extends Serializable {
         // GroupState timeouts, so a wake can never fire before the
         // watermark has actually passed the deadline
         val deadlineUs = (open.map(_.end + gapUs).toSeq ++ pend.map(_._1)).min + 1L
-        state.setTimeoutTimestamp(Math.floorDiv(deadlineUs + 999L, 1000L))
+        // clamp to positive ms (GroupState requires it; pre-epoch events
+        // would otherwise produce a non-positive timeout)
+        state.setTimeoutTimestamp(math.max(1L, Math.floorDiv(deadlineUs + 999L, 1000L)))
       }
       closed.result().iterator
     }

@@ -382,61 +382,49 @@ class FidelitySpec extends SparkSpec {
         spark.readStream.option("maxFilesPerTrigger", 1).schema(lS).parquet(inL),
         spark.readStream.option("maxFilesPerTrigger", 1).schema(rS).parquet(inR),
         "ts", "ts", by = Seq(("user_id", "user_id")), watermark = "30 days")
-      val qn = s"graft_asb$seed"
-      val q = out.writeStream.outputMode("append").format("memory").queryName(qn).start()
-      try {
-        q.processAllAvailable() // all real files, any order — wm stays low
-        // the sentinel must arrive AFTER every real file: delivered early
-        // (one-file-per-trigger picks files in arbitrary order) it would
-        // jump the watermark and legitimately late-drop the rest — the
-        // standard far-future-event hazard, not an operator property
-        Seq((99999L, new java.sql.Timestamp((base + 3000L * 86400000000L) / 1000L), 0.0))
-          .toDF("user_id", "ts", "bid").write.mode("append").parquet(inR)
-        q.processAllAvailable()
-        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), lS)
-          .write.mode("append").parquet(inL)
-        q.processAllAvailable()
-        val got = spark.table(qn)
-          .select(col("user_id"), col("ts"), col("price"), col("bid"))
-          .orderBy(col("user_id"), col("ts")).collect().map(_.toSeq).toSeq
-        val want = graft.operators.AsofJoin.join(
-            lRows.toDF("user_id", "ts", "price"),
-            rRows.toDF("user_id", "ts", "bid"),
-            "ts", "ts", Seq(("user_id", "user_id")))
-          .select(col("user_id"), col("ts"), col("price"), col("bid"))
-          .orderBy(col("user_id"), col("ts")).collect().map(_.toSeq).toSeq
-        assert(got == want, s"seed=$seed stream=${got.take(4)} batch=${want.take(4)}")
-      } finally {
-        q.stop()
-        spark.catalog.dropTempView(qn)
-      }
-      // FORWARD strategy (tolerance-bounded — an unbounded forward wait
-      // can't finalize in a stream): same disorder, earliest right in
-      // [t, t + 2d] or null, vs the batch forward as-of
-      val qnF = s"graft_asbf$seed"
+      // FORWARD runs concurrently (tolerance-bounded — an unbounded
+      // forward wait can't finalize in a stream): BOTH queries must have
+      // consumed every real file before the sentinel is written — delivered
+      // early (one-file-per-trigger picks files in arbitrary order, and
+      // coarse mtimes can tie) it would jump the watermark and legitimately
+      // late-drop the rest, the standard far-future-event hazard
       val outF = graft.streaming.AsofStream.asofStream(
         spark.readStream.option("maxFilesPerTrigger", 1).schema(lS).parquet(inL),
         spark.readStream.option("maxFilesPerTrigger", 1).schema(rS).parquet(inR),
         "ts", "ts", by = Seq(("user_id", "user_id")), watermark = "30 days",
         strategy = graft.operators.AsofJoin.Forward, tolerance = Some("2d"))
+      val qn = s"graft_asb$seed"; val qnF = s"graft_asbf$seed"
+      val q = out.writeStream.outputMode("append").format("memory").queryName(qn).start()
       val qF = outF.writeStream.outputMode("append").format("memory").queryName(qnF).start()
       try {
-        qF.processAllAvailable() // sentinel + flush files are already in place
-        val gotF = spark.table(qnF).filter(col("user_id") < 90000L)
+        q.processAllAvailable(); qF.processAllAvailable() // all real files, wm stays low
+        Seq((99999L, new java.sql.Timestamp((base + 3000L * 86400000000L) / 1000L), 0.0))
+          .toDF("user_id", "ts", "bid").write.mode("append").parquet(inR)
+        q.processAllAvailable(); qF.processAllAvailable()
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), lS)
+          .write.mode("append").parquet(inL)
+        q.processAllAvailable(); qF.processAllAvailable()
+        def table(n: String) = spark.table(n).filter(col("user_id") < 90000L)
           .select(col("user_id"), col("ts"), col("price"), col("bid"))
           .orderBy(col("user_id"), col("ts")).collect().map(_.toSeq).toSeq
-        val wantF = graft.operators.AsofJoin.join(
-            lRows.toDF("user_id", "ts", "price"),
-            rRows.toDF("user_id", "ts", "bid"),
-            "ts", "ts", Seq(("user_id", "user_id")),
-            strategy = graft.operators.AsofJoin.Forward, tolerance = Some("2d"))
-          .select(col("user_id"), col("ts"), col("price"), col("bid"))
-          .orderBy(col("user_id"), col("ts")).collect().map(_.toSeq).toSeq
+        def batch(strat: graft.operators.AsofJoin.Strategy, tol: Option[String]) =
+          graft.operators.AsofJoin.join(
+              lRows.toDF("user_id", "ts", "price"),
+              rRows.toDF("user_id", "ts", "bid"),
+              "ts", "ts", Seq(("user_id", "user_id")), strategy = strat, tolerance = tol)
+            .select(col("user_id"), col("ts"), col("price"), col("bid"))
+            .orderBy(col("user_id"), col("ts")).collect().map(_.toSeq).toSeq
+        val got = table(qn)
+        val want = batch(graft.operators.AsofJoin.Backward, None)
+        assert(got == want, s"seed=$seed stream=${got.take(4)} batch=${want.take(4)}")
+        val gotF = table(qnF)
+        val wantF = batch(graft.operators.AsofJoin.Forward, Some("2d"))
         assert(gotF == wantF,
           s"forward seed=$seed stream=${gotF.take(4)} batch=${wantF.take(4)}")
       } finally {
-        qF.stop()
-        spark.catalog.dropTempView(qnF)
+        q.stop(); qF.stop()
+        spark.catalog.dropTempView(qn); spark.catalog.dropTempView(qnF)
+        graft.streaming.StreamOps.releaseStateStores()
       }
     }
   }
