@@ -2500,6 +2500,91 @@ object SparkEntry {
       }.orderBy(col("event_id"))
     }),
 
+    // beyond-reference: watermarked STREAM-STREAM INTERVAL JOIN (the Flink
+    // intervalJoin shape, composed from Spark's native
+    // StreamingSymmetricHashJoin — no custom state): every purchase joined
+    // to the same user's clicks from the preceding day. Inner matches emit
+    // as found; state on both sides is evicted by the derived state
+    // watermark, so a 100 TB/day correlation join holds bounded state.
+    "q77_interval_join_stream" -> ((s, d) => {
+      val inL = streamFixture(s, d, "q75_left") {
+        t(s, d, "events").filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            col("ts").cast("timestamp").as("ts"), col("value"))
+      }
+      val inR = streamFixture(s, d, "q77_right") {
+        t(s, d, "events").filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").cast("timestamp").as("click_ts"),
+            col("value").as("click_value"))
+      }
+      val lSchema = s.read.parquet(inL).schema
+      val rSchema = s.read.parquet(inR).schema
+      val out = graft.streaming.StreamOps.intervalJoin(
+        s.readStream.schema(lSchema).parquet(inL),
+        s.readStream.schema(rSchema).parquet(inR),
+        "ts", "click_ts", by = Seq(("user_id", "user_id")),
+        before = "1d", after = "0s", watermark = "0 seconds")
+      drainStream(s, out, "g77_stream", inL, lSchema) { t =>
+        t.select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"), col("value"),
+          col("click_id"),
+          col("click_ts").cast("timestamp_ntz").as("click_ts"),
+          col("click_value"))
+      }.orderBy(col("event_id"), col("click_id"))
+    }),
+
+    // beyond-reference: the LEFT-OUTER interval join — purchases with NO
+    // click in the preceding day must still emit (null click columns), and
+    // a null can only finalize once the watermark passes the purchase's
+    // whole window (a match can no longer arrive). Far-future sentinels on
+    // BOTH streams (the global watermark is the min across sources) advance
+    // the watermark past every real window; the empty flush batch triggers
+    // the state eviction that emits the outer nulls.
+    "q78_interval_join_outer" -> ((s, d) => {
+      val inL = streamFixture(s, d, "q78_left") {
+        val ev = t(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            col("ts").cast("timestamp").as("ts"), col("value"))
+        val maxTs = ev.agg(max(col("ts").cast("timestamp"))).head.getTimestamp(0)
+        purchases.unionByName(s.range(1).select(lit(-1L).as("event_id"),
+          lit(-1L).as("user_id"),
+          lit(new java.sql.Timestamp(maxTs.getTime + 365L * 86400000L))
+            .cast("timestamp").as("ts"),
+          lit(0.0).as("value")))
+      }
+      val inR = streamFixture(s, d, "q78_right") {
+        val ev = t(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").cast("timestamp").as("click_ts"),
+            col("value").as("click_value"))
+        val maxTs = ev.agg(max(col("ts").cast("timestamp"))).head.getTimestamp(0)
+        clicks.unionByName(s.range(1).select(lit(-1L).as("click_id"),
+          lit(-1L).as("user_id"),
+          lit(new java.sql.Timestamp(maxTs.getTime + 365L * 86400000L))
+            .cast("timestamp").as("click_ts"),
+          lit(0.0).as("click_value")))
+      }
+      val lSchema = s.read.parquet(inL).schema
+      val rSchema = s.read.parquet(inR).schema
+      val out = graft.streaming.StreamOps.intervalJoin(
+        s.readStream.schema(lSchema).parquet(inL),
+        s.readStream.schema(rSchema).parquet(inR),
+        "ts", "click_ts", by = Seq(("user_id", "user_id")),
+        before = "1d", after = "0s", watermark = "0 seconds",
+        joinType = "left_outer")
+      drainStream(s, out, "g78_stream", inL, lSchema) { t =>
+        t.filter(col("user_id") >= 0L)
+          .select(col("event_id"), col("user_id"),
+            col("ts").cast("timestamp_ntz").as("ts"), col("value"),
+            col("click_id"),
+            col("click_ts").cast("timestamp_ntz").as("click_ts"),
+            col("click_value"))
+      }.orderBy(col("event_id"), col("click_id"))
+    }),
+
     // §2.1/2.2 beyond-reference: ORC round-trip (write → scan vs the
     // parquet truth, the q56/q57/q58 pattern) — covers lakes already on
     // Spark's other native columnar format, with timestamps in the payload
@@ -4727,6 +4812,28 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    // q77: the stream-stream interval join must equal the plain batch range
+    // join — every (purchase, click-from-the-preceding-day) pair, per user
+    "q77_interval_join_stream" ->
+      """SELECT p.event_id, p.user_id, p.ts, p.value,
+        |  c.event_id AS click_id, c.ts AS click_ts, c.value AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        |  AND c.ts BETWEEN p.ts - INTERVAL 1 DAY AND p.ts
+        |ORDER BY p.event_id, click_id""".stripMargin,
+
+    // q78: the left-outer twin — unmatched purchases emit null click
+    // columns (finalized by watermark passage in the streaming face)
+    "q78_interval_join_outer" ->
+      """SELECT p.event_id, p.user_id, p.ts, p.value,
+        |  c.event_id AS click_id, c.ts AS click_ts, c.value AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        |  AND c.ts BETWEEN p.ts - INTERVAL 1 DAY AND p.ts
+        |ORDER BY p.event_id, click_id""".stripMargin,
 
     "qd50_bm25" -> bm25OracleSql(Bm25Terms, k1 = 1.2, b = 0.75),
 

@@ -45,6 +45,55 @@ object StreamOps {
     stream.withWatermark(timeCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Watermarked stream-stream INTERVAL join (the Flink `intervalJoin`
+    * shape): each left row matches right rows of the same key whose event
+    * time lies in `[leftTs - before, leftTs + after]`. Composes Spark's
+    * native StreamingSymmetricHashJoin — both sides carry a watermark and
+    * the condition bounds each side's event time against the other, so the
+    * runtime derives a state watermark for BOTH buffers and evicts rows the
+    * window can no longer reach: state is bounded by `before + after +
+    * watermark` worth of traffic per key, not stream length — the property
+    * a 100 TB/day correlation join needs. On batch frames the watermark
+    * nodes are eliminated by the analyzer and this is a plain range join,
+    * so one call site serves both engines (stream == batch, FidelitySpec).
+    *
+    * `joinType` may be `inner` or `left_outer`; for `left_outer` the
+    * unmatched-left nulls finalize only once the watermark passes
+    * `leftTs + after` (nothing that could still match can arrive), exactly
+    * like the forward as-of face. Right-side non-key column names must not
+    * collide with left-side names (rename before joining); right-side key
+    * columns are dropped from the output (they equal the left's).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftTs: String, rightTs: String,
+                   by: Seq[(String, String)],
+                   before: String, after: String,
+                   watermark: String = "10 minutes",
+                   joinType: String = "inner"): DataFrame = {
+    val beforeUs = Durations.parseMicros(before)
+    val afterUs = Durations.parseMicros(after)
+    require(beforeUs >= 0 && afterUs >= 0,
+      s"interval bounds must be non-negative durations, got $before / $after")
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(Seq("inner", "leftouter", "left").contains(jt),
+      s"intervalJoin supports inner/left_outer, got $joinType")
+    val rKeys = by.map(_._2).toSet + rightTs
+    val rCarry = right.columns.filterNot(rKeys.contains)
+    val collide = (rCarry :+ rightTs).toSet.intersect(left.columns.toSet)
+    require(collide.isEmpty,
+      s"right-side columns collide with left: ${collide.mkString(", ")} — rename before joining")
+    val l = left.withWatermark(leftTs, watermark).alias("__ij_l")
+    val r = right.withWatermark(rightTs, watermark).alias("__ij_r")
+    val lc = (c: String) => col(s"__ij_l.$c")
+    val rc = (c: String) => col(s"__ij_r.$c")
+    val cond = (by.map { case (lk, rk) => lc(lk) === rc(rk) } ++ Seq(
+      rc(rightTs) >= lc(leftTs) - expr(s"interval $beforeUs microseconds"),
+      rc(rightTs) <= lc(leftTs) + expr(s"interval $afterUs microseconds")))
+      .reduce(_ && _)
+    l.join(r, cond, if (jt == "inner") "inner" else "left_outer")
+      .select((left.columns.map(lc) ++ (rightTs +: rCarry.toSeq).map(rc)).toIndexedSeq: _*)
+  }
+
   /** Unload every cached state-store provider. A stopped streaming query
     * leaves its providers in the executor-side provider cache until the
     * maintenance thread notices the query is gone (60 s default) — a

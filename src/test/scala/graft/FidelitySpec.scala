@@ -445,6 +445,84 @@ class FidelitySpec extends SparkSpec {
     assert(noNanFill(3).isNaN && noNanFill(2) == 0.0)
   }
 
+  test("interval join pins inclusive bounds on a hand-computed case") {
+    import graft.streaming.StreamOps
+    val l = Seq((1L, Timestamp.valueOf("2024-01-01 10:00:00"), "a"))
+      .toDF("k", "ts", "tag")
+    val r = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 09:49:59"), 0.0), // just outside
+      (1L, Timestamp.valueOf("2024-01-01 09:50:00"), 1.0), // lower bound: in
+      (1L, Timestamp.valueOf("2024-01-01 10:05:00"), 2.0), // upper bound: in
+      (1L, Timestamp.valueOf("2024-01-01 10:05:01"), 3.0), // just outside
+      (2L, Timestamp.valueOf("2024-01-01 10:00:00"), 4.0)) // wrong key
+      .toDF("k", "rts", "v")
+    val got = StreamOps.intervalJoin(l, r, "ts", "rts", Seq(("k", "k")),
+        before = "10m", after = "5m")
+      .orderBy("v").collect().map(_.getAs[Double]("v")).toSeq
+    assert(got == Seq(1.0, 2.0))
+    assert(StreamOps.intervalJoin(l, r, "ts", "rts", Seq(("k", "k")),
+      before = "10m", after = "5m", joinType = "left_outer").count() == 2L)
+  }
+
+  test("interval join: stream == batch, inner and watermark-finalized left_outer") {
+    import graft.streaming.StreamOps
+    val rnd = new scala.util.Random(77)
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def mkRows(n: Int) = (0 until n).map { i =>
+      (i.toLong, rnd.nextInt(8).toLong,
+        new Timestamp(base + rnd.nextInt(7200) * 1000L), rnd.nextInt(100).toDouble)
+    }
+    val sentinelTs = new Timestamp(base + 10L * 86400000L)
+    val lRows = mkRows(40) :+ ((-1L, -1L, sentinelTs, 0.0))
+    val rRows = mkRows(80).map { case (id, k, ts, v) => (id, k, ts, v) } :+
+      ((-1L, -1L, sentinelTs, 0.0))
+    val dirL = java.nio.file.Files.createTempDirectory("graft_ij_l").toString
+    val dirR = java.nio.file.Files.createTempDirectory("graft_ij_r").toString
+    lRows.toDF("id", "k", "ts", "v").write.mode("overwrite").parquet(dirL)
+    rRows.toDF("rid", "k", "rts", "rv").write.mode("overwrite").parquet(dirR)
+    val lSchema = spark.read.parquet(dirL).schema
+    val rSchema = spark.read.parquet(dirR).schema
+    for (jt <- Seq("inner", "left_outer")) {
+      val out = StreamOps.intervalJoin(
+        spark.readStream.schema(lSchema).parquet(dirL),
+        spark.readStream.schema(rSchema).parquet(dirR),
+        "ts", "rts", Seq(("k", "k")), before = "10m", after = "5m",
+        watermark = "0 seconds", joinType = jt)
+      val qn = s"graft_ij_$jt"
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName(qn).start()
+      val got = try {
+        q.processAllAvailable()
+        // empty flush batch: watermark advanced past the sentinels at the
+        // end of batch 1, so batch 2 evicts left-outer state → nulls emit
+        Seq.empty[(Long, Long, Timestamp, Double)].toDF("id", "k", "ts", "v")
+          .write.mode("append").parquet(dirL)
+        q.processAllAvailable()
+        spark.table(qn).filter(col("k") >= 0L)
+          .select("id", "k", "rid", "rv").collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            if (r.isNullAt(2)) -999L else r.getLong(2),
+            if (r.isNullAt(3)) -999.0 else r.getDouble(3))).sorted.toSeq
+      } finally {
+        q.stop(); StreamOps.releaseStateStores()
+        spark.catalog.dropTempView(qn)
+      }
+      val batch = StreamOps.intervalJoin(
+          spark.read.parquet(dirL), spark.read.parquet(dirR),
+          "ts", "rts", Seq(("k", "k")), before = "10m", after = "5m",
+          watermark = "0 seconds", joinType = jt)
+        .filter(col("k") >= 0L)
+        .select("id", "k", "rid", "rv").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -999L else r.getLong(2),
+          if (r.isNullAt(3)) -999.0 else r.getDouble(3))).sorted.toSeq
+      assert(got == batch, s"$jt: stream ${got.size} rows vs batch ${batch.size}")
+      assert(batch.nonEmpty)
+      if (jt == "left_outer") assert(batch.exists(_._3 == -999L),
+        "expected at least one watermark-finalized outer null")
+    }
+  }
+
   test("type mapping widens unsigned and preserves µs datetimes (SURVEY 1.2)") {
     import org.apache.spark.sql.types._
     assert(graft.api.TypeMapping.byName("uint8") == ShortType)
