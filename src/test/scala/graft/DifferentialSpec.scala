@@ -1885,4 +1885,55 @@ class DifferentialSpec extends SparkSpec {
       assertSame(df, sql)
     }
   }
+
+  test("fuzz: 30 random interval-join plans match DuckDB range joins") {
+    // grammar 37: StreamOps.intervalJoin's batch path (the analyzer
+    // eliminates the watermark nodes, so this is the same call users run on
+    // streams — the streaming path is pinned stream==batch in FidelitySpec).
+    // Dimensions: left/right event types, right-side density, before/after
+    // window widths (incl. zero-width sides), inner vs left_outer. The
+    // oracle is an independent BETWEEN range join. Timestamps compare as
+    // epoch micros to dodge JDBC tz round-trips; (event_id, rid) makes the
+    // inner multiset and outer null rows unambiguous.
+    val st0 = duck.createStatement()
+    try st0.execute(
+      s"CREATE VIEW IF NOT EXISTS events AS SELECT * FROM '$sfDir/events.parquet'")
+    finally st0.close()
+    val ev = sf("events")
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    for (seed <- 3700 until 3730) {
+      val r = new scala.util.Random(seed)
+      val lt = types(r.nextInt(types.length))
+      val rt = types(r.nextInt(types.length))
+      val thr = r.nextInt(100).toDouble
+      val bMin = Seq(0, 5, 30, 120, 720, 1440)(r.nextInt(6))
+      val aMin = Seq(0, 5, 30, 120)(r.nextInt(4))
+      val outer = r.nextBoolean()
+
+      val l = ev.filter(col("event_type") === lt)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val rr = ev.filter(col("event_type") === rt && col("value") >= thr)
+        .select(col("event_id").as("rid"), col("user_id"),
+          col("ts").as("rts"), col("value").as("rv"))
+      val df = graft.streaming.StreamOps.intervalJoin(
+          l, rr, "ts", "rts", Seq(("user_id", "user_id")),
+          before = s"${bMin}m", after = s"${aMin}m",
+          joinType = if (outer) "left_outer" else "inner")
+        .select(col("event_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("tsu"),
+          col("rid"), col("rv"))
+
+      val jt = if (outer) "LEFT JOIN" else "JOIN"
+      val sql =
+        s"""SELECT l.event_id, epoch_us(l.ts) AS tsu, r.rid, r.rv
+           |FROM (SELECT event_id, user_id, ts FROM events
+           |      WHERE event_type = '$lt') l
+           |$jt (SELECT event_id AS rid, user_id, ts AS rts, value AS rv
+           |      FROM events WHERE event_type = '$rt' AND value >= $thr) r
+           |  ON l.user_id = r.user_id
+           |  AND r.rts BETWEEN l.ts - INTERVAL $bMin MINUTE
+           |              AND l.ts + INTERVAL $aMin MINUTE""".stripMargin
+      assertSame(df, sql)
+    }
+  }
 }
