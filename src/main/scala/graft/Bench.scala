@@ -1,6 +1,19 @@
 package graft
 
 object Bench {
+
+  /** Streaming-runtime drives (micro-batch machinery + state stores): their
+    * cost profile (fixed per-batch overhead, low CPU parallelism while the
+    * runtime coordinates) is a different population from the batch plans, so
+    * the artifact reports them as their own SECTION with its own noise floor
+    * (r12 directive 8) — one ambient burst can then contaminate at most one
+    * section's floor, and the gate can regress each section against its own
+    * reference population. */
+  private val StreamingFaces = Set(
+    "q61_stream_window", "q73_sessionize_stream", "q74_stream_dedup",
+    "q75_asof_stream", "q76_asof_stream_fwd", "q77_interval_join_stream",
+    "q78_interval_join_outer", "q79_interval_join_full")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -41,9 +54,28 @@ object Bench {
       else if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
-    case class R(name: String, med: Double, cold: Double, spread: Double, nreps: Int)
+    // ------------------------------------------------------ ambient probe
+    // r12 directive 3: every gate adjudication last round leaned on
+    // after-the-fact triage against local reruns. Record, per rep, the
+    // process-CPU time alongside the wall time, and sample /proc/loadavg
+    // before each query: an ambient burst starves the JVM of CPU, so the
+    // same work shows wall >> cpu (cpu_frac = cpuΔ/wallΔ drops vs the
+    // query's baseline value) while a REAL plan regression keeps cpu_frac
+    // and grows both. The parity gate below uses this to auto-annotate
+    // violations as load-suspect vs real.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def load1(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => osBean.getSystemLoadAverage }
+    case class R(name: String, med: Double, cold: Double, spread: Double,
+                 nreps: Int, cpuFrac: Double, load1: Double)
+    val load1Start = load1()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def rep(): Double = {
+      val qLoad1 = load1()
+      def rep(): (Double, Double) = {
         // isolate reps AND queries: operators persist internals (signatures,
         // edge lists, IVF cells) that nothing unpersists once the query's
         // plan is abandoned. Clearing per rep means every rep pays the full
@@ -58,13 +90,16 @@ object Bench {
           // inflation vs running the same query in isolation)
           System.gc()
         }
+        val c0 = osBean.getProcessCpuTime
         val t0 = System.nanoTime()
         // noop sink forces full materialization of every output column
         // (count() would let Catalyst prune the projections being measured)
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() } catch {
           case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        val wall = (System.nanoTime() - t0) / 1e9
+        val cpu = (osBean.getProcessCpuTime - c0) / 1e9
+        (wall, if (wall > 0) cpu / wall else 0.0)
       }
       // adaptive reps (round-11 directive 8): sub-300 ms queries stop after
       // 1 cold + 2 warm reps — they gate against max(med, 0.1 s) anyway, so
@@ -73,16 +108,20 @@ object Bench {
       // keep the full rep count
       val first = (0 until math.min(reps, 3)).map(_ => rep())
       val times =
-        if (reps <= 3 || median(first.tail) < 0.3) first
+        if (reps <= 3 || median(first.tail.map(_._1)) < 0.3) first
         else first ++ (3 until reps).map(_ => rep())
       val warm = if (times.length > 1) times.tail else times
-      val med = median(warm)
+      val med = median(warm.map(_._1))
       // relative warm spread — the query's own noise-floor estimate from its
       // repeated identical runs ((max-min)/median over warm reps)
-      val spread = if (med > 0) (warm.max - warm.min) / med else 0.0
-      R(name, med, times.head, spread, times.length)
+      val spread =
+        if (med > 0) (warm.map(_._1).max - warm.map(_._1).min) / med else 0.0
+      R(name, med, times.head._1, spread, times.length,
+        median(warm.map(_._2)), qLoad1)
     }
+    val load1End = load1()
     def r4(x: Double): Double = math.rint(x * 1e4) / 1e4
+    def r2(x: Double): Double = math.rint(x * 1e2) / 1e2
     // 4-decimal (0.1 ms) values everywhere: full double precision is pure
     // noise at this clock's resolution, and it TRIPLED the artifact line
     // (17 digits × 3 maps × 131 queries ≈ 20 KB) past whatever the driver's
@@ -90,11 +129,20 @@ object Bench {
     // r11 (17-digit) did not.
     def jmap(f: R => Double) =
       results.map { r => "\"" + r.name + "\":" + r4(f(r)) }.mkString("{", ",", "}")
+    def jmap2(f: R => Double) =
+      results.map { r => "\"" + r.name + "\":" + r2(f(r)) }.mkString("{", ",", "}")
     val total = r4(results.map(_.med).sum)
     val coldTotal = r4(results.map(_.cold).sum)
     // suite-level noise floor: median over queries of the per-query relative
     // warm spread — the resolution below which a per-query delta is noise
     val noiseFloor = r4(median(results.map(_.spread)))
+    // per-section totals + noise floors (r12 directive 8): the streaming
+    // drives and the batch plans are different cost populations
+    def sectionJson(rs: Seq[R]): String =
+      s"""{"n":${rs.size},"total_warm_median":${r4(rs.map(_.med).sum)},"cold_total":${r4(rs.map(_.cold).sum)},"noise_floor_rel":${r4(median(rs.map(_.spread)))}}"""
+    val (strRs, coreRs) = results.partition(r => StreamingFaces(r.name))
+    val sections =
+      s""""sections":{"core":${sectionJson(coreRs)},"streaming":${sectionJson(strRs)}}"""
     // headline metric named for its semantics (sum of per-query warm
     // MEDIANS) so trend consumers can't silently mix it with the
     // schema_version<=2 "total_warm_min"; a filtered run is marked in the
@@ -103,16 +151,19 @@ object Bench {
       (if (noClear) "\"no_clear\":true," else "") +
         (if (only.isEmpty) ""
          else only.toSeq.sorted.map("\"" + _ + "\"").mkString("\"only\":[", ",", "],"))
+    val probeFields =
+      s""""load1_start":${r2(load1Start)},"load1_end":${r2(load1End)},"cpu_frac_med":${r2(median(results.map(_.cpuFrac)))}"""
     // Two artifact shapes (round-11 directive 3, the third attempt at a
     // non-null driver-side parse):
-    //   - the FILE artifact keeps everything (med + cold + spread maps);
-    //   - the PRIMARY STDOUT line carries only the headline fields + the
-    //     per-query warm-median map — ~4 KB at 131 queries/4 decimals, the
-    //     size class the r09 capture demonstrably parsed;
+    //   - the FILE artifact keeps everything (med + cold + spread + probe maps);
+    //   - the PRIMARY STDOUT line carries the headline fields, the per-query
+    //     warm-median map, the per-query cpu_frac probe map (2 decimals) and
+    //     the sections — ~8 KB at 139 queries/4 decimals, the size class the
+    //     r09 capture demonstrably parsed;
     //   - the compact summary (totals + 25 slowest, < 2000 chars) stays the
     //     LAST stdout line for a pure tail-window capture.
-    val full = s"""{"metric":"total_warm_median","value":$total,"unit":"sec","schema_version":3,$onlyField"queries":${jmap(_.med)},"queries_cold":${jmap(_.cold)},"queries_spread":${jmap(_.spread)},"queries_reps":${results.map(r => "\"" + r.name + "\":" + r.nreps).mkString("{", ",", "}")},"cold_total":$coldTotal,"noise_floor_rel":$noiseFloor,"reps":$reps,"adaptive_reps":${reps > 3},"sf":"$sfDir"}"""
-    val json = s"""{"metric":"total_warm_median","value":$total,"unit":"sec","schema_version":3,$onlyField"queries":${jmap(_.med)},"cold_total":$coldTotal,"noise_floor_rel":$noiseFloor,"reps":$reps,"adaptive_reps":${reps > 3},"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total_warm_median","value":$total,"unit":"sec","schema_version":4,$onlyField"queries":${jmap(_.med)},"queries_cold":${jmap(_.cold)},"queries_spread":${jmap(_.spread)},"queries_reps":${results.map(r => "\"" + r.name + "\":" + r.nreps).mkString("{", ",", "}")},"queries_cpu_frac":${jmap2(_.cpuFrac)},"queries_load1":${jmap2(_.load1)},$sections,"cold_total":$coldTotal,"noise_floor_rel":$noiseFloor,$probeFields,"reps":$reps,"adaptive_reps":${reps > 3},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total_warm_median","value":$total,"unit":"sec","schema_version":4,$onlyField"queries":${jmap(_.med)},"queries_cpu_frac":${jmap2(_.cpuFrac)},$sections,"cold_total":$coldTotal,"noise_floor_rel":$noiseFloor,$probeFields,"reps":$reps,"adaptive_reps":${reps > 3},"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_latest.json")
     try {
       val p = java.nio.file.Paths.get(outPath)
@@ -140,6 +191,15 @@ object Bench {
         val baseMed = numMap("queries")
         val baseSpread = numMap("queries_spread")
         val baseReps = numMap("queries_reps")
+        val baseCpuFrac = numMap("queries_cpu_frac")
+        // a slim (stdout-captured) baseline has no spread/reps maps; its
+        // noise is then UNKNOWN, so the 0.40 adaptive floor must apply on
+        // the baseline side too (ADVICE r12) — silently defaulting spread
+        // to 0.0 with nreps=MaxValue removed the baseline-noise cushion
+        if (baseSpread.isEmpty || baseReps.isEmpty)
+          System.err.println(s"[bench] WARNING: compare baseline $basePath lacks " +
+            "queries_spread/queries_reps (slim artifact?) — applying the 0.40 " +
+            "noise floor on the baseline side")
         // 2-sample spreads (adaptive early-stop) systematically
         // underestimate true warm noise — floor them at 0.40 on BOTH sides
         def floored(spread: Double, nreps: Double): Double =
@@ -148,18 +208,28 @@ object Bench {
           // pair the ratio with the NOISIER of the two windows it spans
           // (the frozen-gate rule): the run's own spread AND the baseline's
           // recorded spread both bound what a real regression must exceed
-          (r.name, if (b > 0) r.med / b else 1.0,
+          (r, if (b > 0) r.med / b else 1.0,
             math.max(floored(r.spread, r.nreps.toDouble),
               floored(baseSpread.getOrElse(r.name, 0.0),
-                baseReps.getOrElse(r.name, Double.MaxValue))))
+                baseReps.getOrElse(r.name, 0.0))))
         })
         val bad = ratios.filter { case (_, ratio, spread) =>
           ratio > math.max(1.25, 1.0 + spread) }
-        val rj = ratios.map { case (n, ratio, _) => "\"" + n + "\":" + r4(ratio) }
+        // load-suspect auto-annotation (r12 directive 3): a violation whose
+        // cpu_frac collapsed vs the baseline's recorded value (wall >> cpu:
+        // the JVM was starved, not busy on a worse plan), or whose query
+        // started under visible machine load, is flagged so the gate report
+        // separates ambient bursts from real regressions machine-readably
+        def loadSuspect(r: R): Boolean =
+          baseCpuFrac.get(r.name).exists(b => b > 0 && r.cpuFrac < 0.6 * b) ||
+            r.load1 > 4.0
+        val rj = ratios.map { case (r, ratio, _) => "\"" + r.name + "\":" + r4(ratio) }
           .mkString("{", ",", "}")
-        val bj = bad.map { case (n, ratio, _) => "\"" + n + "\":" + r4(ratio) }
+        val bj = bad.map { case (r, ratio, _) => "\"" + r.name + "\":" + r4(ratio) }
           .mkString("{", ",", "}")
-        println(s"""{"metric":"bench_parity","baseline":"$basePath","n_violations":${bad.size},"violations":$bj,"ratios":$rj}""")
+        val sj = bad.map { case (r, _, _) => "\"" + r.name + "\":" + loadSuspect(r) }
+          .mkString("{", ",", "}")
+        println(s"""{"metric":"bench_parity","baseline":"$basePath","n_violations":${bad.size},"violations":$bj,"violations_load_suspect":$sj,"ratios":$rj}""")
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] parity compare vs $basePath failed: ${e.getMessage}")
@@ -167,7 +237,7 @@ object Bench {
     }
     val slowest = results.sortBy(-_.med).take(25)
       .map(r => "\"" + r.name + "\":" + r4(r.med)).mkString("{", ",", "}")
-    val summary = s"""{"metric":"total_warm_median_summary","value":$total,"unit":"sec","schema_version":3,$onlyField"n_queries":${results.size},"cold_total":$coldTotal,"noise_floor_rel":$noiseFloor,"reps":$reps,"sf":"$sfDir","slowest_warm":$slowest}"""
+    val summary = s"""{"metric":"total_warm_median_summary","value":$total,"unit":"sec","schema_version":4,$onlyField"n_queries":${results.size},$sections,"cold_total":$coldTotal,"noise_floor_rel":$noiseFloor,$probeFields,"reps":$reps,"sf":"$sfDir","slowest_warm":$slowest}"""
     println(json)
     println(summary)
     spark.stop()

@@ -190,9 +190,25 @@ object SparkEntry {
     // two distinct dirs after sanitization ("sf0.1" vs "sf0_1"), and let
     // two concurrent JVMs overwrite one shared path mid-read (ADVICE r11)
     def tok(f: String): String = {
+      import scala.jdk.CollectionConverters._
       val p = java.nio.file.Paths.get(f)
-      val sig = s"$f|${java.nio.file.Files.size(p)}|" +
-        java.nio.file.Files.getLastModifiedTime(p).toMillis
+      // ADVICE r12: a dataset may be a DIRECTORY whose part files are
+      // rewritten in place (parent mtime unchanged) — hash child count +
+      // total size + max child mtime, not the top-level entry alone; a
+      // missing input falls through to the normal read error instead of
+      // NoSuchFileException here
+      val sig =
+        if (!java.nio.file.Files.exists(p)) s"$f|missing"
+        else if (java.nio.file.Files.isDirectory(p)) {
+          val kids = java.nio.file.Files.list(p).iterator().asScala.toSeq
+          val total = kids.map(k =>
+            try java.nio.file.Files.size(k) catch { case _: java.io.IOException => 0L }).sum
+          val maxM = (p +: kids).map(k =>
+            try java.nio.file.Files.getLastModifiedTime(k).toMillis
+            catch { case _: java.io.IOException => 0L }).max
+          s"$f|d${kids.size}|$total|$maxM"
+        } else s"$f|${java.nio.file.Files.size(p)}|" +
+          java.nio.file.Files.getLastModifiedTime(p).toMillis
       java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sig))
     }
     val suf = tok(s"$d/lineitem.parquet") + "_" + tok(s"$d/orders.parquet") +
@@ -267,11 +283,20 @@ object SparkEntry {
     * the event-time timeouts that flush open state), drain again, and
     * return the projected result as a driver-local frame (`localize`
     * guard). The temp view is dropped even when projection fails — a
-    * failed bench rep must not leave catalog residue. */
+    * failed bench rep must not leave catalog residue. The empty flush
+    * files are DELETED after the drive (ADVICE r12): `flushDir` is the
+    * cached per-JVM fixture directory, so leaving them would grow the dir
+    * by one file per rep/invocation, skewing later reps' listing/read cost
+    * and leaking files until the pid sweep. */
   private def drainStream(s: SparkSession, out: DataFrame, qn: String,
                           flushDir: String,
                           flushSchema: org.apache.spark.sql.types.StructType)
                          (project: DataFrame => DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val flushPath = java.nio.file.Paths.get(flushDir)
+    def ls: Set[java.nio.file.Path] =
+      java.nio.file.Files.list(flushPath).iterator().asScala.toSet
+    val preFlush = ls
     val q = out.writeStream.outputMode("append").format("memory").queryName(qn).start()
     try {
       q.processAllAvailable()
@@ -281,6 +306,9 @@ object SparkEntry {
     } finally {
       q.stop()
       graft.streaming.StreamOps.releaseStateStores()
+      (ls -- preFlush).foreach(p =>
+        try java.nio.file.Files.deleteIfExists(p)
+        catch { case _: java.io.IOException => () })
     }
     try localize(s, project(s.table(qn)))
     finally s.catalog.dropTempView(qn)
@@ -1637,8 +1665,14 @@ object SparkEntry {
       // (SCALE_CONTRACTS.md "flagship cache lifecycle"). The top-50 result
       // is BOUNDED, so it localizes eagerly and BOTH stage caches release
       // before the lambda returns — a long-lived session chaining flagship
-      // runs retains nothing.
-      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      // runs retains nothing. DISK_ONLY (r12 directive 1b): under memory
+      // pressure MEMORY_AND_DISK evicts and the 2x/4x downstream re-scans
+      // re-run the WHOLE upstream (the adjudicated 5.7x driver-bench
+      // inflation); DISK_ONLY bounds worst-case degradation at a local disk
+      // re-read — the honest 100x-scale choice, where "memory is available"
+      // is never a given. Quiet-window cost is unchanged (stage outputs are
+      // small; see BASELINE.md round-13 notes for the A/B).
+      val lvl = org.apache.spark.storage.StorageLevel.DISK_ONLY
       // stage 1: perplexity gate (LM = every 11th doc, keep <= 3.5 nats/bigram)
       val s1 = P.perplexityBigram(docs, docs.filter(col("doc_id") % 11 === 0),
           "doc_id", "text")
@@ -2405,8 +2439,13 @@ object SparkEntry {
           .unionByName(clicks.filter(col("event_id") % 21 === 0))
       }
       val schema = s.read.parquet(in).schema
+      // watermark covers the fixture's whole event-time span (ADVICE r12):
+      // keep-first must hold even if the source splits the fixture across
+      // micro-batches — with the 10-minute default, a duplicate delivered
+      // after its key's state was watermark-evicted would re-emit
       val out = graft.streaming.StreamOps.dedupStream(
-        s.readStream.schema(schema).parquet(in), Seq("event_id"), "ts")
+        s.readStream.schema(schema).parquet(in), Seq("event_id"), "ts",
+        watermark = "3650 days")
       val qn = "g74_stream"
       val q = out.writeStream.outputMode("append").format("memory").queryName(qn)
         .trigger(Trigger.AvailableNow()).start()
@@ -2585,6 +2624,59 @@ object SparkEntry {
       }.orderBy(col("event_id"), col("click_id"))
     }),
 
+    // beyond-reference: the FULL-OUTER interval join (r12 directive 5 —
+    // completing the family Spark's symmetric hash join natively offers):
+    // purchases with no click in the preceding day emit null click columns
+    // AND clicks with no purchase in the following day emit null purchase
+    // columns; the output key is coalesce(left, right) so unmatched-right
+    // rows keep their user. Each side's nulls finalize once the watermark
+    // passes that side's whole window (left: ts + after; right:
+    // click_ts + before). Same sentinel + empty-flush choreography as q78,
+    // same fixtures (both already carry a far-future sentinel).
+    "q79_interval_join_full" -> ((s, d) => {
+      val inL = streamFixture(s, d, "q78_left") {
+        val ev = t(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            col("ts").cast("timestamp").as("ts"), col("value"))
+        val maxTs = ev.agg(max(col("ts").cast("timestamp"))).head.getTimestamp(0)
+        purchases.unionByName(s.range(1).select(lit(-1L).as("event_id"),
+          lit(-1L).as("user_id"),
+          lit(new java.sql.Timestamp(maxTs.getTime + 365L * 86400000L))
+            .cast("timestamp").as("ts"),
+          lit(0.0).as("value")))
+      }
+      val inR = streamFixture(s, d, "q78_right") {
+        val ev = t(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").cast("timestamp").as("click_ts"),
+            col("value").as("click_value"))
+        val maxTs = ev.agg(max(col("ts").cast("timestamp"))).head.getTimestamp(0)
+        clicks.unionByName(s.range(1).select(lit(-1L).as("click_id"),
+          lit(-1L).as("user_id"),
+          lit(new java.sql.Timestamp(maxTs.getTime + 365L * 86400000L))
+            .cast("timestamp").as("click_ts"),
+          lit(0.0).as("click_value")))
+      }
+      val lSchema = s.read.parquet(inL).schema
+      val rSchema = s.read.parquet(inR).schema
+      val out = graft.streaming.StreamOps.intervalJoin(
+        s.readStream.schema(lSchema).parquet(inL),
+        s.readStream.schema(rSchema).parquet(inR),
+        "ts", "click_ts", by = Seq(("user_id", "user_id")),
+        before = "1d", after = "0s", watermark = "0 seconds",
+        joinType = "full_outer")
+      drainStream(s, out, "g79_stream", inL, lSchema) { t =>
+        t.filter(col("user_id") >= 0L)
+          .select(col("event_id"), col("user_id"),
+            col("ts").cast("timestamp_ntz").as("ts"), col("value"),
+            col("click_id"),
+            col("click_ts").cast("timestamp_ntz").as("click_ts"),
+            col("click_value"))
+      }.orderBy(col("event_id"), col("click_id"))
+    }),
+
     // §2.1/2.2 beyond-reference: ORC round-trip (write → scan vs the
     // parquet truth, the q56/q57/q58 pattern) — covers lakes already on
     // Spark's other native columnar format, with timestamps in the payload
@@ -2671,7 +2763,9 @@ object SparkEntry {
     val P = graft.prep.Prep
     val docs = t(s, d, "documents")
     val baseCols = docs.columns.map(col).toIndexedSeq
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // DISK_ONLY, same rationale as qd41: eviction-proof inter-stage
+    // checkpoints whose worst case is a disk re-read, not a full recompute
+    val lvl = org.apache.spark.storage.StorageLevel.DISK_ONLY
     // stage 1: hashed perplexity gate — the hashed face smooths over its
     // occupied-bucket support, so its NLL sits on the exact face's scale
     // and the SAME 3.5 nats/bigram cut applies
@@ -4831,6 +4925,18 @@ object SparkEntry {
         |  c.event_id AS click_id, c.ts AS click_ts, c.value AS click_value
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        |  AND c.ts BETWEEN p.ts - INTERVAL 1 DAY AND p.ts
+        |ORDER BY p.event_id, click_id""".stripMargin,
+
+    // q79: the full-outer twin — unmatched rows on BOTH sides emit with the
+    // other side's columns null; user_id coalesces across sides
+    "q79_interval_join_full" ->
+      """SELECT p.event_id, coalesce(p.user_id, c.user_id) AS user_id,
+        |  p.ts, p.value,
+        |  c.event_id AS click_id, c.ts AS click_ts, c.value AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id
         |  AND c.ts BETWEEN p.ts - INTERVAL 1 DAY AND p.ts
         |ORDER BY p.event_id, click_id""".stripMargin,

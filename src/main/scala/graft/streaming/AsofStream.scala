@@ -104,7 +104,15 @@ object AsofStream {
           }
           // getCurrentWatermarkMs() returns 0 when NO watermark exists yet
           // (first batch); treating that as a real watermark would finalize
-          // pre-epoch (negative-µs) events prematurely — model "unset" as -∞
+          // pre-epoch (negative-µs) events prematurely — model "unset" as -∞.
+          // KNOWN LIMIT (ADVICE r12): the GroupState API cannot distinguish
+          // "unset" from a LEGITIMATE zero watermark (max event time still
+          // within the delay of 1970-01-01T00:00Z), so for epoch-adjacent
+          // event times finalization waits until the watermark first
+          // advances past 0 — results stay correct (append-mode rows are
+          // only delayed), but a stream whose event times NEVER exceed the
+          // delay past epoch will not flush; such data is out of contract
+          // for the streaming faces (shift the epoch upstream).
           val wmMs = state.getCurrentWatermarkMs()
           val wmUs = if (wmMs == 0L) Long.MinValue else wmMs * 1000L
           val sortedRights = buf.rights.sortBy(_._1)

@@ -101,7 +101,13 @@ object Sessionize extends Serializable {
       val prev = state.getOption.getOrElse(SessBuf(Nil, None))
       // getCurrentWatermarkMs() returns 0 when NO watermark exists yet
       // (first batch); treating that as real would finalize/close/late-drop
-      // around pre-epoch (negative-µs) events — model "unset" as -∞
+      // around pre-epoch (negative-µs) events — model "unset" as -∞.
+      // KNOWN LIMIT (ADVICE r12): a LEGITIMATE zero watermark (event times
+      // within the delay of epoch) is indistinguishable from unset at this
+      // API, so epoch-adjacent sessions close only once the watermark first
+      // advances past 0 — correct but delayed; a stream whose event times
+      // never exceed the delay past epoch is out of contract (see
+      // AsofStream for the same note).
       val wmMs = state.getCurrentWatermarkMs()
       val wmUs = if (wmMs == 0L) Long.MinValue else wmMs * 1000L
       // Late-arrival policy: an incoming event OLDER than the watermark is

@@ -57,12 +57,17 @@ object StreamOps {
     * nodes are eliminated by the analyzer and this is a plain range join,
     * so one call site serves both engines (stream == batch, FidelitySpec).
     *
-    * `joinType` may be `inner` or `left_outer`; for `left_outer` the
-    * unmatched-left nulls finalize only once the watermark passes
+    * `joinType` may be `inner`, `left_outer`, `right_outer` or
+    * `full_outer` (the full family Spark's symmetric hash join natively
+    * finalizes): unmatched-LEFT nulls finalize once the watermark passes
     * `leftTs + after` (nothing that could still match can arrive), exactly
-    * like the forward as-of face. Right-side non-key column names must not
+    * like the forward as-of face; unmatched-RIGHT nulls finalize once it
+    * passes `rightTs + before` (a right row at rt matches lefts in
+    * `[rt - after, rt + before]`). Right-side non-key column names must not
     * collide with left-side names (rename before joining); right-side key
-    * columns are dropped from the output (they equal the left's).
+    * columns are dropped from the output — for the right/full-outer types
+    * the emitted key is `coalesce(left, right)` so unmatched-right rows
+    * still carry their key.
     */
   def intervalJoin(left: DataFrame, right: DataFrame,
                    leftTs: String, rightTs: String,
@@ -74,9 +79,15 @@ object StreamOps {
     val afterUs = Durations.parseMicros(after)
     require(beforeUs >= 0 && afterUs >= 0,
       s"interval bounds must be non-negative durations, got $before / $after")
-    val jt = joinType.toLowerCase.replace("_", "")
-    require(Seq("inner", "leftouter", "left").contains(jt),
-      s"intervalJoin supports inner/left_outer, got $joinType")
+    val sparkJt = joinType.toLowerCase.replace("_", "") match {
+      case "inner"              => "inner"
+      case "leftouter" | "left" => "left_outer"
+      case "rightouter" | "right" => "right_outer"
+      case "fullouter" | "full" | "outer" => "full_outer"
+      case other => throw new IllegalArgumentException(
+        s"intervalJoin supports inner/left_outer/right_outer/full_outer, got $other")
+    }
+    val outerRight = sparkJt == "right_outer" || sparkJt == "full_outer"
     val rKeys = by.map(_._2).toSet + rightTs
     val rCarry = right.columns.filterNot(rKeys.contains)
     val collide = (rCarry :+ rightTs).toSet.intersect(left.columns.toSet)
@@ -90,8 +101,18 @@ object StreamOps {
       rc(rightTs) >= lc(leftTs) - expr(s"interval $beforeUs microseconds"),
       rc(rightTs) <= lc(leftTs) + expr(s"interval $afterUs microseconds")))
       .reduce(_ && _)
-    l.join(r, cond, if (jt == "inner") "inner" else "left_outer")
-      .select((left.columns.map(lc) ++ (rightTs +: rCarry.toSeq).map(rc)).toIndexedSeq: _*)
+    // for right/full outer, unmatched-right rows have null LEFT columns, so
+    // the join keys must coalesce to the right's values to stay non-null
+    val leftOut: Seq[Column] =
+      if (!outerRight) left.columns.toSeq.map(lc)
+      else left.columns.toSeq.map { c =>
+        by.find(_._1 == c) match {
+          case Some((lk, rk)) => coalesce(lc(lk), rc(rk)).as(lk)
+          case None           => lc(c)
+        }
+      }
+    l.join(r, cond, sparkJt)
+      .select((leftOut ++ (rightTs +: rCarry.toSeq).map(rc)).toIndexedSeq: _*)
   }
 
   /** Unload every cached state-store provider. A stopped streaming query

@@ -15,7 +15,9 @@ object ProfileQd41 {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val P = graft.prep.Prep
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // keep in lockstep with the flagship's inter-stage checkpoint level
+    // (DISK_ONLY since r13 — eviction-proof, worst case a disk re-read)
+    val lvl = org.apache.spark.storage.StorageLevel.DISK_ONLY
 
     def timed[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime()

@@ -464,7 +464,7 @@ class FidelitySpec extends SparkSpec {
       before = "10m", after = "5m", joinType = "left_outer").count() == 2L)
   }
 
-  test("interval join: stream == batch, inner and watermark-finalized left_outer") {
+  test("interval join: stream == batch across inner/left/right/full outer") {
     import graft.streaming.StreamOps
     val rnd = new scala.util.Random(77)
     val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
@@ -482,7 +482,11 @@ class FidelitySpec extends SparkSpec {
     rRows.toDF("rid", "k", "rts", "rv").write.mode("overwrite").parquet(dirR)
     val lSchema = spark.read.parquet(dirL).schema
     val rSchema = spark.read.parquet(dirR).schema
-    for (jt <- Seq("inner", "left_outer")) {
+    def key(r: org.apache.spark.sql.Row) =
+      (if (r.isNullAt(0)) -999L else r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -999L else r.getLong(2),
+        if (r.isNullAt(3)) -999.0 else r.getDouble(3))
+    for (jt <- Seq("inner", "left_outer", "right_outer", "full_outer")) {
       val out = StreamOps.intervalJoin(
         spark.readStream.schema(lSchema).parquet(dirL),
         spark.readStream.schema(rSchema).parquet(dirR),
@@ -494,15 +498,12 @@ class FidelitySpec extends SparkSpec {
       val got = try {
         q.processAllAvailable()
         // empty flush batch: watermark advanced past the sentinels at the
-        // end of batch 1, so batch 2 evicts left-outer state → nulls emit
+        // end of batch 1, so batch 2 evicts outer state → nulls emit
         Seq.empty[(Long, Long, Timestamp, Double)].toDF("id", "k", "ts", "v")
           .write.mode("append").parquet(dirL)
         q.processAllAvailable()
         spark.table(qn).filter(col("k") >= 0L)
-          .select("id", "k", "rid", "rv").collect()
-          .map(r => (r.getLong(0), r.getLong(1),
-            if (r.isNullAt(2)) -999L else r.getLong(2),
-            if (r.isNullAt(3)) -999.0 else r.getDouble(3))).sorted.toSeq
+          .select("id", "k", "rid", "rv").collect().map(key).sorted.toSeq
       } finally {
         q.stop(); StreamOps.releaseStateStores()
         spark.catalog.dropTempView(qn)
@@ -512,14 +513,164 @@ class FidelitySpec extends SparkSpec {
           "ts", "rts", Seq(("k", "k")), before = "10m", after = "5m",
           watermark = "0 seconds", joinType = jt)
         .filter(col("k") >= 0L)
-        .select("id", "k", "rid", "rv").collect()
-        .map(r => (r.getLong(0), r.getLong(1),
-          if (r.isNullAt(2)) -999L else r.getLong(2),
-          if (r.isNullAt(3)) -999.0 else r.getDouble(3))).sorted.toSeq
+        .select("id", "k", "rid", "rv").collect().map(key).sorted.toSeq
       assert(got == batch, s"$jt: stream ${got.size} rows vs batch ${batch.size}")
       assert(batch.nonEmpty)
-      if (jt == "left_outer") assert(batch.exists(_._3 == -999L),
-        "expected at least one watermark-finalized outer null")
+      if (jt != "inner") assert(batch.exists(r => r._3 == -999L || r._1 == -999L),
+        s"$jt: expected at least one watermark-finalized outer null")
+      if (jt == "right_outer" || jt == "full_outer")
+        assert(batch.exists(_._1 == -999L),
+          s"$jt: expected at least one unmatched-right row with null left columns")
+    }
+  }
+
+  test("interval join late-data contract: disordered multi-batch stream drops exactly the watermark-late rows") {
+    // r12 directive 4 — the streaming-disorder face the as-of fuzz already
+    // has: rows land in micro-batches in ARBITRARY time order with a
+    // NONZERO watermark, so some genuinely arrive late and must drop. The
+    // oracle is a driver-side simulation of the watermark contract as
+    // Spark 4 actually schedules it (probed empirically, WmProbeSpec): the
+    // LATE-EVENTS filter for micro-batch k uses the PREVIOUS batch's
+    // watermark — i.e. the value derived from data through batch k-2
+    // (Spark updates the watermark at batch start from the prior batch's
+    // stats, and late-filters with the pre-update value) — applied as the
+    // plain event-time predicate symmetrically on both sides; EVICTION
+    // uses the post-update value, which by construction aligns with the
+    // next batch's late filter, so a late-but-admitted row can never miss
+    // an already-evicted partner. The join over the SURVIVING rows must
+    // therefore equal the batch range join over that subset, including
+    // the outer-null finalizations. Event times sit on a whole-second
+    // grid and the delay on a .5 s offset, so strict-vs-inclusive
+    // late-boundary semantics can never bite.
+    import graft.streaming.StreamOps
+    val delayMs = 1799500L // ~30 min, offset half a second off the ts grid
+    val beforeS = "20m"; val afterS = "10m"
+    val beforeUs = 20L * 60 * 1000000L; val afterUs = 10L * 60 * 1000000L
+    for (seed <- Seq(101, 202)) {
+      val rnd = new scala.util.Random(seed)
+      val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+      val nB = 6
+      // (id, k, tsMs, v) — second-aligned event times so a ts can never
+      // equal the .5 s-offset watermark (strict-< late test is unambiguous)
+      def mk(n: Int, idOff: Long) = (0 until n).map { i =>
+        (idOff + i, rnd.nextInt(6).toLong, base + rnd.nextInt(7200) * 1000L,
+          rnd.nextInt(100).toDouble)
+      }
+      val lAll = mk(60, 0L); val rAll = mk(90, 1000L)
+      // random batch assignment = maximal disorder across micro-batches
+      val lBatches = lAll.groupBy(_ => rnd.nextInt(nB))
+      val rBatches = rAll.groupBy(_ => rnd.nextInt(nB))
+      val sentinelMs = base + 10L * 86400000L
+      val dirL = java.nio.file.Files.createTempDirectory(s"graft_ijl$seed").toString
+      val dirR = java.nio.file.Files.createTempDirectory(s"graft_ijr$seed").toString
+      // one FILE per (side, batch), mtimes strictly increasing in batch
+      // order: maxFilesPerTrigger=1 then consumes batch k's left and right
+      // files together in micro-batch k, deterministically
+      def writeBatch(dir: String, k: Int, rows: Seq[(Long, Long, Long, Double)],
+                     cols: (String, String, String, String)): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_ij_tmp").toString
+        rows.map { case (id, kk, ts, v) => (id, kk, new Timestamp(ts), v) }
+          .toDF(cols._1, cols._2, cols._3, cols._4)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+          .filter(p => p.getFileName.toString.startsWith("part-")).findFirst().get()
+        val dst = java.nio.file.Paths.get(dir, f"batch_$k%02d.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + k * 60000L))
+      }
+      for (k <- 0 until nB) {
+        writeBatch(dirL, k, lBatches.getOrElse(k, Seq.empty), ("id", "k", "ts", "v"))
+        writeBatch(dirR, k, rBatches.getOrElse(k, Seq.empty), ("rid", "k", "rts", "rv"))
+      }
+      // final batch: far-future sentinels advance the watermark past every
+      // real window so outer nulls finalize
+      writeBatch(dirL, nB, Seq((-1L, -1L, sentinelMs, 0.0)), ("id", "k", "ts", "v"))
+      writeBatch(dirR, nB, Seq((-1L, -1L, sentinelMs, 0.0)), ("rid", "k", "rts", "rv"))
+      // ---- driver-side watermark simulation over the same batch sequence
+      def batchOf(side: Map[Int, Seq[(Long, Long, Long, Double)]], k: Int) =
+        if (k == nB) Seq((-1L, -1L, sentinelMs, 0.0))
+        else side.getOrElse(k, Seq.empty)
+      // wmAfter(k) = watermark derived from data through batch k (global =
+      // min over the two sources of max-seen minus delay; never regresses;
+      // starts at epoch)
+      val wmAfter = new Array[Long](nB + 1)
+      var maxL = Long.MinValue; var maxR = Long.MinValue
+      for (k <- 0 to nB) {
+        maxL = math.max(maxL, batchOf(lBatches, k).map(_._3).maxOption.getOrElse(Long.MinValue))
+        maxR = math.max(maxR, batchOf(rBatches, k).map(_._3).maxOption.getOrElse(Long.MinValue))
+        val cand =
+          if (maxL != Long.MinValue && maxR != Long.MinValue)
+            (math.min(maxL, maxR) - delayMs) * 1000L
+          else 0L
+        wmAfter(k) = math.max(if (k == 0) 0L else wmAfter(k - 1), math.max(0L, cand))
+      }
+      // late filter for batch k = wmAfter(k-2) (the one-batch-lagged value)
+      def lateWm(k: Int): Long = if (k < 2) 0L else wmAfter(k - 2)
+      val survL = Vector.newBuilder[(Long, Long, Long, Double)]
+      val survR = Vector.newBuilder[(Long, Long, Long, Double)]
+      var anyLate = false
+      for (k <- 0 to nB) {
+        val wm = lateWm(k)
+        anyLate ||= (batchOf(lBatches, k) ++ batchOf(rBatches, k))
+          .exists(_._3 * 1000L < wm)
+        survL ++= batchOf(lBatches, k).filter(_._3 * 1000L >= wm)
+        survR ++= batchOf(rBatches, k).filter(_._3 * 1000L >= wm)
+      }
+      assert(anyLate, s"seed=$seed: fixture produced no late rows — weaken the delay")
+      val sL = survL.result(); val sR = survR.result()
+      def simulate(jt: String): Seq[(Long, Long, Long, Double)] = {
+        val pairs = for {
+          (lid, lk, lts, _) <- sL
+          (rid, rk, rts, rv) <- sR
+          if lk == rk && rts * 1000L >= lts * 1000L - beforeUs &&
+            rts * 1000L <= lts * 1000L + afterUs
+        } yield (lid, lk, rid, rv)
+        val matchedL = pairs.map(_._1).toSet
+        val matchedR = pairs.map(_._3).toSet
+        val lNulls = sL.filterNot(l => matchedL(l._1))
+          .map(l => (l._1, l._2, -999L, -999.0))
+        val rNulls = sR.filterNot(r => matchedR(r._1))
+          .map(r => (-999L, r._2, r._1, r._4))
+        (jt match {
+          case "inner"       => pairs
+          case "left_outer"  => pairs ++ lNulls
+          case "right_outer" => pairs ++ rNulls
+          case "full_outer"  => pairs ++ lNulls ++ rNulls
+        }).filter(_._2 >= 0L).sorted
+      }
+      for (jt <- Seq("inner", "left_outer", "full_outer")) {
+        val out = StreamOps.intervalJoin(
+          spark.readStream.option("maxFilesPerTrigger", 1)
+            .schema(spark.read.parquet(dirL).schema).parquet(dirL),
+          spark.readStream.option("maxFilesPerTrigger", 1)
+            .schema(spark.read.parquet(dirR).schema).parquet(dirR),
+          "ts", "rts", Seq(("k", "k")), before = beforeS, after = afterS,
+          watermark = s"$delayMs milliseconds", joinType = jt)
+        val qn = s"graft_ijlate_${jt}_$seed"
+        val q = out.writeStream.outputMode("append").format("memory")
+          .queryName(qn).start()
+        val got = try {
+          q.processAllAvailable()
+          // empty flush batch finalizes the outer nulls the sentinel batch
+          // unlocked (watermark updates at batch end, applies next batch)
+          Seq.empty[(Long, Long, Timestamp, Double)].toDF("id", "k", "ts", "v")
+            .write.mode("append").parquet(dirL)
+          q.processAllAvailable()
+          spark.table(qn).filter(col("k") >= 0L)
+            .select("id", "k", "rid", "rv").collect()
+            .map(r => (if (r.isNullAt(0)) -999L else r.getLong(0), r.getLong(1),
+              if (r.isNullAt(2)) -999L else r.getLong(2),
+              if (r.isNullAt(3)) -999.0 else r.getDouble(3))).sorted.toSeq
+        } finally {
+          q.stop(); StreamOps.releaseStateStores()
+          spark.catalog.dropTempView(qn)
+        }
+        val want = simulate(jt)
+        assert(got == want,
+          s"seed=$seed $jt: stream ${got.size} rows vs contract ${want.size}; " +
+            s"stream-only=${got.diff(want).take(3)} contract-only=${want.diff(got).take(3)}")
+      }
     }
   }
 
