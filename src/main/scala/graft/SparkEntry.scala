@@ -2750,6 +2750,35 @@ object SparkEntry {
             .as("uniq_asc"))
         .orderBy(col("p_partkey"))
     }),
+
+    // Gopher §A1.2 duplicate-n-gram character gates — the repetition
+    // signals qd11's line/top-n-gram kernels don't cover (Rae et al. 2021
+    // Table A1: drop when dup-{5..10}-gram char fraction exceeds
+    // 0.15/0.14/0.13/0.12/0.11/0.10). Repetition is injected
+    // deterministically — doc_id % 4 copies of a doc-keyed six-word phrase
+    // appended to each document, so both engines see the same duplicated
+    // n-grams and the verdict varies across the corpus. The struct profile
+    // is materialized ONCE (separate projection — CollapseProject won't
+    // inline a non-trivial producer into 12 field uses), so all six
+    // fractions plus the gate cost one native pass per row.
+    "qd52_dup_ngrams" -> ((s, d) => {
+      graft.plans.SketchExprs.register(s)
+      val T = graft.functions.TextFunctions
+      val docs = t(s, d, "documents").withColumn("rep_text",
+        concat(col("text"), lit(" "),
+          call_function("repeat",
+            concat(lit("rep"), (col("doc_id") % 5).cast("string"),
+              lit(" alpha beta gamma delta epsilon ")),
+            (col("doc_id") % 4).cast("int"))))
+      val prof = docs.withColumn("__p", T.dupNgramProfile(col("rep_text"), 5, 10))
+      prof.select(
+          col("doc_id") +:
+          (5 to 10).map(n => col("__p").getField(s"dup${n}_frac").as(s"dup${n}_frac")) :+
+          T.DupNgramThresholds
+            .map { case (n, thr) => col("__p").getField(s"dup${n}_frac") <= thr }
+            .reduce(_ && _).as("ngram_ok"): _*)
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** qd41's HASHED twin — the same three-stage selection with every scoring
@@ -4966,5 +4995,50 @@ object SparkEntry {
         |  list_aggregate(list_sort(list_distinct(string_split(p_name, ' ')), 'ASC'),
         |    'string_agg', '|') AS uniq_asc
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "qd52_dup_ngrams" -> dupNgramOracleSql,
   )
+
+  /** qd52 mirror: the same injected repetition (doc_id % 4 phrase copies),
+    * then per n in 5..10 the same all-occurrences duplicate-char fraction —
+    * n-grams via the qd11 list-comprehension windows, grouped by the n-gram
+    * STRING (the expression counts strings too, so a 64-bit-collision
+    * divergence is impossible), `length()` counting codepoints in both
+    * engines. Both sides divide long-exact char counts as doubles, so the
+    * fractions are bitwise-identical.
+    *
+    * (Lazy: referenced from the `oracleSql` val above — a strict val here
+    * would still be null when that map initializes.) */
+  private lazy val dupNgramOracleSql: String = {
+    val ns = (5 to 10).toSeq
+    val ctes = ns.map { n =>
+      s"""s$n AS (SELECT doc_id, unnest(CASE WHEN len(w) >= $n
+         |  THEN [list_aggregate(w[i:i+${n - 1}], 'string_agg', ' ') FOR i IN range(1, len(w) - ${n - 2})]
+         |  ELSE [list_aggregate(w, 'string_agg', ' ')] END) AS s
+         |  FROM toks WHERE len(w) > 0),
+         |c$n AS (SELECT doc_id, s, count(*) AS c, length(s) AS len FROM s$n GROUP BY doc_id, s),
+         |a$n AS (SELECT doc_id,
+         |  CAST(sum(CASE WHEN c > 1 THEN c * len ELSE 0 END) AS DOUBLE)
+         |    / CAST(sum(c * len) AS DOUBLE) AS f
+         |  FROM c$n GROUP BY doc_id)""".stripMargin
+    }.mkString(",\n")
+    val fields = ns.map(n => s"  coalesce(a$n.f, 0.0) AS dup${n}_frac").mkString(",\n")
+    val gate = graft.functions.TextFunctions.DupNgramThresholds
+      .map { case (n, thr) => s"coalesce(a$n.f, 0.0) <= $thr" }.mkString(" AND ")
+    val joins = ns.map(n => s"LEFT JOIN a$n ON d.doc_id = a$n.doc_id").mkString("\n")
+    s"""WITH base AS (
+       |  SELECT doc_id, text || ' ' || repeat('rep' || CAST(doc_id % 5 AS VARCHAR)
+       |    || ' alpha beta gamma delta epsilon ', CAST(doc_id % 4 AS INT)) AS text
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+       |  FROM base),
+       |$ctes
+       |SELECT d.doc_id,
+       |$fields,
+       |  ($gate) AS ngram_ok
+       |FROM documents d
+       |$joins
+       |ORDER BY d.doc_id""".stripMargin
+  }
 }

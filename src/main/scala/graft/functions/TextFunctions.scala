@@ -200,6 +200,36 @@ object TextFunctions {
   def topNgramShare(text: Column, n: Int): Column =
     call_function("graft_top_ngram_share", tokens(text), lit(n))
 
+  /** Duplicate-n-gram character fractions for n in [minN, maxN] as one
+    * struct(dup{minN}_frac … dup{maxN}_frac) — the Gopher §A1.2 signals
+    * (fraction of characters inside word n-grams occurring more than once,
+    * all occurrences counted, no positional overlap accounting; see
+    * [[graft.plans.DupNgramProfileExpr]] for the exact contract). One
+    * native pass materializes the token array once for all n. Callers must
+    * have run `SketchExprs.register`. */
+  def dupNgramProfile(text: Column, minN: Int, maxN: Int): Column =
+    call_function("graft_dup_ngram_profile", tokens(text), lit(minN), lit(maxN))
+
+  /** Single-n convenience view of [[dupNgramProfile]]. */
+  def dupNgramCharFraction(text: Column, n: Int): Column =
+    dupNgramProfile(text, n, n).getField(s"dup${n}_frac")
+
+  /** [[dupNgramCharFraction]]'s HOF formulation — executable spec only:
+    * builds the n-gram array with `transform`+`slice`, then the same
+    * O(m²) nested-filter duplicate accounting as
+    * [[dupLineCharFractionHof]]. */
+  def dupNgramCharFractionHof(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val grams = when(size(toks) === 0, array().cast("array<string>"))
+      .when(size(toks) < n, array(array_join(toks, " ")))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+    val totalChars = aggregate(grams, lit(0L), (acc, g) => acc + length(g))
+    val dupChars = aggregate(grams, lit(0L), (acc, g) =>
+      acc + when(size(filter(grams, x => x === g)) > 1, length(g).cast("long")).otherwise(0L))
+    when(totalChars === 0, lit(0.0)).otherwise(dupChars.cast("double") / totalChars)
+  }
+
   // ---- PII scrubbing -----------------------------------------------------
   // Training corpora redact obvious PII before anything else sees the text.
   // Patterns are deliberately simple, RE2-compatible (portable to the SQL
@@ -381,4 +411,24 @@ object TextFunctions {
   def repetitionOk(text: Column): Column =
     (dupLineFraction(text) <= 0.30) && (dupLineCharFraction(text) <= 0.20) &&
       (topNgramShare(text, 2) <= 0.20) && (topNgramShare(text, 3) <= 0.18)
+
+  /** Gopher §A1.2 duplicate-n-gram thresholds: a document is dropped when
+    * the duplicate-{5..10}-gram character fraction exceeds
+    * 0.15/0.14/0.13/0.12/0.11/0.10 respectively (Rae et al. 2021 Table A1). */
+  val DupNgramThresholds: Seq[(Int, Double)] =
+    Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+
+  /** The FULL Gopher repetition gate (§A1.2): [[repetitionOk]]'s line +
+    * top-n-gram gates, the paragraph twins, and the duplicate-{5..10}-gram
+    * character gates — true when the document is not repetition-dominated.
+    * One [[dupNgramProfile]] pass serves all six n-gram gates. */
+  def gopherRepetitionOk(text: Column): Column = {
+    val prof = dupNgramProfile(text, 5, 10)
+    val ngramOk = DupNgramThresholds
+      .map { case (n, thr) => prof.getField(s"dup${n}_frac") <= thr }
+      .reduce(_ && _)
+    repetitionOk(text) &&
+      (dupParagraphFraction(text) <= 0.30) &&
+      (dupParagraphCharFraction(text) <= 0.20) && ngramOk
+  }
 }

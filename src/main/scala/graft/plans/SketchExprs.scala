@@ -398,6 +398,97 @@ case class DupLineStatsExpr(child: Expression) extends UnaryExpression with Code
     copy(child = newChild)
 }
 
+/** Duplicate word-n-gram character fractions for a RANGE of n in one pass
+  * per row — the Gopher repetition signals the line/top-n-gram kernels don't
+  * cover (Rae et al. 2021 §A1.2 gate on the fraction of characters inside
+  * duplicated {5..10}-grams). Returns struct(dup{minN}_frac … dup{maxN}_frac)
+  * of doubles.
+  *
+  * Contract per n (documented deviation from positional-coverage
+  * implementations, chosen because it is exactly SQL-mirrorable): n-grams
+  * are space-joined token windows; every occurrence of an n-gram that
+  * appears more than once contributes ALL its occurrences' characters —
+  * frac = Σ_{g: c_g ≥ 2} c_g·len(g) / Σ_g c_g·len(g), the same
+  * all-occurrences convention as [[DupLineStatsExpr]]'s char fraction, with
+  * len counted in codepoints (matches `length()` both in Spark and DuckDB).
+  * No positional overlap accounting: a character belonging to two distinct
+  * duplicated n-grams is counted under both — a stricter (higher) signal
+  * than coverage-marking, identical on the boilerplate-block inputs the
+  * filter exists for. Token arrays shorter than n count their single
+  * whole-array shingle (count 1 → fraction 0.0 — same convention as
+  * [[TopNgramShareExpr]]); empty arrays → all fractions 0.0.
+  *
+  * Why a multi-n profile instead of one expression per n: the expressions
+  * are CodegenFallback, so six separate calls would re-evaluate the
+  * `split`-based token child six times per row on the interpreted path;
+  * here the token array is materialized once and each n adds only its own
+  * window walk. Counting keys on the n-gram STRING (not a 64-bit hash) so
+  * the fraction can never diverge from the string-grouped SQL oracle.
+  */
+case class DupNgramProfileExpr(child: Expression, minN: Int, maxN: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(minN >= 1 && maxN >= minN,
+    s"ngram range must satisfy 1 <= minN <= maxN, got [$minN, $maxN]")
+
+  override def dataType: DataType = StructType(
+    (minN to maxN).map(n => StructField(s"dup${n}_frac", DoubleType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"dup_ngram_profile expects array<string>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val num = arr.numElements()
+    val fracs = new Array[Any](maxN - minN + 1)
+    if (num == 0) {
+      java.util.Arrays.fill(fracs, 0.0d)
+      return org.apache.spark.sql.catalyst.InternalRow.fromSeq(fracs.toIndexedSeq)
+    }
+    val toks = new Array[String](num)
+    var i = 0
+    while (i < num) { toks(i) = arr.getUTF8String(i).toString; i += 1 }
+    var n = minN
+    while (n <= maxN) {
+      val counts = new java.util.HashMap[String, Int]()
+      if (num < n) {
+        counts.put(toks.mkString(" "), 1)
+      } else {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        val m = num - n + 1
+        while (j < m) {
+          sb.setLength(0)
+          var k = 0
+          while (k < n) {
+            if (k > 0) sb.append(' ')
+            sb.append(toks(j + k))
+            k += 1
+          }
+          counts.merge(sb.toString, 1, (a, b) => a + b)
+          j += 1
+        }
+      }
+      var totalChars = 0L
+      var dupChars = 0L
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val occChars = e.getKey.codePointCount(0, e.getKey.length).toLong * e.getValue
+        totalChars += occChars
+        if (e.getValue > 1) dupChars += occChars
+      }
+      fracs(n - minN) = if (totalChars == 0) 0.0 else dupChars.toDouble / totalChars
+      n += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow.fromSeq(fracs.toIndexedSeq)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Stopword-dictionary language ID in one pass per row — same semantics as
   * the HOF formulation `TextFunctions.langIdHof` (lowercase, \s+ tokens,
   * per-language stopword hit counts, first language in dictionary order
@@ -546,5 +637,9 @@ object SketchExprs {
       "graft_langid", exprs => LangIdExpr(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dup_line_stats", exprs => DupLineStatsExpr(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dup_ngram_profile", exprs => DupNgramProfileExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int]), "built-in")
   }
 }

@@ -183,6 +183,86 @@ class PipelineSpec extends SparkSpec {
     assert(r(5L)._3 == 1.0)
   }
 
+  test("dup-ngram char fractions: hand-computed, codepoint counting, edges") {
+    graft.plans.SketchExprs.register(spark)
+    val cases = Seq(
+      // "a b","b a","a b","b c" -> "a b" x2 of 4 grams, all len 3: 6/12
+      (1L, "a b a b c"),
+      // 10 toks, 6 5-gram windows, "x y z w v" twice: 18/54 = 1/3
+      (2L, "x y z w v x y z w v"),
+      (3L, ""),          // empty: 0.0
+      (4L, "a b"),       // < n tokens: single whole shingle, count 1 -> 0.0
+      // codepoint counting: "😀😀 x" = 4 codepoints (not 6 chars)
+      (5L, "😀😀 x 😀😀 x"),
+    ).toDF("doc_id", "text")
+    val r = cases.select(col("doc_id"),
+        T.dupNgramCharFraction(col("text"), 2).as("d2"),
+        T.dupNgramCharFraction(col("text"), 5).as("d5"))
+      .collect().map(row => row.getLong(0) -> (row.getDouble(1), row.getDouble(2))).toMap
+    assert(r(1L)._1 == 6.0 / 12)
+    assert(r(2L)._2 == 18.0 / 54)
+    assert(r(3L) == ((0.0, 0.0)))
+    assert(r(4L)._2 == 0.0)
+    assert(r(5L)._1 == 8.0 / 12) // 3 2-gram windows of 4 codepoints, top one twice
+    // null text -> null profile (null-intolerant expression)
+    val nullRow = Seq((0L, Option.empty[String])).toDF("doc_id", "text")
+      .select(T.dupNgramCharFraction(col("text"), 5).as("d")).head()
+    assert(nullRow.isNullAt(0))
+  }
+
+  test("dup-ngram profile: native == HOF formulation on randomized docs") {
+    graft.plans.SketchExprs.register(spark)
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "longword", "x")
+    val docsR = (0 until 40).map { i =>
+      val base = Vector.fill(rnd.nextInt(50) + 1)(vocab(rnd.nextInt(vocab.size)))
+      // inject a repeated phrase in half the docs so dup fractions are nonzero
+      val phrase = Vector.fill(rnd.nextInt(8) + 3)(vocab(rnd.nextInt(vocab.size)))
+      val words = if (i % 2 == 0) base ++ phrase ++ base.take(3) ++ phrase else base
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val bad = docsR.select(col("doc_id"),
+        T.dupNgramProfile(col("text"), 5, 7).as("p"),
+        T.dupNgramCharFractionHof(col("text"), 5).as("h5"),
+        T.dupNgramCharFractionHof(col("text"), 6).as("h6"),
+        T.dupNgramCharFractionHof(col("text"), 7).as("h7"))
+      .filter(col("p.dup5_frac") =!= col("h5") ||
+        col("p.dup6_frac") =!= col("h6") || col("p.dup7_frac") =!= col("h7"))
+    assert(bad.count() == 0, bad.collect().take(3).mkString("; "))
+  }
+
+  test("gopher repetition gate: full §A1.2 verdict") {
+    graft.plans.SketchExprs.register(spark)
+    val phrase = "one two three four five six seven eight nine ten"
+    val clean = (1 to 40).map(i => s"w$i").mkString(" ") // all-distinct tokens
+    val docsG = Seq(
+      (1L, clean),
+      (2L, (phrase + " ") * 8 + clean), // repeated 10-gram dominates -> drop
+    ).toDF("doc_id", "text")
+    val got = docsG.select(col("doc_id"), T.gopherRepetitionOk(col("text")).as("ok"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(1L -> true, 2L -> false))
+  }
+
+  test("qd52 matches its DuckDB oracle value-for-value at sf0.001") {
+    val sfDir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("qd52_dup_ngrams")(spark, sfDir)
+      .collect().map { r =>
+        (r.getLong(0), (1 to 6).map(r.getDouble).toVector, r.getBoolean(7))
+      }.sortBy(_._1)
+    val conn = java.sql.DriverManager.getConnection("jdbc:duckdb:")
+    try {
+      val st = conn.createStatement()
+      st.execute(s"CREATE VIEW documents AS SELECT * FROM '$sfDir/documents.parquet'")
+      val rs = st.executeQuery(SparkEntry.oracleSql("qd52_dup_ngrams"))
+      val want = Iterator.continually(rs).takeWhile(_.next()).map { r =>
+        (r.getLong(1), (2 to 7).map(r.getDouble).toVector, r.getBoolean(8))
+      }.toVector
+      assert(got.length == want.length, s"${got.length} vs ${want.length} rows")
+      got.zip(want).foreach { case (g, w) => assert(g == w, s"mismatch: $g vs $w") }
+    } finally conn.close()
+  }
+
   test("URL canonicalization: scheme/host/port/www/tracking/fragment/trailing slash") {
     val U = graft.functions.UrlFunctions
     val cases = Seq(
