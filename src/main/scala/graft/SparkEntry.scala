@@ -2779,6 +2779,21 @@ object SparkEntry {
             .reduce(_ && _).as("ngram_ok"): _*)
         .orderBy(col("doc_id"))
     }),
+
+    // Leakage-safe train/valid/test split: qd17's exact modular-hash
+    // assignment keyed on qd10's near-dup cluster representative instead of
+    // the raw doc_id — every member of a duplicate cluster lands in the
+    // same split, so near-duplicates of a training document can never leak
+    // into validation/test. Singletons represent themselves.
+    "qd53_leakage_safe_split" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = graft.dedup.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleK = 5, threshold = 0.5)
+      graft.prep.Prep.leakageSafeSplit(docs, "doc_id", pairs,
+          trainPm = 800, validPm = 100)
+        .select(col("doc_id"), col("rep"), col("bucket"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** qd41's HASHED twin — the same three-stage selection with every scoring
@@ -4997,6 +5012,34 @@ object SparkEntry {
         |FROM part ORDER BY p_partkey""".stripMargin,
 
     "qd52_dup_ngrams" -> dupNgramOracleSql,
+
+    // qd53 mirror: qd10's recursive-reach components (LEFT JOIN so
+    // singletons keep themselves as representative) feeding qd17's exact
+    // int64 modular arithmetic on the representative
+    "qd53_leakage_safe_split" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT id_a, id_b FROM ($jaccardPairsSql)
+         |),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs
+         |),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |),
+         |comp AS (SELECT src AS id, least(src, min(dst)) AS component
+         |         FROM reach GROUP BY src),
+         |rep AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS rep
+         |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+         |b AS (SELECT doc_id, rep,
+         |        (rep % 1000000007) * 2654435761 % 1000000007 % 1000 AS bucket
+         |      FROM rep)
+         |SELECT doc_id, rep, bucket,
+         |  CASE WHEN bucket < 800 THEN 'train' WHEN bucket < 900 THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
   )
 
   /** qd52 mirror: the same injected repetition (doc_id % 4 phrase copies),

@@ -68,6 +68,34 @@ object Prep {
   def shuffleKey(id: Column, salt: Long = 0L): Column =
     ((id + lit(salt)) % lit(P)) * lit(Mult) % lit(P)
 
+  /** Leakage-safe train/valid/test split: the assignment is keyed on the
+    * near-dup CLUSTER representative, not the document id, so every member
+    * of a duplicate cluster lands in the same split — near-duplicates of a
+    * training document can never leak into validation or test (the failure
+    * mode a plain [[split]] cannot rule out on an undeduplicated corpus).
+    *
+    * `pairs` is any near-dup edge list `(id_a, id_b)` — exact n-gram
+    * Jaccard, MinHash-LSH, SimHash; connected components collapse it to
+    * min-id representatives, and singleton documents (no edges) represent
+    * themselves via the `coalesce`. Output adds `rep`, `bucket`, `split`.
+    *
+    * 100 TB shape: the added cost over a plain hash split is one
+    * components run (pre-partitioned edge shuffle, see
+    * [[graft.dedup.ConnectedComponents]]) plus one left join of the corpus
+    * against the non-singleton membership table (only documents that have
+    * a near-dup edge — typically a small fraction of the corpus); the
+    * bucket/split assignment itself stays a narrow map on `rep`. */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      trainPm: Int, validPm: Int, salt: Long = 0L): DataFrame = {
+    val comp = graft.dedup.ConnectedComponents.components(pairs)
+      .withColumnRenamed("id", "__cid")
+    docs.join(comp, docs(idCol) === col("__cid"), "left")
+      .withColumn("rep", coalesce(col("component"), docs(idCol)))
+      .drop("__cid", "component")
+      .withColumn("bucket", hashBucket(col("rep"), 1000, salt))
+      .withColumn("split", split(col("rep"), trainPm, validPm, salt))
+  }
+
   /** Deterministic global training-order shuffle: every row gets a
     * `shuffle_key` (exact-int64 multiplicative hash of its id — the same
     * permutation on any engine, any cluster size, any retry) and a dense

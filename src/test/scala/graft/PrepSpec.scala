@@ -15,6 +15,45 @@ class PrepSpec extends SparkSpec {
   private lazy val docs = (0L until 400L).map(i => (i, if (i % 5 == 0) "en" else "zh",
     mkText(i, 5 + (i % 50).toInt))).toDF("doc_id", "lang", "text")
 
+  test("leakageSafeSplit: clusters share a split, singletons match the plain split") {
+    val ids = (0L until 60L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // two clusters {1,7,13} and {20,21}, everything else singleton
+    val pairs = Seq((1L, 7L), (7L, 13L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = Prep.leakageSafeSplit(ids, "doc_id", pairs, trainPm = 800, validPm = 100)
+      .select(col("doc_id"), col("rep"), col("bucket"), col("split"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // cluster members share rep (the min id) and therefore bucket + split
+    assert(Seq(1L, 7L, 13L).map(got(_)).distinct.size == 1 && got(1L)._1 == 1L)
+    assert(got(20L) == got(21L) && got(20L)._1 == 20L)
+    // singletons represent themselves and reproduce the plain hash split
+    val plain = ids.filter(!col("doc_id").isin(1L, 7L, 13L, 20L, 21L))
+      .select(col("doc_id"), Prep.hashBucket(col("doc_id"), 1000).as("b"),
+        Prep.split(col("doc_id"), 800, 100).as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(0), r.getLong(1), r.getString(2))).toMap
+    plain.foreach { case (id, v) => assert(got(id) == v, s"singleton $id: ${got(id)} vs $v") }
+  }
+
+  test("leakageSafeSplit: no near-dup pair straddles splits on the real corpus") {
+    val d = "/root/testdata/sf0.001"
+    val corpus = spark.read.parquet(s"$d/documents.parquet")
+    val pairs = graft.dedup.Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      shingleK = 5, threshold = 0.5)
+    assert(pairs.count() > 0, "fixture must produce near-dup pairs for the guard to bite")
+    val splits = Prep.leakageSafeSplit(corpus, "doc_id", pairs, trainPm = 800, validPm = 100)
+      .select(col("doc_id"), col("split"))
+    val straddling = pairs
+      .join(splits.withColumnRenamed("doc_id", "id_a").withColumnRenamed("split", "sa"), "id_a")
+      .join(splits.withColumnRenamed("doc_id", "id_b").withColumnRenamed("split", "sb"), "id_b")
+      .filter(col("sa") =!= col("sb"))
+    assert(straddling.count() == 0)
+    // and the plain split DOES straddle on the same corpus — the guard is not vacuous
+    val plainStraddle = pairs
+      .withColumn("sa", Prep.split(col("id_a"), 800, 100))
+      .withColumn("sb", Prep.split(col("id_b"), 800, 100))
+      .filter(col("sa") =!= col("sb"))
+    assert(plainStraddle.count() > 0, "plain split never straddles: guard untestable on this fixture")
+  }
+
   test("hashBucket is deterministic, in range, and salt-decorrelated") {
     val b = docs.select(Prep.hashBucket(col("doc_id"), 1000).as("b"),
       Prep.hashBucket(col("doc_id"), 1000, salt = 1L).as("b1"))
