@@ -253,6 +253,35 @@ class PlanSpec extends SparkSpec {
     assert(!planOf(df).contains("Exchange"), "deterministic split must not shuffle")
   }
 
+  test("dup-ngram profile is a narrow map: zero exchange, no window, no join") {
+    graft.plans.SketchExprs.register(spark)
+    val T = graft.functions.TextFunctions
+    val df = SparkEntry.t(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("p", T.dupNgramProfile(col("text"), 5, 10))
+      .filter(T.gopherRepetitionOk(col("text")))
+    val p = planOf(df)
+    assert(!p.contains("Exchange"), s"profile+gate must not shuffle:\n${p.take(2000)}")
+    assert(!p.contains("Window") && !p.contains("Join"), p.take(2000))
+  }
+
+  test("leakage-safe split: assignment adds no exchange beyond the membership join") {
+    val P = graft.prep.Prep
+    val docs = SparkEntry.t(spark, "/root/testdata/sf0.001", "documents")
+    // hand the components a pre-materialized edge list so the plan under
+    // test is the SPLIT machinery (components' own shape has its own guard)
+    import spark.implicits._
+    val pairs = Seq((1L, 7L), (20L, 21L)).toDF("id_a", "id_b")
+    val df = P.leakageSafeSplit(docs, "doc_id", pairs, 800, 100)
+    df.collect() // finalize THIS df's AQE stages (count() would plan a fresh query)
+    val p = planOf(df)
+    // bucket/split are narrow on rep (no window anywhere), and a small
+    // membership table must broadcast at runtime — the corpus-shuffling
+    // sort-merge shape is correct ONLY when membership is itself huge
+    assert(!p.contains("Window"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"),
+      s"small membership should broadcast under AQE:\n${p.take(2000)}")
+  }
+
   test("exact dedup is a groupBy-min aggregate, never a window over the key") {
     val df = graft.dedup.Dedup.byFingerprint(
       SparkEntry.t(spark, "/root/testdata/sf0.001", "documents"), "text", "doc_id")
