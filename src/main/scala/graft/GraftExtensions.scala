@@ -136,6 +136,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_topk", "graft_topk(score, id, k) - bounded-state per-group top-k (best-first array<struct<id, score>>)"),
       (exprs: Seq[Expression]) => plans.BoundedTopKAgg(exprs(0), exprs(1), intArg(exprs(2)))))
 
+    ext.injectFunction((FunctionIdentifier("graft_topfreq"),
+      info("graft_topfreq", "graft_topfreq(tokens, k) - Misra-Gries heavy hitters: k-counter mergeable summary (est desc array<struct<item, est>>)"),
+      (exprs: Seq[Expression]) => plans.FreqSketchAgg(exprs(0), exprs(1))))
+
     ext.injectFunction((FunctionIdentifier("graft_vec_sum"),
       info("graft_vec_sum", "graft_vec_sum(vec) - element-wise sum of numeric arrays per group"),
       (exprs: Seq[Expression]) => plans.VecSumAgg(exprs(0))))

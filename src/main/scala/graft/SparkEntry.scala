@@ -2794,6 +2794,58 @@ object SparkEntry {
         .select(col("doc_id"), col("rep"), col("bucket"), col("split"))
         .orderBy(col("doc_id"))
     }),
+
+    // Exact-k deterministic per-stratum sample: each language keeps its 25
+    // smallest-shuffle-key docs — exact-size where qd17's rate filter is
+    // only exact-in-expectation, reproducible on any engine/cluster/retry.
+    // One bounded partial agg (graft_topk reduces every partition to <=k
+    // entries per stratum before the exchange — no global sort, no
+    // per-stratum window, so a 90%-one-language corpus has no hot-key
+    // cliff) plus a broadcast join back for the payload columns.
+    "qd54_stratified_sample" -> ((s, d) => {
+      graft.plans.AnnExprs.register(s)
+      graft.prep.Prep.stratifiedSampleExact(
+          t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+          "doc_id", "lang", k = 25, salt = 7L)
+        .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"))
+        .orderBy(col("lang"), col("rk"))
+    }),
+
+    // Bounded-memory heavy hitters (Misra–Gries, mergeable) — the
+    // approximate complement to qd14's exact vocabulary, graded like qd51:
+    // the deterministic exact top-10 rows carry corpus-wide contract
+    // verdicts that the algorithm's invariants make provably TRUE on any
+    // partitioning (membership of sub-threshold tokens is arrival-order
+    // dependent by nature, so the sketch's borderline set is asserted
+    // through the contract, never enumerated). Sketch state: 64 counters
+    // per partition vs the exact path's full-vocabulary shuffle.
+    "qd55_heavy_hitters" -> ((s, d) => {
+      graft.plans.FreqExprs.register(s)
+      val T = graft.functions.TextFunctions
+      val k = 64
+      val docs = t(s, d, "documents")
+      val exact = docs.select(explode(T.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      val total = exact.agg(sum(col("cnt")).as("__n")) // 1-row broadcast
+      val sketch = docs.agg(T.heavyHitters(T.tokens(col("text")), k).as("__sk"))
+        .select(explode(col("__sk")).as("e"))
+        .select(col("e.item").as("token"), col("e.est").as("est")) // <= k rows
+      val err = floor(col("__n") / (k + 1))
+      val checks = exact.join(broadcast(sketch), Seq("token"), "left")
+        .crossJoin(broadcast(total))
+        .agg(
+          min(when(col("est").isNull, true).otherwise(col("est") <= col("cnt")))
+            .as("no_overestimate"),
+          min(when(col("est").isNull, true).otherwise(col("cnt") - col("est") <= err))
+            .as("bound_ok"),
+          min(when(col("cnt") > err, col("est").isNotNull).otherwise(true))
+            .as("heavy_present"))
+      docs.select(explode(T.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(10)
+        .crossJoin(broadcast(checks))
+        .orderBy(col("cnt").desc, col("token"))
+    }),
   )
 
   /** qd41's HASHED twin — the same three-stage selection with every scoring
@@ -5040,6 +5092,33 @@ object SparkEntry {
          |  CASE WHEN bucket < 800 THEN 'train' WHEN bucket < 900 THEN 'valid'
          |       ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    // qd54 mirror: the same exact int64 key arithmetic (salt 7), ranked per
+    // stratum — the oracle may window-sort freely; the Spark side must NOT
+    "qd54_stratified_sample" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY ((doc_id + 7) % 1000000007) * 2654435761 % 1000000007
+        |    ) AS rk
+        |  FROM documents
+        |)
+        |SELECT lang, rk, doc_id, n_chars FROM r WHERE rk <= 25
+        |ORDER BY lang, rk""".stripMargin,
+
+    // qd55 mirror: exact top-10 with the same tokenizer; the contract
+    // booleans are provably TRUE by the Misra–Gries invariants (no
+    // overestimate; underestimate <= n/(k+1); every token above that
+    // threshold tracked), so the oracle asserts them as literals
+    "qd55_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+        |  FROM documents
+        |)
+        |SELECT token, count(*) AS cnt,
+        |  TRUE AS no_overestimate, TRUE AS bound_ok, TRUE AS heavy_present
+        |FROM toks GROUP BY token
+        |ORDER BY cnt DESC, token LIMIT 10""".stripMargin,
   )
 
   /** qd52 mirror: the same injected repetition (doc_id % 4 phrase copies),

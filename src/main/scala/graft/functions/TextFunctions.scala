@@ -370,6 +370,17 @@ object TextFunctions {
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
 
+  /** Bounded-memory heavy hitters over per-row token arrays: Misra–Gries
+    * with k counters ([[graft.plans.FreqSketchAgg]]), mergeable across
+    * partitions with the n/(k+1) underestimate guarantee. The approximate
+    * complement to [[vocab]]: where the exact count shuffles every distinct
+    * token, the sketch exchanges O(k × partitions) counters — the right
+    * trade when only the heavy tail matters (stopword discovery,
+    * boilerplate detection) on a corpus whose vocabulary itself is too
+    * large to shuffle comfortably. Aggregate column: use inside `.agg`. */
+  def heavyHitters(tokensCol: Column, k: Int): Column =
+    call_function("graft_topfreq", tokensCol, lit(k))
+
   /** Unigram-rarity document statistics against a `(token, n)` vocabulary
     * (typically [[vocab]] of the same corpus): per document,
     * `n_tokens` (occurrences), `n_invocab` (occurrences whose token is in

@@ -96,6 +96,50 @@ object Prep {
       .withColumn("split", split(col("rep"), trainPm, validPm, salt))
   }
 
+  /** Exact-k deterministic per-stratum sample: each stratum keeps its k
+    * rows with the SMALLEST [[shuffleKey]] values — a fixed, content-keyed
+    * pseudo-random order, so the sample is reproducible across engines,
+    * retries, and cluster sizes (everything `df.sample` is not), and
+    * exact-size where [[stratifiedKeep]]'s rate-based filter is only
+    * exact-in-expectation. Strata smaller than k keep every row.
+    *
+    * Returns one row per kept id: `(stratum, rk, id)` with `rk` the 1-based
+    * position in the stratum's key order. Join the (tiny) result back to
+    * recover payload columns — see [[stratifiedSampleExact]].
+    *
+    * Scale shape: `graft_topk` ([[graft.plans.BoundedTopKAgg]]) plans as
+    * ObjectHashAggregate with a PARTIAL stage, so each input partition
+    * reduces to ≤ k entries per stratum before the exchange — the shuffle
+    * moves O(strata × k × partitions), never the corpus, and there is no
+    * global sort and no per-stratum window (a row_number() formulation
+    * would shuffle every row onto hash(stratum): the hot-stratum skew cliff
+    * for a corpus that is 90% one language). */
+  def stratifiedSampleKeys(df: DataFrame, idCol: String, stratumCol: String,
+                           k: Int, salt: Long = 0L): DataFrame = {
+    require(k > 0, s"stratifiedSampleKeys: k must be positive, got $k")
+    // graft_topk keeps the HIGHEST scores; negate the key to keep the
+    // smallest. Keys lie in [0, P) so the double cast is exact (P < 2^53).
+    val score = -shuffleKey(col(idCol), salt).cast("double")
+    df.groupBy(col(stratumCol))
+      .agg(call_function("graft_topk", score, col(idCol), lit(k)).as("__tk"))
+      .select(col(stratumCol), posexplode(col("__tk")))
+      .select(col(stratumCol), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as(idCol))
+  }
+
+  /** [[stratifiedSampleKeys]] joined back to the full rows: the kept-key
+    * table is ≤ strata × k rows, so the join back is an explicit broadcast
+    * — the corpus never shuffles, making the whole sample one partial-agg
+    * exchange plus a narrow broadcast probe. */
+  def stratifiedSampleExact(df: DataFrame, idCol: String, stratumCol: String,
+                            k: Int, salt: Long = 0L): DataFrame = {
+    val keys = stratifiedSampleKeys(df, idCol, stratumCol, k, salt)
+      .withColumnRenamed(stratumCol, "__s").withColumnRenamed(idCol, "__id")
+    df.join(broadcast(keys),
+        df(idCol) === col("__id") && df(stratumCol) === col("__s"))
+      .drop("__s", "__id")
+  }
+
   /** Deterministic global training-order shuffle: every row gets a
     * `shuffle_key` (exact-int64 multiplicative hash of its id — the same
     * permutation on any engine, any cluster size, any retry) and a dense

@@ -126,6 +126,32 @@ object StreamOps {
   def releaseStateStores(): Unit =
     org.apache.spark.sql.graft.InternalBridge.unloadStateStores()
 
+  /** Run `body` in a child session whose shuffle-partition count — and
+    * therefore the STATE partition count of any stateful streaming query
+    * first started inside it — is `n`. State partitioning is fixed at the
+    * query's FIRST checkpoint and can never change afterwards, so it is a
+    * genuine per-query sizing decision, not a session default: every
+    * stateful operator pays per-partition-per-batch store-lifecycle costs
+    * (the stream-stream join runs FOUR store commits per partition per
+    * micro-batch — measured: the q77 drive is near-LINEAR in partition
+    * count at constant data, 8.0 s at 32 partitions vs 2.8 s at 8,
+    * BASELINE.md round-13 decomposition), while too few partitions caps
+    * state-processing parallelism at scale. Size `n` to expected state
+    * volume/throughput: high-rate production topics amortize many
+    * partitions; a low-rate stream wants few.
+    *
+    * The child shares the SparkContext, extensions, and catalog; only its
+    * runtime SQLConf (and temp-view registry) is separate, so build the
+    * `readStream` sources and start the query THROUGH the session `body`
+    * receives. */
+  def withStatePartitions[A](spark: org.apache.spark.sql.SparkSession, n: Int)
+                            (body: org.apache.spark.sql.SparkSession => A): A = {
+    require(n > 0, s"withStatePartitions: n must be positive, got $n")
+    val child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", n.toString)
+    body(child)
+  }
+
   /** Streaming file sinks (reference io.rs:391-479 streaming sink_csv/
     * parquet/json): append mode, exactly-once per partition via the
     * checkpoint + file-sink commit log. Returns the running query. */

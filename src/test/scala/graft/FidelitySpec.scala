@@ -351,6 +351,50 @@ class FidelitySpec extends SparkSpec {
     }
   }
 
+  test("withStatePartitions: per-query state partition sizing, identical results") {
+    // state partitioning is fixed at a streaming query's first checkpoint;
+    // the knob must (a) actually set the state operator's partition count
+    // and (b) change nothing about the result
+    implicit val sp = spark
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val root = java.nio.file.Files.createTempDirectory("graft_wsp").toString
+    val inL = s"$root/l"; val inR = s"$root/r"
+    Seq((1L, ts(10), 5.0), (1L, ts(30), 6.0), (2L, ts(20), 7.0))
+      .toDF("k", "lts", "lv").write.mode("overwrite").parquet(inL)
+    Seq((1L, ts(5), 1.0), (1L, ts(25), 2.0), (2L, ts(19), 3.0), (3L, ts(1), 4.0))
+      .toDF("k", "rts", "rv").write.mode("overwrite").parquet(inR)
+    def drive(sess: org.apache.spark.sql.SparkSession, qn: String): (Seq[Seq[Any]], Long) = {
+      val lS = sess.read.parquet(inL).schema
+      val rS = sess.read.parquet(inR).schema
+      val out = graft.streaming.StreamOps.intervalJoin(
+        sess.readStream.schema(lS).parquet(inL),
+        sess.readStream.schema(rS).parquet(inR),
+        "lts", "rts", by = Seq(("k", "k")),
+        before = "15m", after = "0s", watermark = "0 seconds")
+      val q = out.writeStream.outputMode("append").format("memory").queryName(qn).start()
+      try {
+        q.processAllAvailable()
+        val parts = q.lastProgress.stateOperators.map(_.numShufflePartitions).max
+        val rows = sess.table(qn).orderBy(col("k"), col("lts"), col("rts"))
+          .collect().map(_.toSeq).toSeq
+        (rows, parts)
+      } finally {
+        q.stop(); sess.catalog.dropTempView(qn)
+        graft.streaming.StreamOps.releaseStateStores()
+      }
+    }
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val (rDefault, pDefault) = drive(spark, "graft_wsp_d")
+    val (r8, p8) = graft.streaming.StreamOps.withStatePartitions(spark, 8) {
+      child => drive(child, "graft_wsp_8")
+    }
+    assert(rDefault.nonEmpty && rDefault == r8, s"$rDefault vs $r8")
+    assert(p8 == 8L, s"state partitions under the knob: $p8")
+    assert(pDefault == before.toLong, s"default drive state partitions: $pDefault")
+    // the knob never leaks into the parent session
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+  }
+
   test("fuzz: as-of stream == batch under multi-batch file disorder (maxFilesPerTrigger=1)") {
     // AsofStream's pending-left/right-frontier state under out-of-order
     // delivery ACROSS micro-batches: left and right events are shuffled

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T}
+
+/** Misra–Gries heavy hitters (graft_topfreq): the three mergeable-summary
+  * invariants vs exact counts, under randomized streams and partitionings. */
+class FreqSpec extends SparkSpec {
+  import spark.implicits._
+
+  graft.plans.FreqExprs.register(spark)
+
+  /** (token, est) entries of the sketch over `rows` at `parts` partitions. */
+  private def sketch(rows: Seq[Seq[String]], k: Int, parts: Int): Map[String, Long] =
+    rows.toDF("toks").repartition(parts)
+      .agg(T.heavyHitters(col("toks"), k).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.item"), col("e.est")).as[(String, Long)]
+      .collect().toMap
+
+  private def checkContract(rows: Seq[Seq[String]], k: Int, parts: Int): Unit = {
+    val exact = rows.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = rows.iterator.map(_.size.toLong).sum
+    val err = n / (k + 1) // integer floor; the true error count is an integer
+    val got = sketch(rows, k, parts)
+    assert(got.size <= k, s"sketch tracked ${got.size} > k=$k")
+    got.foreach { case (t, est) =>
+      assert(est <= exact(t), s"overestimate: $t est=$est true=${exact(t)} (parts=$parts)")
+      assert(exact(t) - est <= err,
+        s"error bound: $t est=$est true=${exact(t)} err>$err n=$n k=$k parts=$parts")
+    }
+    exact.foreach { case (t, c) =>
+      if (c > err) assert(got.contains(t),
+        s"guaranteed item missing: $t cnt=$c > n/(k+1)=$err (parts=$parts)")
+    }
+  }
+
+  test("MG contract: zipf-ish random streams × k × partitionings") {
+    for (seed <- 11 to 13; k <- Seq(4, 16, 64)) {
+      val r = new scala.util.Random(seed)
+      // zipf-ish: token i drawn with weight ~ 1/(i+1)
+      val vocabSize = 200
+      val cum = (0 until vocabSize).map(i => 1.0 / (i + 1)).scanLeft(0.0)(_ + _).tail
+      val z = cum.last
+      def draw(): String = {
+        val x = r.nextDouble() * z
+        s"t${cum.indexWhere(_ >= x)}"
+      }
+      val rows = Seq.fill(300)(Seq.fill(1 + r.nextInt(20))(draw()))
+      for (parts <- Seq(1, 4, 13)) checkContract(rows, k, parts)
+    }
+  }
+
+  test("MG hand case: k=2 forces decrement rounds; heavy item survives") {
+    // stream: a×6, b×3, c×2, d×1 (n=12, k=2 -> err <= 4); 'a' (6 > 4) must
+    // be tracked on any arrival order
+    val items = Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c") :+ "d"
+    for (seed <- 1 to 5) {
+      val rows = new scala.util.Random(seed).shuffle(items).grouped(3).toSeq
+      val got = sketch(rows, k = 2, parts = 3)
+      assert(got.contains("a"), s"seed=$seed got=$got")
+      assert(got("a") <= 6 && 6 - got("a") <= 4, s"seed=$seed got=$got")
+    }
+  }
+
+  test("MG edge cases: k=1, empty/null arrays, nulls inside arrays") {
+    val rows = Seq(Seq("x", "x", "x"), Seq.empty[String], Seq("y"))
+    val got = sketch(rows, k = 1, parts = 2)
+    assert(got.size <= 1)
+    got.foreach { case (t, est) =>
+      val exact = Map("x" -> 3L, "y" -> 1L)
+      assert(est <= exact(t) && exact(t) - est <= 4 / 2)
+    }
+    // null array rows and null elements are skipped, not counted
+    val withNulls = Seq((Seq("a", null, "a"), 1), (null, 2))
+      .toDF("toks", "i")
+      .agg(T.heavyHitters(col("toks"), 4).as("sk"))
+      .select(explode(col("sk")).as("e")).select(col("e.item"), col("e.est"))
+      .as[(String, Long)].collect().toMap
+    assert(withNulls == Map("a" -> 2L))
+  }
+
+  test("plan: global sketch is a partial ObjectHashAggregate, no token shuffle") {
+    val df = Seq(Seq("a", "b"), Seq("a")).toDF("toks")
+      .agg(T.heavyHitters(col("toks"), 8).as("sk"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    // the exact-vocab alternative explodes then groups by token; the sketch
+    // must not contain a Generate (explode) node at all
+    assert(!plan.contains("Generate"), plan)
+  }
+}

@@ -54,6 +54,40 @@ class PrepSpec extends SparkSpec {
     assert(plainStraddle.count() > 0, "plain split never straddles: guard untestable on this fixture")
   }
 
+  test("stratifiedSampleKeys/Exact: exact k per stratum, brute-force ranks, partition-invariant, no window") {
+    graft.plans.AnnExprs.register(spark)
+    val got = Prep.stratifiedSampleKeys(docs, "doc_id", "lang", k = 25, salt = 7L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // exact k per stratum (both strata have >= 25 rows: en 80, zh 320)
+    assert(got.groupBy(_._1).view.mapValues(_.length).toMap == Map("en" -> 25, "zh" -> 25))
+    // brute-force: the k smallest shuffle keys per stratum, ranked ascending
+    def key(id: Long) = ((id + 7L) % Prep.P) * Prep.Mult % Prep.P
+    val expect = docs.select(col("doc_id"), col("lang")).as[(Long, String)].collect()
+      .groupBy(_._2).toSeq.flatMap { case (lang, rows) =>
+        rows.map(_._1).sortBy(key).take(25).zipWithIndex
+          .map { case (id, i) => (lang, (i + 1).toLong, id) }
+      }.toSet
+    assert(got.toSet == expect)
+    // a stratum smaller than k keeps every row (en has 6 ids under 30)
+    val small = Prep.stratifiedSampleKeys(docs.filter(col("doc_id") < 30), "doc_id", "lang", 25, 7L)
+      .collect().map(r => r.getString(0)).groupBy(identity).view.mapValues(_.length).toMap
+    assert(small == Map("en" -> 6, "zh" -> 24))
+    // partition/arrival-order invariance
+    val re = Prep.stratifiedSampleKeys(docs.repartition(13), "doc_id", "lang", 25, 7L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(re.toSet == got.toSet)
+    // scale shape: bounded partial agg, never a per-stratum window or sort
+    val plan = Prep.stratifiedSampleKeys(docs, "doc_id", "lang", 25, 7L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("Window") && !plan.contains("SortAggregate"), plan)
+    // join-back recovers payload columns over a broadcast, corpus unshuffled
+    val ex = Prep.stratifiedSampleExact(docs, "doc_id", "lang", 25, 7L)
+    assert(ex.columns.sorted.toSeq == Seq("doc_id", "lang", "rk", "text"))
+    assert(ex.count() == 50)
+    assert(ex.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   test("hashBucket is deterministic, in range, and salt-decorrelated") {
     val b = docs.select(Prep.hashBucket(col("doc_id"), 1000).as("b"),
       Prep.hashBucket(col("doc_id"), 1000, salt = 1L).as("b1"))
