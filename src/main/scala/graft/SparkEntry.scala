@@ -2677,6 +2677,25 @@ object SparkEntry {
       }.orderBy(col("event_id"), col("click_id"))
     }),
 
+    // Multi-dimensional Z-order (Morton) layout — bucketing's sibling
+    // (q70) for the 100 TB table filtered on several columns at once:
+    // sorting by the interleaved-bit curve bounds EVERY interleaved
+    // column's range within each parquet row group, so footer min/max
+    // stats prune scans on ANY of them (LayoutSpec measures the pruning
+    // with reader metrics against a single-sort control). The curve is
+    // exact integer bit arithmetic, graded here against a bit-for-bit
+    // generated SQL mirror.
+    "q80_zorder_curve" -> ((s, d) => {
+      val b = t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        pmod(col("l_partkey").cast("long"), lit(1024L)).as("zx"),
+        pmod(col("l_suppkey").cast("long"), lit(1024L)).as("zy"))
+      b.withColumn("z",
+          graft.operators.Layout.zValue(Seq(col("zx"), col("zy")), 10))
+        .orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+    }),
+
     // §2.1/2.2 beyond-reference: ORC round-trip (write → scan vs the
     // parquet truth, the q56/q57/q58 pattern) — covers lakes already on
     // Spark's other native columnar format, with timestamps in the payload
@@ -5105,6 +5124,22 @@ object SparkEntry {
         |)
         |SELECT lang, rk, doc_id, n_chars FROM r WHERE rk <= 25
         |ORDER BY lang, rk""".stripMargin,
+
+    // q80 mirror: the identical Morton interleave, GENERATED from the same
+    // (bits, cols) parameters so the two formulas cannot drift — bit i of
+    // column j lands at position i*n + j
+    "q80_zorder_curve" -> {
+      val terms = (0 until 10).flatMap(i => Seq(
+        s"(((zx >> $i) & 1) << ${2 * i})",
+        s"(((zy >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+      s"""WITH b AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    l_partkey % 1024 AS zx, l_suppkey % 1024 AS zy
+         |  FROM lineitem
+         |)
+         |SELECT l_orderkey, l_linenumber, zx, zy, ($terms) AS z
+         |FROM b ORDER BY z, l_orderkey, l_linenumber LIMIT 100""".stripMargin
+    },
 
     // qd55 mirror: exact top-10 with the same tokenizer; the contract
     // booleans are provably TRUE by the Misra–Gries invariants (no
