@@ -47,8 +47,45 @@ object Layout {
     * amortized over every subsequent scan: a filter on any interleaved
     * column reads only the row groups whose min/max straddle it. */
   def writeZOrdered(df: DataFrame, cols: Seq[String], bits: Int, path: String,
-                    targetFiles: Int, blockBytes: Long = 128L << 20): Unit = {
-    val z = zValue(cols.map(c => pmod(col(c).cast("long"), lit(1L << bits))), bits)
+                    targetFiles: Int, blockBytes: Long = 128L << 20): Unit =
+    writeZBy(df, zValue(cols.map(c => pmod(col(c).cast("long"), lit(1L << bits))), bits),
+      path, targetFiles, blockBytes)
+
+  /** Quantile-rank quantization of each column into `[0, 2^bits)`: ONE
+    * aggregation computes `2^bits - 1` approximate quantile boundaries per
+    * column (mergeable sketch — a bounded 1-row collect, SCALE_CONTRACTS),
+    * which ride back as plan literals into a narrow O(log 2^bits) binary
+    * search per row ([[graft.plans.BucketizeExpr]]). This is what makes the
+    * Z-curve work on REAL columns: raw `pmod` masking keeps only the low
+    * bits, which scrambles locality for any column wider than `2^bits`
+    * (LayoutSpec measures the difference on a skewed wide dimension), while
+    * rank space is bounded, near-uniform, and monotone in the original
+    * value — so range filters translate to rank ranges. */
+  def quantizedRank(df: DataFrame, cols: Seq[String], bits: Int,
+                    accuracy: Int = 10000): Seq[Column] = {
+    graft.plans.LayoutExprs.register(df.sparkSession)
+    val nb = 1 << bits
+    val probs = (1 until nb).map(_.toDouble / nb)
+    val aggs = cols.map(c =>
+      percentile_approx(col(c).cast("double"), typedLit(probs), lit(accuracy)).as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.zipWithIndex.map { case (c, i) =>
+      require(!row.isNullAt(i), s"quantizedRank: column $c has no non-null values")
+      val bounds = row.getSeq[Double](i)
+      call_function("graft_bucketize", col(c).cast("double"), typedLit(bounds))
+    }
+  }
+
+  /** [[writeZOrdered]] with each column mapped to quantile-rank space
+    * first — the variant for skewed or unbounded columns. */
+  def writeZOrderedByRank(df: DataFrame, cols: Seq[String], bits: Int,
+                          path: String, targetFiles: Int,
+                          blockBytes: Long = 128L << 20): Unit =
+    writeZBy(df, zValue(quantizedRank(df, cols, bits), bits),
+      path, targetFiles, blockBytes)
+
+  private def writeZBy(df: DataFrame, z: Column, path: String,
+                       targetFiles: Int, blockBytes: Long): Unit =
     df.withColumn("__z", z)
       .repartitionByRange(targetFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
@@ -56,5 +93,4 @@ object Layout {
       .write.mode("overwrite")
       .option("parquet.block.size", blockBytes)
       .parquet(path)
-  }
 }

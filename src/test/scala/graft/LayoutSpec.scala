@@ -44,6 +44,25 @@ class LayoutSpec extends SparkSpec {
     assert(wide == brute(Seq(1025L & 1023L, 7L), 10))
   }
 
+  test("graft_bucketize: binary search == brute force; quantizedRank near-uniform on skew") {
+    graft.plans.LayoutExprs.register(spark)
+    val bounds = Seq(1.0, 3.0, 3.0, 7.5, 100.0)
+    val vals = Seq(0.5, 1.0, 2.9, 3.0, 5.0, 7.5, 99.9, 100.0, 250.0, -1e18)
+    val got = vals.toDF("v")
+      .select(call_function("graft_bucketize", col("v"), typedLit(bounds)).as("b"))
+      .as[Int].collect()
+    val expect = vals.map(v => bounds.count(_ <= v))
+    assert(got.toSeq == expect, s"${got.toSeq} vs $expect")
+    // heavily skewed column (quadratic spread): rank buckets stay balanced
+    val skew = spark.range(40000).select((col("id") * col("id")).as("w"))
+    val q = graft.operators.Layout.quantizedRank(skew, Seq("w"), bits = 4).head
+    val hist = skew.select(q.as("b")).groupBy("b").count()
+      .as[(Int, Long)].collect().toMap
+    assert(hist.keys.forall(b => b >= 0 && b < 16), hist.toString)
+    assert(hist.size == 16, s"empty rank buckets: $hist")
+    assert(hist.values.max <= 2L * hist.values.min, s"imbalanced: $hist")
+  }
+
   /** Rows the parquet reader actually surfaced (post row-group pruning,
     * pre post-scan filter). */
   private def scanRows(df: DataFrame): Long = {
@@ -86,5 +105,37 @@ class LayoutSpec extends SparkSpec {
     // and the results themselves are identical to the unpruned read
     val expect = base.filter(col("x").between(100, 119)).count()
     assert(spark.read.parquet(zPath).filter(col("x").between(100, 119)).count() == expect)
+  }
+
+  test("rank-quantized Z-order prunes a skewed WIDE dimension; raw masking does not") {
+    // w spans ~14 decimal orders of magnitude: pmod-masked z-order keeps
+    // only w's low 10 bits — locality gone; rank space keeps it
+    val base = spark.range(120000).select(
+      col("id"),
+      pmod(xxhash64(lit("x"), col("id")), lit(1024L)).as("x"),
+      (abs(xxhash64(lit("w"), col("id"))) % 10000000L
+        * (abs(xxhash64(lit("w2"), col("id"))) % 10000000L)).as("w"))
+    val root = java.nio.file.Files.createTempDirectory("graft_zrank").toString
+    val rankPath = s"$root/rank"; val maskPath = s"$root/mask"
+    Layout.writeZOrderedByRank(base, Seq("x", "w"), bits = 10, rankPath,
+      targetFiles = 4, blockBytes = 64L << 10)
+    Layout.writeZOrdered(base, Seq("x", "w"), bits = 10, maskPath,
+      targetFiles = 4, blockBytes = 64L << 10)
+    // ~2% band in w's value space (w is ~uniform in sqrt-ish scale; take a
+    // narrow quantile slice computed from the data itself)
+    // LONG bounds: double literals would cast the column and disable
+    // parquet predicate pushdown entirely
+    val qs = base.stat.approxQuantile("w", Array(0.50, 0.52), 0.001)
+    val lo = math.ceil(qs(0)).toLong; val hi = math.floor(qs(1)).toLong
+    def surfaced(path: String) =
+      scanRows(spark.read.parquet(path).filter(col("w") >= lo && col("w") <= hi))
+    val total = 120000L
+    val viaRank = surfaced(rankPath); val viaMask = surfaced(maskPath)
+    assert(viaRank < total / 2, s"rank z-order surfaced $viaRank of $total")
+    assert(viaMask > (total * 3) / 4, s"masked z-order unexpectedly pruned a wide dim: $viaMask")
+    // rank layout still prunes the OTHER interleaved column too
+    val viaRankX = scanRows(spark.read.parquet(rankPath)
+      .filter(col("x") >= 100 && col("x") <= 119))
+    assert(viaRankX < total / 2, s"rank z-order on x surfaced $viaRankX")
   }
 }
