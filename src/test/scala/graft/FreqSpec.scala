@@ -18,22 +18,25 @@ class FreqSpec extends SparkSpec {
       .select(col("e.item"), col("e.est")).as[(String, Long)]
       .collect().toMap
 
-  private def checkContract(rows: Seq[Seq[String]], k: Int, parts: Int): Unit = {
+  private def assertContract(got: Map[String, Long], rows: Seq[Seq[String]],
+                             k: Int, tag: String): Unit = {
     val exact = rows.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
     val n = rows.iterator.map(_.size.toLong).sum
     val err = n / (k + 1) // integer floor; the true error count is an integer
-    val got = sketch(rows, k, parts)
-    assert(got.size <= k, s"sketch tracked ${got.size} > k=$k")
+    assert(got.size <= k, s"sketch tracked ${got.size} > k=$k ($tag)")
     got.foreach { case (t, est) =>
-      assert(est <= exact(t), s"overestimate: $t est=$est true=${exact(t)} (parts=$parts)")
+      assert(est <= exact(t), s"overestimate: $t est=$est true=${exact(t)} ($tag)")
       assert(exact(t) - est <= err,
-        s"error bound: $t est=$est true=${exact(t)} err>$err n=$n k=$k parts=$parts")
+        s"error bound: $t est=$est true=${exact(t)} err>$err n=$n k=$k ($tag)")
     }
     exact.foreach { case (t, c) =>
       if (c > err) assert(got.contains(t),
-        s"guaranteed item missing: $t cnt=$c > n/(k+1)=$err (parts=$parts)")
+        s"guaranteed item missing: $t cnt=$c > n/(k+1)=$err ($tag)")
     }
   }
+
+  private def checkContract(rows: Seq[Seq[String]], k: Int, parts: Int): Unit =
+    assertContract(sketch(rows, k, parts), rows, k, s"parts=$parts")
 
   test("MG contract: zipf-ish random streams × k × partitionings") {
     for (seed <- 11 to 13; k <- Seq(4, 16, 64)) {
@@ -78,6 +81,34 @@ class FreqSpec extends SparkSpec {
       .select(explode(col("sk")).as("e")).select(col("e.item"), col("e.est"))
       .as[(String, Long)].collect().toMap
     assert(withNulls == Map("a" -> 2L))
+  }
+
+  test("graft_topfreq lifts to Structured Streaming (multi-batch incremental merge holds the contract)") {
+    // complete-mode streaming aggregation merges the MG buffer through the
+    // state store across micro-batches — the merge path the mergeable-
+    // summary bound exists for; one file per trigger forces real multi-
+    // batch increments
+    implicit val sp = spark
+    val r = new scala.util.Random(7)
+    val rows = Seq.fill(120)(Seq.fill(1 + r.nextInt(15))(s"t${r.nextInt(40)}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_mgstream").toString
+    rows.toDF("toks").repartition(5).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val out = spark.readStream.option("maxFilesPerTrigger", 1).schema(schema)
+      .parquet(dir)
+      .agg(T.heavyHitters(col("toks"), 8).as("sk"))
+    val qn = "graft_mgstream"
+    val q = out.writeStream.outputMode("complete").format("memory").queryName(qn).start()
+    try {
+      q.processAllAvailable()
+      assert(q.lastProgress.batchId >= 2, "fixture must span several micro-batches")
+      val got = spark.table(qn).select(explode(col("sk")).as("e"))
+        .select(col("e.item"), col("e.est")).as[(String, Long)].collect().toMap
+      assertContract(got, rows, k = 8, tag = "streaming")
+    } finally {
+      q.stop(); spark.catalog.dropTempView(qn)
+      graft.streaming.StreamOps.releaseStateStores()
+    }
   }
 
   test("plan: global sketch is a partial ObjectHashAggregate, no token shuffle") {
