@@ -57,7 +57,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q74_stream_dedup",         // first-arrival election across splits (identical payloads)
     "q75_asof_stream",          // pending-left/right-frontier state across splits
     "q76_asof_stream_fwd",      // forward window finalization across splits
-    "qd51_approx_distinct")     // HLL register merge is order/partitioning-invariant
+    "qd51_approx_distinct",     // HLL register merge is order/partitioning-invariant
+    "qd52_dup_ngrams",          // per-row native n-gram profile must ignore layout
+    "qd53_leakage_safe_split",  // components + rep-keyed split across splits
+    "qd54_stratified_sample",   // bounded top-k partial merge across splits
+    "qd55_heavy_hitters",       // exact top-10 + MG contract booleans (the sketch's borderline set is excluded from the output by design)
+    "q80_zorder_curve")         // narrow bit arithmetic + global top-100
 
   private def rows(name: String): Seq[String] = {
     val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)
