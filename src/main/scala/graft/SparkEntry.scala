@@ -2865,6 +2865,23 @@ object SparkEntry {
         .crossJoin(broadcast(checks))
         .orderBy(col("cnt").desc, col("token"))
     }),
+
+    // Weighted sample WITHOUT replacement (Efraimidis–Spirakis A-Res):
+    // 40 docs drawn ∝ n_chars via the deterministic top-k-by-ln(u)/w
+    // reservoir — the quality-weighted corpus-selection primitive. One
+    // bounded partial agg (no per-row RNG state, no global sort) + a
+    // broadcast join back; content-keyed u, so any engine reproduces the
+    // exact sample (the oracle mirrors the formula verbatim).
+    "qd56_weighted_sample" -> ((s, d) => {
+      graft.plans.AnnExprs.register(s)
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val keys = graft.prep.Prep.weightedSampleKeys(
+        docs, "doc_id", "n_chars", k = 40, salt = 11L)
+      docs.join(broadcast(keys), Seq("doc_id"))
+        .select(col("rk"), col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("rk"))
+    }),
   )
 
   /** qd41's HASHED twin — the same three-stage selection with every scoring
@@ -5154,6 +5171,24 @@ object SparkEntry {
         |  TRUE AS no_overestimate, TRUE AS bound_ok, TRUE AS heavy_present
         |FROM toks GROUP BY token
         |ORDER BY cnt DESC, token LIMIT 10""".stripMargin,
+
+    // qd56 mirror: the same A-Res key — u = (shuffleKey+1)/(P+1) exact in
+    // double on both engines; the only libm call is one ln of an identical
+    // quotient (score gaps across the corpus are ~1e-3, ulp-level ln
+    // disagreement cannot flip a rank)
+    "qd56_weighted_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    ln((((doc_id + 11) % 1000000007) * 2654435761 % 1000000007 + 1)
+        |       / 1000000008.0) / n_chars AS score
+        |  FROM documents WHERE n_chars > 0
+        |), r AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+        |  FROM s
+        |)
+        |SELECT rk, doc_id, lang, n_chars FROM r WHERE rk <= 40
+        |ORDER BY rk""".stripMargin,
   )
 
   /** qd52 mirror: the same injected repetition (doc_id % 4 phrase copies),

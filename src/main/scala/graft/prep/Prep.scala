@@ -127,6 +127,37 @@ object Prep {
         col("col.id").as(idCol))
   }
 
+  /** Weighted sample WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * A-Res): keep the k rows with the highest `u^(1/w)` — equivalently the
+    * highest `ln(u)/w` — where `u` is a deterministic hash-uniform draw in
+    * `(0, 1]` from the row's id ( `(shuffleKey + 1) / (P + 1)` ) and `w` its
+    * positive weight. Inclusion odds scale with weight (same `u`, larger
+    * `w` → strictly better score), the draw is content-keyed so the sample
+    * is reproducible across engines/retries/partitionings, and the whole
+    * thing is ONE bounded partial agg: `graft_topk` reduces every partition
+    * to ≤ k candidates before the exchange — no per-row RNG state, no
+    * global sort, no driver pass. The quality-weighted corpus-selection
+    * primitive (sample 1M docs ∝ quality score) at 100 TB.
+    *
+    * Rows with null or non-positive weight are excluded (the E-S domain).
+    * Returns `(rk, id)` with `rk` the 1-based rank (best score first, ties
+    * by id — `u` is injective per id, so ties require equal scores across
+    * different ids: measure-zero); join back for payload columns. */
+  def weightedSampleKeys(df: DataFrame, idCol: String, weightCol: String,
+                         k: Int, salt: Long = 0L): DataFrame = {
+    require(k > 0, s"weightedSampleKeys: k must be positive, got $k")
+    val u = (shuffleKey(col(idCol), salt) + lit(1L)).cast("double") / lit((P + 1).toDouble)
+    val w = col(weightCol).cast("double")
+    // ln(u) <= 0, so larger w pulls the score toward 0 = better; graft_topk
+    // keeps the highest scores, which is exactly the A-Res reservoir
+    val score = when(w > 0.0, log(u) / w)
+    df.groupBy()
+      .agg(call_function("graft_topk", score, col(idCol), lit(k)).as("__tk"))
+      .select(posexplode(col("__tk")))
+      .filter(col("col.score").isNotNull) // null-weight rows never sampled
+      .select((col("pos") + 1).cast("long").as("rk"), col("col.id").as(idCol))
+  }
+
   /** [[stratifiedSampleKeys]] joined back to the full rows: the kept-key
     * table is ≤ strata × k rows, so the join back is an explicit broadcast
     * — the corpus never shuffles, making the whole sample one partial-agg

@@ -88,6 +88,41 @@ class PrepSpec extends SparkSpec {
     assert(ex.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("weightedSampleKeys: brute-force A-Res ranks, weight monotonicity, domain exclusions") {
+    graft.plans.AnnExprs.register(spark)
+    val data = (0L until 300L).map { i =>
+      val w: Option[Double] =
+        if (i % 37 == 0) None                      // null weight
+        else if (i % 41 == 0) Some(0.0)            // zero weight
+        else Some(1.0 + (i % 20))
+      (i, w)
+    }
+    val df = data.toDF("id", "w")
+    val got = Prep.weightedSampleKeys(df, "id", "w", k = 25, salt = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def u(id: Long) = (((id + 3L) % Prep.P) * Prep.Mult % Prep.P + 1L).toDouble /
+      (Prep.P + 1L).toDouble
+    val expect = data.collect { case (id, Some(w)) if w > 0 => (id, math.log(u(id)) / w) }
+      .sortBy { case (id, s) => (-s, id) }.take(25)
+      .zipWithIndex.map { case ((id, _), i) => ((i + 1).toLong, id) }
+    assert(got == expect, s"$got vs $expect")
+    // excluded rows never sampled
+    val sampled = got.map(_._2).toSet
+    assert(data.collect { case (id, w) if w.forall(_ <= 0) => id }.forall(!sampled.contains(_)))
+    // monotonicity: same u, boosted weight pulls ln(u)/w toward 0 — an
+    // unsampled row given enormous weight must enter the reservoir
+    val outsider = data.collect { case (id, Some(w)) if w > 0 && !sampled(id) => id }.head
+    val boosted = df.withColumn("w",
+      when(col("id") === outsider, lit(1e12)).otherwise(col("w")))
+    val got2 = Prep.weightedSampleKeys(boosted, "id", "w", 25, 3L)
+      .collect().map(_.getLong(1)).toSet
+    assert(got2.contains(outsider), s"boosted $outsider missing from $got2")
+    // partition/arrival-order invariance
+    val re = Prep.weightedSampleKeys(df.repartition(13), "id", "w", 25, 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(re == got)
+  }
+
   test("hashBucket is deterministic, in range, and salt-decorrelated") {
     val b = docs.select(Prep.hashBucket(col("doc_id"), 1000).as("b"),
       Prep.hashBucket(col("doc_id"), 1000, salt = 1L).as("b1"))
