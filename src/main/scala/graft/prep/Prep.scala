@@ -158,6 +158,25 @@ object Prep {
       .select((col("pos") + 1).cast("long").as("rk"), col("col.id").as(idCol))
   }
 
+  /** Per-stratum [[weightedSampleKeys]]: the A-Res reservoir grouped on a
+    * stratum column — k weighted draws per language/source/shard with the
+    * same bounded-partial-agg shape as [[stratifiedSampleKeys]] (≤k
+    * candidates per stratum per partition before the exchange, no
+    * hot-stratum window). Returns `(stratum, rk, id)`. */
+  def weightedSampleKeysBy(df: DataFrame, idCol: String, stratumCol: String,
+                           weightCol: String, k: Int, salt: Long = 0L): DataFrame = {
+    require(k > 0, s"weightedSampleKeysBy: k must be positive, got $k")
+    val u = (shuffleKey(col(idCol), salt) + lit(1L)).cast("double") / lit((P + 1).toDouble)
+    val w = col(weightCol).cast("double")
+    val score = when(w > 0.0, log(u) / w)
+    df.groupBy(col(stratumCol))
+      .agg(call_function("graft_topk", score, col(idCol), lit(k)).as("__tk"))
+      .select(col(stratumCol), posexplode(col("__tk")))
+      .filter(col("col.score").isNotNull)
+      .select(col(stratumCol), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as(idCol))
+  }
+
   /** [[stratifiedSampleKeys]] joined back to the full rows: the kept-key
     * table is ≤ strata × k rows, so the join back is an explicit broadcast
     * — the corpus never shuffles, making the whole sample one partial-agg

@@ -121,6 +121,15 @@ class PrepSpec extends SparkSpec {
     val re = Prep.weightedSampleKeys(df.repartition(13), "id", "w", 25, 3L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(re == got)
+    // per-stratum variant: equals the global reservoir run on each stratum
+    val strat = df.withColumn("s", when(col("id") % 2 === 0, "even").otherwise("odd"))
+    val by = Prep.weightedSampleKeysBy(strat, "id", "s", "w", 10, 3L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val perStratum = Seq("even", "odd").flatMap { sv =>
+      Prep.weightedSampleKeys(strat.filter(col("s") === sv), "id", "w", 10, 3L)
+        .collect().map(r => (sv, r.getLong(0), r.getLong(1)))
+    }.toSet
+    assert(by == perStratum, s"$by vs $perStratum")
   }
 
   test("hashBucket is deterministic, in range, and salt-decorrelated") {
