@@ -2573,6 +2573,44 @@ object SparkEntry {
       }.orderBy(col("event_id"), col("click_id"))
     }),
 
+    // The state-partition sizing lever, driver-graded: the IDENTICAL inner
+    // interval join as q77 driven at 8 state partitions through
+    // StreamOps.withStatePartitions — the results hash-match the SAME
+    // oracle, and the bench row measures what sizing state partitioning to
+    // the stream's volume saves in per-partition-per-batch store-lifecycle
+    // machinery (the round-13 decomposition: the drive is near-linear in
+    // partition count at constant data; a production-volume stream
+    // amortizes many partitions, a toy one wants few).
+    "q77s_interval_join_sized" -> ((s, d) => {
+      val inL = streamFixture(s, d, "q75_left") {
+        t(s, d, "events").filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            col("ts").cast("timestamp").as("ts"), col("value"))
+      }
+      val inR = streamFixture(s, d, "q77_right") {
+        t(s, d, "events").filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").cast("timestamp").as("click_ts"),
+            col("value").as("click_value"))
+      }
+      graft.streaming.StreamOps.withStatePartitions(s, 8) { s2 =>
+        val lSchema = s2.read.parquet(inL).schema
+        val rSchema = s2.read.parquet(inR).schema
+        val out = graft.streaming.StreamOps.intervalJoin(
+          s2.readStream.schema(lSchema).parquet(inL),
+          s2.readStream.schema(rSchema).parquet(inR),
+          "ts", "click_ts", by = Seq(("user_id", "user_id")),
+          before = "1d", after = "0s", watermark = "0 seconds")
+        drainStream(s2, out, "g77s_stream", inL, lSchema) { t =>
+          t.select(col("event_id"), col("user_id"),
+            col("ts").cast("timestamp_ntz").as("ts"), col("value"),
+            col("click_id"),
+            col("click_ts").cast("timestamp_ntz").as("click_ts"),
+            col("click_value"))
+        }.orderBy(col("event_id"), col("click_id"))
+      }
+    }),
+
     // beyond-reference: the LEFT-OUTER interval join — purchases with NO
     // click in the preceding day must still emit (null click columns), and
     // a null can only finalize once the watermark passes the purchase's
@@ -3173,6 +3211,17 @@ object SparkEntry {
   /** The qd03 exact-Jaccard pair query as a nestable subquery (DuckDB allows
     * CTEs inside FROM subqueries) — reused by the connected-components
     * oracle so the edge list cannot drift from qd03's. */
+  /** Shared by q77 and its 8-state-partition twin q77s: partitioning must
+    * not change a single joined row. */
+  private lazy val intervalJoinInnerSql: String =
+    """SELECT p.event_id, p.user_id, p.ts, p.value,
+      |  c.event_id AS click_id, c.ts AS click_ts, c.value AS click_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      |  AND c.ts BETWEEN p.ts - INTERVAL 1 DAY AND p.ts
+      |ORDER BY p.event_id, click_id""".stripMargin
+
   private lazy val jaccardPairsSql: String =
     s"""$shingleCte,
        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -5041,14 +5090,11 @@ object SparkEntry {
 
     // q77: the stream-stream interval join must equal the plain batch range
     // join — every (purchase, click-from-the-preceding-day) pair, per user
-    "q77_interval_join_stream" ->
-      """SELECT p.event_id, p.user_id, p.ts, p.value,
-        |  c.event_id AS click_id, c.ts AS click_ts, c.value AS click_value
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
-        |  ON p.user_id = c.user_id
-        |  AND c.ts BETWEEN p.ts - INTERVAL 1 DAY AND p.ts
-        |ORDER BY p.event_id, click_id""".stripMargin,
+    "q77_interval_join_stream" -> intervalJoinInnerSql,
+
+    // q77s drives the IDENTICAL join at 8 state partitions — partitioning
+    // must not change a single row, so the oracle is the same text
+    "q77s_interval_join_sized" -> intervalJoinInnerSql,
 
     // q78: the left-outer twin — unmatched purchases emit null click
     // columns (finalized by watermark passage in the streaming face)
