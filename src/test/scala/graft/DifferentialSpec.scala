@@ -1936,4 +1936,73 @@ class DifferentialSpec extends SparkSpec {
       assertSame(df, sql)
     }
   }
+
+  test("fuzz: 30 random deterministic-sampling plans (stratified exact-k + A-Res weighted) match DuckDB") {
+    // grammar 40: the sampling family — Prep.stratifiedSampleKeys (uniform
+    // exact-k per stratum via bounded top-k) and Prep.weightedSampleKeys
+    // (A-Res reservoir) vs the window-ranked formulations DuckDB runs
+    // freely. Dimensions: k, salt, stratum column, input subset. The Spark
+    // side must produce the window's answer WITHOUT a window.
+    val st0 = duck.createStatement()
+    try st0.execute(
+      s"CREATE VIEW IF NOT EXISTS documents AS SELECT * FROM '$sfDir/documents.parquet'")
+    finally st0.close()
+    graft.plans.AnnExprs.register(spark)
+    val docs = sf("documents")
+    val P = graft.prep.Prep.P; val M = graft.prep.Prep.Mult
+    for (seed <- 4500 until 4530) {
+      val r = new scala.util.Random(seed)
+      val k = Seq(1, 3, 10, 40)(r.nextInt(4))
+      val salt = r.nextInt(1000).toLong
+      val m = 1 + r.nextInt(3)
+      val base = docs.filter(col("doc_id") % m === 0)
+      if (r.nextBoolean()) {
+        val stratum = Seq("lang", "source")(r.nextInt(2))
+        val df = graft.prep.Prep.stratifiedSampleKeys(base, "doc_id", stratum, k, salt)
+        val sql =
+          s"""WITH r AS (
+             |  SELECT $stratum, doc_id,
+             |    row_number() OVER (PARTITION BY $stratum
+             |      ORDER BY ((doc_id + $salt) % $P) * $M % $P) AS rk
+             |  FROM documents WHERE doc_id % $m = 0
+             |) SELECT $stratum, rk, doc_id FROM r WHERE rk <= $k""".stripMargin
+        assertSame(df, sql)
+      } else {
+        val df = graft.prep.Prep.weightedSampleKeys(base, "doc_id", "n_chars", k, salt)
+        val sql =
+          s"""WITH s AS (
+             |  SELECT doc_id,
+             |    ln((((doc_id + $salt) % $P) * $M % $P + 1) / ${P + 1}.0)
+             |      / n_chars AS score
+             |  FROM documents WHERE doc_id % $m = 0 AND n_chars > 0
+             |), r AS (
+             |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+             |  FROM s
+             |) SELECT rk, doc_id FROM r WHERE rk <= $k""".stripMargin
+        assertSame(df, sql)
+      }
+    }
+  }
+
+  test("fuzz: 25 random Z-order curve plans match DuckDB bit interleaves") {
+    // grammar 41: Layout.zValue over random column subsets, widths, and
+    // orders — the oracle is an independently generated fully-parenthesized
+    // shift/mask chain (bit i of col j at position i*n+j)
+    for (seed <- 4600 until 4625) {
+      val r = new scala.util.Random(seed)
+      val nCols = 2 + r.nextInt(2)
+      val cols = r.shuffle(Seq("l_partkey", "l_suppkey", "l_orderkey", "l_linenumber"))
+        .take(nCols)
+      val bits = 2 + r.nextInt(if (nCols == 2) 11 else 7)
+      val mask = 1L << bits
+      val zc = graft.operators.Layout.zValue(
+        cols.map(c => pmod(col(c).cast("long"), lit(mask))), bits)
+      val df = li.select(col("l_orderkey"), col("l_linenumber"), zc.as("z"))
+      val terms = cols.zipWithIndex.flatMap { case (c, j) =>
+        (0 until bits).map(i => s"((((($c % $mask)) >> $i) & 1) << ${i * nCols + j})")
+      }.mkString(" | ")
+      val sql = s"SELECT l_orderkey, l_linenumber, ($terms) AS z FROM lineitem"
+      assertSame(df, sql)
+    }
+  }
 }
