@@ -93,4 +93,78 @@ object Layout {
       .write.mode("overwrite")
       .option("parquet.block.size", blockBytes)
       .parquet(path)
+
+  /** Per-row-group min/max statistics of a parquet table's numeric columns
+    * — the footer metadata the reader prunes with, surfaced as a frame:
+    * `(file, row_group, column, min_value, max_value, num_rows)`. The
+    * diagnostic behind "is this table worth Z-ordering, and what did the
+    * layout buy": see [[clusteringFactor]].
+    *
+    * Scale shape: footer reads are DISTRIBUTED — the file list parallelizes
+    * and each task opens only its own files' footers (metadata, not data),
+    * so a 100k-file table costs one footer round per file spread over the
+    * cluster, nothing driver-side. Caveat: tasks open files with a default
+    * Hadoop configuration — filesystems needing session credentials should
+    * read stats through a properly-configured `spark.read` path instead. */
+  def rowGroupStats(spark: org.apache.spark.sql.SparkSession, path: String,
+                    cols: Seq[String]): DataFrame = {
+    import org.apache.parquet.column.statistics._
+    val want = cols.toSet
+    val files = spark.read.parquet(path).inputFiles.toSeq
+    val rows = spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.length, 64)))
+      .flatMap { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f),
+          new org.apache.hadoop.conf.Configuration())
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          reader.getFooter.getBlocks.asScala.toSeq.zipWithIndex.flatMap {
+            case (block, gi) =>
+              block.getColumns.asScala.toSeq.flatMap { cc =>
+                val name = cc.getPath.toDotString
+                val st = cc.getStatistics
+                if (!want.contains(name) || st == null || st.isEmpty) None
+                else {
+                  val mm: Option[(Double, Double)] = st match {
+                    case s: LongStatistics => Some((s.getMin.toDouble, s.getMax.toDouble))
+                    case s: IntStatistics => Some((s.getMin.toDouble, s.getMax.toDouble))
+                    case s: DoubleStatistics => Some((s.getMin, s.getMax))
+                    case s: FloatStatistics => Some((s.getMin.toDouble, s.getMax.toDouble))
+                    case _ => None // binary/boolean stats carry no numeric range
+                  }
+                  mm.map { case (mn, mx) =>
+                    (f, gi, name, mn, mx, block.getRowCount)
+                  }
+                }
+              }
+          }
+        } finally reader.close()
+      }
+    spark.createDataFrame(rows)
+      .toDF("file", "row_group", "column", "min_value", "max_value", "num_rows")
+  }
+
+  /** Clustering quality from [[rowGroupStats]]: per column, the row-count-
+    * weighted mean fraction of the GLOBAL value range each row group's
+    * `[min, max]` spans. 1.0 ≈ every group covers the whole range (no
+    * filter on this column can skip anything); → 0 as groups become
+    * disjoint slivers (a range filter skips almost everything). A Z-order
+    * on d columns bounds each at roughly `(groupRows / totalRows)^(1/d)` —
+    * the number that tells you whether a (re-)layout is worth the exchange
+    * before paying for it. */
+  def clusteringFactor(stats: DataFrame): DataFrame = {
+    val g = stats.groupBy(col("column")).agg(
+      min(col("min_value")).as("__gmin"), max(col("max_value")).as("__gmax"),
+      sum(col("num_rows")).as("__n"))
+    stats.join(broadcast(g), Seq("column"))
+      .withColumn("__w",
+        when(col("__gmax") > col("__gmin"),
+          (col("max_value") - col("min_value")) / (col("__gmax") - col("__gmin")))
+          .otherwise(lit(0.0)))
+      .groupBy(col("column"))
+      .agg((sum(col("__w") * col("num_rows")) / sum(col("num_rows")))
+        .as("clustering_factor"))
+  }
 }

@@ -107,6 +107,37 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(zPath).filter(col("x").between(100, 119)).count() == expect)
   }
 
+  test("rowGroupStats/clusteringFactor: z-order clusters BOTH dims, single sort only its own") {
+    val base = spark.range(60000).select(
+      col("id"),
+      pmod(xxhash64(lit("x"), col("id")), lit(1024L)).as("x"),
+      pmod(xxhash64(lit("y"), col("id")), lit(1024L)).as("y"))
+    val root = java.nio.file.Files.createTempDirectory("graft_zstat").toString
+    val zPath = s"$root/z"; val xPath = s"$root/xsort"
+    Layout.writeZOrdered(base, Seq("x", "y"), bits = 10, zPath,
+      targetFiles = 4, blockBytes = 64L << 10)
+    base.withColumn("__s", col("x"))
+      .repartitionByRange(4, col("__s")).sortWithinPartitions(col("__s"))
+      .drop("__s")
+      .write.mode("overwrite").option("parquet.block.size", 64L << 10).parquet(xPath)
+    def cf(path: String): Map[String, Double] = {
+      val stats = Layout.rowGroupStats(spark, path, Seq("x", "y"))
+      // several row groups per file (64 KiB blocks over 60k rows)
+      assert(stats.select("file", "row_group").distinct().count() > 8, path)
+      Layout.clusteringFactor(stats).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    }
+    val zcf = cf(zPath); val xcf = cf(xPath)
+    // z-order: every interleaved dim bounded (~sqrt(groupRows/total) each)
+    assert(zcf("x") < 0.5 && zcf("y") < 0.5, s"z: $zcf")
+    // single sort: own dim is sliver-tight, the other is unclustered
+    assert(xcf("x") < 0.2, s"xsort: $xcf")
+    assert(xcf("y") > 0.8, s"xsort: $xcf")
+    // and the z layout's factors are honest predictors: both dims cluster
+    // BETTER than the x-sort's unclustered dim
+    assert(zcf("x") < xcf("y") && zcf("y") < xcf("y"), s"z=$zcf xsort=$xcf")
+  }
+
   test("rank-quantized Z-order prunes a skewed WIDE dimension; raw masking does not") {
     // w spans ~14 decimal orders of magnitude: pmod-masked z-order keeps
     // only w's low 10 bits — locality gone; rank space keeps it
