@@ -62,7 +62,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     "qd53_leakage_safe_split",  // components + rep-keyed split across splits
     "qd54_stratified_sample",   // bounded top-k partial merge across splits
     "qd55_heavy_hitters",       // exact top-10 + MG contract booleans (the sketch's borderline set is excluded from the output by design)
-    "q80_zorder_curve")         // narrow bit arithmetic + global top-100
+    "q80_zorder_curve",         // narrow bit arithmetic + global top-100
+    "q81_layout_stats")         // layout cycle: exact min/max + contract verdicts must survive any input layout
 
   private def rows(name: String): Seq[String] = {
     val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)
