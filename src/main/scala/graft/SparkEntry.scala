@@ -2936,6 +2936,44 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("token"))
     }),
 
+    // qd55's GROUPED face: one Misra–Gries summary per language — the
+    // per-group bounded-buffer path (ObjectHashAggregate holds k counters
+    // per (lang, partition); the exchange carries langs × partitions × k
+    // counters). Same contract discipline: exact per-lang top-3 rows carry
+    // per-lang verdicts the MG invariants make provably true (n and the
+    // n/(k+1) bound are PER GROUP).
+    "qd57_heavy_hitters_by_lang" -> ((s, d) => {
+      graft.plans.FreqExprs.register(s)
+      val T = graft.functions.TextFunctions
+      val k = 64
+      val docs = t(s, d, "documents")
+      val exact = docs.select(col("lang"), explode(T.tokens(col("text"))).as("token"))
+        .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("cnt"))
+      val totals = exact.groupBy(col("lang")).agg(sum(col("cnt")).as("__n"))
+      val sketch = docs.groupBy(col("lang"))
+        .agg(T.heavyHitters(T.tokens(col("text")), k).as("__sk"))
+        .select(col("lang"), explode(col("__sk")).as("e"))
+        .select(col("lang"), col("e.item").as("token"), col("e.est").as("est"))
+      val err = floor(col("__n") / (k + 1))
+      val checks = exact.join(broadcast(sketch), Seq("lang", "token"), "left")
+        .join(broadcast(totals), Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(
+          min(when(col("est").isNull, true).otherwise(col("est") <= col("cnt")))
+            .as("no_overestimate"),
+          min(when(col("est").isNull, true).otherwise(col("cnt") - col("est") <= err))
+            .as("bound_ok"),
+          min(when(col("cnt") > err, col("est").isNotNull).otherwise(true))
+            .as("heavy_present"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("cnt").desc, col("token"))
+      exact.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .join(broadcast(checks), Seq("lang"))
+        .select(col("lang"), col("rk").cast("long").as("rk"), col("token"),
+          col("cnt"), col("no_overestimate"), col("bound_ok"), col("heavy_present"))
+        .orderBy(col("lang"), col("rk"))
+    }),
+
     // Weighted sample WITHOUT replacement (Efraimidis–Spirakis A-Res):
     // 40 docs drawn ∝ n_chars via the deterministic top-k-by-ln(u)/w
     // reservoir — the quality-weighted corpus-selection primitive. One
@@ -5266,6 +5304,25 @@ object SparkEntry {
         |  TRUE AS no_overestimate, TRUE AS bound_ok, TRUE AS heavy_present
         |FROM toks GROUP BY token
         |ORDER BY cnt DESC, token LIMIT 10""".stripMargin,
+
+    // qd57 mirror: exact per-lang top-3 with the same tokenizer; the
+    // per-lang contract booleans are provably TRUE (the MG invariants hold
+    // per group with per-group n)
+    "qd57_heavy_hitters_by_lang" ->
+      """WITH toks AS (
+        |  SELECT lang,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+        |  FROM documents
+        |), exact AS (
+        |  SELECT lang, token, count(*) AS cnt FROM toks GROUP BY lang, token
+        |), r AS (
+        |  SELECT lang, token, cnt,
+        |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rk
+        |  FROM exact
+        |)
+        |SELECT lang, rk, token, cnt,
+        |  TRUE AS no_overestimate, TRUE AS bound_ok, TRUE AS heavy_present
+        |FROM r WHERE rk <= 3 ORDER BY lang, rk""".stripMargin,
 
     // qd56 mirror: the same A-Res key — u = (shuffleKey+1)/(P+1) exact in
     // double on both engines; the only libm call is one ln of an identical
