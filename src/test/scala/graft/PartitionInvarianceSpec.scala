@@ -63,7 +63,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     "qd54_stratified_sample",   // bounded top-k partial merge across splits
     "qd55_heavy_hitters",       // exact top-10 + MG contract booleans (the sketch's borderline set is excluded from the output by design)
     "q80_zorder_curve",         // narrow bit arithmetic + global top-100
-    "q81_layout_stats")         // layout cycle: exact min/max + contract verdicts must survive any input layout
+    "q81_layout_stats",         // layout cycle: exact min/max + contract verdicts must survive any input layout
+    "qd57_heavy_hitters_by_lang") // per-group MG buffers: exact top-3 + per-lang contract across splits
 
   private def rows(name: String): Seq[String] = {
     val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)
