@@ -45,6 +45,20 @@ object SparkEntry {
   private def dec2(c: Column): Column = c.cast("decimal(18,2)")
   private def dec4(c: Column): Column = c.cast("decimal(18,4)")
 
+  /** Materialized `Files.list` / `Files.walk` that CLOSE the underlying
+    * directory stream (ADVICE r13: the bare streams leak one directory fd
+    * per call until GC — drainStream pays two per streaming bench rep). */
+  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val st = java.nio.file.Files.list(p)
+    try st.iterator().asScala.toSeq finally st.close()
+  }
+  private def walkDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val st = java.nio.file.Files.walk(p)
+    try st.iterator().asScala.toSeq finally st.close()
+  }
+
   /** Stable per-query scratch directory for round-trip queries (q56-q58):
     * one fixed path keyed by query name, recursively cleared on each call.
     * Repeated bench reps / verify runs overwrite in place instead of
@@ -53,11 +67,8 @@ object SparkEntry {
   private def scratchDir(name: String): String = {
     val base = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_scratch", name)
-    if (java.nio.file.Files.exists(base)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    if (java.nio.file.Files.exists(base))
+      walkDir(base).reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
     java.nio.file.Files.createDirectories(base)
     base.toString
   }
@@ -190,7 +201,6 @@ object SparkEntry {
     // two distinct dirs after sanitization ("sf0.1" vs "sf0_1"), and let
     // two concurrent JVMs overwrite one shared path mid-read (ADVICE r11)
     def tok(f: String): String = {
-      import scala.jdk.CollectionConverters._
       val p = java.nio.file.Paths.get(f)
       // ADVICE r12: a dataset may be a DIRECTORY whose part files are
       // rewritten in place (parent mtime unchanged) — hash child count +
@@ -200,7 +210,7 @@ object SparkEntry {
       val sig =
         if (!java.nio.file.Files.exists(p)) s"$f|missing"
         else if (java.nio.file.Files.isDirectory(p)) {
-          val kids = java.nio.file.Files.list(p).iterator().asScala.toSeq
+          val kids = listDir(p)
           val total = kids.map(k =>
             try java.nio.file.Files.size(k) catch { case _: java.io.IOException => 0L }).sum
           val maxM = (p +: kids).map(k =>
@@ -243,12 +253,11 @@ object SparkEntry {
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fixtures")
     if (java.nio.file.Files.isDirectory(root)) {
       val pidRe = ".*_p([0-9]+)$".r
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(root).iterator().asScala.toSeq.foreach { p =>
+      listDir(root).foreach { p =>
         p.getFileName.toString match {
           case pidRe(pid) if pid.toLong != ProcessHandle.current().pid() &&
               !ProcessHandle.of(pid.toLong).isPresent() =>
-            try java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            try walkDir(p).reverse
               .foreach(f => java.nio.file.Files.deleteIfExists(f))
             catch { case _: java.io.IOException => () } // concurrent sweep
           case _ => ()
@@ -292,10 +301,8 @@ object SparkEntry {
                           flushDir: String,
                           flushSchema: org.apache.spark.sql.types.StructType)
                          (project: DataFrame => DataFrame): DataFrame = {
-    import scala.jdk.CollectionConverters._
     val flushPath = java.nio.file.Paths.get(flushDir)
-    def ls: Set[java.nio.file.Path] =
-      java.nio.file.Files.list(flushPath).iterator().asScala.toSet
+    def ls: Set[java.nio.file.Path] = listDir(flushPath).toSet
     val preFlush = ls
     val q = out.writeStream.outputMode("append").format("memory").queryName(qn).start()
     try {
@@ -2756,7 +2763,10 @@ object SparkEntry {
         col("l_orderkey"))
       L.writeZOrderedByRank(base, Seq("x", "y"), bits = 10, dir,
         targetFiles = 4, blockBytes = 16L << 10)
-      val stats = L.rowGroupStats(s, dir, Seq("x", "y"))
+      // localize the row-group-count-sized stats frame ONCE (ADVICE r13):
+      // it feeds two plan branches (clusteringFactor + the gmin/gmax agg),
+      // which would otherwise open and parse every parquet footer twice
+      val stats = localize(s, L.rowGroupStats(s, dir, Seq("x", "y")))
       L.clusteringFactor(stats)
         .join(stats.groupBy(col("column")).agg(
           min(col("min_value")).as("gmin"), max(col("max_value")).as("gmax")),
@@ -2860,11 +2870,17 @@ object SparkEntry {
               lit(" alpha beta gamma delta epsilon ")),
             (col("doc_id") % 4).cast("int"))))
       val prof = docs.withColumn("__p", T.dupNgramProfile(col("rep_text"), 5, 10))
+      // coalesce each fraction to 0.0 (ADVICE r13): the native profile is
+      // null-intolerant, while the DuckDB mirror LEFT JOINs per-n fractions
+      // and coalesces a missing one to 0.0 / the gate to TRUE — a NULL text
+      // row (none in the current fixtures) must agree on both sides
+      def frac(n: Int): Column =
+        coalesce(col("__p").getField(s"dup${n}_frac"), lit(0.0))
       prof.select(
           col("doc_id") +:
-          (5 to 10).map(n => col("__p").getField(s"dup${n}_frac").as(s"dup${n}_frac")) :+
+          (5 to 10).map(n => frac(n).as(s"dup${n}_frac")) :+
           T.DupNgramThresholds
-            .map { case (n, thr) => col("__p").getField(s"dup${n}_frac") <= thr }
+            .map { case (n, thr) => frac(n) <= thr }
             .reduce(_ && _).as("ngram_ok"): _*)
         .orderBy(col("doc_id"))
     }),

@@ -103,20 +103,23 @@ object Layout {
     * Scale shape: footer reads are DISTRIBUTED — the file list parallelizes
     * and each task opens only its own files' footers (metadata, not data),
     * so a 100k-file table costs one footer round per file spread over the
-    * cluster, nothing driver-side. Caveat: tasks open files with a default
-    * Hadoop configuration — filesystems needing session credentials should
-    * read stats through a properly-configured `spark.read` path instead. */
+    * cluster, nothing driver-side. Tasks open files through the SESSION's
+    * Hadoop configuration, serialized into the closure (r13 directive 4) —
+    * so filesystems needing session credentials or registered schemes
+    * (s3a/abfs) work exactly where `spark.read` does (LayoutSpec proves it
+    * with a conf-registered filesystem scheme a default `Configuration`
+    * cannot resolve). */
   def rowGroupStats(spark: org.apache.spark.sql.SparkSession, path: String,
                     cols: Seq[String]): DataFrame = {
     import org.apache.parquet.column.statistics._
     val want = cols.toSet
     val files = spark.read.parquet(path).inputFiles.toSeq
+    val confBox = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val rows = spark.sparkContext
       .parallelize(files, math.max(1, math.min(files.length, 64)))
       .flatMap { f =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f),
-          new org.apache.hadoop.conf.Configuration())
+          new org.apache.hadoop.fs.Path(f), confBox.value)
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try {
           import scala.jdk.CollectionConverters._
@@ -166,5 +169,23 @@ object Layout {
       .groupBy(col("column"))
       .agg((sum(col("__w") * col("num_rows")) / sum(col("num_rows")))
         .as("clustering_factor"))
+  }
+}
+
+/** Java-serializable carrier for a Hadoop `Configuration` (which is
+  * `Writable`, not `Serializable`) — the standard write/readFields envelope,
+  * so executor closures can open files with the SESSION's filesystem
+  * credentials and scheme registrations instead of a default config. */
+final class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+  extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
   }
 }

@@ -37,7 +37,7 @@ case class FreqSketchAgg(items: Expression, kExpr: Expression,
                          mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[FreqBuffer] with BinaryLike[Expression] {
 
-  private lazy val k: Int = kExpr.eval().asInstanceOf[Int]
+  private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue()
 
   override def left: Expression = items
   override def right: Expression = kExpr
@@ -45,9 +45,23 @@ case class FreqSketchAgg(items: Expression, kExpr: Expression,
   override def prettyName: String = "graft_topfreq"
 
   override def checkInputDataTypes(): TypeCheckResult = items.dataType match {
-    case ArrayType(StringType, _) if kExpr.foldable => TypeCheckResult.TypeCheckSuccess
     case _ if !kExpr.foldable =>
       TypeCheckResult.TypeCheckFailure("graft_topfreq: k must be foldable")
+    // typed-k guard (ADVICE r13, mirroring BoundedTopKAgg): an untyped
+    // foldable k (64L, '64') previously passed analysis and threw
+    // ClassCastException at buffer creation instead of a clean error
+    case _ if !Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(kExpr.dataType) =>
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_topfreq: k must be an integral literal, got ${kExpr.dataType}")
+    case _ if {
+        val v = kExpr.eval()
+        v == null || v.asInstanceOf[Number].longValue() < 1 ||
+          v.asInstanceOf[Number].longValue() > Int.MaxValue
+      } =>
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_topfreq: k must be in [1, ${Int.MaxValue}], got ${kExpr.eval()}")
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"graft_topfreq expects array<string> items, got $other")
   }

@@ -83,6 +83,23 @@ class FreqSpec extends SparkSpec {
     assert(withNulls == Map("a" -> 2L))
   }
 
+  test("typed k: integral widths accepted, bad k a clean ANALYSIS error (ADVICE r13)") {
+    graft.plans.FreqExprs.register(spark)
+    val df = Seq(Seq("a", "a", "b")).toDF("toks")
+    // a long-literal k (the natural Scala spelling) and an int k agree
+    val viaLong = df.select(expr("graft_topfreq(toks, 4L)")).collect()
+    val viaInt = df.select(expr("graft_topfreq(toks, 4)")).collect()
+    assert(viaLong.toSeq == viaInt.toSeq)
+    // non-integral / out-of-range k fail at analysis, not ClassCastException
+    // deep in buffer creation
+    for (bad <- Seq("'64'", "4.5", "0", "-3", "9999999999L")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        df.select(expr(s"graft_topfreq(toks, $bad)")).collect()
+      }
+      assert(e.getMessage.contains("graft_topfreq"), s"k=$bad: ${e.getMessage}")
+    }
+  }
+
   test("graft_topfreq lifts to Structured Streaming (multi-batch incremental merge holds the contract)") {
     // complete-mode streaming aggregation merges the MG buffer through the
     // state store across micro-batches — the merge path the mergeable-

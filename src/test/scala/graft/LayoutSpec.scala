@@ -169,4 +169,47 @@ class LayoutSpec extends SparkSpec {
       .filter(col("x") >= 100 && col("x") <= 119))
     assert(viaRankX < total / 2, s"rank z-order on x surfaced $viaRankX")
   }
+
+  test("rowGroupStats opens footers through the SESSION Hadoop configuration") {
+    // register a filesystem scheme ONLY in the session conf: a footer read
+    // through `graftfs://` can succeed only if the task-side closure carries
+    // the session configuration (a default `Configuration()` throws
+    // "No FileSystem for scheme: graftfs") — the credentialed-store shape
+    // (s3a session keys, abfs OAuth) of r13 directive 4, proven end-to-end
+    val dir = java.nio.file.Files.createTempDirectory("graft_conf_fs").toString
+    spark.range(20000)
+      .select((col("id") % 97).as("x"), (col("id") % 13).as("y"))
+      .write.mode("overwrite").option("parquet.block.size", 32L << 10).parquet(dir)
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    hc.set("fs.graftfs.impl.disable.cache", "true")
+    try {
+      intercept[Exception] { // scheme really is unknown to a default conf
+        org.apache.hadoop.fs.FileSystem.get(
+          java.net.URI.create("graftfs:///"),
+          new org.apache.hadoop.conf.Configuration())
+      }
+      val stats = Layout.rowGroupStats(spark, "graftfs://" + dir, Seq("x", "y"))
+        .cache()
+      try {
+        assert(stats.count() > 0)
+        val files = stats.select("file").distinct().as[String].collect()
+        assert(files.forall(_.startsWith("graftfs:")), files.mkString(", "))
+        // and the stats are real: global x range matches the data
+        val row = stats.filter(col("column") === "x")
+          .agg(min(col("min_value")), max(col("max_value"))).head()
+        assert(row.getDouble(0) == 0.0 && row.getDouble(1) == 96.0, row.toString)
+      } finally stats.unpersist(blocking = true)
+    } finally {
+      hc.unset("fs.graftfs.impl")
+      hc.unset("fs.graftfs.impl.disable.cache")
+    }
+  }
+}
+
+/** Test-only filesystem: the local FS re-registered under its own scheme so
+  * a spec can prove which Hadoop `Configuration` resolved it. */
+class GraftTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "graftfs"
+  override def getUri: java.net.URI = java.net.URI.create("graftfs:///")
 }
