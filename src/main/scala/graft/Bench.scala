@@ -13,7 +13,7 @@ object Bench {
     "q61_stream_window", "q73_sessionize_stream", "q74_stream_dedup",
     "q75_asof_stream", "q76_asof_stream_fwd", "q77_interval_join_stream",
     "q77s_interval_join_sized", "q78_interval_join_outer",
-    "q79_interval_join_full")
+    "q79_interval_join_full", "q82_interval_join_right")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

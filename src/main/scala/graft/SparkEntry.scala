@@ -2722,6 +2722,58 @@ object SparkEntry {
       }.orderBy(col("event_id"), col("click_id"))
     }),
 
+    // beyond-reference: the RIGHT-OUTER interval join (r13 directive 3 —
+    // the one family member without its own driver-graded face): clicks
+    // with NO purchase in the following day still emit (null purchase
+    // columns), and an unmatched-RIGHT null can only finalize once the
+    // watermark passes `click_ts + before` (a right row at rt matches
+    // lefts in [rt - after, rt + before] — after that no purchase can
+    // still arrive). Same fixtures + sentinel/empty-flush choreography as
+    // q78/q79; the emitted key coalesces to the right's user_id.
+    "q82_interval_join_right" -> ((s, d) => {
+      val inL = streamFixture(s, d, "q78_left") {
+        val ev = t(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            col("ts").cast("timestamp").as("ts"), col("value"))
+        val maxTs = ev.agg(max(col("ts").cast("timestamp"))).head.getTimestamp(0)
+        purchases.unionByName(s.range(1).select(lit(-1L).as("event_id"),
+          lit(-1L).as("user_id"),
+          lit(new java.sql.Timestamp(maxTs.getTime + 365L * 86400000L))
+            .cast("timestamp").as("ts"),
+          lit(0.0).as("value")))
+      }
+      val inR = streamFixture(s, d, "q78_right") {
+        val ev = t(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").cast("timestamp").as("click_ts"),
+            col("value").as("click_value"))
+        val maxTs = ev.agg(max(col("ts").cast("timestamp"))).head.getTimestamp(0)
+        clicks.unionByName(s.range(1).select(lit(-1L).as("click_id"),
+          lit(-1L).as("user_id"),
+          lit(new java.sql.Timestamp(maxTs.getTime + 365L * 86400000L))
+            .cast("timestamp").as("click_ts"),
+          lit(0.0).as("click_value")))
+      }
+      val lSchema = s.read.parquet(inL).schema
+      val rSchema = s.read.parquet(inR).schema
+      val out = graft.streaming.StreamOps.intervalJoin(
+        s.readStream.schema(lSchema).parquet(inL),
+        s.readStream.schema(rSchema).parquet(inR),
+        "ts", "click_ts", by = Seq(("user_id", "user_id")),
+        before = "1d", after = "0s", watermark = "0 seconds",
+        joinType = "right_outer")
+      drainStream(s, out, "g82_stream", inL, lSchema) { t =>
+        t.filter(col("user_id") >= 0L)
+          .select(col("event_id"), col("user_id"),
+            col("ts").cast("timestamp_ntz").as("ts"), col("value"),
+            col("click_id"),
+            col("click_ts").cast("timestamp_ntz").as("click_ts"),
+            col("click_value"))
+      }.orderBy(col("event_id"), col("click_id"))
+    }),
+
     // Multi-dimensional Z-order (Morton) layout — bucketing's sibling
     // (q70) for the 100 TB table filtered on several columns at once:
     // sorting by the interleaved-bit curve bounds EVERY interleaved
@@ -5189,6 +5241,19 @@ object SparkEntry {
         |  c.event_id AS click_id, c.ts AS click_ts, c.value AS click_value
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        |  AND c.ts BETWEEN p.ts - INTERVAL 1 DAY AND p.ts
+        |ORDER BY p.event_id, click_id""".stripMargin,
+
+    // q82: the right-outer twin — unmatched clicks emit null purchase
+    // columns (finalized when the watermark passes click_ts + before);
+    // user_id coalesces to the click's
+    "q82_interval_join_right" ->
+      """SELECT p.event_id, coalesce(p.user_id, c.user_id) AS user_id,
+        |  p.ts, p.value,
+        |  c.event_id AS click_id, c.ts AS click_ts, c.value AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |RIGHT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id
         |  AND c.ts BETWEEN p.ts - INTERVAL 1 DAY AND p.ts
         |ORDER BY p.event_id, click_id""".stripMargin,
