@@ -144,6 +144,43 @@ object Bench {
     val (strRs, coreRs) = results.partition(r => StreamingFaces(r.name))
     val sections =
       s""""sections":{"core":${sectionJson(coreRs)},"streaming":${sectionJson(strRs)}}"""
+    // ------------------------------------------- in-run frozen-ref gate
+    // (r13 directive 1): the artifact of record adjudicates its own
+    // readings — per-section gate vs the embedded BenchRefs table, and
+    // every violating row carries {warm, ref, ratio, cpu_frac, load1,
+    // load_suspect} into BOTH stdout lines (the compact summary survives
+    // tail-window truncation), so a burst reading is machine-triageable
+    // inside BENCH_rN.json itself, with no appeal to local reruns.
+    val nfRunCore = r4(median(coreRs.map(_.spread)))
+    val nfRunStr = r4(median(strRs.map(_.spread)))
+    case class G(r: R, ref: Double, refCpu: Double, ratio: Double, gate: Double) {
+      // the compare-mode triage rule: cpu_frac collapsed vs the clean
+      // reference (wall >> cpu: the JVM was starved, not busy on a worse
+      // plan), or the query started under visible machine load
+      def loadSuspect: Boolean =
+        (refCpu > 0 && r.cpuFrac < 0.6 * refCpu) || r.load1 > 4.0
+    }
+    val gated = results.flatMap { r =>
+      BenchRefs.refs.get(r.name).map { case (ref, refCpu) =>
+        val isStr = StreamingFaces(r.name)
+        val gate = 2.0 * (1.0 + math.max(
+          if (isStr) BenchRefs.NfRefStreaming else BenchRefs.NfRefCore,
+          if (isStr) nfRunStr else nfRunCore))
+        G(r, ref, refCpu, r.med / math.max(ref, 0.1), gate)
+      }
+    }
+    val violations = gated.filter(g => g.ratio > g.gate)
+    val gateJson = {
+      val vj = violations.map { g =>
+        "\"" + g.r.name + "\":{\"warm\":" + r4(g.r.med) + ",\"ref\":" + g.ref +
+          ",\"ratio\":" + r2(g.ratio) + ",\"gate\":" + r2(g.gate) +
+          ",\"cpu_frac\":" + r2(g.r.cpuFrac) + ",\"ref_cpu_frac\":" + g.refCpu +
+          ",\"load1\":" + r2(g.r.load1) + ",\"load_suspect\":" + g.loadSuspect + "}"
+      }.mkString("{", ",", "}")
+      // refs are sf0.1 medians — a run at another SF still reports its
+      // ratios, but the consumer can see they span scales
+      s""""gate":{"ref_sf":"sf0.1","n_refs":${gated.size},"nf_run":{"core":$nfRunCore,"streaming":$nfRunStr},"n_violations":${violations.size},"violations":$vj}"""
+    }
     // headline metric named for its semantics (sum of per-query warm
     // MEDIANS) so trend consumers can't silently mix it with the
     // schema_version<=2 "total_warm_min"; a filtered run is marked in the
@@ -163,8 +200,8 @@ object Bench {
     //     r09 capture demonstrably parsed;
     //   - the compact summary (totals + 25 slowest, < 2000 chars) stays the
     //     LAST stdout line for a pure tail-window capture.
-    val full = s"""{"metric":"total_warm_median","value":$total,"unit":"sec","schema_version":4,$onlyField"queries":${jmap(_.med)},"queries_cold":${jmap(_.cold)},"queries_spread":${jmap(_.spread)},"queries_reps":${results.map(r => "\"" + r.name + "\":" + r.nreps).mkString("{", ",", "}")},"queries_cpu_frac":${jmap2(_.cpuFrac)},"queries_load1":${jmap2(_.load1)},$sections,"cold_total":$coldTotal,"noise_floor_rel":$noiseFloor,$probeFields,"reps":$reps,"adaptive_reps":${reps > 3},"sf":"$sfDir"}"""
-    val json = s"""{"metric":"total_warm_median","value":$total,"unit":"sec","schema_version":4,$onlyField"queries":${jmap(_.med)},"queries_cpu_frac":${jmap2(_.cpuFrac)},$sections,"cold_total":$coldTotal,"noise_floor_rel":$noiseFloor,$probeFields,"reps":$reps,"adaptive_reps":${reps > 3},"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total_warm_median","value":$total,"unit":"sec","schema_version":4,$onlyField"queries":${jmap(_.med)},"queries_cold":${jmap(_.cold)},"queries_spread":${jmap(_.spread)},"queries_reps":${results.map(r => "\"" + r.name + "\":" + r.nreps).mkString("{", ",", "}")},"queries_cpu_frac":${jmap2(_.cpuFrac)},"queries_load1":${jmap2(_.load1)},$sections,$gateJson,"cold_total":$coldTotal,"noise_floor_rel":$noiseFloor,$probeFields,"reps":$reps,"adaptive_reps":${reps > 3},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total_warm_median","value":$total,"unit":"sec","schema_version":4,$onlyField"queries":${jmap(_.med)},"queries_cpu_frac":${jmap2(_.cpuFrac)},$sections,$gateJson,"cold_total":$coldTotal,"noise_floor_rel":$noiseFloor,$probeFields,"reps":$reps,"adaptive_reps":${reps > 3},"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_latest.json")
     try {
       val p = java.nio.file.Paths.get(outPath)
@@ -236,9 +273,16 @@ object Bench {
           System.err.println(s"[bench] parity compare vs $basePath failed: ${e.getMessage}")
       }
     }
-    val slowest = results.sortBy(-_.med).take(25)
+    val slowRs = results.sortBy(-_.med).take(25)
+    val slowest = slowRs
       .map(r => "\"" + r.name + "\":" + r4(r.med)).mkString("{", ",", "}")
-    val summary = s"""{"metric":"total_warm_median_summary","value":$total,"unit":"sec","schema_version":4,$onlyField"n_queries":${results.size},$sections,"cold_total":$coldTotal,"noise_floor_rel":$noiseFloor,$probeFields,"reps":$reps,"sf":"$sfDir","slowest_warm":$slowest}"""
+    // per-query probe pairs [cpu_frac, load1] for the 25 slowest rows —
+    // with the gate block this puts every reading that MATTERS, plus its
+    // ambient evidence, inside the truncation-surviving summary line
+    val slowProbe = slowRs
+      .map(r => "\"" + r.name + "\":[" + r2(r.cpuFrac) + "," + r2(r.load1) + "]")
+      .mkString("{", ",", "}")
+    val summary = s"""{"metric":"total_warm_median_summary","value":$total,"unit":"sec","schema_version":4,$onlyField"n_queries":${results.size},$sections,$gateJson,"cold_total":$coldTotal,"noise_floor_rel":$noiseFloor,$probeFields,"reps":$reps,"sf":"$sfDir","slowest_warm":$slowest,"slowest_probe":$slowProbe}"""
     println(json)
     println(summary)
     spark.stop()

@@ -3121,6 +3121,30 @@ object SparkEntry {
         numHashes = 128, bands = 32, shingleK = 5, threshold = 0.5)
     }),
 
+    // raw Misra–Gries sketch aggregation (the qd55 contract's operator
+    // half, r13 directive 5: the contract face's exact token groupBy +
+    // top-k is verification workload — the term that grows with data; the
+    // operator a 100 TB user runs is the bounded-counter sketch alone)
+    "qd55_heavy_hitters" -> ((s, d) => {
+      graft.plans.FreqExprs.register(s)
+      val T = graft.functions.TextFunctions
+      t(s, d, "documents")
+        .agg(T.heavyHitters(T.tokens(col("text")), 64).as("__sk"))
+        .select(explode(col("__sk")).as("e"))
+        .select(col("e.item").as("token"), col("e.est").as("est"))
+    }),
+
+    // raw GROUPED Misra–Gries sketch (qd57's operator half — one bounded
+    // summary per language, k counters per (lang, partition))
+    "qd57_heavy_hitters_by_lang" -> ((s, d) => {
+      graft.plans.FreqExprs.register(s)
+      val T = graft.functions.TextFunctions
+      t(s, d, "documents").groupBy(col("lang"))
+        .agg(T.heavyHitters(T.tokens(col("text")), 64).as("__sk"))
+        .select(col("lang"), explode(col("__sk")).as("e"))
+        .select(col("lang"), col("e.item").as("token"), col("e.est").as("est"))
+    }),
+
     // raw HLL sketch aggregation (the qd51 contract's operator half; the
     // exact countDistinct there is verification workload, not the operator)
     "qd51_approx_distinct" -> ((s, d) => {
