@@ -683,7 +683,7 @@ class FidelitySpec extends SparkSpec {
           case "full_outer"  => pairs ++ lNulls ++ rNulls
         }).filter(_._2 >= 0L).sorted
       }
-      for (jt <- Seq("inner", "left_outer", "full_outer")) {
+      for (jt <- Seq("inner", "left_outer", "right_outer", "full_outer")) {
         val out = StreamOps.intervalJoin(
           spark.readStream.option("maxFilesPerTrigger", 1)
             .schema(spark.read.parquet(dirL).schema).parquet(dirL),
