@@ -9,7 +9,7 @@ object Bench {
     * (r12 directive 8) — one ambient burst can then contaminate at most one
     * section's floor, and the gate can regress each section against its own
     * reference population. */
-  private val StreamingFaces = Set(
+  private[graft] val StreamingFaces = Set(
     "q61_stream_window", "q73_sessionize_stream", "q74_stream_dedup",
     "q75_asof_stream", "q76_asof_stream_fwd", "q77_interval_join_stream",
     "q77s_interval_join_sized", "q78_interval_join_outer",
