@@ -137,4 +137,25 @@ class FreqSpec extends SparkSpec {
     // must not contain a Generate (explode) node at all
     assert(!plan.contains("Generate"), plan)
   }
+
+  test("plan: GROUPED sketch (qd57 shape) keeps partial agg + one exchange on the group key") {
+    // the r14 raw bench face's plan: per-group MG buffers must combine
+    // map-side (partial ObjectHashAggregate below the exchange — the
+    // exchange then carries O(groups × partitions × k) counters, never
+    // tokens), with no Generate and exactly ONE shuffle
+    val df = Seq(("en", Seq("a", "b")), ("fr", Seq("a")), ("en", Seq("b")))
+      .toDF("lang", "toks")
+      .groupBy(col("lang")).agg(T.heavyHitters(col("toks"), 8).as("sk"))
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(!planStr.contains("Generate"), planStr)
+    val lines = planStr.linesIterator.toSeq
+    val aggLines = lines.zipWithIndex.filter(_._1.contains("ObjectHashAggregate"))
+    val exLines = lines.zipWithIndex.filter(_._1.contains("Exchange hashpartitioning"))
+    assert(exLines.length == 1, s"want exactly one exchange:\n$planStr")
+    // partial + final agg with the exchange between them (plans print
+    // top-down, so FINAL < exchange < PARTIAL by line index)
+    assert(aggLines.length == 2, s"want partial+final ObjectHashAggregate:\n$planStr")
+    assert(aggLines.head._2 < exLines.head._2 && exLines.head._2 < aggLines.last._2,
+      s"no map-side combine below the exchange:\n$planStr")
+  }
 }
