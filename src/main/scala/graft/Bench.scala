@@ -15,6 +15,29 @@ object Bench {
     "q77s_interval_join_sized", "q78_interval_join_outer",
     "q79_interval_join_full", "q82_interval_join_right")
 
+  /** Gate multiplier for a face: 2 x (1 + the noisier of the reference
+    * population's floor and the evaluating run's own SECTION floor) —
+    * the BASELINE.md formula, testable in isolation (BenchRefsSpec). */
+  private[graft] def gateFor(name: String, nfRunCore: Double,
+                             nfRunStreaming: Double): Double = {
+    val isStr = StreamingFaces(name)
+    2.0 * (1.0 + math.max(
+      if (isStr) BenchRefs.NfRefStreaming else BenchRefs.NfRefCore,
+      if (isStr) nfRunStreaming else nfRunCore))
+  }
+
+  /** Ratio vs a frozen ref with the sub-100 ms floor: near-instant rows
+    * compare against max(ref, 0.1 s) so scheduler jitter cannot trip. */
+  private[graft] def ratioFor(med: Double, ref: Double): Double =
+    med / math.max(ref, 0.1)
+
+  /** Load-suspect triage: cpu_frac collapsed vs the clean reference
+    * (wall >> cpu — the JVM was starved, not busy on a worse plan), or
+    * the row started under visible machine load. */
+  private[graft] def loadSuspectFor(cpuFrac: Double, refCpuFrac: Double,
+                                    load1: Double): Boolean =
+    (refCpuFrac > 0 && cpuFrac < 0.6 * refCpuFrac) || load1 > 4.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -154,19 +177,12 @@ object Bench {
     val nfRunCore = r4(median(coreRs.map(_.spread)))
     val nfRunStr = r4(median(strRs.map(_.spread)))
     case class G(r: R, ref: Double, refCpu: Double, ratio: Double, gate: Double) {
-      // the compare-mode triage rule: cpu_frac collapsed vs the clean
-      // reference (wall >> cpu: the JVM was starved, not busy on a worse
-      // plan), or the query started under visible machine load
-      def loadSuspect: Boolean =
-        (refCpu > 0 && r.cpuFrac < 0.6 * refCpu) || r.load1 > 4.0
+      def loadSuspect: Boolean = loadSuspectFor(r.cpuFrac, refCpu, r.load1)
     }
     val gated = results.flatMap { r =>
       BenchRefs.refs.get(r.name).map { case (ref, refCpu) =>
-        val isStr = StreamingFaces(r.name)
-        val gate = 2.0 * (1.0 + math.max(
-          if (isStr) BenchRefs.NfRefStreaming else BenchRefs.NfRefCore,
-          if (isStr) nfRunStr else nfRunCore))
-        G(r, ref, refCpu, r.med / math.max(ref, 0.1), gate)
+        G(r, ref, refCpu, ratioFor(r.med, ref),
+          gateFor(r.name, nfRunCore, nfRunStr))
       }
     }
     val violations = gated.filter(g => g.ratio > g.gate)

@@ -33,4 +33,21 @@ class BenchRefsSpec extends SparkSpec {
       s"streaming-face set drifted: only-in-suite=${streaming.diff(Bench.StreamingFaces).toSeq.sorted} " +
         s"only-declared=${Bench.StreamingFaces.diff(streaming).toSeq.sorted}")
   }
+
+  test("gate math: section pairing, noisier-window rule, sub-100ms floor, triage rule") {
+    // section pairing: a streaming face gates against the streaming floors
+    assert(Bench.gateFor("q77_interval_join_stream", 0.10, 0.10) == 2.0 * 1.30) // nfRef streaming 0.30 wins
+    assert(Bench.gateFor("q01_groupby_agg", 0.10, 0.50) == 2.0 * 1.17) // nfRef core 0.17 wins; streaming floor ignored
+    // noisier-window rule: the run's own section floor wins when larger
+    assert(Bench.gateFor("q01_groupby_agg", 0.25, 0.0) == 2.0 * 1.25)
+    assert(Bench.gateFor("q73_sessionize_stream", 0.0, 0.40) == 2.0 * 1.40)
+    // sub-100ms floor: a 90 ms ref gates as if it were 100 ms
+    assert(math.abs(Bench.ratioFor(0.3, 0.09) - 3.0) < 1e-9)
+    assert(math.abs(Bench.ratioFor(0.3, 0.15) - 2.0) < 1e-9)
+    // triage: cpu collapse below 0.6x of the clean reference, or load1 > 4
+    assert(Bench.loadSuspectFor(cpuFrac = 4.0, refCpuFrac = 8.0, load1 = 1.0))
+    assert(!Bench.loadSuspectFor(cpuFrac = 5.0, refCpuFrac = 8.0, load1 = 1.0))
+    assert(Bench.loadSuspectFor(cpuFrac = 8.0, refCpuFrac = 8.0, load1 = 4.5))
+    assert(!Bench.loadSuspectFor(cpuFrac = 8.0, refCpuFrac = 0.0, load1 = 2.0))
+  }
 }
