@@ -1891,10 +1891,12 @@ class DifferentialSpec extends SparkSpec {
     // eliminates the watermark nodes, so this is the same call users run on
     // streams — the streaming path is pinned stream==batch in FidelitySpec).
     // Dimensions: left/right event types, right-side density, before/after
-    // window widths (incl. zero-width sides), inner vs left_outer. The
-    // oracle is an independent BETWEEN range join. Timestamps compare as
-    // epoch micros to dodge JDBC tz round-trips; (event_id, rid) makes the
-    // inner multiset and outer null rows unambiguous.
+    // window widths (incl. zero-width sides), and since r14 the FULL
+    // join-type family (inner/left/right/full outer — matching the
+    // driver-graded q77/q78/q82/q79 faces). The oracle is an independent
+    // BETWEEN range join. Timestamps compare as epoch micros to dodge
+    // JDBC tz round-trips; (event_id, rid) makes the inner multiset and
+    // outer null rows unambiguous.
     val st0 = duck.createStatement()
     try st0.execute(
       s"CREATE VIEW IF NOT EXISTS events AS SELECT * FROM '$sfDir/events.parquet'")
@@ -1908,7 +1910,8 @@ class DifferentialSpec extends SparkSpec {
       val thr = r.nextInt(100).toDouble
       val bMin = Seq(0, 5, 30, 120, 720, 1440)(r.nextInt(6))
       val aMin = Seq(0, 5, 30, 120)(r.nextInt(4))
-      val outer = r.nextBoolean()
+      val jtIdx = r.nextInt(4)
+      val sparkJt = Seq("inner", "left_outer", "right_outer", "full_outer")(jtIdx)
 
       val l = ev.filter(col("event_type") === lt)
         .select(col("event_id"), col("user_id"), col("ts"))
@@ -1918,12 +1921,12 @@ class DifferentialSpec extends SparkSpec {
       val df = graft.streaming.StreamOps.intervalJoin(
           l, rr, "ts", "rts", Seq(("user_id", "user_id")),
           before = s"${bMin}m", after = s"${aMin}m",
-          joinType = if (outer) "left_outer" else "inner")
+          joinType = sparkJt)
         .select(col("event_id"),
           expr("unix_micros(cast(ts as timestamp))").as("tsu"),
           col("rid"), col("rv"))
 
-      val jt = if (outer) "LEFT JOIN" else "JOIN"
+      val jt = Seq("JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN")(jtIdx)
       val sql =
         s"""SELECT l.event_id, epoch_us(l.ts) AS tsu, r.rid, r.rv
            |FROM (SELECT event_id, user_id, ts FROM events
