@@ -23,6 +23,17 @@ object BenchRefs {
   val NfRefCore = 0.17
   val NfRefStreaming = 0.30
 
+  /** query -> (reference warm-rep task count, reference gc_frac, reference
+    * spill MB) — the r15 mechanism-probe baselines, frozen from the
+    * round-15 clean local run of record (BASELINE.md round-15 note). Task
+    * counts at a fixed SF and shuffle-partition count are near-deterministic
+    * (AQE coalescing wobbles a few percent), so a violating row whose task
+    * count reads >=1.5x this reference is a lineage recompute or plan flip,
+    * not noise; gc_frac here is the healthy STW fraction so a GC storm is
+    * judged relative to the query's own clean profile. An absent entry
+    * degrades the mechanism verdict gracefully (those tests skip). */
+  val mechRefs: Map[String, (Double, Double, Double)] = Map.empty
+
   /** query -> (frozen warm-median seconds, reference cpu_frac). */
   val refs: Map[String, (Double, Double)] = Map(
     "q01_groupby_agg" -> ((1.164, 1.99)),

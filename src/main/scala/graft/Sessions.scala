@@ -18,6 +18,17 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // long-lived-session heap hygiene (r15 qd41 investigation): even with
+      // the UI off, AppStatusStore + SQLAppStatusListener retain per-job /
+      // per-stage / per-task / per-SQL-execution history in the DRIVER HEAP
+      // at defaults of 1000/1000/100k/1000 entries — across a 149-query
+      // multi-rep suite (or a day-long production session) that is an
+      // old-gen ratchet that turns allocation-heavy queries into GC storms.
+      // The status APIs only need a short tail; cap the retention.
+      .config("spark.ui.retainedJobs", "200")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "10000")
+      .config("spark.sql.ui.retainedExecutions", "50")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -44,27 +44,39 @@ case class FreqSketchAgg(items: Expression, kExpr: Expression,
   override def nullable: Boolean = false
   override def prettyName: String = "graft_topfreq"
 
-  override def checkInputDataTypes(): TypeCheckResult = items.dataType match {
-    case _ if !kExpr.foldable =>
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!kExpr.foldable)
       TypeCheckResult.TypeCheckFailure("graft_topfreq: k must be foldable")
     // typed-k guard (ADVICE r13, mirroring BoundedTopKAgg): an untyped
     // foldable k (64L, '64') previously passed analysis and threw
     // ClassCastException at buffer creation instead of a clean error
-    case _ if !Seq(ByteType, ShortType, IntegerType, LongType)
-        .contains(kExpr.dataType) =>
+    else if (!Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(kExpr.dataType))
       TypeCheckResult.TypeCheckFailure(
         s"graft_topfreq: k must be an integral literal, got ${kExpr.dataType}")
-    case _ if {
-        val v = kExpr.eval()
-        v == null || v.asInstanceOf[Number].longValue() < 1 ||
-          v.asInstanceOf[Number].longValue() > Int.MaxValue
-      } =>
-      TypeCheckResult.TypeCheckFailure(
-        s"graft_topfreq: k must be in [1, ${Int.MaxValue}], got ${kExpr.eval()}")
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"graft_topfreq expects array<string> items, got $other")
-  }
+    else {
+      // evaluate the foldable k exactly ONCE (ADVICE r14: the guard used to
+      // eval it up to three times, and a foldable whose eval throws — e.g. a
+      // failing literal expression — escaped as a raw exception instead of
+      // a clean analysis failure)
+      val kv: Either[Throwable, Any] =
+        try Right(kExpr.eval()) catch { case e: Throwable => Left(e) }
+      kv match {
+        case Left(e) =>
+          TypeCheckResult.TypeCheckFailure(
+            s"graft_topfreq: k failed to evaluate: ${e.getMessage}")
+        case Right(v)
+            if v == null || v.asInstanceOf[Number].longValue() < 1 ||
+              v.asInstanceOf[Number].longValue() > Int.MaxValue =>
+          TypeCheckResult.TypeCheckFailure(
+            s"graft_topfreq: k must be in [1, ${Int.MaxValue}], got $v")
+        case _ => items.dataType match {
+          case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+          case other => TypeCheckResult.TypeCheckFailure(
+            s"graft_topfreq expects array<string> items, got $other")
+        }
+      }
+    }
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("item", StringType, nullable = false),

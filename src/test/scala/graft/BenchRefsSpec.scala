@@ -26,12 +26,26 @@ class BenchRefsSpec extends SparkSpec {
       assert(cpu >= 0, s"$name: negative reference cpu_frac $cpu")
     }
     // the section split drives the gate's noise floors — a streaming face
-    // missing from Bench.StreamingFaces would gate against the core floor
+    // missing from Bench.StreamingFaces would gate against the core floor.
+    // NAMING CONTRACT (documented at Bench.StreamingFaces, ADVICE r14): a
+    // streaming face MUST carry "_stream" or "interval_join" in its name;
+    // this two-direction equality check is what ENFORCES the convention —
+    // a conventionally-named face absent from the declared set fails here,
+    // and so does a declared face named outside the convention.
     val streaming = SparkEntry.benchQueries.keySet
       .filter(n => n.contains("_stream") || n.contains("interval_join"))
     assert(streaming == Bench.StreamingFaces,
       s"streaming-face set drifted: only-in-suite=${streaming.diff(Bench.StreamingFaces).toSeq.sorted} " +
         s"only-declared=${Bench.StreamingFaces.diff(streaming).toSeq.sorted}")
+    // mechanism baselines (r15): every entry must name a live ref row, with
+    // sane non-negative values
+    val orphanMech = BenchRefs.mechRefs.keySet.diff(BenchRefs.refs.keySet)
+    assert(orphanMech.isEmpty,
+      s"mechRefs naming no frozen ref: ${orphanMech.toSeq.sorted.mkString(", ")}")
+    BenchRefs.mechRefs.foreach { case (name, (tasks, gc, spill)) =>
+      assert(tasks >= 0 && gc >= 0 && spill >= 0,
+        s"$name: negative mechanism baseline ($tasks, $gc, $spill)")
+    }
   }
 
   test("gate math: section pairing, noisier-window rule, sub-100ms floor, triage rule") {
@@ -49,5 +63,44 @@ class BenchRefsSpec extends SparkSpec {
     assert(!Bench.loadSuspectFor(cpuFrac = 5.0, refCpuFrac = 8.0, load1 = 1.0))
     assert(Bench.loadSuspectFor(cpuFrac = 8.0, refCpuFrac = 8.0, load1 = 4.5))
     assert(!Bench.loadSuspectFor(cpuFrac = 8.0, refCpuFrac = 0.0, load1 = 2.0))
+  }
+
+  test("mechanism verdict: ordered causes, graceful degradation on missing refs") {
+    def m(cpuFrac: Double = 8.0, refCpuFrac: Double = 8.0, load1: Double = 1.0,
+          gcFrac: Double = 0.02, refGcFrac: Double = 0.02,
+          tasks: Double = 100, refTasks: Double = 100,
+          spillMb: Double = 0.0, refSpillMb: Double = 0.0): String =
+      Bench.mechanismFor(cpuFrac, refCpuFrac, load1, gcFrac, refGcFrac,
+        tasks, refTasks, spillMb, refSpillMb)
+    // starvation wins over everything (theft explains downstream inflation)
+    assert(m(cpuFrac = 2.0, gcFrac = 0.9) == "ambient-starvation")
+    assert(m(load1 = 17.0, tasks = 500) == "ambient-starvation")
+    // the driver-qd41 signature: elevated cpu at quiet load — named by the
+    // first counter that claims it
+    assert(m(cpuFrac = 9.0, refCpuFrac = 5.1, gcFrac = 0.62) == "gc-storm")
+    assert(m(cpuFrac = 9.0, refCpuFrac = 5.1, tasks = 400, refTasks = 100) == "recompute")
+    assert(m(cpuFrac = 9.0, refCpuFrac = 5.1, spillMb = 900.0) == "spill")
+    assert(m(cpuFrac = 9.0, refCpuFrac = 5.1) == "cpu-amplified")
+    // gc-storm needs BOTH a real fraction and 3x the query's own clean
+    // profile (a query that always spends 30% in GC isn't a storm)
+    assert(m(gcFrac = 0.30, refGcFrac = 0.28) == "unknown")
+    assert(m(gcFrac = 0.30, refGcFrac = 0.0) == "gc-storm")
+    // missing refs degrade: refTasks 0 skips the recompute test
+    assert(m(tasks = 900, refTasks = 0) == "unknown")
+    // spill has the 64 MB absolute floor so trivial spills don't name it
+    assert(m(spillMb = 10.0) == "unknown")
+    // flat everything = unknown (wall grew, nothing claims it)
+    assert(m() == "unknown")
+  }
+
+  test("parseNumMap: extracts a named flat map, tolerates absent keys") {
+    val text = """{"queries":{"a":1.5,"b":0.25},"queries_cpu_frac":{"a":2.0}}"""
+    assert(Bench.parseNumMap(text, "queries") == Map("a" -> 1.5, "b" -> 0.25))
+    assert(Bench.parseNumMap(text, "queries_cpu_frac") == Map("a" -> 2.0))
+    assert(Bench.parseNumMap(text, "nope").isEmpty)
+    // repro-prong arithmetic (r15 directive 5): prior_ratio uses the same
+    // floored ratio rule as the gate
+    val prior = Bench.parseNumMap(text, "queries")("a")
+    assert(math.abs(Bench.ratioFor(prior, 0.75) - 2.0) < 1e-9)
   }
 }

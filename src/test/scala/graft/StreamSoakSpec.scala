@@ -65,6 +65,24 @@ class StreamSoakSpec extends SparkSpec {
       s"$tag: state $hi not << cumulative input $totalIn")
   }
 
+  /** Trigger cost must be FLAT, not just logged (ADVICE r14): a state-store
+    * compaction-debt trend would previously pass silently. Quarter MEDIANS
+    * (not means) so one ambient-load straggler batch can't fail the run;
+    * the band is wider than assertPlateau's because trigger wall time on a
+    * shared box is noisier than state-row counts — a real debt trend grows
+    * monotonically and blows well past 1.75x by batch 60. */
+  private def assertTriggerFlat(trig: Seq[Double], warmup: Int,
+                                tag: String): Unit = {
+    val steady = trig.drop(warmup)
+    val qn = steady.length / 4
+    def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+    val first = med(steady.take(qn))
+    val last = med(steady.takeRight(qn))
+    assert(last <= math.max(1.75 * first, first + 200.0),
+      s"$tag: trigger cost trending up: first-quarter median=$first ms " +
+        s"last=$last ms over ${trig.length} batches")
+  }
+
   test("soak: interval-join state plateaus at the watermark horizon (60 micro-batches)") {
     // per batch: 1 minute of event time, 8 keys × (3 left + 6 right) rows.
     // horizon = before(5m) + wm delay(2m) ≈ 7 batches of buffered traffic;
@@ -90,6 +108,7 @@ class StreamSoakSpec extends SparkSpec {
     } finally { q.stop(); StreamOps.releaseStateStores() }
     assertPlateau(rows, warmup = 15, totalIn = batches * 8L * 9L,
       tag = "interval-join")
+    assertTriggerFlat(trig, warmup = 15, tag = "interval-join")
     val steadyTrig = trig.drop(15).sorted.apply(trig.drop(15).length / 2)
     info(s"interval-join soak: steady state rows ${rows.drop(15).max}, " +
       s"median trigger $steadyTrig ms over ${rows.length} batches")
@@ -116,6 +135,7 @@ class StreamSoakSpec extends SparkSpec {
     } finally { q.stop(); StreamOps.releaseStateStores() }
     assertPlateau(rows, warmup = 15, totalIn = batches * 8L * 4L,
       tag = "sessionize")
+    assertTriggerFlat(trig, warmup = 15, tag = "sessionize")
     val steadyTrig = trig.drop(15).sorted.apply(trig.drop(15).length / 2)
     info(s"sessionize soak: steady state rows ${rows.drop(15).max}, " +
       s"median trigger $steadyTrig ms over ${rows.length} batches")
