@@ -259,9 +259,15 @@ object Bench {
     // a second same-code artifact — gains its in-artifact prong: point
     // SPARK_GRAFT_BENCH_PRIOR at a prior run's JSON and every violation
     // carries {prior_warm, prior_ratio}; a prior ratio inside the gate says
-    // "did not reproduce" without any hand comparison.
-    val priorMed: Map[String, Double] =
-      sys.env.get("SPARK_GRAFT_BENCH_PRIOR").map { p =>
+    // "did not reproduce" without any hand comparison. When the env var is
+    // unset, the committed run-of-record snapshot BENCH_PRIOR.json (repo
+    // root, refreshed each round) is used if present — so DRIVER runs,
+    // which control their own environment, still carry the repro prong.
+    val priorMed: Map[String, Double] = {
+      val path = sys.env.get("SPARK_GRAFT_BENCH_PRIOR")
+        .orElse(Option(java.nio.file.Paths.get("BENCH_PRIOR.json"))
+          .filter(java.nio.file.Files.isReadable(_)).map(_.toString))
+      path.map { p =>
         try parseNumMap(new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(p)), "UTF-8"), "queries")
         catch {
@@ -270,6 +276,7 @@ object Bench {
             Map.empty[String, Double]
         }
       }.getOrElse(Map.empty)
+    }
     case class G(r: R, ref: Double, refCpu: Double, ratio: Double, gate: Double) {
       private val mech = BenchRefs.mechRefs.getOrElse(r.name, (0.0, 0.0, 0.0))
       def loadSuspect: Boolean = loadSuspectFor(r.cpuFrac, refCpu, r.load1)
