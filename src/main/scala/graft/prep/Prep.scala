@@ -553,17 +553,26 @@ object Prep {
       s"buckets must be in [2, 2^22] (the log-ratio table is a plan literal " +
         s"of 8*buckets bytes), got $buckets")
     graft.plans.DsirExprs.register(corpus.sparkSession)
-    def bucketCounts(df: DataFrame): Array[Long] = {
-      val out = new Array[Long](buckets)
-      df.select(explode(T.tokens(col(textCol))).as("w"))
-        .select(pmod(xxhash64(col("w")), lit(buckets.toLong)).as("b"))
-        .groupBy("b").agg(count(lit(1)).as("c"))
-        .collect() // bounded: at most `buckets` rows
-        .foreach(r => out(r.getLong(0).toInt) = r.getLong(1))
-      out
-    }
-    val csArr = bucketCounts(corpus)
-    val ctArr = bucketCounts(target)
+    // BOTH models build in ONE job (r15): a side-tagged union with a
+    // conditional-count aggregation replaces two sequential
+    // explode→group→collect jobs — same counts bit-for-bit, but one
+    // shuffle (<= buckets keys), one bounded collect, one driver
+    // round-trip. At scale the model build is the pipeline's serial
+    // fraction, so job count is the latency lever.
+    val csArr = new Array[Long](buckets)
+    val ctArr = new Array[Long](buckets)
+    def side(df: DataFrame, s: Int): DataFrame =
+      df.select(explode(T.tokens(col(textCol))).as("w"), lit(s).as("__s"))
+    side(corpus, 0).union(side(target, 1))
+      .select(col("__s"), pmod(xxhash64(col("w")), lit(buckets.toLong)).as("b"))
+      .groupBy("b").agg(
+        sum(when(col("__s") === 0, 1L).otherwise(0L)).as("cs"),
+        sum(when(col("__s") === 1, 1L).otherwise(0L)).as("ct"))
+      .collect() // bounded: at most `buckets` rows
+      .foreach { r =>
+        val i = r.getLong(0).toInt
+        csArr(i) = r.getLong(1); ctArr(i) = r.getLong(2)
+      }
     val ns = csArr.sum
     val nt = ctArr.sum
     val a = smoothing
@@ -662,22 +671,33 @@ object Prep {
       s"buckets must be in [2, 2^22], got $buckets")
     graft.plans.DsirExprs.register(corpus.sparkSession)
     val a = smoothing
-    def counts(unit: DataFrame): Array[Long] = {
-      val out = new Array[Long](buckets)
-      unit.select(pmod(xxhash64(col("u")), lit(buckets.toLong)).as("b"))
-        .groupBy("b").agg(count(lit(1)).as("c"))
-        .collect().foreach(r => out(r.getLong(0).toInt) = r.getLong(1))
-      out
-    }
     val lmTokAll = lm.select(T.tokens(col(textCol)).as("tk"))
     val lmTok = lmTokAll.filter(size(col("tk")) >= 2)
-    val cHead = counts(lmTok.select(
-      explode(slice(col("tk"), lit(1), size(col("tk")) - 1)).as("u")))
-    val cBig = counts(lmTok.select(explode(T.shingles(col("tk"), 2)).as("u")))
+    // all THREE count families (heads, bigrams, unigrams) in ONE job
+    // (r15, same shape as importanceWeightsHashed): a kind-tagged union
+    // with conditional counts replaces three sequential explode→group→
+    // collect jobs — identical counts, one shuffle, one bounded collect.
     // V = occupied unigram buckets over the WHOLE LM (incl. single-token
     // docs) — mirrors the exact face's distinct-unigram V exactly when
-    // collision-free, so its absolute NLL scale carries over
-    val cUni = counts(lmTokAll.select(explode(col("tk")).as("u")))
+    // collision-free, so its absolute NLL scale carries over.
+    val cHead = new Array[Long](buckets)
+    val cBig = new Array[Long](buckets)
+    val cUni = new Array[Long](buckets)
+    def kind(unit: DataFrame, k: Int): DataFrame =
+      unit.select(col("u"), lit(k).as("__k"))
+    kind(lmTok.select(
+        explode(slice(col("tk"), lit(1), size(col("tk")) - 1)).as("u")), 0)
+      .union(kind(lmTok.select(explode(T.shingles(col("tk"), 2)).as("u")), 1))
+      .union(kind(lmTokAll.select(explode(col("tk")).as("u")), 2))
+      .select(col("__k"), pmod(xxhash64(col("u")), lit(buckets.toLong)).as("b"))
+      .groupBy("b").agg(
+        sum(when(col("__k") === 0, 1L).otherwise(0L)).as("ch"),
+        sum(when(col("__k") === 1, 1L).otherwise(0L)).as("cb"),
+        sum(when(col("__k") === 2, 1L).otherwise(0L)).as("cu"))
+      .collect().foreach { r =>
+        val i = r.getLong(0).toInt
+        cHead(i) = r.getLong(1); cBig(i) = r.getLong(2); cUni(i) = r.getLong(3)
+      }
     val vUsed = math.max(1L, cUni.count(_ > 0L).toLong)
     val headTable = Array.tabulate(buckets)(i => math.log(cHead(i) + a * vUsed))
     val bigTableNeg = Array.tabulate(buckets)(i => -math.log(cBig(i) + a))

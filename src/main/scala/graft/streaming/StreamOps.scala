@@ -152,6 +152,26 @@ object StreamOps {
     body(child)
   }
 
+  /** Run `body` in a child session whose stateful streaming queries use the
+    * RocksDB state-store provider — the 100 TB state engine. The default
+    * HDFSBackedStateStoreProvider keeps each partition's working state map
+    * ON THE JVM HEAP (fine for watermark horizons of thousands of rows;
+    * GC-fatal for the billions a high-rate stream × a long horizon holds),
+    * while RocksDB keeps state off-heap in per-partition native instances
+    * with block-cache + WAL, checkpointed via snapshot/changelog files —
+    * state volume stops being a heap-sizing problem. Semantics are
+    * identical by Spark's state-store contract (RocksDbStateSpec pins
+    * stream results AND engagement). Same child-session isolation as
+    * [[withStatePartitions]]: the provider choice never leaks into the
+    * parent, and it is fixed at the query's first checkpoint. */
+  def withRocksDbStateStore[A](spark: org.apache.spark.sql.SparkSession)
+                              (body: org.apache.spark.sql.SparkSession => A): A = {
+    val child = spark.newSession()
+    child.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    body(child)
+  }
+
   /** Streaming file sinks (reference io.rs:391-479 streaming sink_csv/
     * parquet/json): append mode, exactly-once per partition via the
     * checkpoint + file-sink commit log. Returns the running query. */

@@ -1,0 +1,104 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.streaming.{Sessionize, StreamOps}
+
+/** RocksDB state-store engagement (the 100 TB state axis): the default
+  * HDFSBacked provider keeps every partition's state map on the JVM heap,
+  * which caps how much watermark-horizon state a stateful query can hold.
+  * `StreamOps.withRocksDbStateStore` swaps in Spark's RocksDB provider —
+  * off-heap per-partition native stores. These tests pin the two things
+  * that matter: (1) RESULTS are identical to the default provider on the
+  * same input (the state-store contract), and (2) the provider actually
+  * ENGAGED (rocksdb custom metrics present in the query progress — a
+  * mis-spelled conf key would silently fall back to the default provider
+  * and this spec would still pass on results alone). */
+class RocksDbStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+  private def ts(ms: Long): Timestamp = new Timestamp(base + ms)
+
+  /** Drive a streaming query to completion in `sess`, returning sorted
+    * result rows and the union of state-operator custom-metric keys. */
+  private def drain(sess: SparkSession, qn: String,
+                    out: org.apache.spark.sql.DataFrame,
+                    sortCols: Seq[String]): (Seq[Seq[Any]], Set[String]) = {
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(qn).start()
+    try {
+      q.processAllAvailable()
+      val keys = q.lastProgress.stateOperators.toSeq
+        .flatMap(_.customMetrics.keySet().toArray.map(_.toString)).toSet
+      val rows = sess.table(qn).orderBy(sortCols.map(col): _*)
+        .collect().map(_.toSeq).toSeq
+      (rows, keys)
+    } finally {
+      q.stop(); sess.catalog.dropTempView(qn)
+      StreamOps.releaseStateStores()
+    }
+  }
+
+  test("interval join: RocksDB-backed state == default provider, and engaged") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rocksdb").toString
+    Seq((1L, ts(10000), 5.0), (1L, ts(30000), 6.0), (2L, ts(20000), 7.0),
+        (3L, ts(40000), 8.0))
+      .toDF("k", "lts", "lv").write.mode("overwrite").parquet(s"$root/l")
+    Seq((1L, ts(5000), 1.0), (1L, ts(25000), 2.0), (2L, ts(19000), 3.0),
+        (3L, ts(1000), 4.0), (4L, ts(2000), 9.0))
+      .toDF("k", "rts", "rv").write.mode("overwrite").parquet(s"$root/r")
+    def drive(sess: SparkSession, qn: String): (Seq[Seq[Any]], Set[String]) = {
+      val lS = sess.read.parquet(s"$root/l").schema
+      val rS = sess.read.parquet(s"$root/r").schema
+      val out = StreamOps.intervalJoin(
+        sess.readStream.schema(lS).parquet(s"$root/l"),
+        sess.readStream.schema(rS).parquet(s"$root/r"),
+        "lts", "rts", by = Seq(("k", "k")),
+        before = "15m", after = "0s", watermark = "0 seconds")
+      drain(sess, qn, out, Seq("k", "lts", "rts"))
+    }
+    val (dRows, dKeys) = drive(spark, "graft_rdb_ij_default")
+    val (rRows, rKeys) =
+      StreamOps.withRocksDbStateStore(spark)(drive(_, "graft_rdb_ij_rocks"))
+    assert(dRows.nonEmpty, "fixture produced no joined rows")
+    assert(dRows == rRows, s"provider changed results: $dRows vs $rRows")
+    assert(rKeys.exists(_.toLowerCase.contains("rocksdb")),
+      s"RocksDB provider did not engage; metric keys: $rKeys")
+    assert(!dKeys.exists(_.toLowerCase.contains("rocksdb")),
+      s"default drive unexpectedly RocksDB-backed: $dKeys")
+    // the knob never leaks into the parent session
+    assert(!spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB")))
+  }
+
+  test("sessionize (flatMapGroupsWithState): RocksDB state == default, and engaged") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rocksdb_s").toString
+    // two users, two sessions each (70s silence > 45s gap), plus a
+    // watermark-advancing straggler so every session closes
+    (Seq.tabulate(2, 4)((u, j) =>
+        Sessionize.Event(u.toLong, ts(j * 10000L), 1.0)).flatten ++
+      Seq.tabulate(2, 3)((u, j) =>
+        Sessionize.Event(u.toLong, ts(100000L + j * 10000L), 2.0)).flatten ++
+      Seq(Sessionize.Event(9L, ts(500000L), 0.0)))
+      .toDS().write.mode("overwrite").parquet(s"$root/e")
+    def drive(sess: SparkSession, qn: String): (Seq[Seq[Any]], Set[String]) = {
+      val eS = sess.read.parquet(s"$root/e").schema
+      val out = Sessionize.sessions(
+        sess.readStream.schema(eS).parquet(s"$root/e").as[Sessionize.Event],
+        gap = "45s", watermarkDelay = "0 seconds")(sess)
+      drain(sess, qn, out.toDF(), Seq("userId", "sessionStart"))
+    }
+    val (dRows, dKeys) = drive(spark, "graft_rdb_ss_default")
+    val (rRows, rKeys) =
+      StreamOps.withRocksDbStateStore(spark)(drive(_, "graft_rdb_ss_rocks"))
+    assert(dRows.size >= 4, s"expected the four closed sessions, got $dRows")
+    assert(dRows == rRows, s"provider changed results: $dRows vs $rRows")
+    assert(rKeys.exists(_.toLowerCase.contains("rocksdb")),
+      s"RocksDB provider did not engage; metric keys: $rKeys")
+    assert(!dKeys.exists(_.toLowerCase.contains("rocksdb")),
+      s"default drive unexpectedly RocksDB-backed: $dKeys")
+  }
+}
