@@ -74,6 +74,75 @@ class RocksDbStateSpec extends SparkSpec {
       .exists(_.contains("RocksDB")))
   }
 
+  test("stream dedup (dropDuplicatesWithinWatermark): RocksDB state == default, and engaged") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rocksdb_d").toString
+    // exact duplicate rows (same key AND payload) so keep-first is
+    // deterministic regardless of intra-batch arrival order
+    Seq((1L, ts(1000), 5.0), (1L, ts(1000), 5.0), (2L, ts(2000), 6.0),
+        (2L, ts(2000), 6.0), (2L, ts(2000), 6.0), (3L, ts(3000), 7.0))
+      .toDF("k", "ts", "v").write.mode("overwrite").parquet(s"$root/e")
+    def drive(sess: SparkSession, qn: String): (Seq[Seq[Any]], Set[String]) = {
+      val eS = sess.read.parquet(s"$root/e").schema
+      val out = StreamOps.dedupStream(
+        sess.readStream.schema(eS).parquet(s"$root/e"),
+        keys = Seq("k"), timeCol = "ts", watermark = "10 minutes")
+      drain(sess, qn, out, Seq("k"))
+    }
+    val (dRows, dKeys) = drive(spark, "graft_rdb_dd_default")
+    val (rRows, rKeys) =
+      StreamOps.withRocksDbStateStore(spark)(drive(_, "graft_rdb_dd_rocks"))
+    assert(dRows.size == 3, s"expected 3 deduped keys, got $dRows")
+    assert(dRows == rRows, s"provider changed results: $dRows vs $rRows")
+    assert(rKeys.exists(_.toLowerCase.contains("rocksdb")),
+      s"RocksDB provider did not engage; metric keys: $rKeys")
+    assert(!dKeys.exists(_.toLowerCase.contains("rocksdb")),
+      s"default drive unexpectedly RocksDB-backed: $dKeys")
+  }
+
+  test("as-of stream (flatMapGroupsWithState buffers): RocksDB state == default, and engaged") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rocksdb_a").toString
+    Seq((1L, ts(10000), 5.0), (1L, ts(30000), 6.0), (2L, ts(20000), 7.0))
+      .toDF("k", "ts", "price").write.mode("overwrite").parquet(s"$root/l")
+    Seq((1L, ts(5000), 1.0), (1L, ts(25000), 2.0), (2L, ts(19000), 3.0))
+      .toDF("k", "ts", "bid").write.mode("overwrite").parquet(s"$root/r")
+    def drive(sess: SparkSession, qn: String): (Seq[Seq[Any]], Set[String]) = {
+      import sess.implicits._
+      val lS = sess.read.parquet(s"$root/l").schema
+      val rS = sess.read.parquet(s"$root/r").schema
+      val out = graft.streaming.AsofStream.asofStream(
+        sess.readStream.schema(lS).parquet(s"$root/l"),
+        sess.readStream.schema(rS).parquet(s"$root/r"),
+        "ts", "ts", by = Seq(("k", "k")), watermark = "0 seconds")
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName(qn).start()
+      try {
+        q.processAllAvailable()
+        // far-future right sentinel advances the watermark so every
+        // buffered left row finalizes its backward match
+        Seq((999L, ts(86400000L), 0.0)).toDF("k", "ts", "bid")
+          .write.mode("append").parquet(s"$root/r")
+        q.processAllAvailable()
+        val keys = q.lastProgress.stateOperators.toSeq
+          .flatMap(_.customMetrics.keySet().toArray.map(_.toString)).toSet
+        val rows = sess.table(qn).filter(col("k") < 900L)
+          .orderBy(col("k"), col("ts")).collect().map(_.toSeq).toSeq
+        (rows, keys)
+      } finally {
+        q.stop(); sess.catalog.dropTempView(qn)
+        StreamOps.releaseStateStores()
+      }
+    }
+    val (dRows, dKeys) = drive(spark, "graft_rdb_as_default")
+    val (rRows, rKeys) =
+      StreamOps.withRocksDbStateStore(spark)(drive(_, "graft_rdb_as_rocks"))
+    assert(dRows.size == 3, s"expected 3 as-of rows, got $dRows")
+    assert(dRows == rRows, s"provider changed results: $dRows vs $rRows")
+    assert(rKeys.exists(_.toLowerCase.contains("rocksdb")),
+      s"RocksDB provider did not engage; metric keys: $rKeys")
+    assert(!dKeys.exists(_.toLowerCase.contains("rocksdb")),
+      s"default drive unexpectedly RocksDB-backed: $dKeys")
+  }
+
   test("sessionize (flatMapGroupsWithState): RocksDB state == default, and engaged") {
     val root = java.nio.file.Files.createTempDirectory("graft_rocksdb_s").toString
     // two users, two sessions each (70s silence > 45s gap), plus a
