@@ -1,0 +1,173 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.streaming.{AsofStream, Sessionize, StreamOps}
+
+/** Checkpoint-restart recovery for every stateful streaming family.
+  *
+  * `StreamSoakSpec` proves state stays BOUNDED while a query runs;
+  * production additionally needs the query to RESUME from its checkpoint
+  * after a planned or crash stop — offset log replayed, state store
+  * recovered (including the kryo-encoded as-of buffers), file-sink commit
+  * log deduplicating output. Each test here stops the query at a point
+  * where recovered state is LOAD-BEARING — a join/merge in phase 2 only
+  * produces the right answer if phase-1 state survived the restart — and
+  * then compares the restarted run's file-sink output row-for-row against
+  * an uninterrupted control run over the same input.
+  *
+  * All drives go through the exactly-once parquet file sink
+  * (`StreamOps.sinkFileStream`): a lost-state bug shows up as a missing or
+  * duplicated row in the committed output, exactly as it would in a
+  * production pipeline. */
+class StreamRestartSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+  private def ts(ms: Long): Timestamp = new Timestamp(base + ms)
+
+  /** Drive the (freshly built) streaming frame over the current input
+    * state: start against `ckpt`/`out`, drain, stop. */
+  private def drainOnce(df: => DataFrame, out: String, ckpt: String): Unit = {
+    val q = StreamOps.sinkFileStream(
+      df, "parquet", out, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try q.processAllAvailable() finally {
+      q.stop(); StreamOps.releaseStateStores()
+    }
+  }
+
+  private def readSorted(path: String, cols: Seq[String]): Seq[Seq[Any]] =
+    spark.read.parquet(path).orderBy(cols.map(col): _*)
+      .collect().map(_.toSeq).toSeq
+
+  test("interval join: restart from checkpoint — phase-1 left matches a phase-2 right") {
+    val root = java.nio.file.Files.createTempDirectory("graft_restart_ij").toString
+    val (inL, inR) = (s"$root/l", s"$root/r")
+    def mk: DataFrame = {
+      val lS = spark.read.parquet(inL).schema
+      val rS = spark.read.parquet(inR).schema
+      StreamOps.intervalJoin(
+        spark.readStream.schema(lS).parquet(inL),
+        spark.readStream.schema(rS).parquet(inR),
+        "lts", "rts", by = Seq(("k", "k")),
+        before = "15m", after = "0s", watermark = "10 minutes")
+    }
+    // phase 1: k=1 matches immediately; k=2's left arrives with NO right yet
+    Seq((1L, ts(10000), 5.0), (2L, ts(20000), 7.0))
+      .toDF("k", "lts", "lv").write.mode("append").parquet(inL)
+    Seq((1L, ts(5000), 1.0))
+      .toDF("k", "rts", "rv").write.mode("append").parquet(inR)
+    drainOnce(mk, s"$root/out", s"$root/ckpt")
+    // phase 2 (after stop): k=2's right arrives — the match can only be
+    // produced if the restarted query recovered k=2's buffered left row
+    Seq((2L, ts(19000), 3.0), (3L, ts(40000), 8.0))
+      .toDF("k", "rts", "rv").write.mode("append").parquet(inR)
+    drainOnce(mk, s"$root/out", s"$root/ckpt")
+    val restarted = readSorted(s"$root/out", Seq("k", "lts", "rts"))
+    // control: uninterrupted run over the same (now complete) input
+    drainOnce(mk, s"$root/out_ctl", s"$root/ckpt_ctl")
+    val control = readSorted(s"$root/out_ctl", Seq("k", "lts", "rts"))
+    assert(restarted.map(_.head).toSet == Set(1L, 2L),
+      s"expected k=1 (phase 1) and k=2 (cross-restart) matches, got $restarted")
+    assert(restarted == control,
+      s"restart diverged from uninterrupted control: $restarted vs $control")
+  }
+
+  test("as-of stream: restart recovers BOTH kryo buffers — winner arrives after restart") {
+    val root = java.nio.file.Files.createTempDirectory("graft_restart_as").toString
+    val (inL, inR) = (s"$root/l", s"$root/r")
+    def mk: DataFrame = {
+      val lS = spark.read.parquet(inL).schema
+      val rS = spark.read.parquet(inR).schema
+      AsofStream.asofStream(
+        spark.readStream.schema(lS).parquet(inL),
+        spark.readStream.schema(rS).parquet(inR),
+        "ts", "ts", by = Seq(("k", "k")), watermark = "10 minutes")
+    }
+    // phase 1: left at t=30s and a CANDIDATE right at t=10s — nothing
+    // finalizes (watermark still 0); both rows live only in kryo state
+    Seq((1L, ts(30000), 5.0)).toDF("k", "ts", "price")
+      .write.mode("append").parquet(inL)
+    Seq((1L, ts(10000), 1.0)).toDF("k", "ts", "bid")
+      .write.mode("append").parquet(inR)
+    drainOnce(mk, s"$root/out", s"$root/ckpt")
+    // phase 2: a CLOSER right at t=25s plus a watermark-advancing sentinel.
+    // The correct backward winner (bid=2.0) requires the recovered left
+    // buffer AND the recovered phase-1 right (losing it would still pick
+    // 2.0 — but losing the left emits nothing, and losing state wholesale
+    // emits nothing), while the control run pins the exact expected row.
+    Seq((1L, ts(25000), 2.0), (999L, ts(7200000), 0.0))
+      .toDF("k", "ts", "bid").write.mode("append").parquet(inR)
+    drainOnce(mk, s"$root/out", s"$root/ckpt")
+    val restarted = readSorted(s"$root/out", Seq("k", "ts"))
+      .filter(_.head.asInstanceOf[Long] < 900L)
+    drainOnce(mk, s"$root/out_ctl", s"$root/ckpt_ctl")
+    val control = readSorted(s"$root/out_ctl", Seq("k", "ts"))
+      .filter(_.head.asInstanceOf[Long] < 900L)
+    assert(restarted.size == 1 && restarted.head.last == 2.0,
+      s"expected the single left row matched to the t=25s bid, got $restarted")
+    assert(restarted == control,
+      s"restart diverged from uninterrupted control: $restarted vs $control")
+  }
+
+  test("sessionize: restart merges phase-1 and phase-2 events into ONE session") {
+    val root = java.nio.file.Files.createTempDirectory("graft_restart_ss").toString
+    val inE = s"$root/e"
+    def mk: DataFrame = {
+      val eS = spark.read.parquet(inE).schema
+      Sessionize.sessions(
+        spark.readStream.schema(eS).parquet(inE).as[Sessionize.Event],
+        gap = "45s", watermarkDelay = "0 seconds")(spark).toDF()
+    }
+    // phase 1: user 0 has an OPEN session (events t=0..30s; gap 45s)
+    Seq.tabulate(4)(j => Sessionize.Event(0L, ts(j * 10000L), 1.0))
+      .toDS().write.mode("append").parquet(inE)
+    drainOnce(mk, s"$root/out", s"$root/ckpt")
+    // phase 2: one more event at t=40s continues the SAME session (10s
+    // silence < gap) — merging it requires the recovered open-session
+    // state; a straggler then closes everything
+    (Seq(Sessionize.Event(0L, ts(40000L), 2.0),
+         Sessionize.Event(9L, ts(600000L), 0.0)))
+      .toDS().write.mode("append").parquet(inE)
+    drainOnce(mk, s"$root/out", s"$root/ckpt")
+    val restarted = readSorted(s"$root/out", Seq("userId", "sessionStart"))
+      .filter(_.head.asInstanceOf[Long] == 0L)
+    drainOnce(mk, s"$root/out_ctl", s"$root/ckpt_ctl")
+    val control = readSorted(s"$root/out_ctl", Seq("userId", "sessionStart"))
+      .filter(_.head.asInstanceOf[Long] == 0L)
+    assert(restarted.size == 1, s"expected ONE merged session, got $restarted")
+    assert(restarted.head(3) == 5L && restarted.head(4) == 6.0,
+      s"merged session must span 5 events / sum 6.0, got ${restarted.head}")
+    assert(restarted == control,
+      s"restart diverged from uninterrupted control: $restarted vs $control")
+  }
+
+  test("stream dedup: a post-restart duplicate is suppressed by recovered state") {
+    val root = java.nio.file.Files.createTempDirectory("graft_restart_dd").toString
+    val inE = s"$root/e"
+    def mk: DataFrame = {
+      val eS = spark.read.parquet(inE).schema
+      StreamOps.dedupStream(
+        spark.readStream.schema(eS).parquet(inE),
+        keys = Seq("k"), timeCol = "ts", watermark = "10 minutes")
+    }
+    // phase 1: two distinct keys
+    Seq((1L, ts(1000), 5.0), (2L, ts(2000), 6.0))
+      .toDF("k", "ts", "v").write.mode("append").parquet(inE)
+    drainOnce(mk, s"$root/out", s"$root/ckpt")
+    // phase 2: an EXACT duplicate of k=1 (suppressed only if the dedup
+    // state survived the restart) plus a genuinely new key
+    Seq((1L, ts(1000), 5.0), (3L, ts(4000), 7.0))
+      .toDF("k", "ts", "v").write.mode("append").parquet(inE)
+    drainOnce(mk, s"$root/out", s"$root/ckpt")
+    val restarted = readSorted(s"$root/out", Seq("k"))
+    drainOnce(mk, s"$root/out_ctl", s"$root/ckpt_ctl")
+    val control = readSorted(s"$root/out_ctl", Seq("k"))
+    assert(restarted.map(_.head) == Seq(1L, 2L, 3L),
+      s"expected exactly keys 1,2,3 once each (k=1 dup suppressed), got $restarted")
+    assert(restarted == control,
+      s"restart diverged from uninterrupted control: $restarted vs $control")
+  }
+}
