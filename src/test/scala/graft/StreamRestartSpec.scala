@@ -144,6 +144,48 @@ class StreamRestartSpec extends SparkSpec {
       s"restart diverged from uninterrupted control: $restarted vs $control")
   }
 
+  test("interval join: restart from a RocksDB checkpoint (snapshot/changelog recovery)") {
+    // same load-bearing shape as the default-provider restart test, but the
+    // state lives in RocksDB instances recovered from snapshot + changelog
+    // files — the recovery path a 100 TB/day deployment actually exercises.
+    // Both phases AND the control run inside the RocksDB child session: the
+    // provider class is part of the checkpoint contract.
+    val root = java.nio.file.Files.createTempDirectory("graft_restart_rdb").toString
+    val (inL, inR) = (s"$root/l", s"$root/r")
+    Seq((1L, ts(10000), 5.0), (2L, ts(20000), 7.0))
+      .toDF("k", "lts", "lv").write.mode("append").parquet(inL)
+    Seq((1L, ts(5000), 1.0))
+      .toDF("k", "rts", "rv").write.mode("append").parquet(inR)
+    def drive(sess: org.apache.spark.sql.SparkSession,
+              out: String, ckpt: String): Unit = {
+      val lS = sess.read.parquet(inL).schema
+      val rS = sess.read.parquet(inR).schema
+      val df = StreamOps.intervalJoin(
+        sess.readStream.schema(lS).parquet(inL),
+        sess.readStream.schema(rS).parquet(inR),
+        "lts", "rts", by = Seq(("k", "k")),
+        before = "15m", after = "0s", watermark = "10 minutes")
+      val q = StreamOps.sinkFileStream(df, "parquet", out, ckpt,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      try q.processAllAvailable() finally {
+        q.stop(); StreamOps.releaseStateStores()
+      }
+    }
+    StreamOps.withRocksDbStateStore(spark) { sess =>
+      drive(sess, s"$root/out", s"$root/ckpt")
+      Seq((2L, ts(19000), 3.0), (3L, ts(40000), 8.0))
+        .toDF("k", "rts", "rv").write.mode("append").parquet(inR)
+      drive(sess, s"$root/out", s"$root/ckpt")
+      drive(sess, s"$root/out_ctl", s"$root/ckpt_ctl")
+    }
+    val restarted = readSorted(s"$root/out", Seq("k", "lts", "rts"))
+    val control = readSorted(s"$root/out_ctl", Seq("k", "lts", "rts"))
+    assert(restarted.map(_.head).toSet == Set(1L, 2L),
+      s"expected k=1 (phase 1) and k=2 (cross-restart) matches, got $restarted")
+    assert(restarted == control,
+      s"RocksDB restart diverged from uninterrupted control: $restarted vs $control")
+  }
+
   test("stream dedup: a post-restart duplicate is suppressed by recovered state") {
     val root = java.nio.file.Files.createTempDirectory("graft_restart_dd").toString
     val inE = s"$root/e"
