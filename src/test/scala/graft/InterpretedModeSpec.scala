@@ -1,0 +1,70 @@
+package graft
+
+/** Codegen-vs-interpreted differential over the expression-bearing contract
+  * queries.
+  *
+  * Every custom Catalyst expression in `graft.plans` evaluates through two
+  * independent paths: janino-compiled code (`doGenCode`, or the fallback
+  * wrapper Spark generates for `CodegenFallback` nodes inside whole-stage
+  * spans) and the interpreted `eval` used when codegen is disabled or
+  * bails out (wide schemas, 64KB method limits, `NO_CODEGEN` factory
+  * mode). A divergence between the two is a silent wrong-answer bug that
+  * the DuckDB oracle can't see (the driver runs one mode only) — this spec
+  * runs each selected query in a child session with
+  * `spark.sql.codegen.wholeStage=false` and
+  * `spark.sql.codegen.factoryMode=NO_CODEGEN` and requires the result
+  * multiset to equal the default session's, bit-for-bit (same plan → same
+  * fold orders, so even float aggregates must agree exactly).
+  *
+  * Streaming and IO-roundtrip faces are excluded: their cost is drive
+  * machinery, not expression evaluation, and the stateful drives manage
+  * their own sessions. Seeded sampling faces stay in — partitioning (which
+  * pins their determinism) is unaffected by evaluation mode. */
+class InterpretedModeSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Expression-heavy faces: native expressions, decimal agg folds, chrono
+    * formatting, ANN kernels, media decode, quality-filter char walks. */
+  private val Faces = Seq(
+    "q01_groupby_agg", "q11_case_cast_math", "q12_str_funcs", "q13_dt_funcs",
+    "q19_quantile", "q21_asof_backward", "q24_asof_nearest",
+    "q26_rolling_rows", "q27_rolling_time", "q30_str_extra", "q31_dt_extra",
+    "q32_list_ops", "q33_struct_ops", "q36_sample", "q37_quantile_modes",
+    "q40_try_cast", "q55_strftime_iso", "q60_series_ops", "q69_list_sort",
+    "q80_zorder_curve",
+    "qd03_ngram_jaccard", "qd04_minhash_pairs", "qd05_simhash_pairs",
+    "qd06_langid", "qd07_token_stats", "qd08_quality", "qd11_repetition",
+    "qd13_pii_redact", "qd25_rarity", "qd30_compress_ratio",
+    "qd32_bpe_tokenize", "qd36_dsir_weights", "qd38_clean_text",
+    "qd39_perplexity", "qd40_c4_filter", "qd43_html_extract",
+    "qd44_gopher_quality", "qd46_dup_paragraphs", "qd48_blocklist",
+    "qd50_bm25", "qd51_approx_distinct", "qd52_dup_ngrams",
+    "qd54_stratified_sample", "qd55_heavy_hitters", "qd56_weighted_sample",
+    "qm01_media_meta", "qm02_decode_features", "qm04_video_meta",
+    "qs01_cosine_topk", "qs02_ann_lsh", "qs03_ann_ivf", "qs04_ann_pq")
+
+  private def multiset(rows: Array[org.apache.spark.sql.Row]): Map[String, Int] =
+    rows.map(_.toString).groupBy(identity).map { case (k, v) => k -> v.length }
+
+  test("interpreted evaluation == codegen evaluation on 52 expression-bearing queries") {
+    val interp = spark.newSession()
+    interp.conf.set("spark.sql.codegen.wholeStage", "false")
+    interp.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    graft.plans.CosineSimilarityExpr.register(interp)
+    val bad = Faces.flatMap { name =>
+      val q = SparkEntry.queries(name)
+      val expect = multiset(q(spark, dir).collect())
+      val got = multiset(q(interp, dir).collect())
+      if (expect == got) None
+      else {
+        val onlyE = expect.keySet.diff(got.keySet).take(2)
+        val onlyI = got.keySet.diff(expect.keySet).take(2)
+        Some(s"$name: codegen-only=$onlyE interpreted-only=$onlyI " +
+          s"(${expect.size} vs ${got.size} distinct rows)")
+      }
+    }
+    assert(bad.isEmpty, s"interpreted mode diverged on:\n${bad.mkString("\n")}")
+    // the knob never leaked into the shared session
+    assert(spark.conf.get("spark.sql.codegen.wholeStage") == "true")
+  }
+}
