@@ -43,15 +43,34 @@ class InterpretedModeSpec extends SparkSpec {
     "qm01_media_meta", "qm02_decode_features", "qm04_video_meta",
     "qs01_cosine_topk", "qs02_ann_lsh", "qs03_ann_ivf", "qs04_ann_pq")
 
+  /** Composite faces: the flagship pipelines and the multi-stage dedup /
+    * decontamination / packing operators — dozens of custom expressions
+    * composed per query, so a single-path divergence anywhere surfaces as
+    * an end-to-end multiset mismatch. */
+  private val CompositeFaces = Seq(
+    "q48_pipeline_asof_pivot", "q49_pipeline_dedup_keeplist",
+    "q51_pipeline_data_prep", "q52_pipeline_corpus_build",
+    "q53_pipeline_clean_pack", "q54_pipeline_crawl",
+    "qd41_pipeline_quality_select", "qd41h_pipeline_quality_select_hashed",
+    "qd10_dedup_components", "qd16_jaccard_prefix", "qd28_span_dedup",
+    "qd29_semantic_dedup", "qd31_line_dedup", "qd33_salted_pairs",
+    "qd34_decontaminate_bloom", "qd35_snapshot_dedup", "qd37_dsir_select",
+    "qd45_sentence_dedup", "qd47_pack_spans", "qd53_leakage_safe_split")
+
   private def multiset(rows: Array[org.apache.spark.sql.Row]): Map[String, Int] =
     rows.map(_.toString).groupBy(identity).map { case (k, v) => k -> v.length }
 
-  test("interpreted evaluation == codegen evaluation on 52 expression-bearing queries") {
+  private def interpSession(): org.apache.spark.sql.SparkSession = {
     val interp = spark.newSession()
     interp.conf.set("spark.sql.codegen.wholeStage", "false")
     interp.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     graft.plans.CosineSimilarityExpr.register(interp)
-    val bad = Faces.flatMap { name =>
+    interp
+  }
+
+  private def diverged(interp: org.apache.spark.sql.SparkSession,
+                       names: Seq[String]): Seq[String] =
+    names.flatMap { name =>
       val q = SparkEntry.queries(name)
       val expect = multiset(q(spark, dir).collect())
       val got = multiset(q(interp, dir).collect())
@@ -63,8 +82,16 @@ class InterpretedModeSpec extends SparkSpec {
           s"(${expect.size} vs ${got.size} distinct rows)")
       }
     }
+
+  test("interpreted evaluation == codegen evaluation on 52 expression-bearing queries") {
+    val bad = diverged(interpSession(), Faces)
     assert(bad.isEmpty, s"interpreted mode diverged on:\n${bad.mkString("\n")}")
     // the knob never leaked into the shared session
     assert(spark.conf.get("spark.sql.codegen.wholeStage") == "true")
+  }
+
+  test("interpreted evaluation == codegen evaluation on 20 composite pipeline faces") {
+    val bad = diverged(interpSession(), CompositeFaces)
+    assert(bad.isEmpty, s"interpreted mode diverged on:\n${bad.mkString("\n")}")
   }
 }
