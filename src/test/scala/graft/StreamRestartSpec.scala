@@ -186,6 +186,75 @@ class StreamRestartSpec extends SparkSpec {
       s"RocksDB restart diverged from uninterrupted control: $restarted vs $control")
   }
 
+  test("multi-restart soak: interval join stopped at every phase boundary == batch twin (2 seeds)") {
+    // 28 single-file micro-batches per side, the query STOPPED and resumed
+    // from its checkpoint after every 7 — three recoveries at different
+    // watermark positions, each with live join state. Event times advance
+    // one minute per file with in-file-only disorder, so nothing is ever
+    // late (wm lags 5 min) and no reachable match is evicted (window 10 min
+    // ≪ the ~15 min the state watermark keeps buffered): the restarted
+    // stream must equal the BATCH twin — the same intervalJoin call on
+    // batch frames — exactly. Planted pairs straddle each boundary so every
+    // recovery carries load-bearing state.
+    for (seed <- Seq(7, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val root = java.nio.file.Files.createTempDirectory(s"graft_restart_mr$seed").toString
+      val (inL, inR) = (s"$root/l", s"$root/r")
+      val files = 28
+      def minute(i: Int, off: Int): Timestamp = ts(i * 60000L + off * 1000L)
+      // per-file rows; planted: left in file b-3 (key 100+b) is matched
+      // ONLY by a right ARRIVING in file b whose event time sits just
+      // below the left's (after=0s ⇒ a left matches rts ∈ [lts-10m, lts]),
+      // for each restart boundary b — the right is not late (its event
+      // time is ~3 min behind the head, watermark lags 5) and the left is
+      // not yet evicted when it lands
+      val boundaries = Seq(7, 14, 21)
+      for (i <- 0 until files) {
+        val lRows = Seq.tabulate(3)(j =>
+            (rnd.nextInt(6) + 1L, minute(i, rnd.nextInt(50)), i * 10.0 + j)) ++
+          boundaries.filter(_ - 3 == i).map(b => (100L + b, minute(i, 20), -1.0))
+        val rRows = Seq.tabulate(3)(j =>
+            (rnd.nextInt(6) + 1L, minute(i, rnd.nextInt(50)), i * 10.0 + j)) ++
+          boundaries.filter(_ == i).map(b => (100L + b, minute(b - 3, 10), -2.0))
+        lRows.toDF("k", "lts", "lv").coalesce(1)
+          .write.mode("append").parquet(inL)
+        rRows.toDF("k", "rts", "rv").coalesce(1)
+          .write.mode("append").parquet(inR)
+        // phase p processes files [7p, 7p+7): each planted pair's left
+        // arrived in the PREVIOUS phase, so the match after file b exists
+        // only if the restart recovered the buffered left
+        if (boundaries.contains(i + 1) || i == files - 1) {
+          val lS = spark.read.parquet(inL).schema
+          val rS = spark.read.parquet(inR).schema
+          val df = StreamOps.intervalJoin(
+            spark.readStream.option("maxFilesPerTrigger", 1).schema(lS).parquet(inL),
+            spark.readStream.option("maxFilesPerTrigger", 1).schema(rS).parquet(inR),
+            "lts", "rts", by = Seq(("k", "k")),
+            before = "10m", after = "0s", watermark = "5 minutes")
+          val q = StreamOps.sinkFileStream(df, "parquet", s"$root/out", s"$root/ckpt",
+            trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+          try q.processAllAvailable() finally {
+            q.stop(); StreamOps.releaseStateStores()
+          }
+        }
+      }
+      val got = readSorted(s"$root/out", Seq("k", "lts", "rts", "lv", "rv"))
+      val want = StreamOps.intervalJoin(
+          spark.read.parquet(inL), spark.read.parquet(inR),
+          "lts", "rts", by = Seq(("k", "k")),
+          before = "10m", after = "0s", watermark = "5 minutes")
+        .orderBy("k", "lts", "rts", "lv", "rv").collect().map(_.toSeq).toSeq
+      assert(want.nonEmpty, s"seed $seed: batch twin produced no rows")
+      // every planted cross-boundary pair must be present (each restart
+      // carried live state), and the whole multiset must match the twin
+      val plantedKeys = got.map(_.head).collect { case k: Long if k > 100L => k }
+      assert(plantedKeys.sorted == Seq(107L, 114L, 121L),
+        s"seed $seed: cross-restart planted matches missing: $plantedKeys")
+      assert(got == want,
+        s"seed $seed: restarted stream != batch twin (${got.size} vs ${want.size} rows)")
+    }
+  }
+
   test("stream dedup: a post-restart duplicate is suppressed by recovered state") {
     val root = java.nio.file.Files.createTempDirectory("graft_restart_dd").toString
     val inE = s"$root/e"
