@@ -74,6 +74,32 @@ class RocksDbStateSpec extends SparkSpec {
       .exists(_.contains("RocksDB")))
   }
 
+  test("windowed agg (streaming aggregation state): RocksDB == default, and engaged") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rocksdb_w").toString
+    // two keys across two 1-minute windows, plus a watermark-advancing
+    // straggler so both windows finalize in the no-data batch
+    Seq((1L, ts(5000), 1.0), (1L, ts(15000), 2.0), (2L, ts(30000), 3.0),
+        (1L, ts(70000), 4.0), (9L, ts(600000), 0.0))
+      .toDF("k", "ts", "v").write.mode("overwrite").parquet(s"$root/e")
+    def drive(sess: SparkSession, qn: String): (Seq[Seq[Any]], Set[String]) = {
+      val eS = sess.read.parquet(s"$root/e").schema
+      val out = StreamOps.windowedAgg(
+        sess.readStream.schema(eS).parquet(s"$root/e"),
+        timeCol = "ts", every = "1m", watermark = "0 seconds",
+        by = Seq("k"))(sum(col("v")).as("sum_v"), count(lit(1)).as("n"))
+      drain(sess, qn, out, Seq("k", "ts"))
+    }
+    val (dRows, dKeys) = drive(spark, "graft_rdb_wa_default")
+    val (rRows, rKeys) =
+      StreamOps.withRocksDbStateStore(spark)(drive(_, "graft_rdb_wa_rocks"))
+    assert(dRows.size >= 3, s"expected the three finalized windows, got $dRows")
+    assert(dRows == rRows, s"provider changed results: $dRows vs $rRows")
+    assert(rKeys.exists(_.toLowerCase.contains("rocksdb")),
+      s"RocksDB provider did not engage; metric keys: $rKeys")
+    assert(!dKeys.exists(_.toLowerCase.contains("rocksdb")),
+      s"default drive unexpectedly RocksDB-backed: $dKeys")
+  }
+
   test("stream dedup (dropDuplicatesWithinWatermark): RocksDB state == default, and engaged") {
     val root = java.nio.file.Files.createTempDirectory("graft_rocksdb_d").toString
     // exact duplicate rows (same key AND payload) so keep-first is

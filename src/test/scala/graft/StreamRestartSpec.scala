@@ -186,6 +186,40 @@ class StreamRestartSpec extends SparkSpec {
       s"RocksDB restart diverged from uninterrupted control: $restarted vs $control")
   }
 
+  test("windowed agg: restart merges phase-1 and phase-2 rows into ONE window aggregate") {
+    val root = java.nio.file.Files.createTempDirectory("graft_restart_wa").toString
+    val inE = s"$root/e"
+    def mk: DataFrame = {
+      val eS = spark.read.parquet(inE).schema
+      StreamOps.windowedAgg(
+        spark.readStream.schema(eS).parquet(inE),
+        timeCol = "ts", every = "1m", watermark = "0 seconds",
+        by = Seq("k"))(sum(col("v")).as("sum_v"), count(lit(1)).as("n"))
+    }
+    // phase 1: three rows of k=1 land in window [0, 1m) — the partial
+    // aggregate exists only in streaming-aggregation state (nothing emits:
+    // the watermark has not passed the window end)
+    Seq((1L, ts(5000), 1.0), (1L, ts(15000), 2.0), (1L, ts(30000), 3.0))
+      .toDF("k", "ts", "v").write.mode("append").parquet(inE)
+    drainOnce(mk, s"$root/out", s"$root/ckpt")
+    // phase 2: one more row in the SAME window plus a straggler that
+    // advances the watermark past the window end — the emitted aggregate
+    // is correct only if the recovered partial (6.0/3) absorbed the 4.0
+    Seq((1L, ts(45000), 4.0), (9L, ts(600000), 0.0))
+      .toDF("k", "ts", "v").write.mode("append").parquet(inE)
+    drainOnce(mk, s"$root/out", s"$root/ckpt")
+    val restarted = readSorted(s"$root/out", Seq("k", "ts"))
+      .filter(_.head.asInstanceOf[Long] == 1L)
+    drainOnce(mk, s"$root/out_ctl", s"$root/ckpt_ctl")
+    val control = readSorted(s"$root/out_ctl", Seq("k", "ts"))
+      .filter(_.head.asInstanceOf[Long] == 1L)
+    assert(restarted.size == 1, s"expected ONE merged window row, got $restarted")
+    assert(restarted.head(1) == 10.0 && restarted.head(2) == 4L,
+      s"window must aggregate all four rows (sum 10.0, n 4), got ${restarted.head}")
+    assert(restarted == control,
+      s"restart diverged from uninterrupted control: $restarted vs $control")
+  }
+
   test("multi-restart soak: interval join stopped at every phase boundary == batch twin (2 seeds)") {
     // 28 single-file micro-batches per side, the query STOPPED and resumed
     // from its checkpoint after every 7 — three recoveries at different
