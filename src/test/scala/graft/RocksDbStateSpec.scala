@@ -92,7 +92,7 @@ class RocksDbStateSpec extends SparkSpec {
     val (dRows, dKeys) = drive(spark, "graft_rdb_wa_default")
     val (rRows, rKeys) =
       StreamOps.withRocksDbStateStore(spark)(drive(_, "graft_rdb_wa_rocks"))
-    assert(dRows.size >= 3, s"expected the three finalized windows, got $dRows")
+    assert(dRows.size == 3, s"expected exactly the three finalized windows, got $dRows")
     assert(dRows == rRows, s"provider changed results: $dRows vs $rRows")
     assert(rKeys.exists(_.toLowerCase.contains("rocksdb")),
       s"RocksDB provider did not engage; metric keys: $rKeys")

@@ -86,19 +86,19 @@ class StreamRestartSpec extends SparkSpec {
         spark.readStream.schema(rS).parquet(inR),
         "ts", "ts", by = Seq(("k", "k")), watermark = "10 minutes")
     }
-    // phase 1: left at t=30s and a CANDIDATE right at t=10s — nothing
+    // phase 1: left at t=30s and the WINNING right at t=10s — nothing
     // finalizes (watermark still 0); both rows live only in kryo state
     Seq((1L, ts(30000), 5.0)).toDF("k", "ts", "price")
       .write.mode("append").parquet(inL)
     Seq((1L, ts(10000), 1.0)).toDF("k", "ts", "bid")
       .write.mode("append").parquet(inR)
     drainOnce(mk, s"$root/out", s"$root/ckpt")
-    // phase 2: a CLOSER right at t=25s plus a watermark-advancing sentinel.
-    // The correct backward winner (bid=2.0) requires the recovered left
-    // buffer AND the recovered phase-1 right (losing it would still pick
-    // 2.0 — but losing the left emits nothing, and losing state wholesale
-    // emits nothing), while the control run pins the exact expected row.
-    Seq((1L, ts(25000), 2.0), (999L, ts(7200000), 0.0))
+    // phase 2: an EARLIER decoy right at t=5s plus a watermark-advancing
+    // sentinel. The correct backward winner is the RECOVERED phase-1 right
+    // (t=10s is the closest rts <= 30s): losing the right buffer picks the
+    // decoy (bid=2.0), losing the left buffer emits nothing — BOTH
+    // recovered buffers are load-bearing.
+    Seq((1L, ts(5000), 2.0), (999L, ts(7200000), 0.0))
       .toDF("k", "ts", "bid").write.mode("append").parquet(inR)
     drainOnce(mk, s"$root/out", s"$root/ckpt")
     val restarted = readSorted(s"$root/out", Seq("k", "ts"))
@@ -106,8 +106,8 @@ class StreamRestartSpec extends SparkSpec {
     drainOnce(mk, s"$root/out_ctl", s"$root/ckpt_ctl")
     val control = readSorted(s"$root/out_ctl", Seq("k", "ts"))
       .filter(_.head.asInstanceOf[Long] < 900L)
-    assert(restarted.size == 1 && restarted.head.last == 2.0,
-      s"expected the single left row matched to the t=25s bid, got $restarted")
+    assert(restarted.size == 1 && restarted.head.last == 1.0,
+      s"expected the single left row matched to the RECOVERED t=10s bid, got $restarted")
     assert(restarted == control,
       s"restart diverged from uninterrupted control: $restarted vs $control")
   }
@@ -156,20 +156,17 @@ class StreamRestartSpec extends SparkSpec {
       .toDF("k", "lts", "lv").write.mode("append").parquet(inL)
     Seq((1L, ts(5000), 1.0))
       .toDF("k", "rts", "rv").write.mode("append").parquet(inR)
+    // the frame carries its (RocksDB child) session into the sink, so the
+    // shared drainOnce drives it unchanged
     def drive(sess: org.apache.spark.sql.SparkSession,
               out: String, ckpt: String): Unit = {
       val lS = sess.read.parquet(inL).schema
       val rS = sess.read.parquet(inR).schema
-      val df = StreamOps.intervalJoin(
+      drainOnce(StreamOps.intervalJoin(
         sess.readStream.schema(lS).parquet(inL),
         sess.readStream.schema(rS).parquet(inR),
         "lts", "rts", by = Seq(("k", "k")),
-        before = "15m", after = "0s", watermark = "10 minutes")
-      val q = StreamOps.sinkFileStream(df, "parquet", out, ckpt,
-        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
-      try q.processAllAvailable() finally {
-        q.stop(); StreamOps.releaseStateStores()
-      }
+        before = "15m", after = "0s", watermark = "10 minutes"), out, ckpt)
     }
     StreamOps.withRocksDbStateStore(spark) { sess =>
       drive(sess, s"$root/out", s"$root/ckpt")
@@ -260,16 +257,12 @@ class StreamRestartSpec extends SparkSpec {
         if (boundaries.contains(i + 1) || i == files - 1) {
           val lS = spark.read.parquet(inL).schema
           val rS = spark.read.parquet(inR).schema
-          val df = StreamOps.intervalJoin(
+          drainOnce(StreamOps.intervalJoin(
             spark.readStream.option("maxFilesPerTrigger", 1).schema(lS).parquet(inL),
             spark.readStream.option("maxFilesPerTrigger", 1).schema(rS).parquet(inR),
             "lts", "rts", by = Seq(("k", "k")),
-            before = "10m", after = "0s", watermark = "5 minutes")
-          val q = StreamOps.sinkFileStream(df, "parquet", s"$root/out", s"$root/ckpt",
-            trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
-          try q.processAllAvailable() finally {
-            q.stop(); StreamOps.releaseStateStores()
-          }
+            before = "10m", after = "0s", watermark = "5 minutes"),
+            s"$root/out", s"$root/ckpt")
         }
       }
       val got = readSorted(s"$root/out", Seq("k", "lts", "rts", "lv", "rv"))
