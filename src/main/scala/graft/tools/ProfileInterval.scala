@@ -69,31 +69,40 @@ object ProfileInterval {
           spark.catalog.dropTempView("ijp_passthrough")
         }
       }
-      // (c) the streaming interval join drive (q77 shape, inner)
-      val q = StreamOps.intervalJoin(
-          spark.readStream.schema(lS).parquet(dirL),
-          spark.readStream.schema(rS).parquet(dirR),
-          "ts", "click_ts", Seq(("user_id", "user_id")),
-          before = "1d", after = "0s", watermark = "0 seconds")
-        .writeStream.outputMode("append").format("memory")
-        .queryName("ijp_join").start()
-      try {
-        timed(s"rep$rep streaming interval join drive") {
-          q.processAllAvailable()
+      // (c) the streaming interval join drive (q77 shape, inner);
+      // SPARK_GRAFT_IJ_ROCKSDB=1 additionally drives the IDENTICAL join in
+      // a RocksDB child session — the off-heap-state comparison that
+      // matters once heap-resident state reaches GBs (sf10 measured
+      // old-gen ~3 GB under the default provider, BASELINE r15)
+      def drive(sess: org.apache.spark.sql.SparkSession, label: String): Unit = {
+        val q = StreamOps.intervalJoin(
+            sess.readStream.schema(lS).parquet(dirL),
+            sess.readStream.schema(rS).parquet(dirR),
+            "ts", "click_ts", Seq(("user_id", "user_id")),
+            before = "1d", after = "0s", watermark = "0 seconds")
+          .writeStream.outputMode("append").format("memory")
+          .queryName("ijp_join").start()
+        try {
+          timed(s"rep$rep streaming interval join drive$label") {
+            q.processAllAvailable()
+          }
+          q.recentProgress.foreach { p =>
+            val so = p.stateOperators.headOption
+            println(f"[ij-profile]   batch=${p.batchId}%2d in=${p.numInputRows}%7d " +
+              f"trigger=${p.durationMs.getOrDefault("triggerExecution", 0L)}%6d ms " +
+              f"addBatch=${p.durationMs.getOrDefault("addBatch", 0L)}%6d ms " +
+              f"stateRows=${so.map(_.numRowsTotal).getOrElse(-1L)}%8d " +
+              f"stateMB=${so.map(_.memoryUsedBytes).getOrElse(0L) / 1e6}%7.1f " +
+              s"wm=${Option(p.eventTime.get("watermark")).getOrElse("-")}")
+          }
+        } finally {
+          q.stop(); sess.catalog.dropTempView("ijp_join")
+          StreamOps.releaseStateStores()
         }
-        q.recentProgress.foreach { p =>
-          val so = p.stateOperators.headOption
-          println(f"[ij-profile]   batch=${p.batchId}%2d in=${p.numInputRows}%7d " +
-            f"trigger=${p.durationMs.getOrDefault("triggerExecution", 0L)}%6d ms " +
-            f"addBatch=${p.durationMs.getOrDefault("addBatch", 0L)}%6d ms " +
-            f"stateRows=${so.map(_.numRowsTotal).getOrElse(-1L)}%8d " +
-            f"stateMB=${so.map(_.memoryUsedBytes).getOrElse(0L) / 1e6}%7.1f " +
-            s"wm=${Option(p.eventTime.get("watermark")).getOrElse("-")}")
-        }
-      } finally {
-        q.stop(); StreamOps.releaseStateStores()
-        spark.catalog.dropTempView("ijp_join")
       }
+      drive(spark, "")
+      if (sys.env.get("SPARK_GRAFT_IJ_ROCKSDB").contains("1"))
+        StreamOps.withRocksDbStateStore(spark)(drive(_, " [rocksdb]"))
     }
     spark.stop()
   }
