@@ -57,8 +57,23 @@ class InterpretedModeSpec extends SparkSpec {
     "qd34_decontaminate_bloom", "qd35_snapshot_dedup", "qd37_dsir_select",
     "qd45_sentence_dedup", "qd47_pack_spans", "qd53_leakage_safe_split")
 
-  private def multiset(rows: Array[org.apache.spark.sql.Row]): Map[String, Int] =
-    rows.map(_.toString).groupBy(identity).map { case (k, v) => k -> v.length }
+  /** Deep value normalization (ADVICE r15): Row.toString would collapse
+    * genuinely different values with equal renderings (null vs "null") and
+    * false-fail on binary columns (Array[Byte].toString is identity-hash
+    * based). Compare structural values instead: rows/arrays to Seq (byte
+    * arrays included), maps to sorted pair lists. */
+  private def norm(v: Any): Any = v match {
+    case r: org.apache.spark.sql.Row => r.toSeq.map(norm)
+    case b: Array[Byte]              => b.toSeq
+    case a: Array[_]                 => a.toSeq.map(norm)
+    case s: scala.collection.Seq[_]  => s.toSeq.map(norm)
+    case m: scala.collection.Map[_, _] =>
+      m.toSeq.map { case (k, x) => (norm(k), norm(x)) }.sortBy(_.toString)
+    case other => other
+  }
+
+  private def multiset(rows: Array[org.apache.spark.sql.Row]): Map[Any, Int] =
+    rows.map(norm(_)).groupBy(identity).map { case (k, v) => k -> v.length }
 
   private def interpSession(): org.apache.spark.sql.SparkSession = {
     val interp = spark.newSession()

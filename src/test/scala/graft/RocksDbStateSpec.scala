@@ -129,15 +129,20 @@ class RocksDbStateSpec extends SparkSpec {
     val root = java.nio.file.Files.createTempDirectory("graft_rocksdb_a").toString
     Seq((1L, ts(10000), 5.0), (1L, ts(30000), 6.0), (2L, ts(20000), 7.0))
       .toDF("k", "ts", "price").write.mode("overwrite").parquet(s"$root/l")
-    Seq((1L, ts(5000), 1.0), (1L, ts(25000), 2.0), (2L, ts(19000), 3.0))
-      .toDF("k", "ts", "bid").write.mode("overwrite").parquet(s"$root/r")
     def drive(sess: SparkSession, qn: String): (Seq[Seq[Any]], Set[String]) = {
       import sess.implicits._
+      // per-drive right-side directory (ADVICE r15): drive() appends the
+      // watermark sentinel mid-run, so a SHARED right dir would hand the
+      // second drive the first drive's sentinel in its initial batch — the
+      // provider-parity compare must see identical batch sequences
+      val rDir = s"$root/r_$qn"
+      Seq((1L, ts(5000), 1.0), (1L, ts(25000), 2.0), (2L, ts(19000), 3.0))
+        .toDF("k", "ts", "bid").write.mode("overwrite").parquet(rDir)
       val lS = sess.read.parquet(s"$root/l").schema
-      val rS = sess.read.parquet(s"$root/r").schema
+      val rS = sess.read.parquet(rDir).schema
       val out = graft.streaming.AsofStream.asofStream(
         sess.readStream.schema(lS).parquet(s"$root/l"),
-        sess.readStream.schema(rS).parquet(s"$root/r"),
+        sess.readStream.schema(rS).parquet(rDir),
         "ts", "ts", by = Seq(("k", "k")), watermark = "0 seconds")
       val q = out.writeStream.outputMode("append").format("memory")
         .queryName(qn).start()
@@ -146,7 +151,7 @@ class RocksDbStateSpec extends SparkSpec {
         // far-future right sentinel advances the watermark so every
         // buffered left row finalizes its backward match
         Seq((999L, ts(86400000L), 0.0)).toDF("k", "ts", "bid")
-          .write.mode("append").parquet(s"$root/r")
+          .write.mode("append").parquet(rDir)
         q.processAllAvailable()
         val keys = q.lastProgress.stateOperators.toSeq
           .flatMap(_.customMetrics.keySet().toArray.map(_.toString)).toSet
