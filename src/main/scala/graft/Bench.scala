@@ -64,14 +64,25 @@ object Bench {
     *     above: the work grew but no counter claims it (JIT deopt, codegen
     *     cache miss storm, concurrent-GC cycles outside the STW beans).
     *   - unknown — wall grew with flat cpu and flat counters.
-    */
+    *
+    * Cross-scale runs (r16 directive 1): the work-shape references —
+    * tasks, spill, cpu_frac — describe the query's sf0.1 plan, so at
+    * another data scale their growth is the DESIGN (more data = more
+    * tasks/partitions/CPU), not a lost persist or a plan flip; r15's sf10
+    * artifact labeled qd41h's expected 100x partition growth "recompute".
+    * With `crossScale=true` those three tests are suppressed: a slow row
+    * that is neither starved nor in a GC storm reads "cross-scale" —
+    * expected physics at a different SF, adjudicated by the scaling
+    * tables in BASELINE.md rather than the sf0.1 counters. */
   private[graft] def mechanismFor(cpuFrac: Double, refCpuFrac: Double,
                                   load1: Double, gcFrac: Double,
                                   refGcFrac: Double, tasks: Double,
                                   refTasks: Double, spillMb: Double,
-                                  refSpillMb: Double): String =
+                                  refSpillMb: Double,
+                                  crossScale: Boolean = false): String =
     if (loadSuspectFor(cpuFrac, refCpuFrac, load1)) "ambient-starvation"
     else if (gcFrac >= 0.25 && (refGcFrac <= 0 || gcFrac >= 3 * refGcFrac)) "gc-storm"
+    else if (crossScale) "cross-scale"
     else if (refTasks > 0 && tasks >= 1.5 * refTasks) "recompute"
     else if (spillMb >= math.max(64.0, 4 * refSpillMb)) "spill"
     else if (refCpuFrac > 0 && cpuFrac >= 1.5 * refCpuFrac) "cpu-amplified"
@@ -253,7 +264,17 @@ object Bench {
     // run at another SF still reports its ratios — the scaling signal — but
     // its excursions are expected physics, not regressions, so n_violations
     // is nulled and the count moves to n_excursions under cross_scale:true.
-    val refScale = sfDir.replaceAll("/+$", "").endsWith("sf0.1")
+    // r16 directive 4 refinement: an SF with its OWN frozen table
+    // (BenchRefs.sfRefs — sf1 today) gates the covered faces for real
+    // (n_violations over that subset) and annotates only the uncovered
+    // faces as sf0.1-relative excursions.
+    val sfNorm = sfDir.replaceAll("/+$", "")
+    val sfTag = Seq("sf0.001", "sf0.01", "sf0.1", "sf10", "sf1")
+      .find(sfNorm.endsWith).getOrElse("unknown")
+    val refScale = sfTag == "sf0.1"
+    val ownRefs: Map[String, (Double, Double)] =
+      if (refScale) BenchRefs.refs
+      else BenchRefs.sfRefs.getOrElse(sfTag, Map.empty)
     // repro machine-check (r15 directive 5): BASELINE.md's adjudication rule
     // — a violation is REAL only if it is not load-suspect AND reproduces in
     // a second same-code artifact — gains its in-artifact prong: point
@@ -264,8 +285,13 @@ object Bench {
     // root, refreshed each round) is used if present — so DRIVER runs,
     // which control their own environment, still carry the repro prong.
     val priorMed: Map[String, Double] = {
+      // the committed BENCH_PRIOR.json snapshot is an sf0.1 run — its
+      // medians are meaningless repro priors for a cross-scale run, so the
+      // implicit fallback is sf0.1-only (an explicit env path is honored
+      // at any SF: the caller knows what it is comparing against)
       val path = sys.env.get("SPARK_GRAFT_BENCH_PRIOR")
         .orElse(Option(java.nio.file.Paths.get("BENCH_PRIOR.json"))
+          .filter(_ => refScale)
           .filter(java.nio.file.Files.isReadable(_)).map(_.toString))
       path.map { p =>
         try parseNumMap(new String(java.nio.file.Files.readAllBytes(
@@ -277,12 +303,20 @@ object Bench {
         }
       }.getOrElse(Map.empty)
     }
-    case class G(r: R, ref: Double, refCpu: Double, ratio: Double, gate: Double) {
+    case class G(r: R, ref: Double, refCpu: Double, ratio: Double, gate: Double,
+                 ownRef: Boolean) {
       private val mech = BenchRefs.mechRefs.getOrElse(r.name, (0.0, 0.0, 0.0))
       def loadSuspect: Boolean = loadSuspectFor(r.cpuFrac, refCpu, r.load1)
       def mechanism: String = mechanismFor(r.cpuFrac, refCpu, r.load1,
-        r.gcFrac, mech._2, r.tasks, mech._1, r.spillMb, mech._3)
+        r.gcFrac, mech._2, r.tasks, mech._1, r.spillMb, mech._3,
+        crossScale = !refScale)
       def refTasks: Double = mech._1
+      // which frozen table this row's ref came from — only interesting on
+      // a cross-scale run where gated (own-SF) and excursion (sf0.1) rows
+      // can share one list
+      private def refSfJson: String =
+        if (refScale) ""
+        else ",\"ref_sf\":\"" + (if (ownRef) sfTag else "sf0.1") + "\""
       /** Full violation entry (file artifact + summary line). */
       def json: String =
         "\"" + r.name + "\":{\"warm\":" + r4(r.med) + ",\"ref\":" + ref +
@@ -292,7 +326,7 @@ object Bench {
           ",\"gc_frac\":" + r2(r.gcFrac) + ",\"tasks\":" + r.tasks.round +
           ",\"ref_tasks\":" + mech._1.round + ",\"spill_mb\":" + r2(r.spillMb) +
           ",\"shuffle_mb\":" + r2(r.shuffleMb) + ",\"oldgen_mb\":" + r2(r.oldGenMb) +
-          ",\"mechanism\":\"" + mechanism + "\"" + reproJson + "}"
+          ",\"mechanism\":\"" + mechanism + "\"" + refSfJson + reproJson + "}"
       /** Compact violation entry (final truncation-proof gate line). */
       def jsonCompact: String =
         "\"" + r.name + "\":{\"warm\":" + r4(r.med) + ",\"ref\":" + ref +
@@ -300,31 +334,43 @@ object Bench {
           ",\"load1\":" + r2(r.load1) + ",\"gc_frac\":" + r2(r.gcFrac) +
           ",\"tasks\":" + r.tasks.round + ",\"ref_tasks\":" + mech._1.round +
           ",\"spill_mb\":" + r2(r.spillMb) +
-          ",\"mech\":\"" + mechanism + "\"" + reproJson + "}"
+          ",\"mech\":\"" + mechanism + "\"" + refSfJson + reproJson + "}"
       private def reproJson: String =
         priorMed.get(r.name).map(p =>
           ",\"repro\":{\"prior_warm\":" + r4(p) +
             ",\"prior_ratio\":" + r2(ratioFor(p, ref)) + "}").getOrElse("")
     }
     val gated = results.flatMap { r =>
-      BenchRefs.refs.get(r.name).map { case (ref, refCpu) =>
+      def mk(ref: Double, refCpu: Double, own: Boolean) =
         G(r, ref, refCpu, ratioFor(r.med, ref),
-          gateFor(r.name, nfRunCore, nfRunStr))
-      }
+          gateFor(r.name, nfRunCore, nfRunStr), own)
+      ownRefs.get(r.name).map { case (ref, refCpu) => mk(ref, refCpu, own = true) }
+        .orElse(
+          if (refScale) None
+          else BenchRefs.refs.get(r.name).map { case (ref, refCpu) =>
+            mk(ref, refCpu, own = false)
+          })
     }
-    // worst-first so a capped list keeps the rows that matter
-    val violations = gated.filter(g => g.ratio > g.gate).sortBy(-_.ratio)
+    // worst-first so a capped list keeps the rows that matter; on a
+    // cross-scale run the own-SF-gated trips are REAL violations, the
+    // sf0.1-relative trips are annotate-only excursions (expected physics)
+    val trips = gated.filter(g => g.ratio > g.gate).sortBy(-_.ratio)
+    val violations = if (refScale) trips else trips.filter(_.ownRef)
+    val excursions = if (refScale) Seq.empty else trips.filterNot(_.ownRef)
     def gateJson(cap: Int, compact: Boolean): String = {
-      val kept = violations.take(cap)
+      val kept = trips.take(cap)
       val vj = kept.map(g => if (compact) g.jsonCompact else g.json)
         .mkString("{", ",", "}")
       val truncated =
-        if (violations.size > cap) s""","truncated_violations":${violations.size - cap}"""
+        if (trips.size > cap) s""","truncated_violations":${trips.size - cap}"""
         else ""
+      val refSfLabel = if (refScale || ownRefs.isEmpty) "sf0.1" else sfTag
       val nviol =
         if (refScale) s""""n_violations":${violations.size}"""
-        else s""""cross_scale":true,"n_violations":null,"n_excursions":${violations.size}"""
-      s""""gate":{"ref_sf":"sf0.1","n_refs":${gated.size},"nf_run":{"core":$nfRunCore,"streaming":$nfRunStr},$nviol,"violations":$vj$truncated}"""
+        else if (ownRefs.nonEmpty)
+          s""""cross_scale":true,"n_own_refs":${gated.count(_.ownRef)},"n_violations":${violations.size},"n_excursions":${excursions.size}"""
+        else s""""cross_scale":true,"n_violations":null,"n_excursions":${excursions.size}"""
+      s""""gate":{"ref_sf":"$refSfLabel","n_refs":${gated.size},"nf_run":{"core":$nfRunCore,"streaming":$nfRunStr},$nviol,"violations":$vj$truncated}"""
     }
     // headline metric named for its semantics (sum of per-query warm
     // MEDIANS) so trend consumers can't silently mix it with the

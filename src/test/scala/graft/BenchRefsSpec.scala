@@ -48,6 +48,21 @@ class BenchRefsSpec extends SparkSpec {
     }
   }
 
+  test("per-scale refs (r16): every sfRefs row names a live bench face, sane values") {
+    val faces = SparkEntry.benchQueries.keySet
+    BenchRefs.sfRefs.foreach { case (sf, table) =>
+      assert(sf.nonEmpty && sf != "sf0.1",
+        s"sfRefs must not shadow the run-of-record sf0.1 table (got '$sf')")
+      val orphaned = table.keySet.diff(faces)
+      assert(orphaned.isEmpty,
+        s"sfRefs[$sf] naming no bench face: ${orphaned.toSeq.sorted.mkString(", ")}")
+      table.foreach { case (name, (med, cpu)) =>
+        assert(med > 0, s"sfRefs[$sf] $name: non-positive frozen median $med")
+        assert(cpu >= 0, s"sfRefs[$sf] $name: negative cpu_frac $cpu")
+      }
+    }
+  }
+
   test("gate math: section pairing, noisier-window rule, sub-100ms floor, triage rule") {
     // section pairing: a streaming face gates against the streaming floors
     assert(Bench.gateFor("q77_interval_join_stream", 0.10, 0.10) == 2.0 * 1.30) // nfRef streaming 0.30 wins
@@ -91,6 +106,27 @@ class BenchRefsSpec extends SparkSpec {
     assert(m(spillMb = 10.0) == "unknown")
     // flat everything = unknown (wall grew, nothing claims it)
     assert(m() == "unknown")
+  }
+
+  test("mechanism verdict: cross-scale branch suppresses the sf0.1 work-shape tests") {
+    def m(cpuFrac: Double = 8.0, refCpuFrac: Double = 8.0, load1: Double = 1.0,
+          gcFrac: Double = 0.02, refGcFrac: Double = 0.02,
+          tasks: Double = 100, refTasks: Double = 100,
+          spillMb: Double = 0.0): String =
+      Bench.mechanismFor(cpuFrac, refCpuFrac, load1, gcFrac, refGcFrac,
+        tasks, refTasks, spillMb, 0.0, crossScale = true)
+    // the r15 sf10 mislabel: 100x data grew tasks past 1.5x the sf0.1 ref
+    // — expected partition growth, NOT a lost-persist recompute
+    assert(m(tasks = 426, refTasks = 54) == "cross-scale")
+    // ditto spill and cpu amplification: more data legitimately spills and
+    // burns more CPU than the sf0.1 plan's counters describe
+    assert(m(spillMb = 418.0) == "cross-scale")
+    assert(m(cpuFrac = 21.7, refCpuFrac = 1.46) == "cross-scale")
+    // starvation and GC storm stay first: ambient theft and heap pressure
+    // are environment signatures, valid at any SF
+    assert(m(cpuFrac = 2.0, tasks = 426, refTasks = 54) == "ambient-starvation")
+    assert(m(load1 = 17.0) == "ambient-starvation")
+    assert(m(gcFrac = 0.62) == "gc-storm")
   }
 
   test("parseNumMap: extracts a named flat map, tolerates absent keys") {
