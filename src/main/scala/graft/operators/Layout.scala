@@ -35,19 +35,54 @@ object Layout {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** Sentinel for `targetFiles`: derive the file/partition count from the
+    * input ([[autoTargetFiles]]). */
+  val AutoFiles = 0
+
+  /** Self-sizing file/partition count for a layout write (r16 directive 3):
+    * `max(session shuffle parallelism, ceil(inputBytes / (2 * blockBytes)))`.
+    *
+    * The two levers, in order of which binds:
+    *  - **bytes rule** — one output file per ~2 row groups of input keeps
+    *    files row-group-aligned and the file count bounded (100 TB at the
+    *    128 MB default block → ~400k files, a normal lakehouse table);
+    *  - **parallelism floor** — never fewer range partitions than the
+    *    session's shuffle parallelism: each partition is sorted by ONE
+    *    task, so fewer partitions than lanes both idles the cluster and
+    *    hands each sorter more than its execution-memory share. This is
+    *    exactly the r15 sf10 spill: a fixed `targetFiles = 4` (sized for
+    *    an sf0.1 pruning demo) put ~15M rows in each of four sorters at
+    *    100x data and spilled 418 MB; at the session floor (32) the same
+    *    write sorts ~1.9M rows per task and stays in memory.
+    *
+    * The session's `spark.sql.shuffle.partitions` is already the knob a
+    * deployment sizes to its cluster, so the floor scales with the
+    * environment for free. Capped at 4M files as a runaway-stats guard. */
+  def autoTargetFiles(inputBytes: BigInt, blockBytes: Long,
+                      parallelism: Int): Int = {
+    require(blockBytes > 0, s"autoTargetFiles: blockBytes must be positive, got $blockBytes")
+    require(parallelism > 0, s"autoTargetFiles: parallelism must be positive, got $parallelism")
+    val perFile = BigInt(2L * blockBytes)
+    val byBytes = (inputBytes.max(0) + perFile - 1) / perFile
+    (BigInt(parallelism).max(byBytes)).min(BigInt(1 << 22)).toInt
+  }
+
   /** Write `df` as parquet Z-ordered on `cols` (each masked to `bits`):
     * one range exchange on the Z-value (sampled boundaries), an
     * in-partition sort, and the layout column dropped before the write.
-    * `targetFiles` bounds output files; `blockBytes` sets the parquet
-    * row-group size — the pruning granularity (smaller groups = finer
-    * skipping = more footer overhead; 128 MB default is right for 100 TB,
-    * tests shrink it to force multi-group files at toy scale).
+    * `targetFiles` bounds output files — omit it (or pass [[AutoFiles]])
+    * to size from the input via [[autoTargetFiles]] (the production
+    * default; explicit values are for demos/tests that pin a group
+    * geometry); `blockBytes` sets the parquet row-group size — the
+    * pruning granularity (smaller groups = finer skipping = more footer
+    * overhead; 128 MB default is right for 100 TB, tests shrink it to
+    * force multi-group files at toy scale).
     *
     * Like bucketing (q70), the exchange is paid ONCE at layout time and
     * amortized over every subsequent scan: a filter on any interleaved
     * column reads only the row groups whose min/max straddle it. */
   def writeZOrdered(df: DataFrame, cols: Seq[String], bits: Int, path: String,
-                    targetFiles: Int, blockBytes: Long = 128L << 20): Unit =
+                    targetFiles: Int = AutoFiles, blockBytes: Long = 128L << 20): Unit =
     writeZBy(df, zValue(cols.map(c => pmod(col(c).cast("long"), lit(1L << bits))), bits),
       path, targetFiles, blockBytes)
 
@@ -79,20 +114,26 @@ object Layout {
   /** [[writeZOrdered]] with each column mapped to quantile-rank space
     * first — the variant for skewed or unbounded columns. */
   def writeZOrderedByRank(df: DataFrame, cols: Seq[String], bits: Int,
-                          path: String, targetFiles: Int,
+                          path: String, targetFiles: Int = AutoFiles,
                           blockBytes: Long = 128L << 20): Unit =
     writeZBy(df, zValue(quantizedRank(df, cols, bits), bits),
       path, targetFiles, blockBytes)
 
   private def writeZBy(df: DataFrame, z: Column, path: String,
-                       targetFiles: Int, blockBytes: Long): Unit =
+                       targetFiles: Int, blockBytes: Long): Unit = {
+    val files =
+      if (targetFiles > 0) targetFiles
+      else autoTargetFiles(
+        df.queryExecution.optimizedPlan.stats.sizeInBytes, blockBytes,
+        df.sparkSession.sessionState.conf.numShufflePartitions)
     df.withColumn("__z", z)
-      .repartitionByRange(targetFiles, col("__z"))
+      .repartitionByRange(files, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite")
       .option("parquet.block.size", blockBytes)
       .parquet(path)
+  }
 
   /** Per-row-group min/max statistics of a parquet table's numeric columns
     * — the footer metadata the reader prunes with, surfaced as a frame:

@@ -38,12 +38,21 @@ object ScaleUp {
     def t(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
 
     def shift(c: String, i: Int) = (col(c) + lit(i * Stride)).as(c)
-    // length-preserving per-copy text perturbation: rotate the vowel set by
-    // the copy index (copy 0 = identity, original rows intact)
+    // length-preserving per-copy text perturbation, UNIQUE for up to 105
+    // copies (r16 directive 2): rotate the vowel set by i%5 and the
+    // consonant set by i/5 — every copy index < 105 gets a distinct
+    // (vowel, consonant) rotation pair, so cross-copy shingle/minhash/
+    // jaccard similarity collapses at 100 copies the way the r15 5-way
+    // vowel rotation only guaranteed at 5 (at 100 copies that formula
+    // repeated each text verbatim 20x, flooding the pair-generating dedup
+    // family with by-construction duplicate clusters). Copy 0 stays the
+    // identity (original rows intact); whitespace, punctuation, digits and
+    // uppercase are untouched, so token boundaries, lengths and
+    // quality-score shapes survive.
     def rot(c: String, i: Int) = {
-      val v = "aeiou"
-      val r = v.drop(i % 5) + v.take(i % 5)
-      translate(col(c), v, r).as(c)
+      val v = "aeiou"; val k = "bcdfghjklmnpqrstvwxyz"
+      def r(s: String, n: Int) = s.drop(n % s.length) + s.take(n % s.length)
+      translate(col(c), v + k, r(v, i % 5) + r(k, i / 5)).as(c)
     }
 
     def replicate(name: String, df: DataFrame)

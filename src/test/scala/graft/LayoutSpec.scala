@@ -170,6 +170,41 @@ class LayoutSpec extends SparkSpec {
     assert(viaRankX < total / 2, s"rank z-order on x surfaced $viaRankX")
   }
 
+  test("auto targetFiles (r16): bytes-per-file rule above a parallelism floor") {
+    // bytes rule: one file per 2 row groups of input — 10 GiB at the
+    // 128 MiB default block = ceil(10 GiB / 256 MiB) = 40 files
+    assert(Layout.autoTargetFiles(BigInt(10L << 30), 128L << 20, 32) == 40)
+    // exact multiples don't round up an extra file
+    assert(Layout.autoTargetFiles(BigInt(256L << 20), 128L << 20, 1) == 1)
+    assert(Layout.autoTargetFiles(BigInt((256L << 20) + 1), 128L << 20, 1) == 2)
+    // parallelism floor: small inputs still spread over the session's
+    // lanes, so no sorter holds more than its execution-memory share (the
+    // r15 sf10 418 MB spill was 4 fixed partitions x 15M rows)
+    assert(Layout.autoTargetFiles(BigInt(1L << 20), 128L << 20, 32) == 32)
+    assert(Layout.autoTargetFiles(BigInt(0), 128L << 20, 7) == 7)
+    // runaway-stats guard
+    assert(Layout.autoTargetFiles(BigInt(Long.MaxValue) * 8, 128L << 20, 32) == (1 << 22))
+  }
+
+  test("omitted targetFiles auto-sizes the write and preserves the data") {
+    val base = spark.range(50000).select(
+      col("id"),
+      pmod(xxhash64(lit("ax"), col("id")), lit(1024L)).as("x"),
+      pmod(xxhash64(lit("ay"), col("id")), lit(1024L)).as("y"))
+    val root = java.nio.file.Files.createTempDirectory("graft_zauto").toString
+    Layout.writeZOrderedByRank(base, Seq("x", "y"), bits = 10, s"$root/z")
+    val out = spark.read.parquet(s"$root/z")
+    assert(out.count() == 50000L)
+    // the auto partition count resolves to >= the session parallelism
+    // floor; the writer emits only non-empty partitions, so the file count
+    // is bounded by it
+    val auto = Layout.autoTargetFiles(
+      base.queryExecution.optimizedPlan.stats.sizeInBytes, 128L << 20,
+      spark.sessionState.conf.numShufflePartitions)
+    assert(auto >= spark.sessionState.conf.numShufflePartitions)
+    assert(out.inputFiles.length <= auto && out.inputFiles.nonEmpty)
+  }
+
   test("rowGroupStats opens footers through the SESSION Hadoop configuration") {
     // register a filesystem scheme ONLY in the session conf: a footer read
     // through `graftfs://` can succeed only if the task-side closure carries
