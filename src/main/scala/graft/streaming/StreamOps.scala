@@ -143,13 +143,47 @@ object StreamOps {
     * The child shares the SparkContext, extensions, and catalog; only its
     * runtime SQLConf (and temp-view registry) is separate, so build the
     * `readStream` sources and start the query THROUGH the session `body`
-    * receives. */
+    * receives. Size `n` with [[suggestStatePartitions]]. */
   def withStatePartitions[A](spark: org.apache.spark.sql.SparkSession, n: Int)
                             (body: org.apache.spark.sql.SparkSession => A): A = {
     require(n > 0, s"withStatePartitions: n must be positive, got $n")
     val child = spark.newSession()
     child.conf.set("spark.sql.shuffle.partitions", n.toString)
     body(child)
+  }
+
+  /** Suggested state-partition count for a stateful query (r16 directive
+    * 7), from the round-13 cost decomposition: per-batch wall is
+    * near-LINEAR in partition count at constant data (each partition pays
+    * fixed store-lifecycle work per batch — the q77 drive read 8.0 s at 32
+    * partitions vs 2.8 s at 8, and the driver-graded q77s face holds a
+    * 2.2-2.8x win from the same lever), so the RIGHT count is the
+    * SMALLEST one whose per-partition state stays inside a working-memory
+    * budget:
+    *
+    *   partitions = ceil(rowsPerSecond x horizonSeconds x bytesPerRow
+    *                     / maxPartitionStateBytes)
+    *
+    * where the numerator is the steady-state buffered volume (a
+    * watermarked stateful op holds one HORIZON of traffic: watermark
+    * delay + window/interval span), and `maxPartitionStateBytes` is how
+    * much state one partition may hold — default 256 MB, a comfortable
+    * slice of a default-provider executor heap and well inside a RocksDB
+    * instance's working set. Worked example from the measured curve: the
+    * q77s sf0.1 drive buffers ~9 MB (40k rows x ~225 B) → 1 partition
+    * (the face's measured optimum is single-digit); the sf10 probe holds
+    * ~3 GB → 12 partitions. Clamp UP to your cluster's minimum useful
+    * parallelism if throughput (not state) is the binding constraint —
+    * this helper sizes for state. */
+  def suggestStatePartitions(rowsPerSecond: Double, horizonSeconds: Double,
+                             bytesPerRow: Double,
+                             maxPartitionStateBytes: Long = 256L << 20): Int = {
+    require(rowsPerSecond >= 0 && horizonSeconds >= 0 && bytesPerRow >= 0,
+      s"suggestStatePartitions: negative input ($rowsPerSecond, $horizonSeconds, $bytesPerRow)")
+    require(maxPartitionStateBytes > 0,
+      s"suggestStatePartitions: budget must be positive, got $maxPartitionStateBytes")
+    val stateBytes = rowsPerSecond * horizonSeconds * bytesPerRow
+    math.max(1, math.ceil(stateBytes / maxPartitionStateBytes.toDouble).toInt)
   }
 
   /** Run `body` in a child session whose stateful streaming queries use the
@@ -163,12 +197,26 @@ object StreamOps {
     * identical by Spark's state-store contract (RocksDbStateSpec pins
     * stream results AND engagement). Same child-session isolation as
     * [[withStatePartitions]]: the provider choice never leaks into the
-    * parent, and it is fixed at the query's first checkpoint. */
-  def withRocksDbStateStore[A](spark: org.apache.spark.sql.SparkSession)
+    * parent, and it is fixed at the query's first checkpoint.
+    *
+    * `changelogCheckpointing` (r16 directive 5) switches RocksDB's
+    * per-batch checkpoint artifact from a full SST snapshot upload to an
+    * append-only changelog of the batch's puts/deletes (snapshots still
+    * happen, but in the background off the commit path) — the production
+    * lever for LARGE state, where per-batch commit cost must track the
+    * batch's delta, not the store's total size. Restart recovery replays
+    * changelog over the last background snapshot (restart correctness
+    * under this mode is spec-pinned in StreamRestartSpec); measured
+    * comparison at sf10 volumes in BASELINE.md round-16. */
+  def withRocksDbStateStore[A](spark: org.apache.spark.sql.SparkSession,
+                               changelogCheckpointing: Boolean = false)
                               (body: org.apache.spark.sql.SparkSession => A): A = {
     val child = spark.newSession()
     child.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    child.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      changelogCheckpointing.toString)
     body(child)
   }
 

@@ -103,6 +103,13 @@ object ProfileInterval {
       drive(spark, "")
       if (sys.env.get("SPARK_GRAFT_IJ_ROCKSDB").contains("1"))
         StreamOps.withRocksDbStateStore(spark)(drive(_, " [rocksdb]"))
+      // r16 directive 5: the changelog-checkpointing axis — same RocksDB
+      // drive with per-batch changelog commits instead of full-SST
+      // snapshot uploads (the large-state production setting; snapshots
+      // move to the background maintenance path)
+      if (sys.env.get("SPARK_GRAFT_IJ_ROCKSDB_CHANGELOG").contains("1"))
+        StreamOps.withRocksDbStateStore(spark, changelogCheckpointing = true)(
+          drive(_, " [rocksdb+changelog]"))
     }
     spark.stop()
   }

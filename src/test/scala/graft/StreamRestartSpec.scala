@@ -144,13 +144,20 @@ class StreamRestartSpec extends SparkSpec {
       s"restart diverged from uninterrupted control: $restarted vs $control")
   }
 
-  test("interval join: restart from a RocksDB checkpoint (snapshot/changelog recovery)") {
+  /** Shared body for the two RocksDB restart tests: `changelog=false`
+    * recovers from full per-batch SST snapshots (the provider default);
+    * `changelog=true` (r16 directive 5) recovers by replaying the
+    * append-only per-batch changelog over the last background snapshot —
+    * the large-state production checkpoint mode, whose restart path is
+    * materially different and so needs its own correctness pin. */
+  private def rocksDbRestartRoundTrip(changelog: Boolean): Unit = {
     // same load-bearing shape as the default-provider restart test, but the
     // state lives in RocksDB instances recovered from snapshot + changelog
     // files — the recovery path a 100 TB/day deployment actually exercises.
     // Both phases AND the control run inside the RocksDB child session: the
     // provider class is part of the checkpoint contract.
-    val root = java.nio.file.Files.createTempDirectory("graft_restart_rdb").toString
+    val root = java.nio.file.Files.createTempDirectory(
+      s"graft_restart_rdb_$changelog").toString
     val (inL, inR) = (s"$root/l", s"$root/r")
     Seq((1L, ts(10000), 5.0), (2L, ts(20000), 7.0))
       .toDF("k", "lts", "lv").write.mode("append").parquet(inL)
@@ -168,7 +175,7 @@ class StreamRestartSpec extends SparkSpec {
         "lts", "rts", by = Seq(("k", "k")),
         before = "15m", after = "0s", watermark = "10 minutes"), out, ckpt)
     }
-    StreamOps.withRocksDbStateStore(spark) { sess =>
+    StreamOps.withRocksDbStateStore(spark, changelogCheckpointing = changelog) { sess =>
       drive(sess, s"$root/out", s"$root/ckpt")
       Seq((2L, ts(19000), 3.0), (3L, ts(40000), 8.0))
         .toDF("k", "rts", "rv").write.mode("append").parquet(inR)
@@ -181,6 +188,14 @@ class StreamRestartSpec extends SparkSpec {
       s"expected k=1 (phase 1) and k=2 (cross-restart) matches, got $restarted")
     assert(restarted == control,
       s"RocksDB restart diverged from uninterrupted control: $restarted vs $control")
+  }
+
+  test("interval join: restart from a RocksDB checkpoint (snapshot recovery)") {
+    rocksDbRestartRoundTrip(changelog = false)
+  }
+
+  test("interval join: restart from a RocksDB CHANGELOG checkpoint (replay recovery)") {
+    rocksDbRestartRoundTrip(changelog = true)
   }
 
   test("windowed agg: restart merges phase-1 and phase-2 rows into ONE window aggregate") {

@@ -71,4 +71,20 @@ class StreamingNarrowOpsSpec extends SparkSpec {
     val want = pipe(rows.toDF("doc_id", "text")).orderBy("doc_id").collect().toSeq
     assert(got.map(_.toString) == want.map(_.toString))
   }
+
+  test("suggestStatePartitions: smallest count whose per-partition state fits the budget") {
+    import graft.streaming.StreamOps.suggestStatePartitions
+    // the measured q77s curve's two anchor points (r13 decomposition +
+    // r15 sf10 probe): sf0.1 buffers ~9 MB (40k rows x ~225 B) -> 1
+    // partition — the single-digit optimum the q77s face gates; the sf10
+    // probe's ~3 GB heap-resident state -> 12 partitions at the 256 MB
+    // default budget
+    assert(suggestStatePartitions(20000, 2, 225) == 1)
+    assert(suggestStatePartitions(2.0e6, 2, 750) == 12)
+    // monotone in every volume input; inverse in the budget
+    assert(suggestStatePartitions(4.0e6, 2, 750) >= 23)
+    assert(suggestStatePartitions(2.0e6, 2, 750, maxPartitionStateBytes = 128L << 20) == 23)
+    // zero traffic still returns a runnable count
+    assert(suggestStatePartitions(0, 3600, 225) == 1)
+  }
 }
