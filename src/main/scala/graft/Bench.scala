@@ -160,11 +160,11 @@ object Bench {
       catch { case _: Throwable => osBean.getSystemLoadAverage }
     case class Rep(wall: Double, cpuFrac: Double, gcFrac: Double,
                    tasks: Double, shuffleMb: Double, spillMb: Double,
-                   oldGenMb: Double)
+                   oldGenMb: Double, failed: Boolean)
     case class R(name: String, med: Double, cold: Double, spread: Double,
                  nreps: Int, cpuFrac: Double, load1: Double, gcFrac: Double,
                  tasks: Double, shuffleMb: Double, spillMb: Double,
-                 oldGenMb: Double)
+                 oldGenMb: Double, nFailed: Int)
     val load1Start = load1()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val qLoad1 = load1()
@@ -191,9 +191,16 @@ object Bench {
         val t0 = System.nanoTime()
         // noop sink forces full materialization of every output column
         // (count() would let Catalyst prune the projections being measured)
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() } catch {
-          case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
+        // A failed rep is RECORDED AS FAILED (r16): its wall is the time to
+        // the abort, not the query's cost — before this flag, an sf10
+        // overflow abort sat in BENCH_SF10_r16.json looking like a fast
+        // valid reading. Failures surface in the artifact's queries_failed
+        // map and override the row's mechanism verdict.
+        val ok =
+          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          }
         val wall = (System.nanoTime() - t0) / 1e9
         val cpu = (osBean.getProcessCpuTime - c0) / 1e9
         val gcSec = (MetricsProbe.gcMillis() - gc0) / 1e3
@@ -202,7 +209,7 @@ object Bench {
         Rep(wall, if (wall > 0) cpu / wall else 0.0,
           if (wall > 0) gcSec / wall else 0.0, d.tasks.toDouble,
           d.shuffleBytes / 1e6, d.spilledBytes / 1e6,
-          MetricsProbe.oldGenUsedMb())
+          MetricsProbe.oldGenUsedMb(), failed = !ok)
       }
       // adaptive reps (round-11 directive 8): sub-300 ms queries stop after
       // 1 cold + 2 warm reps — they gate against max(med, 0.1 s) anyway, so
@@ -222,7 +229,8 @@ object Bench {
       R(name, med, times.head.wall, spread, times.length,
         median(warm.map(_.cpuFrac)), qLoad1, median(warm.map(_.gcFrac)),
         median(warm.map(_.tasks)), median(warm.map(_.shuffleMb)),
-        median(warm.map(_.spillMb)), times.map(_.oldGenMb).max)
+        median(warm.map(_.spillMb)), times.map(_.oldGenMb).max,
+        times.count(_.failed))
     }
     val load1End = load1()
     def r4(x: Double): Double = math.rint(x * 1e4) / 1e4
@@ -307,9 +315,11 @@ object Bench {
                  ownRef: Boolean) {
       private val mech = BenchRefs.mechRefs.getOrElse(r.name, (0.0, 0.0, 0.0))
       def loadSuspect: Boolean = loadSuspectFor(r.cpuFrac, refCpu, r.load1)
-      def mechanism: String = mechanismFor(r.cpuFrac, refCpu, r.load1,
-        r.gcFrac, mech._2, r.tasks, mech._1, r.spillMb, mech._3,
-        crossScale = !refScale)
+      def mechanism: String =
+        if (r.nFailed > 0) "failed" // a rep aborted: the wall is time-to-abort, not query cost
+        else mechanismFor(r.cpuFrac, refCpu, r.load1,
+          r.gcFrac, mech._2, r.tasks, mech._1, r.spillMb, mech._3,
+          crossScale = !refScale)
       def refTasks: Double = mech._1
       // which frozen table this row's ref came from — only interesting on
       // a cross-scale run where gated (own-SF) and excursion (sf0.1) rows
@@ -380,6 +390,15 @@ object Bench {
       (if (noClear) "\"no_clear\":true," else "") +
         (if (only.isEmpty) ""
          else only.toSeq.sorted.map("\"" + _ + "\"").mkString("\"only\":[", ",", "],"))
+    // failed-rep ledger (r16): present in EVERY artifact shape whenever any
+    // rep aborted — a row whose reps failed must never read as a valid
+    // timing (it also reads mechanism:"failed" if it trips the gate)
+    val failedField = {
+      val f = results.filter(_.nFailed > 0)
+      if (f.isEmpty) ""
+      else f.map(r => "\"" + r.name + "\":" + r.nFailed)
+        .mkString("\"queries_failed\":{", ",", "},")
+    }
     val probeFields =
       s""""load1_start":${r2(load1Start)},"load1_end":${r2(load1End)},"cpu_frac_med":${r2(median(results.map(_.cpuFrac)))}"""
     // Three artifact shapes (round-11 directive 3 + r15 directive 2, the
@@ -395,8 +414,8 @@ object Bench {
     //     violations, compact entries, < ~1.5 KB even in a burst run): r14's
     //     tail window clipped mid-violations-block, so the verdict now sits
     //     entirely inside any plausible tail capture.
-    val full = s"""{"metric":"total_warm_median","value":$total,"unit":"sec","schema_version":5,$onlyField"queries":${jmap(_.med)},"queries_cold":${jmap(_.cold)},"queries_spread":${jmap(_.spread)},"queries_reps":${results.map(r => "\"" + r.name + "\":" + r.nreps).mkString("{", ",", "}")},"queries_cpu_frac":${jmap2(_.cpuFrac)},"queries_load1":${jmap2(_.load1)},"queries_gc_frac":${jmap2(_.gcFrac)},"queries_tasks":${jmapInt(_.tasks)},"queries_shuffle_mb":${jmap2(_.shuffleMb)},"queries_spill_mb":${jmap2(_.spillMb)},"queries_oldgen_mb":${jmapInt(_.oldGenMb)},$sections,${gateJson(Int.MaxValue, compact = false)},"cold_total":$coldTotal,"noise_floor_rel":$noiseFloor,$probeFields,"reps":$reps,"adaptive_reps":${reps > 3},"sf":"$sfDir"}"""
-    val json = s"""{"metric":"total_warm_median","value":$total,"unit":"sec","schema_version":5,$onlyField"queries":${jmap(_.med)},"queries_cpu_frac":${jmap2(_.cpuFrac)},"queries_gc_frac":${jmap2(_.gcFrac)},$sections,${gateJson(10, compact = false)},"cold_total":$coldTotal,"noise_floor_rel":$noiseFloor,$probeFields,"reps":$reps,"adaptive_reps":${reps > 3},"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total_warm_median","value":$total,"unit":"sec","schema_version":5,$onlyField$failedField"queries":${jmap(_.med)},"queries_cold":${jmap(_.cold)},"queries_spread":${jmap(_.spread)},"queries_reps":${results.map(r => "\"" + r.name + "\":" + r.nreps).mkString("{", ",", "}")},"queries_cpu_frac":${jmap2(_.cpuFrac)},"queries_load1":${jmap2(_.load1)},"queries_gc_frac":${jmap2(_.gcFrac)},"queries_tasks":${jmapInt(_.tasks)},"queries_shuffle_mb":${jmap2(_.shuffleMb)},"queries_spill_mb":${jmap2(_.spillMb)},"queries_oldgen_mb":${jmapInt(_.oldGenMb)},$sections,${gateJson(Int.MaxValue, compact = false)},"cold_total":$coldTotal,"noise_floor_rel":$noiseFloor,$probeFields,"reps":$reps,"adaptive_reps":${reps > 3},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total_warm_median","value":$total,"unit":"sec","schema_version":5,$onlyField$failedField"queries":${jmap(_.med)},"queries_cpu_frac":${jmap2(_.cpuFrac)},"queries_gc_frac":${jmap2(_.gcFrac)},$sections,${gateJson(10, compact = false)},"cold_total":$coldTotal,"noise_floor_rel":$noiseFloor,$probeFields,"reps":$reps,"adaptive_reps":${reps > 3},"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_latest.json")
     try {
       val p = java.nio.file.Paths.get(outPath)
@@ -473,11 +492,11 @@ object Bench {
       .map(r => "\"" + r.name + "\":[" + r2(r.cpuFrac) + "," + r2(r.load1) +
         "," + r2(r.gcFrac) + "]")
       .mkString("{", ",", "}")
-    val summary = s"""{"metric":"total_warm_median_summary","value":$total,"unit":"sec","schema_version":5,$onlyField"n_queries":${results.size},$sections,${gateJson(10, compact = false)},"cold_total":$coldTotal,"noise_floor_rel":$noiseFloor,$probeFields,"reps":$reps,"sf":"$sfDir","slowest_warm":$slowest,"slowest_probe":$slowProbe}"""
+    val summary = s"""{"metric":"total_warm_median_summary","value":$total,"unit":"sec","schema_version":5,$onlyField$failedField"n_queries":${results.size},$sections,${gateJson(10, compact = false)},"cold_total":$coldTotal,"noise_floor_rel":$noiseFloor,$probeFields,"reps":$reps,"sf":"$sfDir","slowest_warm":$slowest,"slowest_probe":$slowProbe}"""
     // FINAL line = the gate verdict, minimal (r15 directive 2): survives a
     // pure tail-window capture. Carries the headline total too so a naive
     // last-line parser still reads a seconds value.
-    val gateLine = s"""{"metric":"bench_gate","value":$total,"unit":"sec","schema_version":5,$onlyField"n_queries":${results.size},${gateJson(4, compact = true)},"noise_floor_rel":$noiseFloor,$probeFields,"sf":"$sfDir"}"""
+    val gateLine = s"""{"metric":"bench_gate","value":$total,"unit":"sec","schema_version":5,$onlyField$failedField"n_queries":${results.size},${gateJson(4, compact = true)},"noise_floor_rel":$noiseFloor,$probeFields,"sf":"$sfDir"}"""
     println(json)
     println(summary)
     println(gateLine)
