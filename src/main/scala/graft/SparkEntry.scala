@@ -2240,14 +2240,21 @@ object SparkEntry {
     // (day, event_type) group); the sink view is dropped before returning so
     // repeated invocations leave no catalog or state residue.
     "q61_stream_window" -> ((s, d) => {
-      // FileStreamSource wants a DIRECTORY; the per-SF table is a single
-      // parquet file, so link it into a scratch dir (the file is read-only
-      // source data — never copied)
-      val dir = scratchDir("q61")
-      java.nio.file.Files.createSymbolicLink(
-        java.nio.file.Paths.get(dir, "events.parquet"),
-        java.nio.file.Paths.get(s"$d/events.parquet"))
-      val path = dir
+      // FileStreamSource wants a DIRECTORY. The driver's per-SF table is a
+      // single parquet FILE, so link it into a scratch dir (read-only
+      // source data — never copied); a Spark-written table (the ScaleUp
+      // sf1/sf10 fixtures) is already a DIRECTORY and streams as-is — the
+      // symlink dance would nest it one level too deep for the source's
+      // non-recursive listing (r16: first cross-scale run of this face).
+      val src = java.nio.file.Paths.get(s"$d/events.parquet")
+      val path =
+        if (java.nio.file.Files.isDirectory(src)) src.toString
+        else {
+          val dir = scratchDir("q61")
+          java.nio.file.Files.createSymbolicLink(
+            java.nio.file.Paths.get(dir, "events.parquet"), src)
+          dir
+        }
       val schema = s.read.parquet(path).schema
       // normalize ts to a session-TZ timestamp before the watermark — long
       // nanos under legacy nanosAsLong, TIMESTAMP_NTZ otherwise (the same
