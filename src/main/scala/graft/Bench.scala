@@ -88,6 +88,47 @@ object Bench {
     else if (refCpuFrac > 0 && cpuFrac >= 1.5 * refCpuFrac) "cpu-amplified"
     else "unknown"
 
+  /** Full mechanism label for a gated row (ADVICE r16): the work-shape
+    * references (tasks/spill/cpu) describe the query's sf0.1 plan, so on a
+    * cross-scale run they stay suppressed for EVERY row — but a row gated
+    * against its OWN frozen same-SF ref that trips is a REAL violation and
+    * must not arrive pre-labeled "cross-scale" ("expected physics, not a
+    * regression"): with no same-SF mechanism baselines to consult it reads
+    * `own-sf-untriaged`. A row with any aborted rep reads `failed` — its
+    * wall is time-to-abort, not query cost. */
+  private[graft] def gateMechanism(nFailed: Int, cpuFrac: Double,
+                                   refCpuFrac: Double, load1: Double,
+                                   gcFrac: Double, refGcFrac: Double,
+                                   tasks: Double, refTasks: Double,
+                                   spillMb: Double, refSpillMb: Double,
+                                   refScale: Boolean, ownRef: Boolean): String =
+    if (nFailed > 0) "failed"
+    else {
+      val m = mechanismFor(cpuFrac, refCpuFrac, load1, gcFrac, refGcFrac,
+        tasks, refTasks, spillMb, refSpillMb, crossScale = !refScale)
+      if (m == "cross-scale" && ownRef) "own-sf-untriaged" else m
+    }
+
+  /** Run-level quality (r16 directive 5): a dirty run should name itself in
+    * one field instead of needing per-row probe reading. Input rows are
+    * `(cpuFrac, refCpuFrac-or-0, load1)`; returns `(load_suspect_frac,
+    * cpu_collapse_frac, max load1)`.
+    *
+    * Calibration (BASELINE.md round-17): `load_suspect_frac` includes the
+    * load1>4 triage arm, which a back-to-back 32-lane suite keeps tripping
+    * with its OWN 1-minute loadavg — even the quietest runs of record read
+    * 0.38–0.59 there. The DISCRIMINATOR is `cpu_collapse_frac` (rows whose
+    * cpu_frac fell below 0.6x their clean frozen reference — work actually
+    * starved, not merely sampled after a heavy sibling): the two 0.96x
+    * quiet witnesses read 0.007, the 1.15x burst witness 0.020, the r15
+    * 1.04x run 0.034. Read cpu_collapse_frac first; the other two are the
+    * gate's own triage inputs kept for consistency. */
+  private[graft] def runQuality(rows: Seq[(Double, Double, Double)]): (Double, Double, Double) =
+    if (rows.isEmpty) (0.0, 0.0, 0.0)
+    else (rows.count { case (c, rc, l) => loadSuspectFor(c, rc, l) }.toDouble / rows.size,
+      rows.count { case (c, rc, _) => rc > 0 && c < 0.6 * rc }.toDouble / rows.size,
+      rows.map(_._3).max)
+
   /** Extract a flat {"name":number,...} map under `key` from a bench
     * artifact's JSON text — the slim regex parser shared by the parity
     * compare (SPARK_GRAFT_BENCH_COMPARE) and the repro check
@@ -221,15 +262,22 @@ object Bench {
         if (reps <= 3 || median(first.tail.map(_.wall)) < 0.3) first
         else first ++ (3 until reps).map(_ => rep())
       val warm = if (times.length > 1) times.tail else times
-      val med = median(warm.map(_.wall))
+      // a failed rep's wall is time-to-abort, not query cost (ADVICE r16):
+      // warm stats use only the successful reps; a row whose warm reps ALL
+      // failed gets a NaN median — emitted as JSON null and excluded from
+      // totals, noise floors and the gate — with queries_failed as the flag
+      val warmOk = warm.filterNot(_.failed)
+      val med = if (warmOk.nonEmpty) median(warmOk.map(_.wall)) else Double.NaN
       // relative warm spread — the query's own noise-floor estimate from its
-      // repeated identical runs ((max-min)/median over warm reps)
+      // repeated identical runs ((max-min)/median over successful warm reps)
       val spread =
-        if (med > 0) (warm.map(_.wall).max - warm.map(_.wall).min) / med else 0.0
+        if (warmOk.nonEmpty && med > 0)
+          (warmOk.map(_.wall).max - warmOk.map(_.wall).min) / med
+        else 0.0
       R(name, med, times.head.wall, spread, times.length,
-        median(warm.map(_.cpuFrac)), qLoad1, median(warm.map(_.gcFrac)),
-        median(warm.map(_.tasks)), median(warm.map(_.shuffleMb)),
-        median(warm.map(_.spillMb)), times.map(_.oldGenMb).max,
+        median(warmOk.map(_.cpuFrac)), qLoad1, median(warmOk.map(_.gcFrac)),
+        median(warmOk.map(_.tasks)), median(warmOk.map(_.shuffleMb)),
+        median(warmOk.map(_.spillMb)), times.map(_.oldGenMb).max,
         times.count(_.failed))
     }
     val load1End = load1()
@@ -240,21 +288,27 @@ object Bench {
     // (17 digits × 3 maps × 131 queries ≈ 20 KB) past whatever the driver's
     // capture parses — the r09 artifact (9-digit values, ~8 KB) parsed, r10/
     // r11 (17-digit) did not.
+    // all-reps-failed rows carry a NaN median: emit JSON null there, and
+    // keep such rows out of every aggregate a trend consumer ingests
+    def jnum(x: Double): String = if (x.isNaN) "null" else r4(x).toString
     def jmap(f: R => Double) =
-      results.map { r => "\"" + r.name + "\":" + r4(f(r)) }.mkString("{", ",", "}")
+      results.map { r => "\"" + r.name + "\":" + jnum(f(r)) }.mkString("{", ",", "}")
     def jmap2(f: R => Double) =
       results.map { r => "\"" + r.name + "\":" + r2(f(r)) }.mkString("{", ",", "}")
     def jmapInt(f: R => Double) =
       results.map { r => "\"" + r.name + "\":" + f(r).round }.mkString("{", ",", "}")
-    val total = r4(results.map(_.med).sum)
+    val valid = results.filter(r => !r.med.isNaN)
+    val total = r4(valid.map(_.med).sum)
     val coldTotal = r4(results.map(_.cold).sum)
     // suite-level noise floor: median over queries of the per-query relative
     // warm spread — the resolution below which a per-query delta is noise
-    val noiseFloor = r4(median(results.map(_.spread)))
+    val noiseFloor = r4(median(valid.map(_.spread)))
     // per-section totals + noise floors (r12 directive 8): the streaming
     // drives and the batch plans are different cost populations
-    def sectionJson(rs: Seq[R]): String =
-      s"""{"n":${rs.size},"total_warm_median":${r4(rs.map(_.med).sum)},"cold_total":${r4(rs.map(_.cold).sum)},"noise_floor_rel":${r4(median(rs.map(_.spread)))}}"""
+    def sectionJson(rs: Seq[R]): String = {
+      val ok = rs.filter(r => !r.med.isNaN)
+      s"""{"n":${rs.size},"total_warm_median":${r4(ok.map(_.med).sum)},"cold_total":${r4(rs.map(_.cold).sum)},"noise_floor_rel":${r4(median(ok.map(_.spread)))}}"""
+    }
     val (strRs, coreRs) = results.partition(r => StreamingFaces(r.name))
     val sections =
       s""""sections":{"core":${sectionJson(coreRs)},"streaming":${sectionJson(strRs)}}"""
@@ -266,8 +320,8 @@ object Bench {
     // spill_mb, mechanism} into the stdout lines, so a burst reading is
     // machine-triageable inside BENCH_rN.json itself, with no appeal to
     // local reruns.
-    val nfRunCore = r4(median(coreRs.map(_.spread)))
-    val nfRunStr = r4(median(strRs.map(_.spread)))
+    val nfRunCore = r4(median(coreRs.filter(r => !r.med.isNaN).map(_.spread)))
+    val nfRunStr = r4(median(strRs.filter(r => !r.med.isNaN).map(_.spread)))
     // cross-scale guard (ADVICE r14): the frozen refs are sf0.1 medians. A
     // run at another SF still reports its ratios — the scaling signal — but
     // its excursions are expected physics, not regressions, so n_violations
@@ -316,10 +370,9 @@ object Bench {
       private val mech = BenchRefs.mechRefs.getOrElse(r.name, (0.0, 0.0, 0.0))
       def loadSuspect: Boolean = loadSuspectFor(r.cpuFrac, refCpu, r.load1)
       def mechanism: String =
-        if (r.nFailed > 0) "failed" // a rep aborted: the wall is time-to-abort, not query cost
-        else mechanismFor(r.cpuFrac, refCpu, r.load1,
+        gateMechanism(r.nFailed, r.cpuFrac, refCpu, r.load1,
           r.gcFrac, mech._2, r.tasks, mech._1, r.spillMb, mech._3,
-          crossScale = !refScale)
+          refScale, ownRef)
       def refTasks: Double = mech._1
       // which frozen table this row's ref came from — only interesting on
       // a cross-scale run where gated (own-SF) and excursion (sf0.1) rows
@@ -350,7 +403,7 @@ object Bench {
           ",\"repro\":{\"prior_warm\":" + r4(p) +
             ",\"prior_ratio\":" + r2(ratioFor(p, ref)) + "}").getOrElse("")
     }
-    val gated = results.flatMap { r =>
+    val gated = valid.flatMap { r =>
       def mk(ref: Double, refCpu: Double, own: Boolean) =
         G(r, ref, refCpu, ratioFor(r.med, ref),
           gateFor(r.name, nfRunCore, nfRunStr), own)
@@ -367,20 +420,27 @@ object Bench {
     val trips = gated.filter(g => g.ratio > g.gate).sortBy(-_.ratio)
     val violations = if (refScale) trips else trips.filter(_.ownRef)
     val excursions = if (refScale) Seq.empty else trips.filterNot(_.ownRef)
+    // real (own-SF) violations and annotate-only excursions are SEPARATE
+    // JSON objects with per-category truncation counts (ADVICE r16): a
+    // consumer counting "violations" entries against n_violations must
+    // never be off by the excursion rows sharing the list
     def gateJson(cap: Int, compact: Boolean): String = {
-      val kept = trips.take(cap)
-      val vj = kept.map(g => if (compact) g.jsonCompact else g.json)
-        .mkString("{", ",", "}")
-      val truncated =
-        if (trips.size > cap) s""","truncated_violations":${trips.size - cap}"""
-        else ""
+      def block(label: String, xs: Seq[G]): String = {
+        val body = xs.take(cap).map(g => if (compact) g.jsonCompact else g.json)
+          .mkString("{", ",", "}")
+        val truncated =
+          if (xs.size > cap) s""","truncated_$label":${xs.size - cap}""" else ""
+        s""""$label":$body$truncated"""
+      }
       val refSfLabel = if (refScale || ownRefs.isEmpty) "sf0.1" else sfTag
       val nviol =
         if (refScale) s""""n_violations":${violations.size}"""
         else if (ownRefs.nonEmpty)
           s""""cross_scale":true,"n_own_refs":${gated.count(_.ownRef)},"n_violations":${violations.size},"n_excursions":${excursions.size}"""
         else s""""cross_scale":true,"n_violations":null,"n_excursions":${excursions.size}"""
-      s""""gate":{"ref_sf":"$refSfLabel","n_refs":${gated.size},"nf_run":{"core":$nfRunCore,"streaming":$nfRunStr},$nviol,"violations":$vj$truncated}"""
+      val blocks = block("violations", violations) +
+        (if (refScale) "" else "," + block("excursions", excursions))
+      s""""gate":{"ref_sf":"$refSfLabel","n_refs":${gated.size},"nf_run":{"core":$nfRunCore,"streaming":$nfRunStr},$nviol,$blocks}"""
     }
     // headline metric named for its semantics (sum of per-query warm
     // MEDIANS) so trend consumers can't silently mix it with the
@@ -399,8 +459,16 @@ object Bench {
       else f.map(r => "\"" + r.name + "\":" + r.nFailed)
         .mkString("\"queries_failed\":{", ",", "},")
     }
+    // run-level quality verdict (r16 directive 5): the r16 driver run was
+    // ambient-loaded end-to-end and only per-row probe reading showed it —
+    // now a dirty run names itself in one field present in every shape
+    val (suspectFrac, collapseFrac, maxLoad1) = runQuality(results.map { r =>
+      val refCpu = ownRefs.get(r.name).orElse(BenchRefs.refs.get(r.name))
+        .map(_._2).getOrElse(0.0)
+      (r.cpuFrac, refCpu, r.load1)
+    })
     val probeFields =
-      s""""load1_start":${r2(load1Start)},"load1_end":${r2(load1End)},"cpu_frac_med":${r2(median(results.map(_.cpuFrac)))}"""
+      s""""load1_start":${r2(load1Start)},"load1_end":${r2(load1End)},"cpu_frac_med":${r2(median(results.map(_.cpuFrac)))},"quality":{"load_suspect_frac":${r4(suspectFrac)},"cpu_collapse_frac":${r4(collapseFrac)},"max_load1":${r2(maxLoad1)}}"""
     // Three artifact shapes (round-11 directive 3 + r15 directive 2, the
     // fourth attempt at a non-null driver-side parse):
     //   - the FILE artifact keeps everything: med + cold + spread + probe
@@ -414,8 +482,8 @@ object Bench {
     //     violations, compact entries, < ~1.5 KB even in a burst run): r14's
     //     tail window clipped mid-violations-block, so the verdict now sits
     //     entirely inside any plausible tail capture.
-    val full = s"""{"metric":"total_warm_median","value":$total,"unit":"sec","schema_version":5,$onlyField$failedField"queries":${jmap(_.med)},"queries_cold":${jmap(_.cold)},"queries_spread":${jmap(_.spread)},"queries_reps":${results.map(r => "\"" + r.name + "\":" + r.nreps).mkString("{", ",", "}")},"queries_cpu_frac":${jmap2(_.cpuFrac)},"queries_load1":${jmap2(_.load1)},"queries_gc_frac":${jmap2(_.gcFrac)},"queries_tasks":${jmapInt(_.tasks)},"queries_shuffle_mb":${jmap2(_.shuffleMb)},"queries_spill_mb":${jmap2(_.spillMb)},"queries_oldgen_mb":${jmapInt(_.oldGenMb)},$sections,${gateJson(Int.MaxValue, compact = false)},"cold_total":$coldTotal,"noise_floor_rel":$noiseFloor,$probeFields,"reps":$reps,"adaptive_reps":${reps > 3},"sf":"$sfDir"}"""
-    val json = s"""{"metric":"total_warm_median","value":$total,"unit":"sec","schema_version":5,$onlyField$failedField"queries":${jmap(_.med)},"queries_cpu_frac":${jmap2(_.cpuFrac)},"queries_gc_frac":${jmap2(_.gcFrac)},$sections,${gateJson(10, compact = false)},"cold_total":$coldTotal,"noise_floor_rel":$noiseFloor,$probeFields,"reps":$reps,"adaptive_reps":${reps > 3},"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total_warm_median","value":$total,"unit":"sec","schema_version":6,$onlyField$failedField"queries":${jmap(_.med)},"queries_cold":${jmap(_.cold)},"queries_spread":${jmap(_.spread)},"queries_reps":${results.map(r => "\"" + r.name + "\":" + r.nreps).mkString("{", ",", "}")},"queries_cpu_frac":${jmap2(_.cpuFrac)},"queries_load1":${jmap2(_.load1)},"queries_gc_frac":${jmap2(_.gcFrac)},"queries_tasks":${jmapInt(_.tasks)},"queries_shuffle_mb":${jmap2(_.shuffleMb)},"queries_spill_mb":${jmap2(_.spillMb)},"queries_oldgen_mb":${jmapInt(_.oldGenMb)},$sections,${gateJson(Int.MaxValue, compact = false)},"cold_total":$coldTotal,"noise_floor_rel":$noiseFloor,$probeFields,"reps":$reps,"adaptive_reps":${reps > 3},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total_warm_median","value":$total,"unit":"sec","schema_version":6,$onlyField$failedField"queries":${jmap(_.med)},"queries_cpu_frac":${jmap2(_.cpuFrac)},"queries_gc_frac":${jmap2(_.gcFrac)},$sections,${gateJson(10, compact = false)},"cold_total":$coldTotal,"noise_floor_rel":$noiseFloor,$probeFields,"reps":$reps,"adaptive_reps":${reps > 3},"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_latest.json")
     try {
       val p = java.nio.file.Paths.get(outPath)
@@ -482,7 +550,7 @@ object Bench {
           System.err.println(s"[bench] parity compare vs $basePath failed: ${e.getMessage}")
       }
     }
-    val slowRs = results.sortBy(-_.med).take(25)
+    val slowRs = valid.sortBy(-_.med).take(25)
     val slowest = slowRs
       .map(r => "\"" + r.name + "\":" + r4(r.med)).mkString("{", ",", "}")
     // per-query probe pairs [cpu_frac, load1, gc_frac] for the 25 slowest
@@ -492,11 +560,11 @@ object Bench {
       .map(r => "\"" + r.name + "\":[" + r2(r.cpuFrac) + "," + r2(r.load1) +
         "," + r2(r.gcFrac) + "]")
       .mkString("{", ",", "}")
-    val summary = s"""{"metric":"total_warm_median_summary","value":$total,"unit":"sec","schema_version":5,$onlyField$failedField"n_queries":${results.size},$sections,${gateJson(10, compact = false)},"cold_total":$coldTotal,"noise_floor_rel":$noiseFloor,$probeFields,"reps":$reps,"sf":"$sfDir","slowest_warm":$slowest,"slowest_probe":$slowProbe}"""
+    val summary = s"""{"metric":"total_warm_median_summary","value":$total,"unit":"sec","schema_version":6,$onlyField$failedField"n_queries":${results.size},$sections,${gateJson(10, compact = false)},"cold_total":$coldTotal,"noise_floor_rel":$noiseFloor,$probeFields,"reps":$reps,"sf":"$sfDir","slowest_warm":$slowest,"slowest_probe":$slowProbe}"""
     // FINAL line = the gate verdict, minimal (r15 directive 2): survives a
     // pure tail-window capture. Carries the headline total too so a naive
     // last-line parser still reads a seconds value.
-    val gateLine = s"""{"metric":"bench_gate","value":$total,"unit":"sec","schema_version":5,$onlyField$failedField"n_queries":${results.size},${gateJson(4, compact = true)},"noise_floor_rel":$noiseFloor,$probeFields,"sf":"$sfDir"}"""
+    val gateLine = s"""{"metric":"bench_gate","value":$total,"unit":"sec","schema_version":6,$onlyField$failedField"n_queries":${results.size},${gateJson(4, compact = true)},"noise_floor_rel":$noiseFloor,$probeFields,"sf":"$sfDir"}"""
     println(json)
     println(summary)
     println(gateLine)

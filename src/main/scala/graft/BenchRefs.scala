@@ -28,7 +28,8 @@ object BenchRefs {
     * the run-of-record gate; a cross-scale run whose SF has a table here
     * GATES the covered faces for real (`n_violations` over this subset)
     * and annotates the rest as excursions vs sf0.1 — before r16 every
-    * cross-scale reading was annotate-only.
+    * cross-scale reading was annotate-only. Tables: sf1 (frozen r16,
+    * corrected), sf10 (frozen r17).
     *
     * sf1 basis (BASELINE.md round-16 note): the median of the r13–r15
     * quiet-window readings per face (`BENCH_SF1_r13/r15/r15b/r15c`),
@@ -45,6 +46,10 @@ object BenchRefs {
       "q46_rolling_global_time" -> ((1.53, 6.73)),
       "q49_pipeline_dedup_keeplist" -> ((4.64, 5.47)),
       "q53_pipeline_clean_pack" -> ((3.27, 9.92)),
+      // q61's first valid sf1 datum (r16c, post fixture-shape fix): the
+      // only reading at the current tree, same single-datum basis qd41h's
+      // sf1 row was frozen on
+      "q61_stream_window" -> ((2.06, 6.69)),
       "q77_interval_join_stream" -> ((10.21, 9.1)),
       "q77s_interval_join_sized" -> ((7.69, 4.69)),
       // q78/q79/q82 carry NO sf1 refs (r16 correction): the failed-rep
@@ -67,7 +72,30 @@ object BenchRefs {
       "qd53_leakage_safe_split" -> ((4.45, 5.32)),
       "qd55_heavy_hitters" -> ((0.33, 6.42)),
       "qd57_heavy_hitters_by_lang" -> ((0.31, 6.35)),
-      "qs04_ann_pq" -> ((2.44, 8.61))))
+      "qs04_ann_pq" -> ((2.44, 8.61))),
+
+    // sf10 basis (r16 directive "freeze an sf10 table", frozen r17): medians
+    // of the r16 unique-text-fixture readings (`BENCH_SF10_r16{,b,c,d}`;
+    // qd33 excluded — its sf10 output domain leaves int64 by design and the
+    // face reads mechanism:"failed"). q77s/q81 are the r15 single-face
+    // artifacts: both faces read only fixture-invariant numeric/event
+    // columns, so the text-formula change between vintages cannot move
+    // them (q81 keeps its pinned 16 KiB demo geometry, spill included —
+    // that is what the face measures; the production auto-geometry story
+    // lives in BENCH_SF10_layout_auto_r16.txt). Loaded-window rows kept
+    // only where cpu_frac stayed healthy (no starvation signature).
+    "sf10" -> Map(
+      "q77s_interval_join_sized" -> ((9.85, 8.06)),
+      "q81_layout_stats" -> ((43.09, 9.18)),
+      "qd03_ngram_jaccard" -> ((5.12, 18.7)),
+      "qd04_minhash_pairs" -> ((10.28, 23.1)),
+      "qd16_jaccard_prefix" -> ((14.16, 22.6)),
+      "qd28_span_dedup" -> ((3.79, 23.4)),
+      "qd41h_pipeline_quality_select_hashed" -> ((19.11, 21.2)),
+      "qd45_sentence_dedup" -> ((4.94, 21.2)),
+      "qd53_leakage_safe_split" -> ((10.22, 19.0)),
+      "qd55_heavy_hitters" -> ((0.77, 14.6)),
+      "qd57_heavy_hitters_by_lang" -> ((0.78, 15.1))))
 
   /** query -> (reference warm-rep task count, reference gc_frac, reference
     * spill MB) — the r15 mechanism-probe baselines, frozen from the

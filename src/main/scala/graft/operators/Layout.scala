@@ -121,11 +121,25 @@ object Layout {
 
   private def writeZBy(df: DataFrame, z: Column, path: String,
                        targetFiles: Int, blockBytes: Long): Unit = {
+    // a negative count is a caller sign bug — fail fast instead of silently
+    // routing it to auto-sizing (only the documented AutoFiles sentinel, 0,
+    // or an omitted argument selects auto)
+    require(targetFiles >= 0,
+      s"writeZOrdered: targetFiles must be >= 0 (0 = auto-size), got $targetFiles")
+    val conf = df.sparkSession.sessionState.conf
     val files =
       if (targetFiles > 0) targetFiles
-      else autoTargetFiles(
-        df.queryExecution.optimizedPlan.stats.sizeInBytes, blockBytes,
-        df.sparkSession.sessionState.conf.numShufflePartitions)
+      else {
+        // size-estimate sentinel guard (ADVICE r16): without CBO stats a
+        // non-file source reports spark.sql.defaultSizeInBytes
+        // (Long.MaxValue by default) and a join node multiplies its
+        // children's sizes — an unknown/implausible estimate must fall back
+        // to the parallelism floor, never hit the 4M-file cap and launch a
+        // 4M-partition range shuffle
+        val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        val known = if (est >= BigInt(conf.defaultSizeInBytes)) BigInt(0) else est
+        autoTargetFiles(known, blockBytes, conf.numShufflePartitions)
+      }
     df.withColumn("__z", z)
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions(col("__z"))

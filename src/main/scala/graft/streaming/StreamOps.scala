@@ -199,17 +199,21 @@ object StreamOps {
     * [[withStatePartitions]]: the provider choice never leaks into the
     * parent, and it is fixed at the query's first checkpoint.
     *
-    * `changelogCheckpointing` (r16 directive 5) switches RocksDB's
-    * per-batch checkpoint artifact from a full SST snapshot upload to an
-    * append-only changelog of the batch's puts/deletes (snapshots still
-    * happen, but in the background off the commit path) — the production
-    * lever for LARGE state, where per-batch commit cost must track the
-    * batch's delta, not the store's total size. Restart recovery replays
-    * changelog over the last background snapshot (restart correctness
-    * under this mode is spec-pinned in StreamRestartSpec); measured
-    * comparison at sf10 volumes in BASELINE.md round-16. */
+    * `changelogCheckpointing` (r16 directive 5, DEFAULT since r17) switches
+    * RocksDB's per-batch checkpoint artifact from a full SST snapshot
+    * upload to an append-only changelog of the batch's puts/deletes
+    * (snapshots still happen, but in the background off the commit path) —
+    * the production setting for LARGE state, where per-batch commit cost
+    * must track the batch's delta, not the store's total size: measured
+    * ~20% less wall than snapshot mode on EVERY rep at sf10 state volumes
+    * (BASELINE.md round-16), and restart recovery — changelog replay over
+    * the last background snapshot — is spec-pinned in StreamRestartSpec.
+    * Pass `false` to keep legacy snapshot-per-batch commits: the
+    * diagnostic/compatibility choice for resuming a checkpoint written by
+    * a pre-changelog deployment, or when every batch must leave a
+    * self-contained recoverable snapshot with zero replay on restart. */
   def withRocksDbStateStore[A](spark: org.apache.spark.sql.SparkSession,
-                               changelogCheckpointing: Boolean = false)
+                               changelogCheckpointing: Boolean = true)
                               (body: org.apache.spark.sql.SparkSession => A): A = {
     val child = spark.newSession()
     child.conf.set("spark.sql.streaming.stateStore.providerClass",

@@ -102,7 +102,10 @@ object ProfileInterval {
       }
       drive(spark, "")
       if (sys.env.get("SPARK_GRAFT_IJ_ROCKSDB").contains("1"))
-        StreamOps.withRocksDbStateStore(spark)(drive(_, " [rocksdb]"))
+        // snapshot mode pinned explicitly: changelog became the library
+        // default in r17, and this leg exists to measure the legacy axis
+        StreamOps.withRocksDbStateStore(spark, changelogCheckpointing = false)(
+          drive(_, " [rocksdb+snapshot]"))
       // r16 directive 5: the changelog-checkpointing axis — same RocksDB
       // drive with per-batch changelog commits instead of full-SST
       // snapshot uploads (the large-state production setting; snapshots

@@ -50,6 +50,11 @@ class BenchRefsSpec extends SparkSpec {
 
   test("per-scale refs (r16): every sfRefs row names a live bench face, sane values") {
     val faces = SparkEntry.benchQueries.keySet
+    // the two frozen cross-scale tables (sf1 r16, sf10 r17): dropping one
+    // silently downgrades that SF's runs from gated back to annotate-only
+    assert(BenchRefs.sfRefs.keySet == Set("sf1", "sf10"))
+    assert(BenchRefs.sfRefs("sf1").size >= 19)
+    assert(BenchRefs.sfRefs("sf10").size >= 8)
     BenchRefs.sfRefs.foreach { case (sf, table) =>
       assert(sf.nonEmpty && sf != "sf0.1",
         s"sfRefs must not shadow the run-of-record sf0.1 table (got '$sf')")
@@ -127,6 +132,47 @@ class BenchRefsSpec extends SparkSpec {
     assert(m(cpuFrac = 2.0, tasks = 426, refTasks = 54) == "ambient-starvation")
     assert(m(load1 = 17.0) == "ambient-starvation")
     assert(m(gcFrac = 0.62) == "gc-storm")
+  }
+
+  test("gate mechanism label: own-SF violations are never pre-dismissed as cross-scale") {
+    def g(nFailed: Int = 0, refScale: Boolean = false, ownRef: Boolean = false,
+          cpuFrac: Double = 8.0, load1: Double = 1.0, gcFrac: Double = 0.02,
+          tasks: Double = 400, refTasks: Double = 100): String =
+      Bench.gateMechanism(nFailed, cpuFrac, 8.0, load1, gcFrac, 0.02,
+        tasks, refTasks, 0.0, 0.0, refScale, ownRef)
+    // failed reps override everything, at any scale
+    assert(g(nFailed = 1) == "failed")
+    assert(g(nFailed = 1, refScale = true) == "failed")
+    // a cross-scale EXCURSION row (sf0.1 ref at another SF) reads cross-scale
+    assert(g() == "cross-scale")
+    // ADVICE r16: the SAME residue on a row gated against its OWN same-SF
+    // frozen ref is a REAL violation with no mechanism baselines to consult —
+    // "own-sf-untriaged", never "expected physics at a different SF"
+    assert(g(ownRef = true) == "own-sf-untriaged")
+    // environment signatures stay first and keep their names on ownRef rows
+    assert(g(ownRef = true, cpuFrac = 2.0) == "ambient-starvation")
+    assert(g(ownRef = true, load1 = 17.0) == "ambient-starvation")
+    assert(g(ownRef = true, gcFrac = 0.62) == "gc-storm")
+    // on the run-of-record scale the full sf0.1 triage applies unchanged
+    assert(g(refScale = true, ownRef = true) == "recompute")
+  }
+
+  test("run quality (r16 directive 5): suspect/cpu-collapse fractions + max load1") {
+    // rows: (cpuFrac, refCpuFrac-or-0, load1)
+    assert(Bench.runQuality(Seq.empty) == ((0.0, 0.0, 0.0)))
+    // clean run: nothing suspect
+    assert(Bench.runQuality(Seq((8.0, 8.0, 1.0), (2.0, 2.0, 2.0))) == ((0.0, 0.0, 2.0)))
+    // one cpu-collapsed row + one load-burst row out of four: both count as
+    // load-suspect, but only the COLLAPSE counts toward the discriminator
+    // (self-load keeps load1 above 4 on even the quietest full-suite runs)
+    val (frac, collapse, maxL) = Bench.runQuality(Seq(
+      (4.0, 8.0, 1.0),   // cpu collapsed vs ref -> suspect + collapse
+      (8.0, 8.0, 30.5),  // visible machine load -> suspect only
+      (8.0, 0.0, 2.0),   // no ref, quiet -> clean (cpu test skipped)
+      (8.0, 8.0, 1.0)))  // clean
+    assert(math.abs(frac - 0.5) < 1e-9)
+    assert(math.abs(collapse - 0.25) < 1e-9)
+    assert(maxL == 30.5)
   }
 
   test("parseNumMap: extracts a named flat map, tolerates absent keys") {

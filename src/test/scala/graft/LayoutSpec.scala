@@ -205,6 +205,32 @@ class LayoutSpec extends SparkSpec {
     assert(out.inputFiles.length <= auto && out.inputFiles.nonEmpty)
   }
 
+  test("auto sizing: unknown size estimate falls to the parallelism floor; negative targetFiles rejected") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("x", LongType), StructField("y", LongType)))
+    val rdd = spark.sparkContext.parallelize(
+      (0L until 2000L).map(i => Row(i % 97, i % 53)), 4)
+    val df = spark.createDataFrame(rdd, schema)
+    // an RDD-backed plan has no size statistics: it reports the
+    // defaultSizeInBytes sentinel (Long.MaxValue by default) — exactly the
+    // estimate that, fed to the bytes rule, would hit the 4M-file cap and
+    // launch a 4,194,304-partition range shuffle (ADVICE r16)
+    assert(df.queryExecution.optimizedPlan.stats.sizeInBytes >=
+      BigInt(spark.sessionState.conf.defaultSizeInBytes))
+    val root = java.nio.file.Files.createTempDirectory("graft_zsent").toString
+    Layout.writeZOrdered(df, Seq("x", "y"), bits = 8, s"$root/z")
+    val out = spark.read.parquet(s"$root/z")
+    assert(out.count() == 2000L)
+    // the write fell back to the parallelism floor, not the 4M cap
+    assert(out.inputFiles.nonEmpty &&
+      out.inputFiles.length <= spark.sessionState.conf.numShufflePartitions)
+    // a negative count is a caller sign bug — fail fast, don't auto-size
+    intercept[IllegalArgumentException](
+      Layout.writeZOrdered(df, Seq("x", "y"), bits = 8, s"$root/neg",
+        targetFiles = -3))
+  }
+
   test("rowGroupStats opens footers through the SESSION Hadoop configuration") {
     // register a filesystem scheme ONLY in the session conf: a footer read
     // through `graftfs://` can succeed only if the task-side closure carries
