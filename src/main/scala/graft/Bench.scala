@@ -20,7 +20,8 @@ object Bench {
     "q61_stream_window", "q73_sessionize_stream", "q74_stream_dedup",
     "q75_asof_stream", "q76_asof_stream_fwd", "q77_interval_join_stream",
     "q77s_interval_join_sized", "q78_interval_join_outer",
-    "q79_interval_join_full", "q82_interval_join_right")
+    "q79_interval_join_full", "q82_interval_join_right",
+    "q83_interval_join_full_sink")
 
   /** Gate multiplier for a face: 2 x (1 + the noisier of the reference
     * population's floor and the evaluating run's own SECTION floor) —

@@ -321,6 +321,35 @@ object SparkEntry {
     finally s.catalog.dropTempView(qn)
   }
 
+  /** Drive a streaming frame through the PRODUCTION file sink to
+    * completion (q83): same drain + empty-flush-batch choreography as
+    * [[drainStream]], but the output rides the checkpointed parquet sink —
+    * nothing ever materializes on the driver, so the drive is valid at any
+    * SF (the memory-sink harness's 100k `localize` guard does not apply).
+    * The caller reads the sink directory back as a lazy scan. Flush files
+    * appended to `flushDir` are deleted after the drive (ADVICE r12). */
+  private def driveFileSink(s: SparkSession, out: DataFrame, outDir: String,
+                            ckptDir: String, flushDir: String,
+                            flushSchema: org.apache.spark.sql.types.StructType): Unit = {
+    val flushPath = java.nio.file.Paths.get(flushDir)
+    def ls: Set[java.nio.file.Path] = listDir(flushPath).toSet
+    val preFlush = ls
+    val q = graft.streaming.StreamOps.sinkFileStream(out, "parquet", outDir,
+      ckptDir, org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      q.processAllAvailable()
+      s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), flushSchema)
+        .write.mode("append").parquet(flushDir)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      graft.streaming.StreamOps.releaseStateStores()
+      (ls -- preFlush).foreach(p =>
+        try java.nio.file.Files.deleteIfExists(p)
+        catch { case _: java.io.IOException => () })
+    }
+  }
+
   private def fixtureScan(s: SparkSession, sfDir: String, name: String)
                          (build: => DataFrame): DataFrame = {
     val key = name + ":" + sfDir
@@ -2795,6 +2824,65 @@ object SparkEntry {
             col("click_ts").cast("timestamp_ntz").as("click_ts"),
             col("click_value"))
       }.orderBy(col("event_id"), col("click_id"))
+    }),
+
+    // The PRODUCTION-SINK twin of q79 (r16 verdict item 1): the identical
+    // full-outer interval join driven through StreamOps.sinkFileStream
+    // (append mode, checkpointed, exactly-once via the file-sink commit
+    // log) instead of the memory-sink oracle harness — the path a real
+    // deployment runs, with NO driver-side bound: q78/q79/q82's memory
+    // sinks abort at the 100k localize guard above sf0.1 (a harness bound,
+    // not a face bound), which had left the outer-null finalization
+    // machinery — the most state-intensive streaming path in the repo —
+    // with zero valid cross-scale walls. This face's output rides FILES
+    // end to end (the read-back is a lazy parquet scan of the sink dir),
+    // so it benches and gates at ANY SF; it grades against the same
+    // full-outer range-join SQL as q79 (reference lazy.rs:329-341
+    // never-materialize streaming collect + io.rs:391-479 streaming sink).
+    "q83_interval_join_full_sink" -> ((s, d) => {
+      val inL = streamFixture(s, d, "q78_left") {
+        val ev = t(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            col("ts").cast("timestamp").as("ts"), col("value"))
+        val maxTs = ev.agg(max(col("ts").cast("timestamp"))).head.getTimestamp(0)
+        purchases.unionByName(s.range(1).select(lit(-1L).as("event_id"),
+          lit(-1L).as("user_id"),
+          lit(new java.sql.Timestamp(maxTs.getTime + 365L * 86400000L))
+            .cast("timestamp").as("ts"),
+          lit(0.0).as("value")))
+      }
+      val inR = streamFixture(s, d, "q78_right") {
+        val ev = t(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").cast("timestamp").as("click_ts"),
+            col("value").as("click_value"))
+        val maxTs = ev.agg(max(col("ts").cast("timestamp"))).head.getTimestamp(0)
+        clicks.unionByName(s.range(1).select(lit(-1L).as("click_id"),
+          lit(-1L).as("user_id"),
+          lit(new java.sql.Timestamp(maxTs.getTime + 365L * 86400000L))
+            .cast("timestamp").as("click_ts"),
+          lit(0.0).as("click_value")))
+      }
+      val lSchema = s.read.parquet(inL).schema
+      val rSchema = s.read.parquet(inR).schema
+      val out = graft.streaming.StreamOps.intervalJoin(
+        s.readStream.schema(lSchema).parquet(inL),
+        s.readStream.schema(rSchema).parquet(inR),
+        "ts", "click_ts", by = Seq(("user_id", "user_id")),
+        before = "1d", after = "0s", watermark = "0 seconds",
+        joinType = "full_outer")
+      val base = scratchDir("q83_sink")
+      driveFileSink(s, out, s"$base/out", s"$base/ckpt", inL, lSchema)
+      s.read.parquet(s"$base/out")
+        .filter(col("user_id") >= 0L)
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"), col("value"),
+          col("click_id"),
+          col("click_ts").cast("timestamp_ntz").as("click_ts"),
+          col("click_value"))
+        .orderBy(col("event_id"), col("click_id"))
     }),
 
     // Multi-dimensional Z-order (Morton) layout — bucketing's sibling
@@ -5310,6 +5398,19 @@ object SparkEntry {
     // q79: the full-outer twin — unmatched rows on BOTH sides emit with the
     // other side's columns null; user_id coalesces across sides
     "q79_interval_join_full" ->
+      """SELECT p.event_id, coalesce(p.user_id, c.user_id) AS user_id,
+        |  p.ts, p.value,
+        |  c.event_id AS click_id, c.ts AS click_ts, c.value AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        |  AND c.ts BETWEEN p.ts - INTERVAL 1 DAY AND p.ts
+        |ORDER BY p.event_id, click_id""".stripMargin,
+
+    // q83: the production-FILE-SINK drive of the identical full-outer
+    // interval join — sink choice must not change a single row, so the
+    // oracle is q79's text verbatim
+    "q83_interval_join_full_sink" ->
       """SELECT p.event_id, coalesce(p.user_id, c.user_id) AS user_id,
         |  p.ts, p.value,
         |  c.event_id AS click_id, c.ts AS click_ts, c.value AS click_value

@@ -23,8 +23,8 @@ CPUS="${SPARK_GRAFT_CPUS:-32}"
 # sf1 adds q61 (own sf1 ref pending; its excursion row is the datum) and
 # EXCLUDES q78/q79/q82 — their memory-sink oracle harness aborts at the
 # 100k localize guard above sf0.1 (harness bound; ijsink is their probe).
-SF1_FACES="q45_rolling_global_rows,q46_rolling_global_time,q49_pipeline_dedup_keeplist,q53_pipeline_clean_pack,q61_stream_window,q77_interval_join_stream,q77s_interval_join_sized,q81_layout_stats,qd03_ngram_jaccard,qd04_minhash_pairs,qd10_dedup_components,qd16_jaccard_prefix,qd28_span_dedup,qd32_bpe_tokenize,qd41_pipeline_quality_select,qd41h_pipeline_quality_select_hashed,qd53_leakage_safe_split,qd55_heavy_hitters,qd57_heavy_hitters_by_lang,qs04_ann_pq"
-SF10_FACES="q77s_interval_join_sized,q81_layout_stats,qd03_ngram_jaccard,qd04_minhash_pairs,qd16_jaccard_prefix,qd28_span_dedup,qd41h_pipeline_quality_select_hashed,qd45_sentence_dedup,qd53_leakage_safe_split,qd55_heavy_hitters,qd57_heavy_hitters_by_lang"
+SF1_FACES="q45_rolling_global_rows,q46_rolling_global_time,q49_pipeline_dedup_keeplist,q53_pipeline_clean_pack,q61_stream_window,q77_interval_join_stream,q77s_interval_join_sized,q81_layout_stats,q83_interval_join_full_sink,qd03_ngram_jaccard,qd04_minhash_pairs,qd10_dedup_components,qd16_jaccard_prefix,qd28_span_dedup,qd32_bpe_tokenize,qd41_pipeline_quality_select,qd41h_pipeline_quality_select_hashed,qd53_leakage_safe_split,qd55_heavy_hitters,qd57_heavy_hitters_by_lang,qs04_ann_pq"
+SF10_FACES="q83_interval_join_full_sink,qd03_ngram_jaccard,qd04_minhash_pairs,qd16_jaccard_prefix,qd28_span_dedup,qd41h_pipeline_quality_select_hashed,qd45_sentence_dedup,qd53_leakage_safe_split,qd55_heavy_hitters,qd57_heavy_hitters_by_lang"
 
 fixture() { # fixture <dir> <factor>
   if [ ! -d "$1" ]; then
