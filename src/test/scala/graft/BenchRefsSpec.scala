@@ -68,6 +68,31 @@ class BenchRefsSpec extends SparkSpec {
     }
   }
 
+  test("evidence.sh gated face lists stay in lockstep with sfRefs") {
+    // tools/evidence.sh embeds the per-SF face selections its gated
+    // cross-scale steps run with; a frozen ref whose face the runner never
+    // selects silently un-gates that face. Same self-enforcement spirit as
+    // CollectLedgerSpec: parse the script, assert coverage.
+    val sh = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("tools/evidence.sh")), "UTF-8")
+    def listOf(varName: String): Set[String] =
+      (varName + "=\"([^\"]*)\"").r.findFirstMatchIn(sh)
+        .map(_.group(1).split(',').map(_.trim).toSet)
+        .getOrElse(fail(s"$varName not found in tools/evidence.sh"))
+    val sf1 = listOf("SF1_FACES")
+    val sf10 = listOf("SF10_FACES")
+    val missing1 = BenchRefs.sfRefs("sf1").keySet.diff(sf1)
+    val missing10 = BenchRefs.sfRefs("sf10").keySet.diff(sf10)
+    assert(missing1.isEmpty,
+      s"sfRefs(sf1) faces missing from evidence.sh SF1_FACES: ${missing1.toSeq.sorted.mkString(", ")}")
+    assert(missing10.isEmpty,
+      s"sfRefs(sf10) faces missing from evidence.sh SF10_FACES: ${missing10.toSeq.sorted.mkString(", ")}")
+    // and the runner must not select a face the bench suite doesn't have
+    val unknown = (sf1 ++ sf10).diff(SparkEntry.benchQueries.keySet)
+    assert(unknown.isEmpty,
+      s"evidence.sh selects unknown faces: ${unknown.toSeq.sorted.mkString(", ")}")
+  }
+
   test("gate math: section pairing, noisier-window rule, sub-100ms floor, triage rule") {
     // section pairing: a streaming face gates against the streaming floors
     assert(Bench.gateFor("q77_interval_join_stream", 0.10, 0.10) == 2.0 * 1.30) // nfRef streaming 0.30 wins
