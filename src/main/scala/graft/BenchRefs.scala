@@ -42,8 +42,12 @@ object BenchRefs {
     * from above — the safe direction for a gate. */
   val sfRefs: Map[String, Map[String, (Double, Double)]] = Map(
     "sf1" -> Map(
-      "q45_rolling_global_rows" -> ((2.71, 6.93)),
-      "q46_rolling_global_time" -> ((1.53, 6.73)),
+      // REFROZEN r17 with the RangeId fix (the pre-fix sf1 readings
+      // measured an algorithm that was WRONG at this scale — the sf1
+      // oracle pass caught it); 3-rep quiet run, 1.2x/1.7x their new
+      // sf0.1 refs at 10x data
+      "q45_rolling_global_rows" -> ((3.43, 8.9)),
+      "q46_rolling_global_time" -> ((3.14, 11.73)),
       "q49_pipeline_dedup_keeplist" -> ((4.64, 5.47)),
       "q53_pipeline_clean_pack" -> ((3.27, 9.92)),
       // q61's first valid sf1 datum (r16c, post fixture-shape fix): the
@@ -161,12 +165,12 @@ object BenchRefs {
     "q38_selectors" -> ((4.0, 0.05, 0.0)),
     "q39_describe_stats" -> ((3.0, 0.01, 0.0)),
     "q40_try_cast" -> ((4.0, 0.02, 0.0)),
-    "q41_asof_unkeyed" -> ((17.0, 0.01, 0.0)),
-    "q42_fill_global" -> ((9.0, 0.01, 0.0)),
+    "q41_asof_unkeyed" -> ((109.0, 0.03, 0.0)),
+    "q42_fill_global" -> ((103.0, 0.03, 0.0)),
     "q43_calendar_month" -> ((5.0, 0.02, 0.0)),
     "q44_calendar_offset" -> ((7.0, 0.02, 0.0)),
-    "q45_rolling_global_rows" -> ((17.0, 0.02, 0.0)),
-    "q46_rolling_global_time" -> ((19.0, 0.03, 0.0)),
+    "q45_rolling_global_rows" -> ((171.0, 0.03, 0.0)),
+    "q46_rolling_global_time" -> ((275.0, 0.05, 0.0)),
     "q47_jdbc_roundtrip" -> ((20.0, 0.0, 0.0)),
     "q48_pipeline_asof_pivot" -> ((9.0, 0.01, 0.0)),
     "q49_pipeline_dedup_keeplist" -> ((116.0, 0.02, 0.0)),
@@ -227,10 +231,10 @@ object BenchRefs {
     "qd20_pack" -> ((5.0, 0.03, 0.0)),
     "qd21_decontaminate_neardup" -> ((9.0, 0.03, 0.0)),
     "qd22_mixture" -> ((7.0, 0.03, 0.0)),
-    "qd23_pack_global" -> ((10.0, 0.02, 0.0)),
-    "qd24_shuffle" -> ((11.0, 0.02, 0.0)),
+    "qd23_pack_global" -> ((104.0, 0.04, 0.0)),
+    "qd24_shuffle" -> ((103.0, 0.04, 0.0)),
     "qd25_rarity" -> ((7.0, 0.02, 0.0)),
-    "qd26_shuffle_pack" -> ((10.0, 0.02, 0.0)),
+    "qd26_shuffle_pack" -> ((103.0, 0.03, 0.0)),
     "qd27_upsample" -> ((4.0, 0.11, 0.0)),
     "qd28_span_dedup" -> ((8.0, 0.02, 0.0)),
     "qd29_semantic_dedup" -> ((18.0, 0.03, 0.0)),
@@ -252,7 +256,7 @@ object BenchRefs {
     "qd44_gopher_quality" -> ((66.0, 0.12, 0.0)),
     "qd45_sentence_dedup" -> ((8.0, 0.11, 0.0)),
     "qd46_dup_paragraphs" -> ((66.0, 0.15, 0.0)),
-    "qd47_pack_spans" -> ((10.0, 0.05, 0.0)),
+    "qd47_pack_spans" -> ((104.0, 0.05, 0.0)),
     "qd48_blocklist" -> ((4.0, 0.14, 0.0)),
     "qd49_bpe_encode_fixed" -> ((4.0, 0.05, 0.0)),
     "qd50_bm25" -> ((6.0, 0.04, 0.0)),
@@ -315,12 +319,18 @@ object BenchRefs {
     "q38_selectors" -> ((0.151, 1.4)),
     "q39_describe_stats" -> ((0.158, 2.48)),
     "q40_try_cast" -> ((0.464, 1.12)),
-    "q41_asof_unkeyed" -> ((0.738, 2.16)),
-    "q42_fill_global" -> ((0.896, 1.54)),
+    // q41/q42/q45/q46/qd23/qd24/qd26/qd47 REFROZEN r17: the RangeId
+    // correctness fix (BASELINE round-17 late finding) adds one bounded
+    // key-sampling job + a row_number window to every global (unkeyed)
+    // operator — the old refs measured an algorithm whose partition-
+    // boundary math was silently wrong at sf1+. Values from the post-fix
+    // quiet run (cpu_collapse_frac 0, zero violations).
+    "q41_asof_unkeyed" -> ((1.6, 5.16)),
+    "q42_fill_global" -> ((1.062, 5.23)),
     "q43_calendar_month" -> ((0.917, 1.28)),
     "q44_calendar_offset" -> ((0.571, 1.3)),
-    "q45_rolling_global_rows" -> ((2.184, 1.98)),
-    "q46_rolling_global_time" -> ((1.09, 2.16)),
+    "q45_rolling_global_rows" -> ((2.841, 4.81)),
+    "q46_rolling_global_time" -> ((1.814, 6.91)),
     "q47_jdbc_roundtrip" -> ((0.509, 5.03)),
     "q48_pipeline_asof_pivot" -> ((0.563, 2.07)),
     "q49_pipeline_dedup_keeplist" -> ((1.998, 2.69)),
@@ -385,10 +395,10 @@ object BenchRefs {
     "qd20_pack" -> ((0.209, 2.1)),
     "qd21_decontaminate_neardup" -> ((0.736, 1.42)),
     "qd22_mixture" -> ((0.276, 1.65)),
-    "qd23_pack_global" -> ((0.435, 2.01)),
-    "qd24_shuffle" -> ((0.309, 2.35)),
+    "qd23_pack_global" -> ((0.759, 4.8)),
+    "qd24_shuffle" -> ((0.661, 4.86)),
     "qd25_rarity" -> ((0.503, 1.46)),
-    "qd26_shuffle_pack" -> ((0.405, 1.82)),
+    "qd26_shuffle_pack" -> ((0.938, 5.92)),
     "qd27_upsample" -> ((0.138, 1.44)),
     "qd28_span_dedup" -> ((1.373, 1.52)),
     "qd29_semantic_dedup" -> ((0.636, 1.92)),
@@ -410,7 +420,7 @@ object BenchRefs {
     "qd44_gopher_quality" -> ((0.468, 6.17)),
     "qd45_sentence_dedup" -> ((1.125, 1.53)),
     "qd46_dup_paragraphs" -> ((0.397, 10.93)),
-    "qd47_pack_spans" -> ((0.483, 2.32)),
+    "qd47_pack_spans" -> ((0.786, 5.27)),
     "qd48_blocklist" -> ((0.208, 2.21)),
     "qd49_bpe_encode_fixed" -> ((0.945, 1.59)),
     "qd50_bm25" -> ((0.601, 1.57)),

@@ -203,16 +203,19 @@ object AsofJoin {
     withTol.select(out.toIndexedSeq: _*)
   }
 
-  /** Unkeyed nearest scale path: range-partition on __t (ties never split —
-    * RangePartitioner keys equal values to one partition, so the in-partition
-    * (time, side) sort resolves allow_eq exactly like the keyed path), run
-    * both running carries per partition in parallel, then patch partition
-    * edges with a broadcast ≤P-row boundary frame carrying each partition's
-    * extreme right rows in both directions. Mirrors [[unkeyedCarry]], which
-    * does the same for one direction. */
+  /** Unkeyed nearest scale path: range-BUCKET on __t (ties never split —
+    * RangeId assigns equal values one id, so the in-bucket (time, side)
+    * sort resolves allow_eq exactly like the keyed path), run both running
+    * carries per bucket in parallel, then patch bucket edges with a
+    * broadcast ≤P-row boundary frame carrying each bucket's extreme right
+    * rows in both directions. Mirrors [[unkeyedCarry]], which does the
+    * same for one direction. */
   private def unkeyedNearest(unioned: DataFrame, sideOrder: Column): DataFrame = {
-    val parted = unioned.repartitionByRange(col("__t"))
-      .withColumn("__pid", spark_partition_id())
+    // value-derived bucket ids (r17 sf1-oracle catch, see RangeId): the
+    // data rows and the boundary aggregate must agree on partition ids
+    val nPart = unioned.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = RangeId.withRangeId(unioned, Seq(col("__t")), Seq(true), nPart, "__pid")
+      .repartition(nPart, col("__pid"))
     val wB = Window.partitionBy("__pid").orderBy(col("__t").asc, sideOrder)
       .rowsBetween(Window.unboundedPreceding, 0)
     val wF = Window.partitionBy("__pid").orderBy(col("__t").desc, sideOrder)
@@ -252,16 +255,22 @@ object AsofJoin {
     *      gets a prefix window — the boundary value each partition inherits
     *      from all earlier ones — and is broadcast back onto the rows.
     *
-    * Two shuffles of the data (range + pid hash, both fully parallel) plus
-    * one tiny single-partition window over P rows; the range exchange is
-    * shared by both branches via Spark's ReuseExchange. The equality guard
-    * on the boundary handles an equal-time row pair straddling a partition
-    * boundary under allowEq=false.
+    * One hash exchange of the data (on the value-derived RangeId bucket)
+    * plus one tiny single-partition window over P rows; every branch
+    * derives the identical bucket id from the row's own keys, so no
+    * exchange-instance agreement is required. The equality guard on the
+    * boundary handles an equal-time row pair straddling a bucket boundary
+    * under allowEq=false.
     */
   private def unkeyedCarry(unioned: DataFrame, tOrd: Column, sideOrder: Column,
                            backward: Boolean, allowEq: Boolean): DataFrame = {
-    val parted = unioned.repartitionByRange(tOrd, sideOrder)
-      .withColumn("__pid", spark_partition_id())
+    // value-derived bucket ids (r17 sf1-oracle catch, see RangeId): the
+    // data rows and the carry aggregate must agree on partition ids; id
+    // order mirrors (tOrd, sideOrder) via the direction flags
+    val nPart = unioned.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = RangeId.withRangeId(unioned, Seq(col("__t"), col("__side")),
+        Seq(backward, allowEq), nPart, "__pid")
+      .repartition(nPart, col("__pid"))
     val w = Window.partitionBy("__pid").orderBy(tOrd, sideOrder)
       .rowsBetween(Window.unboundedPreceding, 0)
     val running = parted.withColumn("__match", last(col("__rstruct"), ignoreNulls = true).over(w))

@@ -62,7 +62,13 @@ object Fill {
   def fillGlobal(df: DataFrame, cols: Seq[String], order: Seq[Column],
                  forward: Boolean = true, limit: Option[Int] = None): DataFrame = {
     val ordered = (if (forward) order else order.map(_.desc)).toIndexedSeq
-    val parted = df.repartitionByRange(ordered: _*).withColumn("__pid", spark_partition_id())
+    // value-derived bucket ids (r17 sf1-oracle catch, see RangeId): the
+    // offsets/carry subtree and the data subtree must agree on partition
+    // ids, which spark_partition_id over separately-sampled range-exchange
+    // instances cannot guarantee
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = RangeId.withRangeId(df, order, order.map(_ => forward), nPart, "__pid")
+      .repartition(nPart, col("__pid"))
     val w0 = Window.partitionBy("__pid").orderBy(ordered: _*)
     val w = w0.rowsBetween(Window.unboundedPreceding, 0)
     val withRn = parted.withColumn("__rn", row_number().over(w0))

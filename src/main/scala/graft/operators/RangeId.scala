@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, VALUE-derived range-bucket ids for the global (unkeyed)
+  * operators (`Rolling.fixedGlobal`/`timeGlobal`, `Fill.fillGlobal`,
+  * `Prep.shuffled`/`packGlobal`, `AsofJoin.unkeyedCarry`/`unkeyedNearest`).
+  *
+  * WHY THIS EXISTS (r17 sf1-oracle catch): those operators used
+  * `repartitionByRange` + `spark_partition_id()`, then referenced the
+  * partitioned frame from SEVERAL plan subtrees (the data rows, the
+  * per-partition offset/boundary aggregates, the context-duplication
+  * candidates). Catalyst prunes each subtree independently, so the range
+  * exchange instances are NOT canonically equal and ReuseExchange cannot
+  * dedupe them — and `RangePartitioner` samples its split points with a
+  * seed derived from each instance's RDD id, so two instances can pick
+  * DIFFERENT boundaries. The `spark_partition_id` spaces then disagree
+  * and the boundary math silently corrupts a partition edge. At sf0.1 and
+  * below the sampling is effectively exhaustive and the instances agree —
+  * the bug first fired on the sf1 oracle pass (q45: one spurious rolling
+  * restart; q46: an undercounted window; nondeterministic across runs).
+  *
+  * The fix: make the bucket id a PURE FUNCTION of the order-key values.
+  * One bounded, seeded, driver-side sample of the key columns picks
+  * `nPart - 1` split points ONCE at plan-construction time; they ride
+  * into the plan as literals inside a codegen-friendly comparison chain
+  * (`id = Σ_b [key sorts after b]` — lexicographic over the key columns,
+  * honoring per-column direction and Spark's null placement). Every plan
+  * branch then computes the identical id for a row no matter how AQE
+  * partitions, coalesces, or re-samples any physical exchange; equal keys
+  * always share a bucket (ties never split). Downstream, the operators
+  * hash-partition on the id column (`repartition(n, col(id))`), which any
+  * window over `partitionBy(id)` reuses exchange-free.
+  *
+  * Driver-side bound (SCALE_CONTRACTS.md): the sample collect holds
+  * `max(2, ceil(60·nPart / inputPartitions))` keys per input partition —
+  * ~60·nPart total rows of ONLY the key columns. Unweighted sample
+  * quantiles (unlike Spark's weighted re-sampling) can skew bucket SIZES
+  * under heavily imbalanced input partitions — a performance trade, never
+  * correctness: the operators' offset/boundary math is bucket-size
+  * agnostic, and an empty bucket simply contributes no rows.
+  */
+private[graft] object RangeId {
+
+  /** Spark-SQL-order comparison of two non-null key values. Strings
+    * compare as UTF-8 binary (Spark semantics), NOT java.lang.String
+    * UTF-16 order — a split point between surrogate-bearing strings must
+    * agree with the engine's sort. */
+  private def compareAny(x: Any, y: Any): Int = (x, y) match {
+    case (a: String, b: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    case (a: java.lang.Comparable[_], _) =>
+      a.asInstanceOf[java.lang.Comparable[Any]].compareTo(y)
+    case _ => throw new IllegalArgumentException(
+      s"RangeId: unorderable key type ${x.getClass.getName}")
+  }
+
+  /** Total order over key rows: field-by-field with per-field direction,
+    * Spark default null placement (asc: nulls FIRST, desc: nulls LAST). */
+  private final class KeyOrdering(asc: Array[Boolean])
+      extends Ordering[Row] with Serializable {
+    override def compare(a: Row, b: Row): Int = {
+      var i = 0
+      while (i < asc.length) {
+        val x = a.get(i)
+        val y = b.get(i)
+        val c =
+          if (x == null && y == null) 0
+          else if (x == null) -1
+          else if (y == null) 1
+          else compareAny(x, y)
+        val d = if (asc(i)) c else -c
+        if (d != 0) return d
+        i += 1
+      }
+      0
+    }
+  }
+
+  /** `keys`-tuple "sorts strictly after `bound`" as a Column (lexicographic,
+    * direction- and null-aware; `bound` values are known driver-side, so
+    * null bounds resolve to explicit null-placement predicates instead of
+    * three-valued-logic surprises). Used inside `when(_, 1).otherwise(0)`,
+    * where a residual null condition safely reads false. */
+  private def sortsAfter(keys: Seq[Column], asc: Seq[Boolean], bound: Row): Column = {
+    def gt(i: Int): Column = {
+      val b = bound.get(i)
+      if (b == null) { if (asc(i)) keys(i).isNotNull else lit(false) }
+      else if (asc(i)) keys(i) > lit(b)
+      else keys(i).isNull || keys(i) < lit(b)
+    }
+    def eq(i: Int): Column = {
+      val b = bound.get(i)
+      if (b == null) keys(i).isNull else keys(i) <=> lit(b)
+    }
+    keys.indices.reverse.foldLeft(lit(false)) { (rest, i) =>
+      gt(i) || (eq(i) && rest)
+    }
+  }
+
+  /** `df` plus an `idCol` in `[0, nPart)` that is a pure function of the
+    * `keys` tuple under the per-column `asc` directions: equal tuples share
+    * an id, and id order equals tuple sort order. Runs one bounded sampling
+    * job eagerly (see object doc). */
+  def withRangeId(df: DataFrame, keys: Seq[Column], asc: Seq[Boolean],
+                  nPart: Int, idCol: String): DataFrame = {
+    require(keys.nonEmpty && keys.length == asc.length,
+      s"RangeId: ${keys.length} keys vs ${asc.length} directions")
+    require(nPart >= 1, s"RangeId: nPart must be positive, got $nPart")
+    val bounds = sampleBounds(df, keys, asc, nPart)
+    val id = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(sortsAfter(keys, asc, b), lit(1)).otherwise(lit(0))
+    }
+    df.withColumn(idCol, id)
+  }
+
+  /** Up to `nPart - 1` strictly-increasing split points from a seeded
+    * per-partition reservoir sample of the key columns (bounded collect —
+    * see object doc). Deterministic for a given input layout. */
+  private def sampleBounds(df: DataFrame, keys: Seq[Column],
+                           asc: Seq[Boolean], nPart: Int): Seq[Row] = {
+    if (nPart == 1) return Seq.empty
+    val keyDf = df.select(keys.zipWithIndex.map { case (c, i) => c.as(s"__k$i") }: _*)
+    val rdd = keyDf.rdd
+    val numIn = math.max(1, rdd.getNumPartitions)
+    val perPart = math.max(2, math.ceil(60.0 * nPart / numIn).toInt)
+    val sample = rdd.mapPartitionsWithIndex { (pi, it) =>
+      // deterministic per-partition reservoir (seed = f(partition index))
+      val rng = new java.util.Random(0x9E3779B97F4A7C15L ^ (pi + 1).toLong)
+      val buf = new Array[Row](perPart)
+      var seen = 0L
+      while (it.hasNext) {
+        val r = it.next()
+        if (seen < perPart) buf(seen.toInt) = r
+        else {
+          val j = (rng.nextDouble() * (seen + 1)).toLong
+          if (j < perPart) buf(j.toInt) = r
+        }
+        seen += 1
+      }
+      buf.iterator.take(math.min(seen, perPart.toLong).toInt)
+    }.collect()
+    if (sample.isEmpty) return Seq.empty
+    val ord = new KeyOrdering(asc.toArray)
+    val sorted = sample.sorted(ord)
+    val picked = (1 until nPart).map { i =>
+      sorted(math.min(sorted.length - 1, i * sorted.length / nPart))
+    }
+    // strictly increasing: equal neighbors collapse (an empty bucket is
+    // harmless; a non-monotone bound table would not be)
+    picked.foldLeft(Vector.empty[Row]) { (out, b) =>
+      if (out.nonEmpty && ord.compare(out.last, b) >= 0) out else out :+ b
+    }
+  }
+}

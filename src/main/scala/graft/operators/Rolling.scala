@@ -128,18 +128,20 @@ object Rolling {
                   aggs: Seq[(String, WindowSpec => Column)]): DataFrame = {
     val n = Durations.parseRows(windowSize)
     val ordered = order.toIndexedSeq
-    // local row numbers WITHOUT a window exchange: after the range exchange
-    // the rows of a partition are already co-located, so sort within the
-    // partition and read the per-partition counter out of
-    // monotonically_increasing_id ((pid << 33) + rowIndex — indices above
-    // 2^33 rows/partition would wrap, far beyond any sane partition size).
-    // A row_number() window over __pid computes the same value but forces
-    // an extra full-data hashpartitioning(__pid) exchange right after the
-    // range exchange.
-    val parted = df.repartitionByRange(ordered: _*).sortWithinPartitions(ordered: _*)
-      .withColumn("__pid", spark_partition_id())
+    // VALUE-derived bucket ids (r17 sf1-oracle catch, see RangeId): the
+    // plan references the partitioned frame from several subtrees with
+    // different column prunings, so `repartitionByRange` +
+    // `spark_partition_id()` instances could re-sample DIFFERENT split
+    // points (ReuseExchange needs canonical equality; RangePartitioner
+    // seeds per RDD id) and the pid spaces silently disagreed at one
+    // boundary. RangeId bakes the split points into the plan as literals,
+    // so every branch derives the identical id from the row's own keys;
+    // the hash exchange below co-locates each id for the windows.
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = RangeId.withRangeId(df, ordered, ordered.map(_ => true), nPart, "__pid")
+      .repartition(nPart, col("__pid"))
     val withRn = parted.withColumn("__rn",
-      monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)) + lit(1L))
+      row_number().over(Window.partitionBy("__pid").orderBy(ordered: _*)).cast("long"))
     val prefix = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     val boundsBase = withRn.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
       .withColumn("__off", coalesce(sum(col("__cnt")).over(prefix), lit(0L)))
@@ -198,8 +200,13 @@ object Rolling {
                  diffCounts: Seq[(String, Column)] = Seq.empty): DataFrame = {
     val us = Durations.parseMicros(windowSize)
     val u = unix_micros(timeCol.cast("timestamp"))
-    val parted = df.withColumn("__u", u).repartitionByRange(col("__u"))
-      .withColumn("__pid", spark_partition_id())
+    // value-derived bucket ids for the same multi-subtree divergence
+    // reason as fixedGlobal (r17 sf1-oracle catch: q46 undercounted at one
+    // boundary when two exchange instances sampled different split points)
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = RangeId.withRangeId(df.withColumn("__u", u),
+        Seq(col("__u")), Seq(true), nPart, "__pid")
+      .repartition(nPart, col("__pid"))
     // same equi-joined context shape as fixedGlobal: qmax_p = max q with
     // lo_q ≤ hi_p + us via the P-row sorted-merge running max; only rows in
     // the next partition's lookback (__u ≥ nextlo − us) explode candidates,

@@ -205,14 +205,15 @@ object Prep {
     * of token sums. */
   def shuffled(df: DataFrame, idCol: String, salt: Long = 0L): DataFrame = {
     val keyed = df.withColumn("shuffle_key", shuffleKey(col(idCol), salt).cast("long"))
-    // local ranks WITHOUT a window exchange: rows of a partition are
-    // co-located after the range exchange, so sort within partitions and
-    // read the per-partition counter out of monotonically_increasing_id
-    // ((pid << 33) + rowIndex) — a row_number() window over __pid would
-    // re-shuffle the full data on hash(__pid) just to number it
-    val parted = keyed.repartitionByRange(col("shuffle_key"), col(idCol))
-      .sortWithinPartitions(col("shuffle_key"), col(idCol))
-      .withColumn("__pid", spark_partition_id())
+    // value-derived bucket ids (r17 sf1-oracle catch, see
+    // operators.RangeId): the offsets subtree and the data subtree must
+    // agree on partition ids, which spark_partition_id over separately-
+    // sampled range-exchange instances cannot guarantee; local ranks come
+    // from a row_number window the hash exchange below already satisfies
+    val nPartS = keyed.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = graft.operators.RangeId.withRangeId(keyed,
+        Seq(col("shuffle_key"), col(idCol)), Seq(true, true), nPartS, "__pid")
+      .repartition(nPartS, col("__pid"))
     // per-partition row counts -> exclusive prefix offsets (≤P rows: the
     // only single-task window runs over the partition COUNT, not the data)
     val prefix = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
@@ -221,7 +222,8 @@ object Prep {
       .select(col("__pid"), col("__off"))
     parted
       .withColumn("__lrn",
-        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)) + lit(1L))
+        row_number().over(Window.partitionBy("__pid")
+          .orderBy(col("shuffle_key"), col(idCol))).cast("long"))
       .join(broadcast(offsets), Seq("__pid"))
       .withColumn("shuffle_pos", col("__lrn") - lit(1L) + col("__off"))
       .drop("__pid", "__lrn", "__off")
@@ -914,7 +916,12 @@ object Prep {
                  budget: Long): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     val ordered = orderCols.map(col)
-    val parted = df.repartitionByRange(ordered: _*).withColumn("__pid", spark_partition_id())
+    // value-derived bucket ids: same multi-subtree __pid divergence class
+    // as Rolling/Fill (r17 sf1-oracle catch; see operators.RangeId)
+    val nPartP = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = graft.operators.RangeId.withRangeId(df, ordered,
+        ordered.map(_ => true), nPartP, "__pid")
+      .repartition(nPartP, col("__pid"))
     val wLocal = Window.partitionBy("__pid").orderBy(ordered: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     // per-partition totals -> exclusive prefix offsets (<= P rows: the only

@@ -125,9 +125,11 @@ class AsofSpec extends SparkSpec {
     try {
       val joined = AsofJoin.join(l, r, "t", "t")
       assert(joined.rdd.getNumPartitions > 1,
-        "unkeyed as-of must range-partition, not collapse to one task")
-      assert(joined.queryExecution.executedPlan.toString.contains("rangepartitioning"),
-        "expected a range exchange in the unkeyed as-of plan")
+        "unkeyed as-of must range-bucket, not collapse to one task")
+      // r17: the exchange hash-partitions on the VALUE-derived RangeId
+      // bucket, which every plan subtree computes identically
+      assert(joined.queryExecution.executedPlan.toString.contains("hashpartitioning(__pid"),
+        "expected the RangeId bucket exchange in the unkeyed as-of plan")
     } finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
   }
 

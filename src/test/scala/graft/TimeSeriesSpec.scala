@@ -264,7 +264,10 @@ class TimeSeriesSpec extends SparkSpec {
     try {
       val fast = Fill.fillGlobal(df, Seq("v"), Seq(col("id")))
       assert(fast.rdd.getNumPartitions > 1, "fillGlobal must not collapse to one task")
-      assert(fast.queryExecution.executedPlan.toString.contains("rangepartitioning"))
+      // r17: the exchange hash-partitions on the VALUE-derived RangeId
+      // bucket (identical in every plan subtree by construction), not on a
+      // sampled rangepartitioning whose instances could disagree
+      assert(fast.queryExecution.executedPlan.toString.contains("hashpartitioning(__pid"))
     } finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
   }
 

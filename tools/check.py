@@ -9,7 +9,7 @@ the sfDir parquet tables, load the Spark parquet output, sort columns by name
 and rows by all columns, compare exactly (float equality is exact — queries are
 designed to be bit-deterministic via decimal-exact aggregation).
 """
-import json, math, sys
+import json, math, os, sys
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -45,7 +45,11 @@ def main():
     only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata tables are single parquet FILES; ScaleUp scale
+        # fixtures (/tmp/graft_sf1, /tmp/graft_sf10) are parquet DIRECTORIES
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     n_ok = n_bad = 0
