@@ -462,14 +462,20 @@ object Bench {
     }
     // run-level quality verdict (r16 directive 5): the r16 driver run was
     // ambient-loaded end-to-end and only per-row probe reading showed it —
-    // now a dirty run names itself in one field present in every shape
-    val (suspectFrac, collapseFrac, maxLoad1) = runQuality(results.map { r =>
+    // now a dirty run names itself in one field present in every shape.
+    // VALID rows only (ADVICE r17): an all-reps-failed row carries
+    // median(empty)=0.0 probe values, so feeding it here read as cpuFrac=0
+    // "collapse" — one expected-failure face in a 10-face cross-scale run
+    // added 0.10 to cpu_collapse_frac, the BASELINE.md discriminator
+    // (calibrated 0.007–0.034). Failed rows already sit outside the gate,
+    // totals and noise floors; the quality verdict now matches.
+    val (suspectFrac, collapseFrac, maxLoad1) = runQuality(valid.map { r =>
       val refCpu = ownRefs.get(r.name).orElse(BenchRefs.refs.get(r.name))
         .map(_._2).getOrElse(0.0)
       (r.cpuFrac, refCpu, r.load1)
     })
     val probeFields =
-      s""""load1_start":${r2(load1Start)},"load1_end":${r2(load1End)},"cpu_frac_med":${r2(median(results.map(_.cpuFrac)))},"quality":{"load_suspect_frac":${r4(suspectFrac)},"cpu_collapse_frac":${r4(collapseFrac)},"max_load1":${r2(maxLoad1)}}"""
+      s""""load1_start":${r2(load1Start)},"load1_end":${r2(load1End)},"cpu_frac_med":${r2(median(valid.map(_.cpuFrac)))},"quality":{"load_suspect_frac":${r4(suspectFrac)},"cpu_collapse_frac":${r4(collapseFrac)},"max_load1":${r2(maxLoad1)}}"""
     // Three artifact shapes (round-11 directive 3 + r15 directive 2, the
     // fourth attempt at a non-null driver-side parse):
     //   - the FILE artifact keeps everything: med + cold + spread + probe

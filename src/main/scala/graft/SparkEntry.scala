@@ -1744,19 +1744,37 @@ object SparkEntry {
 
     // qd41h — the hashed flagship as a VERDICT CONTRACT (round 10): run the
     // hashed twin AND the exact oracle-anchored face, emit the selection
-    // overlap verdict the oracle states. Floor 40/50 has margin at every
-    // driver SF (measured 49/50 at sf0.001, 44/50 at sf0.01 — residual
-    // daylight is hashed-vs-exact score ties at the cut boundary); a
-    // collision-regression or a pipeline divergence flips the hash red
-    // where the previous rows-only check was blind. The raw hashed
-    // pipeline ([[qd41hHashed]]) stays the BENCH face — the plan a real
-    // corpus build runs — and DsirSpec pins the overlap at spec level too.
+    // overlap verdict the oracle states. SF-PORTABLE since r18 (r17
+    // verdict item 2: the old `n_selected=50` oracle constant was
+    // sf0.1-scoped — at sf1 the rotated-text fixture defeats the
+    // perplexity gates, the scored pool drops below k, and the face was
+    // the single red row of the first sf1 oracle pass). The contract now
+    // states invariants that travel across SF:
+    //   n_selected_ok — the top-k cut selected exactly min(50, pool):
+    //     anchors the selection count to the pipeline's own scored-pool
+    //     size instead of a fixture-scoped constant;
+    //   overlap_ok   — hashed∩exact ≥ 80% of min(n_hashed, n_exact):
+    //     the same 40/50 floor at every driver SF (measured 49/50 at
+    //     sf0.001, 44/50 at sf0.01 — residual daylight is hashed-vs-exact
+    //     score ties at the cut boundary), degrading honestly to vacuous
+    //     when either side selects nothing. The absolute anchor lives in
+    //     qd41's own fully-DuckDB-replayed oracle; a collision regression
+    //     or pipeline divergence still flips this face red. The raw hashed
+    //     pipeline ([[qd41hHashed]]) stays the BENCH face — the plan a real
+    //     corpus build runs — and DsirSpec pins the overlap at spec level.
     "qd41h_pipeline_quality_select_hashed" -> ((s, d) => {
-      val hashed = qd41hHashed(s, d).select(col("doc_id"))
+      val hashed = qd41hRun(s, d, withPool = true)
       val exact = queries("qd41_pipeline_quality_select")(s, d).select(col("doc_id"))
-      hashed.agg(count(lit(1)).as("n_selected"))
-        .crossJoin(hashed.join(exact, "doc_id").agg(count(lit(1)).as("__ov")))
-        .select(col("n_selected"), (col("__ov") >= 40).as("overlap_ok"))
+      hashed.agg(count(lit(1)).as("n_hashed"),
+          first(col("n_pool")).as("n_pool"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .crossJoin(hashed.select(col("doc_id")).join(exact, "doc_id")
+          .agg(count(lit(1)).as("__ov")))
+        .select(
+          (col("n_hashed") ===
+            least(lit(50L), coalesce(col("n_pool"), lit(0L)))).as("n_selected_ok"),
+          (col("__ov") * 5 >= least(col("n_hashed"), col("n_exact")) * 4)
+            .as("overlap_ok"))
     }),
 
     // duplicate-PARAGRAPH repetition signals (Gopher §A1.1's paragraph
@@ -2640,6 +2658,16 @@ object SparkEntry {
     // machinery (the round-13 decomposition: the drive is near-linear in
     // partition count at constant data; a production-volume stream
     // amortizes many partitions, a toy one wants few).
+    //
+    // Since r18 the drive rides the PRODUCTION FILE SINK (the q83
+    // choreography), not the memory sink: the memory sink materializes
+    // every joined row on the driver and its 100k localize guard aborted
+    // this face at sf10 (872,700 output rows — the r17 verdict's missing
+    // sf10 coverage). The file sink keeps the output distributed end to
+    // end, so the sized face — the one that IS the scale lever — now
+    // drives and gates at any SF; the read-back is a lazy scan the bench's
+    // noop sink consumes without a driver bound. q77 keeps the memory-sink
+    // harness as the in-bound twin, so both sink paths stay covered.
     "q77s_interval_join_sized" -> ((s, d) => {
       val inL = streamFixture(s, d, "q75_left") {
         t(s, d, "events").filter(col("event_type") === "purchase")
@@ -2660,13 +2688,15 @@ object SparkEntry {
           s2.readStream.schema(rSchema).parquet(inR),
           "ts", "click_ts", by = Seq(("user_id", "user_id")),
           before = "1d", after = "0s", watermark = "0 seconds")
-        drainStream(s2, out, "g77s_stream", inL, lSchema) { t =>
-          t.select(col("event_id"), col("user_id"),
+        val base = scratchDir("q77s_sink")
+        driveFileSink(s2, out, s"$base/out", s"$base/ckpt", inL, lSchema)
+        s2.read.parquet(s"$base/out")
+          .select(col("event_id"), col("user_id"),
             col("ts").cast("timestamp_ntz").as("ts"), col("value"),
             col("click_id"),
             col("click_ts").cast("timestamp_ntz").as("click_ts"),
             col("click_value"))
-        }.orderBy(col("event_id"), col("click_id"))
+          .orderBy(col("event_id"), col("click_id"))
       }
     }),
 
@@ -2926,17 +2956,25 @@ object SparkEntry {
         col("l_orderkey"))
       L.writeZOrderedByRank(base, Seq("x", "y"), bits = 10, dir,
         targetFiles = 4, blockBytes = 16L << 10)
-      // localize the row-group-count-sized stats frame ONCE (ADVICE r13):
-      // it feeds two plan branches (clusteringFactor + the gmin/gmax agg),
-      // which would otherwise open and parse every parquet footer twice
-      val stats = localize(s, L.rowGroupStats(s, dir, Seq("x", "y")))
-      L.clusteringFactor(stats)
-        .join(stats.groupBy(col("column")).agg(
-          min(col("min_value")).as("gmin"), max(col("max_value")).as("gmax")),
-          Seq("column"))
-        .select(col("column").as("col_name"), col("gmin"), col("gmax"),
-          (col("clustering_factor") < 0.6).as("clustered"))
-        .orderBy(col("col_name"))
+      // persist the row-group-stats frame ONCE (ADVICE r13: it feeds two
+      // plan branches — clusteringFactor + the gmin/gmax agg — which would
+      // otherwise open and parse every parquet footer twice). PERSIST, not
+      // localize (r18): the stats frame is row-group-count-sized, and the
+      // 16 KiB demo geometry yields 176k rows at sf10 — past the 100k
+      // driver guard that aborted this face's sf10 bench coverage (r17
+      // verdict). The stats stay distributed; only the 2-row diagnostic
+      // verdict localizes, which also lets the cache release before return.
+      val stats = L.rowGroupStats(s, dir, Seq("x", "y"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try
+        localize(s, L.clusteringFactor(stats)
+          .join(stats.groupBy(col("column")).agg(
+            min(col("min_value")).as("gmin"), max(col("max_value")).as("gmax")),
+            Seq("column"))
+          .select(col("column").as("col_name"), col("gmin"), col("gmax"),
+            (col("clustering_factor") < 0.6).as("clustered"))
+          .orderBy(col("col_name")))
+      finally stats.unpersist(blocking = true)
     }),
 
     // §2.1/2.2 beyond-reference: ORC round-trip (write → scan vs the
@@ -3178,7 +3216,18 @@ object SparkEntry {
     * are the bloom-verify join and the top-k). This is the plan a real
     * corpus build runs — the qd41h BENCH face; the qd41h CORRECTNESS face
     * wraps it in the overlap contract against exact qd41. */
-  private[graft] def qd41hHashed(s: SparkSession, d: String): DataFrame = {
+  private[graft] def qd41hHashed(s: SparkSession, d: String): DataFrame =
+    qd41hRun(s, d, withPool = false)
+
+  /** [[qd41hHashed]] with an optional scored-pool count riding along
+    * (`n_pool` on every selected row, computed inside the same stage-cache
+    * lifecycle) — the SF-portable correctness contract needs min(50, pool)
+    * as its selection-count anchor (r17 verdict: the old `n_selected=50`
+    * oracle constant was sf0.1-scoped and went red at sf1, where the
+    * rotated-text fixture defeats the perplexity gates and the pool drops
+    * to 26). */
+  private[graft] def qd41hRun(s: SparkSession, d: String,
+                              withPool: Boolean): DataFrame = {
     val P = graft.prep.Prep
     val docs = t(s, d, "documents")
     val baseCols = docs.columns.map(col).toIndexedSeq
@@ -3199,14 +3248,18 @@ object SparkEntry {
       .filter(!col("contaminated"))
       .select(baseCols: _*)
       .persist(lvl)
-    try
+    try {
       // stage 3: hashed DSIR — scoring is one narrow expression over s2
-      localize(s, P.selectTopK(
-          P.importanceWeightsHashed(s2, s2.filter(col("doc_id") % 17 === 0),
-            "text"),
-          "dsir_weight", "doc_id", k = 50)
-        .select(col("doc_id"), col("dsir_weight")))
-    finally {
+      val weights = P.importanceWeightsHashed(s2,
+        s2.filter(col("doc_id") % 17 === 0), "text")
+      val top = P.selectTopK(weights, "dsir_weight", "doc_id", k = 50)
+        .select(col("doc_id"), col("dsir_weight"))
+      // n_pool re-scans persisted s2 once (a count over the narrow scoring
+      // map) — contract-face-only cost; the bench face never asks for it
+      localize(s,
+        if (!withPool) top
+        else top.crossJoin(weights.agg(count(lit(1)).as("n_pool"))))
+    } finally {
       s2.unpersist(blocking = true)
       s1.unpersist(blocking = true)
     }
@@ -3653,9 +3706,11 @@ object SparkEntry {
         |  count(*) FILTER (WHERE length(text) > 0) AS n_rated,
         |  true AS ratio_ok
         |FROM documents""".stripMargin,
-    // hashed flagship vs exact flagship selection-overlap contract
+    // hashed flagship vs exact flagship selection-overlap contract —
+    // SF-portable verdict booleans (r18): the count anchors to the
+    // pipeline's own scored pool, the overlap floor is fractional
     "qd41h_pipeline_quality_select_hashed" ->
-      "SELECT CAST(50 AS BIGINT) AS n_selected, true AS overlap_ok",
+      "SELECT true AS n_selected_ok, true AS overlap_ok",
     "q36_sample" ->
       "SELECT true AS n_ok, true AS distinct_ok, true AS subset_ok",
 

@@ -135,9 +135,18 @@ object Layout {
         // (Long.MaxValue by default) and a join node multiplies its
         // children's sizes — an unknown/implausible estimate must fall back
         // to the parallelism floor, never hit the 4M-file cap and launch a
-        // 4M-partition range shuffle
+        // 4M-partition range shuffle. The conf sentinel alone is not
+        // enough (ADVICE r17): a join-multiplied estimate just BELOW the
+        // sentinel still drove the 4M cap, and a deployment that lowers
+        // spark.sql.defaultSizeInBytes would collapse genuine large
+        // estimates — so also clamp by an absolute plausibility bound
+        // (4 PiB: a single DataFrame write larger than that is not a
+        // target this sizing heuristic can mean anything for).
+        val maxPlausible = BigInt(4L) << 50
         val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-        val known = if (est >= BigInt(conf.defaultSizeInBytes)) BigInt(0) else est
+        val known =
+          if (est >= BigInt(conf.defaultSizeInBytes) || est > maxPlausible) BigInt(0)
+          else est
         autoTargetFiles(known, blockBytes, conf.numShufflePartitions)
       }
     df.withColumn("__z", z)

@@ -43,14 +43,30 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object RangeId {
 
+  /** Spark's BinaryType order: unsigned lexicographic bytes, shorter
+    * prefix first — java's signed-byte compare would misorder 0x80+. */
+  private def compareBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
   /** Spark-SQL-order comparison of two non-null key values. Strings
     * compare as UTF-8 binary (Spark semantics), NOT java.lang.String
     * UTF-16 order — a split point between surrogate-bearing strings must
-    * agree with the engine's sort. */
+    * agree with the engine's sort; binary compares unsigned. Complex key
+    * types never reach here: [[withRangeId]] rejects them at
+    * plan-construction time. */
   private def compareAny(x: Any, y: Any): Int = (x, y) match {
     case (a: String, b: String) =>
       org.apache.spark.unsafe.types.UTF8String.fromString(a)
         .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    case (a: Array[Byte], b: Array[Byte]) => compareBytes(a, b)
     case (a: java.lang.Comparable[_], _) =>
       a.asInstanceOf[java.lang.Comparable[Any]].compareTo(y)
     case _ => throw new IllegalArgumentException(
@@ -109,6 +125,25 @@ private[graft] object RangeId {
     require(keys.nonEmpty && keys.length == asc.length,
       s"RangeId: ${keys.length} keys vs ${asc.length} directions")
     require(nPart >= 1, s"RangeId: nPart must be positive, got $nPart")
+    // fail-fast key-type check (ADVICE r17): complex key types would
+    // otherwise surface as an opaque compareAny IllegalArgumentException
+    // from inside the sampling job — reject them HERE, at plan
+    // construction, with the column named. Atomic types (numerics,
+    // string, binary, date/timestamp, decimal, boolean) all order
+    // correctly through the sampled-bounds chain.
+    df.select(keys: _*).schema.fields.foreach { f =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.StructType |
+             _: org.apache.spark.sql.types.MapType =>
+          throw new IllegalArgumentException(
+            s"RangeId: order key '${f.name}' has complex type " +
+              s"${f.dataType.simpleString} — global (unkeyed) operators " +
+              "require atomic order-key types (numeric, string, binary, " +
+              "date/timestamp, decimal, boolean)")
+        case _ => ()
+      }
+    }
     val bounds = sampleBounds(df, keys, asc, nPart)
     val id = bounds.foldLeft(lit(0)) { (acc, b) =>
       acc + when(sortsAfter(keys, asc, b), lit(1)).otherwise(lit(0))
