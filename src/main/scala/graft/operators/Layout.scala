@@ -67,6 +67,29 @@ object Layout {
     (BigInt(parallelism).max(byBytes)).min(BigInt(1 << 22)).toInt
   }
 
+  /** Is a Catalyst size estimate MEANINGFUL for auto-sizing, and if not,
+    * collapse it to 0 (= "unknown", which [[autoTargetFiles]] resolves to
+    * the parallelism floor)? Three unknown signatures (ADVICE r16 + r17):
+    *
+    *  - `est == confDefault`: a stat-less leaf reports the
+    *    spark.sql.defaultSizeInBytes sentinel VERBATIM — unknown at any
+    *    configured default, including deployments that lowered it (where
+    *    a genuine large estimate must NOT collapse just for exceeding the
+    *    lowered value);
+    *  - `est >= confDefault` while the default is itself implausibly
+    *    large (the stock Long.MaxValue regime): sums/products of
+    *    sentinel-bearing children land at or above it;
+    *  - `est > 4 PiB` regardless of the conf: a join-multiplied estimate
+    *    just below a large sentinel is still garbage, and no single
+    *    DataFrame write this heuristic can size lands beyond a few PiB. */
+  private[graft] def knownSize(est: BigInt, confDefault: Long): BigInt = {
+    val maxPlausible = BigInt(4L) << 50
+    val sentinelRegime = BigInt(confDefault) >= maxPlausible
+    if (est == BigInt(confDefault) || (sentinelRegime && est >= BigInt(confDefault)) ||
+        est > maxPlausible) BigInt(0)
+    else est
+  }
+
   /** Write `df` as parquet Z-ordered on `cols` (each masked to `bits`):
     * one range exchange on the Z-value (sampled boundaries), an
     * in-partition sort, and the layout column dropped before the write.
@@ -130,24 +153,10 @@ object Layout {
     val files =
       if (targetFiles > 0) targetFiles
       else {
-        // size-estimate sentinel guard (ADVICE r16): without CBO stats a
-        // non-file source reports spark.sql.defaultSizeInBytes
-        // (Long.MaxValue by default) and a join node multiplies its
-        // children's sizes — an unknown/implausible estimate must fall back
-        // to the parallelism floor, never hit the 4M-file cap and launch a
-        // 4M-partition range shuffle. The conf sentinel alone is not
-        // enough (ADVICE r17): a join-multiplied estimate just BELOW the
-        // sentinel still drove the 4M cap, and a deployment that lowers
-        // spark.sql.defaultSizeInBytes would collapse genuine large
-        // estimates — so also clamp by an absolute plausibility bound
-        // (4 PiB: a single DataFrame write larger than that is not a
-        // target this sizing heuristic can mean anything for).
-        val maxPlausible = BigInt(4L) << 50
+        // size-estimate sentinel guard (ADVICE r16/r17): see [[knownSize]]
         val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-        val known =
-          if (est >= BigInt(conf.defaultSizeInBytes) || est > maxPlausible) BigInt(0)
-          else est
-        autoTargetFiles(known, blockBytes, conf.numShufflePartitions)
+        autoTargetFiles(knownSize(est, conf.defaultSizeInBytes), blockBytes,
+          conf.numShufflePartitions)
       }
     df.withColumn("__z", z)
       .repartitionByRange(files, col("__z"))

@@ -186,6 +186,24 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.autoTargetFiles(BigInt(Long.MaxValue) * 8, 128L << 20, 32) == (1 << 22))
   }
 
+  test("knownSize (r18): sentinel, join-multiplied, and lowered-default estimates") {
+    val sentinel = Long.MaxValue // the stock spark.sql.defaultSizeInBytes
+    // a genuine estimate passes through untouched
+    assert(Layout.knownSize(BigInt(10L << 30), sentinel) == BigInt(10L << 30))
+    // the stock-sentinel regime: at/above the default is unknown (ADVICE r16)
+    assert(Layout.knownSize(BigInt(sentinel), sentinel) == BigInt(0))
+    assert(Layout.knownSize(BigInt(sentinel) * 4, sentinel) == BigInt(0))
+    // a join-multiplied estimate just BELOW the sentinel is still garbage:
+    // the 4 PiB plausibility bound catches it (ADVICE r17)
+    assert(Layout.knownSize((BigInt(4L) << 50) + 1, sentinel) == BigInt(0))
+    assert(Layout.knownSize(BigInt(4L) << 50, sentinel) == BigInt(4L) << 50)
+    // a deployment that LOWERED the default: its exact value is still the
+    // stat-less-leaf sentinel, but a genuine larger estimate must survive
+    val lowered = 1L << 30
+    assert(Layout.knownSize(BigInt(lowered), lowered) == BigInt(0))
+    assert(Layout.knownSize(BigInt(10L << 30), lowered) == BigInt(10L << 30))
+  }
+
   test("omitted targetFiles auto-sizes the write and preserves the data") {
     val base = spark.range(50000).select(
       col("id"),
