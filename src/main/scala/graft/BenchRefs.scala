@@ -55,7 +55,11 @@ object BenchRefs {
       // sf1 row was frozen on
       "q61_stream_window" -> ((2.06, 6.69)),
       "q77_interval_join_stream" -> ((10.21, 9.1)),
-      "q77s_interval_join_sized" -> ((7.69, 4.69)),
+      // REFROZEN r18: the face now drives the production FILE sink (the
+      // memory-sink localize guard barred it from sf10) — and is FASTER
+      // at sf1 than the old memory-sink drive (no driver materialization
+      // of the 87k joined rows; 3-rep reading, spread 0.19)
+      "q77s_interval_join_sized" -> ((5.24, 4.91)),
       // q78/q79/q82 carry NO sf1 refs (r16 correction): the failed-rep
       // ledger revealed their historical sf1 "readings" (r13-r15 and the
       // first r16 gated run) completed the DRIVE but aborted at the
@@ -90,17 +94,22 @@ object BenchRefs {
     // face reads mechanism:"failed"). Loaded-window rows kept only where
     // cpu_frac stayed healthy (no starvation signature).
     //
-    // q77s and q81 carry NO sf10 refs (r17 correction — the same class of
-    // catch as r16's q78/q79/q82 sf1 removal): the first gated sf10 run
-    // recorded both as queries_failed 3/3 at the memory-sink/localize
-    // harness guard (q77s's inner-join output is 872,700 rows at sf10;
-    // q81's 16 KiB demo geometry yields 176k row-group stat rows — both
-    // >100k), so the r15 single-face "readings" (BENCH_SF10_q77s_r15
-    // 9.85 s, BENCH_SF10_q81_r15 43.09 s) were pre-ledger drive-then-abort
-    // walls, not valid timings. Their sf10 stories route through
-    // ProfileInterval/ProfileIntervalSink (state scaling, file sink) and
-    // the layout auto probe (BENCH_SF10_layout_auto_r16.txt).
+    // q77s and q81 REJOINED the sf10 table in r18 (r17 had removed them:
+    // the first gated sf10 run recorded both as queries_failed 3/3 at the
+    // memory-sink/localize harness guard — q77s's inner-join output is
+    // 872,700 rows at sf10 and q81's 16 KiB demo geometry yields 176k
+    // row-group stat rows, both >100k, so the r15 single-face "readings"
+    // were pre-ledger drive-then-abort walls). r18 lifted the driver
+    // bounds — q77s drives the production file sink, q81's stats stay
+    // distributed — and both are DuckDB-hash-exact at sf10
+    // (ORACLE_SF10_r18.txt). Frozen from the r18 3-rep measuring run:
+    // q77s 39.4 s (spread 0.66, IO-wait-dominated fsync window — the
+    // conservative high side), q81 114.7 s carrying the documented
+    // fixed-4-file demo-geometry sort spill (418 MB, the r15 physics; the
+    // auto-sized production path is the layout-auto probe's story).
     "sf10" -> Map(
+      "q77s_interval_join_sized" -> ((39.42, 3.55)),
+      "q81_layout_stats" -> ((114.72, 7.0)),
       // the file-sink outer join is the streaming face with no harness
       // bound: 3-rep QUIET run (load1 1.05, spread 0.12) = 1.33x at 100x
       // data, corroborated by the ProfileIntervalSink sf10 drives
@@ -202,11 +211,11 @@ object BenchRefs {
     "q75_asof_stream" -> ((200.0, 0.03, 0.0)),
     "q76_asof_stream_fwd" -> ((200.0, 0.02, 0.0)),
     "q77_interval_join_stream" -> ((199.0, 0.01, 0.0)),
-    "q77s_interval_join_sized" -> ((127.0, 0.01, 0.0)),
+    "q77s_interval_join_sized" -> ((52.0, 0.01, 0.0)),
     "q78_interval_join_outer" -> ((201.0, 0.01, 0.0)),
     "q79_interval_join_full" -> ((201.0, 0.01, 0.0)),
     "q80_zorder_curve" -> ((5.0, 0.0, 0.0)),
-    "q81_layout_stats" -> ((88.0, 0.02, 0.0)),
+    "q81_layout_stats" -> ((47.0, 0.01, 0.0)),
     "q82_interval_join_right" -> ((201.0, 0.01, 0.0)),
     "q83_interval_join_full_sink" -> ((150.0, 0.01, 0.0)),
     "qd01_dedup_exact" -> ((5.0, 0.11, 0.0)),
@@ -362,7 +371,9 @@ object BenchRefs {
     "q75_asof_stream" -> ((3.19, 7.37)),
     "q76_asof_stream_fwd" -> ((3.28, 6.55)),
     "q77_interval_join_stream" -> ((9.21, 6.61)),
-    "q77s_interval_join_sized" -> ((4.65, 3.01)),
+    // REFROZEN r18 (file-sink harness; quiet 3-rep reading, spread 0.07):
+    // the production-sink drive costs 1.25x the old memory-sink face
+    "q77s_interval_join_sized" -> ((5.8, 2.5)),
     "q78_interval_join_outer" -> ((9.18, 8.62)),
     "q79_interval_join_full" -> ((9.43, 7.11)),
     "q80_zorder_curve" -> ((0.46, 1.28)),
