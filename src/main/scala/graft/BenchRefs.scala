@@ -102,14 +102,16 @@ object BenchRefs {
     // were pre-ledger drive-then-abort walls). r18 lifted the driver
     // bounds — q77s drives the production file sink, q81's stats stay
     // distributed — and both are DuckDB-hash-exact at sf10
-    // (ORACLE_SF10_r18.txt). Frozen from the r18 3-rep measuring run:
-    // q77s 39.4 s (spread 0.66, IO-wait-dominated fsync window — the
-    // conservative high side), q81 114.7 s carrying the documented
-    // fixed-4-file demo-geometry sort spill (418 MB, the r15 physics; the
-    // auto-sized production path is the layout-auto probe's story).
+    // (ORACLE_SF10_r18.txt). Frozen from the first clean gated r18 run
+    // (BENCH_SF10_r18.json: 12/12 faces, zero violations, zero failed
+    // reps, cpu_collapse 0.0 — the earlier measuring window was
+    // IO-starved and read q77s at 39 s): q77s 13.14 s = 2.2x its sf0.1
+    // wall at 100x data; q81 115.5 s carrying the documented fixed-4-file
+    // demo-geometry sort spill (418 MB, the r15 physics; the auto-sized
+    // production path is the layout-auto probe's story).
     "sf10" -> Map(
-      "q77s_interval_join_sized" -> ((39.42, 3.55)),
-      "q81_layout_stats" -> ((114.72, 7.0)),
+      "q77s_interval_join_sized" -> ((13.14, 7.0)),
+      "q81_layout_stats" -> ((115.45, 7.68)),
       // the file-sink outer join is the streaming face with no harness
       // bound: 3-rep QUIET run (load1 1.05, spread 0.12) = 1.33x at 100x
       // data, corroborated by the ProfileIntervalSink sf10 drives
