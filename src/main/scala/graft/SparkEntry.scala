@@ -1919,7 +1919,14 @@ object SparkEntry {
       val filtered = deduped
         .withColumn("n_tokens", T.tokenCount(col("text")).cast("long"))
         .filter(col("n_tokens") >= 10)
-      graft.prep.Prep.packGlobal(filtered, Seq("doc_id"), "n_tokens", budget = 512L)
+      // r18 (verdict item 4): sample the packer's split points from the RAW
+      // doc_id scan, not from `filtered` — the packer's own sampling job
+      // would otherwise re-run the whole span-dedup pipeline just to read
+      // the key column (measured: the q53 job timeline paid the dedup
+      // twice). The survivor ids are a subset of the raw ids, so the raw
+      // quantiles only skew bucket sizes, never results.
+      graft.prep.Prep.packGlobal(filtered, Seq("doc_id"), "n_tokens", budget = 512L,
+          sampleFrom = Some(t(s, d, "documents").select(col("doc_id"))))
         .select(col("doc_id"), col("lang"), col("n_tokens"),
           col("seq_id"), col("seq_offset"))
         .orderBy(col("doc_id"))
@@ -2302,35 +2309,39 @@ object SparkEntry {
             java.nio.file.Paths.get(dir, "events.parquet"), src)
           dir
         }
-      val schema = s.read.parquet(path).schema
-      // normalize ts to a session-TZ timestamp before the watermark — long
-      // nanos under legacy nanosAsLong, TIMESTAMP_NTZ otherwise (the same
-      // branch the batch loader `t` takes)
-      val tsIsLong = schema.fields.exists(f =>
-        f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
-      val ev0 = s.readStream.schema(schema).parquet(path)
-      val ev =
-        if (tsIsLong)
-          ev0.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp)"))
-        else ev0.withColumn("ts", col("ts").cast("timestamp"))
-      val out = graft.streaming.StreamOps.windowedAgg(ev, "ts", every = "1d",
-          by = Seq("event_type"))(
-          count(lit(1)).as("n"),
-          sum(dec4(col("value"))).as("__sum"))
-      val qn = "g61_stream"
-      val query = out.writeStream.format("memory").queryName(qn)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try query.awaitTermination() finally {
-        query.stop()
-        graft.streaming.StreamOps.releaseStateStores()
+      // input-sized state partitioning (r18, guide §2) — see q77
+      val nSp61 = graft.streaming.StreamOps.sizedStatePartitionsForInput(s, Seq(path))
+      graft.streaming.StreamOps.withStatePartitions(s, nSp61) { s2 =>
+        val schema = s2.read.parquet(path).schema
+        // normalize ts to a session-TZ timestamp before the watermark — long
+        // nanos under legacy nanosAsLong, TIMESTAMP_NTZ otherwise (the same
+        // branch the batch loader `t` takes)
+        val tsIsLong = schema.fields.exists(f =>
+          f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+        val ev0 = s2.readStream.schema(schema).parquet(path)
+        val ev =
+          if (tsIsLong)
+            ev0.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp)"))
+          else ev0.withColumn("ts", col("ts").cast("timestamp"))
+        val out = graft.streaming.StreamOps.windowedAgg(ev, "ts", every = "1d",
+            by = Seq("event_type"))(
+            count(lit(1)).as("n"),
+            sum(dec4(col("value"))).as("__sum"))
+        val qn = "g61_stream"
+        val query = out.writeStream.format("memory").queryName(qn)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try query.awaitTermination() finally {
+          query.stop()
+          graft.streaming.StreamOps.releaseStateStores()
+        }
+        val res = localize(s2, s2.table(qn)
+          .select(col("ts").cast("timestamp_ntz").as("ts"), col("event_type"),
+            col("n"), col("__sum").cast("double").as("sum_value")))
+        s2.catalog.dropTempView(qn)
+        res.orderBy(col("ts"), col("event_type"))
       }
-      val res = localize(s, s.table(qn)
-        .select(col("ts").cast("timestamp_ntz").as("ts"), col("event_type"),
-          col("n"), col("__sum").cast("double").as("sum_value")))
-      s.catalog.dropTempView(qn)
-      res.orderBy(col("ts"), col("event_type"))
     }),
 
     // §2.1 multiline-JSON ARRAY read (reference ReadJson io.rs:130-142, vs
@@ -2483,19 +2494,23 @@ object SparkEntry {
           lit(0.0).as("value"))
         clicks.unionByName(sentinel)
       }
-      val schema = s.read.parquet(in).schema
-      import s.implicits._
-      val stream = s.readStream.schema(schema).parquet(in)
-        .as[graft.streaming.Sessionize.Event]
-      val out = graft.streaming.Sessionize
-        .sessions(stream, gap = "30m", watermarkDelay = "0 seconds").toDF()
-      drainStream(s, out, "g73_stream", in, schema) { t =>
-        t.filter(col("userId") >= 0L)
-          .select(col("userId").as("user_id"),
-            col("sessionStart").cast("timestamp_ntz").as("session_start"),
-            col("sessionEnd").cast("timestamp_ntz").as("session_end"),
-            col("nEvents").as("n_events"), col("sumValue").as("sum_value"))
-      }.orderBy(col("user_id"), col("session_start"))
+      // input-sized state partitioning (r18, guide §2) — see q77
+      val nSp73 = graft.streaming.StreamOps.sizedStatePartitionsForInput(s, Seq(in))
+      graft.streaming.StreamOps.withStatePartitions(s, nSp73) { s2 =>
+        val schema = s2.read.parquet(in).schema
+        import s2.implicits._
+        val stream = s2.readStream.schema(schema).parquet(in)
+          .as[graft.streaming.Sessionize.Event]
+        val out = graft.streaming.Sessionize
+          .sessions(stream, gap = "30m", watermarkDelay = "0 seconds").toDF()
+        drainStream(s2, out, "g73_stream", in, schema) { t =>
+          t.filter(col("userId") >= 0L)
+            .select(col("userId").as("user_id"),
+              col("sessionStart").cast("timestamp_ntz").as("session_start"),
+              col("sessionEnd").cast("timestamp_ntz").as("session_end"),
+              col("nEvents").as("n_events"), col("sumValue").as("sum_value"))
+        }.orderBy(col("user_id"), col("session_start"))
+      }
     }),
 
     // beyond-reference: streaming EXACT-DEDUP ingest face
@@ -2515,26 +2530,30 @@ object SparkEntry {
         clicks.unionByName(clicks.filter(col("event_id") % 3 === 0))
           .unionByName(clicks.filter(col("event_id") % 21 === 0))
       }
-      val schema = s.read.parquet(in).schema
-      // watermark covers the fixture's whole event-time span (ADVICE r12):
-      // keep-first must hold even if the source splits the fixture across
-      // micro-batches — with the 10-minute default, a duplicate delivered
-      // after its key's state was watermark-evicted would re-emit
-      val out = graft.streaming.StreamOps.dedupStream(
-        s.readStream.schema(schema).parquet(in), Seq("event_id"), "ts",
-        watermark = "3650 days")
-      val qn = "g74_stream"
-      val q = out.writeStream.outputMode("append").format("memory").queryName(qn)
-        .trigger(Trigger.AvailableNow()).start()
-      try q.awaitTermination() finally {
-        q.stop()
-        graft.streaming.StreamOps.releaseStateStores()
+      // input-sized state partitioning (r18, guide §2) — see q77
+      val nSp74 = graft.streaming.StreamOps.sizedStatePartitionsForInput(s, Seq(in))
+      graft.streaming.StreamOps.withStatePartitions(s, nSp74) { s2 =>
+        val schema = s2.read.parquet(in).schema
+        // watermark covers the fixture's whole event-time span (ADVICE r12):
+        // keep-first must hold even if the source splits the fixture across
+        // micro-batches — with the 10-minute default, a duplicate delivered
+        // after its key's state was watermark-evicted would re-emit
+        val out = graft.streaming.StreamOps.dedupStream(
+          s2.readStream.schema(schema).parquet(in), Seq("event_id"), "ts",
+          watermark = "3650 days")
+        val qn = "g74_stream"
+        val q = out.writeStream.outputMode("append").format("memory").queryName(qn)
+          .trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally {
+          q.stop()
+          graft.streaming.StreamOps.releaseStateStores()
+        }
+        val res = localize(s2, s2.table(qn)
+          .select(col("event_id"), col("user_id"),
+            col("ts").cast("timestamp_ntz").as("ts"), col("value")))
+        s2.catalog.dropTempView(qn)
+        res.orderBy(col("event_id"))
       }
-      val res = localize(s, s.table(qn)
-        .select(col("event_id"), col("user_id"),
-          col("ts").cast("timestamp_ntz").as("ts"), col("value")))
-      s.catalog.dropTempView(qn)
-      res.orderBy(col("event_id"))
     }),
 
     // beyond-reference: CONTINUOUS event-time as-of join (AsofStream,
@@ -2564,18 +2583,23 @@ object SparkEntry {
           lit(0.0).as("click_value"),
           lit(null).cast("timestamp").as("click_ts")))
       }
-      val lSchema = s.read.parquet(inL).schema
-      val rSchema = s.read.parquet(inR).schema
-      val out = graft.streaming.AsofStream.asofStream(
-        s.readStream.schema(lSchema).parquet(inL),
-        s.readStream.schema(rSchema).parquet(inR),
-        "ts", "ts", by = Seq(("user_id", "user_id")), watermark = "0 seconds")
-      drainStream(s, out, "g75_stream", inL, lSchema) { t =>
-        t.select(col("event_id"), col("user_id"),
-          col("ts").cast("timestamp_ntz").as("ts"), col("value"),
-          col("click_value"),
-          col("click_ts").cast("timestamp_ntz").as("click_ts"))
-      }.orderBy(col("event_id"))
+      // input-sized state partitioning (r18, guide §2) — see q77
+      val nSp75 = graft.streaming.StreamOps.sizedStatePartitionsForInput(
+        s, Seq(inL, inR))
+      graft.streaming.StreamOps.withStatePartitions(s, nSp75) { s2 =>
+        val lSchema = s2.read.parquet(inL).schema
+        val rSchema = s2.read.parquet(inR).schema
+        val out = graft.streaming.AsofStream.asofStream(
+          s2.readStream.schema(lSchema).parquet(inL),
+          s2.readStream.schema(rSchema).parquet(inR),
+          "ts", "ts", by = Seq(("user_id", "user_id")), watermark = "0 seconds")
+        drainStream(s2, out, "g75_stream", inL, lSchema) { t =>
+          t.select(col("event_id"), col("user_id"),
+            col("ts").cast("timestamp_ntz").as("ts"), col("value"),
+            col("click_value"),
+            col("click_ts").cast("timestamp_ntz").as("click_ts"))
+        }.orderBy(col("event_id"))
+      }
     }),
 
     // beyond-reference: FORWARD continuous as-of with tolerance — "the
@@ -2602,18 +2626,23 @@ object SparkEntry {
             .cast("timestamp").as("ts"),
           lit(0.0).as("err_value")))
       }
-      val lSchema = s.read.parquet(inL).schema
-      val rSchema = s.read.parquet(inR).schema
-      val out = graft.streaming.AsofStream.asofStream(
-        s.readStream.schema(lSchema).parquet(inL),
-        s.readStream.schema(rSchema).parquet(inR),
-        "ts", "ts", by = Seq(("user_id", "user_id")), watermark = "0 seconds",
-        strategy = graft.operators.AsofJoin.Forward, tolerance = Some("1d"))
-      drainStream(s, out, "g76_stream", inL, lSchema) { t =>
-        t.select(col("event_id"), col("user_id"),
-          col("ts").cast("timestamp_ntz").as("ts"), col("value"),
-          col("err_value"))
-      }.orderBy(col("event_id"))
+      // input-sized state partitioning (r18, guide §2) — see q77
+      val nSp76 = graft.streaming.StreamOps.sizedStatePartitionsForInput(
+        s, Seq(inL, inR))
+      graft.streaming.StreamOps.withStatePartitions(s, nSp76) { s2 =>
+        val lSchema = s2.read.parquet(inL).schema
+        val rSchema = s2.read.parquet(inR).schema
+        val out = graft.streaming.AsofStream.asofStream(
+          s2.readStream.schema(lSchema).parquet(inL),
+          s2.readStream.schema(rSchema).parquet(inR),
+          "ts", "ts", by = Seq(("user_id", "user_id")), watermark = "0 seconds",
+          strategy = graft.operators.AsofJoin.Forward, tolerance = Some("1d"))
+        drainStream(s2, out, "g76_stream", inL, lSchema) { t =>
+          t.select(col("event_id"), col("user_id"),
+            col("ts").cast("timestamp_ntz").as("ts"), col("value"),
+            col("err_value"))
+        }.orderBy(col("event_id"))
+      }
     }),
 
     // beyond-reference: watermarked STREAM-STREAM INTERVAL JOIN (the Flink
@@ -2634,20 +2663,32 @@ object SparkEntry {
             col("ts").cast("timestamp").as("click_ts"),
             col("value").as("click_value"))
       }
-      val lSchema = s.read.parquet(inL).schema
-      val rSchema = s.read.parquet(inR).schema
-      val out = graft.streaming.StreamOps.intervalJoin(
-        s.readStream.schema(lSchema).parquet(inL),
-        s.readStream.schema(rSchema).parquet(inR),
-        "ts", "click_ts", by = Seq(("user_id", "user_id")),
-        before = "1d", after = "0s", watermark = "0 seconds")
-      drainStream(s, out, "g77_stream", inL, lSchema) { t =>
-        t.select(col("event_id"), col("user_id"),
-          col("ts").cast("timestamp_ntz").as("ts"), col("value"),
-          col("click_id"),
-          col("click_ts").cast("timestamp_ntz").as("click_ts"),
-          col("click_value"))
-      }.orderBy(col("event_id"), col("click_id"))
+      // r18 optimization (guide §2, the q77s lever generalized): size the
+      // state partitioning to the stream's input volume instead of the
+      // session default — each partition pays fixed store-lifecycle work
+      // per micro-batch (4 store commits for a stream-stream join), so the
+      // 32-partition default billed ~3x the sized drive at sf0.1 while a
+      // bigger SF derives proportionally more partitions. Results are
+      // partition-count-independent (same oracle hash; q77s pins the
+      // explicit-sizing twin).
+      val nSp77 = graft.streaming.StreamOps.sizedStatePartitionsForInput(
+        s, Seq(inL, inR))
+      graft.streaming.StreamOps.withStatePartitions(s, nSp77) { s2 =>
+        val lSchema = s2.read.parquet(inL).schema
+        val rSchema = s2.read.parquet(inR).schema
+        val out = graft.streaming.StreamOps.intervalJoin(
+          s2.readStream.schema(lSchema).parquet(inL),
+          s2.readStream.schema(rSchema).parquet(inR),
+          "ts", "click_ts", by = Seq(("user_id", "user_id")),
+          before = "1d", after = "0s", watermark = "0 seconds")
+        drainStream(s2, out, "g77_stream", inL, lSchema) { t =>
+          t.select(col("event_id"), col("user_id"),
+            col("ts").cast("timestamp_ntz").as("ts"), col("value"),
+            col("click_id"),
+            col("click_ts").cast("timestamp_ntz").as("click_ts"),
+            col("click_value"))
+        }.orderBy(col("event_id"), col("click_id"))
+      }
     }),
 
     // The state-partition sizing lever, driver-graded: the IDENTICAL inner
@@ -2733,22 +2774,27 @@ object SparkEntry {
             .cast("timestamp").as("click_ts"),
           lit(0.0).as("click_value")))
       }
-      val lSchema = s.read.parquet(inL).schema
-      val rSchema = s.read.parquet(inR).schema
-      val out = graft.streaming.StreamOps.intervalJoin(
-        s.readStream.schema(lSchema).parquet(inL),
-        s.readStream.schema(rSchema).parquet(inR),
-        "ts", "click_ts", by = Seq(("user_id", "user_id")),
-        before = "1d", after = "0s", watermark = "0 seconds",
-        joinType = "left_outer")
-      drainStream(s, out, "g78_stream", inL, lSchema) { t =>
-        t.filter(col("user_id") >= 0L)
-          .select(col("event_id"), col("user_id"),
-            col("ts").cast("timestamp_ntz").as("ts"), col("value"),
-            col("click_id"),
-            col("click_ts").cast("timestamp_ntz").as("click_ts"),
-            col("click_value"))
-      }.orderBy(col("event_id"), col("click_id"))
+      // input-sized state partitioning (r18, guide §2) — see q77
+      val nSp78 = graft.streaming.StreamOps.sizedStatePartitionsForInput(
+        s, Seq(inL, inR))
+      graft.streaming.StreamOps.withStatePartitions(s, nSp78) { s2 =>
+        val lSchema = s2.read.parquet(inL).schema
+        val rSchema = s2.read.parquet(inR).schema
+        val out = graft.streaming.StreamOps.intervalJoin(
+          s2.readStream.schema(lSchema).parquet(inL),
+          s2.readStream.schema(rSchema).parquet(inR),
+          "ts", "click_ts", by = Seq(("user_id", "user_id")),
+          before = "1d", after = "0s", watermark = "0 seconds",
+          joinType = "left_outer")
+        drainStream(s2, out, "g78_stream", inL, lSchema) { t =>
+          t.filter(col("user_id") >= 0L)
+            .select(col("event_id"), col("user_id"),
+              col("ts").cast("timestamp_ntz").as("ts"), col("value"),
+              col("click_id"),
+              col("click_ts").cast("timestamp_ntz").as("click_ts"),
+              col("click_value"))
+        }.orderBy(col("event_id"), col("click_id"))
+      }
     }),
 
     // beyond-reference: the FULL-OUTER interval join (r12 directive 5 —
@@ -2786,22 +2832,27 @@ object SparkEntry {
             .cast("timestamp").as("click_ts"),
           lit(0.0).as("click_value")))
       }
-      val lSchema = s.read.parquet(inL).schema
-      val rSchema = s.read.parquet(inR).schema
-      val out = graft.streaming.StreamOps.intervalJoin(
-        s.readStream.schema(lSchema).parquet(inL),
-        s.readStream.schema(rSchema).parquet(inR),
-        "ts", "click_ts", by = Seq(("user_id", "user_id")),
-        before = "1d", after = "0s", watermark = "0 seconds",
-        joinType = "full_outer")
-      drainStream(s, out, "g79_stream", inL, lSchema) { t =>
-        t.filter(col("user_id") >= 0L)
-          .select(col("event_id"), col("user_id"),
-            col("ts").cast("timestamp_ntz").as("ts"), col("value"),
-            col("click_id"),
-            col("click_ts").cast("timestamp_ntz").as("click_ts"),
-            col("click_value"))
-      }.orderBy(col("event_id"), col("click_id"))
+      // input-sized state partitioning (r18, guide §2) — see q77
+      val nSp79 = graft.streaming.StreamOps.sizedStatePartitionsForInput(
+        s, Seq(inL, inR))
+      graft.streaming.StreamOps.withStatePartitions(s, nSp79) { s2 =>
+        val lSchema = s2.read.parquet(inL).schema
+        val rSchema = s2.read.parquet(inR).schema
+        val out = graft.streaming.StreamOps.intervalJoin(
+          s2.readStream.schema(lSchema).parquet(inL),
+          s2.readStream.schema(rSchema).parquet(inR),
+          "ts", "click_ts", by = Seq(("user_id", "user_id")),
+          before = "1d", after = "0s", watermark = "0 seconds",
+          joinType = "full_outer")
+        drainStream(s2, out, "g79_stream", inL, lSchema) { t =>
+          t.filter(col("user_id") >= 0L)
+            .select(col("event_id"), col("user_id"),
+              col("ts").cast("timestamp_ntz").as("ts"), col("value"),
+              col("click_id"),
+              col("click_ts").cast("timestamp_ntz").as("click_ts"),
+              col("click_value"))
+        }.orderBy(col("event_id"), col("click_id"))
+      }
     }),
 
     // beyond-reference: the RIGHT-OUTER interval join (r13 directive 3 —
@@ -2838,22 +2889,27 @@ object SparkEntry {
             .cast("timestamp").as("click_ts"),
           lit(0.0).as("click_value")))
       }
-      val lSchema = s.read.parquet(inL).schema
-      val rSchema = s.read.parquet(inR).schema
-      val out = graft.streaming.StreamOps.intervalJoin(
-        s.readStream.schema(lSchema).parquet(inL),
-        s.readStream.schema(rSchema).parquet(inR),
-        "ts", "click_ts", by = Seq(("user_id", "user_id")),
-        before = "1d", after = "0s", watermark = "0 seconds",
-        joinType = "right_outer")
-      drainStream(s, out, "g82_stream", inL, lSchema) { t =>
-        t.filter(col("user_id") >= 0L)
-          .select(col("event_id"), col("user_id"),
-            col("ts").cast("timestamp_ntz").as("ts"), col("value"),
-            col("click_id"),
-            col("click_ts").cast("timestamp_ntz").as("click_ts"),
-            col("click_value"))
-      }.orderBy(col("event_id"), col("click_id"))
+      // input-sized state partitioning (r18, guide §2) — see q77
+      val nSp82 = graft.streaming.StreamOps.sizedStatePartitionsForInput(
+        s, Seq(inL, inR))
+      graft.streaming.StreamOps.withStatePartitions(s, nSp82) { s2 =>
+        val lSchema = s2.read.parquet(inL).schema
+        val rSchema = s2.read.parquet(inR).schema
+        val out = graft.streaming.StreamOps.intervalJoin(
+          s2.readStream.schema(lSchema).parquet(inL),
+          s2.readStream.schema(rSchema).parquet(inR),
+          "ts", "click_ts", by = Seq(("user_id", "user_id")),
+          before = "1d", after = "0s", watermark = "0 seconds",
+          joinType = "right_outer")
+        drainStream(s2, out, "g82_stream", inL, lSchema) { t =>
+          t.filter(col("user_id") >= 0L)
+            .select(col("event_id"), col("user_id"),
+              col("ts").cast("timestamp_ntz").as("ts"), col("value"),
+              col("click_id"),
+              col("click_ts").cast("timestamp_ntz").as("click_ts"),
+              col("click_value"))
+        }.orderBy(col("event_id"), col("click_id"))
+      }
     }),
 
     // The PRODUCTION-SINK twin of q79 (r16 verdict item 1): the identical
@@ -2895,24 +2951,29 @@ object SparkEntry {
             .cast("timestamp").as("click_ts"),
           lit(0.0).as("click_value")))
       }
-      val lSchema = s.read.parquet(inL).schema
-      val rSchema = s.read.parquet(inR).schema
-      val out = graft.streaming.StreamOps.intervalJoin(
-        s.readStream.schema(lSchema).parquet(inL),
-        s.readStream.schema(rSchema).parquet(inR),
-        "ts", "click_ts", by = Seq(("user_id", "user_id")),
-        before = "1d", after = "0s", watermark = "0 seconds",
-        joinType = "full_outer")
-      val base = scratchDir("q83_sink")
-      driveFileSink(s, out, s"$base/out", s"$base/ckpt", inL, lSchema)
-      s.read.parquet(s"$base/out")
-        .filter(col("user_id") >= 0L)
-        .select(col("event_id"), col("user_id"),
-          col("ts").cast("timestamp_ntz").as("ts"), col("value"),
-          col("click_id"),
-          col("click_ts").cast("timestamp_ntz").as("click_ts"),
-          col("click_value"))
-        .orderBy(col("event_id"), col("click_id"))
+      // input-sized state partitioning (r18, guide §2) — see q77
+      val nSp83 = graft.streaming.StreamOps.sizedStatePartitionsForInput(
+        s, Seq(inL, inR))
+      graft.streaming.StreamOps.withStatePartitions(s, nSp83) { s2 =>
+        val lSchema = s2.read.parquet(inL).schema
+        val rSchema = s2.read.parquet(inR).schema
+        val out = graft.streaming.StreamOps.intervalJoin(
+          s2.readStream.schema(lSchema).parquet(inL),
+          s2.readStream.schema(rSchema).parquet(inR),
+          "ts", "click_ts", by = Seq(("user_id", "user_id")),
+          before = "1d", after = "0s", watermark = "0 seconds",
+          joinType = "full_outer")
+        val base = scratchDir("q83_sink")
+        driveFileSink(s2, out, s"$base/out", s"$base/ckpt", inL, lSchema)
+        s2.read.parquet(s"$base/out")
+          .filter(col("user_id") >= 0L)
+          .select(col("event_id"), col("user_id"),
+            col("ts").cast("timestamp_ntz").as("ts"), col("value"),
+            col("click_id"),
+            col("click_ts").cast("timestamp_ntz").as("click_ts"),
+            col("click_value"))
+          .orderBy(col("event_id"), col("click_id"))
+      }
     }),
 
     // Multi-dimensional Z-order (Morton) layout — bucketing's sibling

@@ -95,33 +95,32 @@ private[graft] object RangeId {
     }
   }
 
-  /** `keys`-tuple "sorts strictly after `bound`" as a Column (lexicographic,
-    * direction- and null-aware; `bound` values are known driver-side, so
-    * null bounds resolve to explicit null-placement predicates instead of
-    * three-valued-logic surprises). Used inside `when(_, 1).otherwise(0)`,
-    * where a residual null condition safely reads false. */
-  private def sortsAfter(keys: Seq[Column], asc: Seq[Boolean], bound: Row): Column = {
-    def gt(i: Int): Column = {
-      val b = bound.get(i)
-      if (b == null) { if (asc(i)) keys(i).isNotNull else lit(false) }
-      else if (asc(i)) keys(i) > lit(b)
-      else keys(i).isNull || keys(i) < lit(b)
-    }
-    def eq(i: Int): Column = {
-      val b = bound.get(i)
-      if (b == null) keys(i).isNull else keys(i) <=> lit(b)
-    }
-    keys.indices.reverse.foldLeft(lit(false)) { (rest, i) =>
-      gt(i) || (eq(i) && rest)
-    }
-  }
-
   /** `df` plus an `idCol` in `[0, nPart)` that is a pure function of the
     * `keys` tuple under the per-column `asc` directions: equal tuples share
     * an id, and id order equals tuple sort order. Runs one bounded sampling
-    * job eagerly (see object doc). */
+    * job eagerly (see object doc).
+    *
+    * The id rides into the plan as ONE
+    * [[graft.plans.RangeBucketExpr]] — binary search over the sorted bound
+    * table, O(log nPart) comparisons per row (r17 verdict item 3: the
+    * previous `Σ when(sortsAfter(b), 1)` literal chain evaluated all
+    * nPart−1 lexicographic predicates on every row, O(P) work and O(P)
+    * generated code at a production shuffle-partition count).
+    *
+    * `sampleFrom` (r17 verdict item 4): where to SAMPLE the split points —
+    * defaults to `df` itself. When `df` sits atop an expensive pipeline
+    * (q53: packGlobal over span-dedup survivors), the sampling job re-runs
+    * that whole lineage just to look at the key columns; a caller that
+    * owns a CHEAP frame with the same key distribution (the raw scan the
+    * pipeline started from) passes it here and the sampling job collapses
+    * to a pruned scan. Correctness never depends on which rows informed
+    * the split points — the id stays a pure function of the key values
+    * under whatever bound table was picked; a skewed sample only skews
+    * bucket SIZES (the object-doc trade). The frame must expose the `keys`
+    * columns with the same types. */
   def withRangeId(df: DataFrame, keys: Seq[Column], asc: Seq[Boolean],
-                  nPart: Int, idCol: String): DataFrame = {
+                  nPart: Int, idCol: String,
+                  sampleFrom: Option[DataFrame] = None): DataFrame = {
     require(keys.nonEmpty && keys.length == asc.length,
       s"RangeId: ${keys.length} keys vs ${asc.length} directions")
     require(nPart >= 1, s"RangeId: nPart must be positive, got $nPart")
@@ -131,7 +130,8 @@ private[graft] object RangeId {
     // construction, with the column named. Atomic types (numerics,
     // string, binary, date/timestamp, decimal, boolean) all order
     // correctly through the sampled-bounds chain.
-    df.select(keys: _*).schema.fields.foreach { f =>
+    val keySchema = df.select(keys: _*).schema
+    keySchema.fields.foreach { f =>
       f.dataType match {
         case _: org.apache.spark.sql.types.ArrayType |
              _: org.apache.spark.sql.types.StructType |
@@ -144,11 +144,23 @@ private[graft] object RangeId {
         case _ => ()
       }
     }
-    val bounds = sampleBounds(df, keys, asc, nPart)
-    val id = bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(sortsAfter(keys, asc, b), lit(1)).otherwise(lit(0))
+    val bounds = sampleBounds(sampleFrom.getOrElse(df), keys, asc, nPart)
+    if (bounds.isEmpty) df.withColumn(idCol, lit(0))
+    else {
+      // external sample Rows -> catalyst-internal bound rows (UTF8String,
+      // micros longs, Decimal, ...) so the expression compares in the
+      // engine's own value domain
+      val convs = keySchema.fields.map(f =>
+        org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToCatalystConverter(f.dataType))
+      val internalBounds = bounds.map { r =>
+        Array.tabulate[Any](convs.length)(i => convs(i)(r.get(i)))
+      }.toArray
+      val bucket = graft.plans.RangeBucketExpr(
+        keys.map(org.apache.spark.sql.graft.InternalBridge.expression),
+        asc, internalBounds)
+      df.withColumn(idCol, org.apache.spark.sql.graft.InternalBridge.column(bucket))
     }
-    df.withColumn(idCol, id)
   }
 
   /** Up to `nPart - 1` strictly-increasing split points from a seeded

@@ -913,14 +913,19 @@ object Prep {
     * `Rolling.fixedGlobal`/`Fill.fillGlobal`). Identical results to
     * [[packByTokens]] with a constant group. */
   def packGlobal(df: DataFrame, orderCols: Seq[String], nTokensCol: String,
-                 budget: Long): DataFrame = {
+                 budget: Long,
+                 sampleFrom: Option[DataFrame] = None): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     val ordered = orderCols.map(col)
     // value-derived bucket ids: same multi-subtree __pid divergence class
-    // as Rolling/Fill (r17 sf1-oracle catch; see operators.RangeId)
+    // as Rolling/Fill (r17 sf1-oracle catch; see operators.RangeId).
+    // `sampleFrom` forwards RangeId's split-point sample source: a packer
+    // sitting atop an expensive pipeline (q53) hands the CHEAP upstream
+    // scan here so the bounded sampling job does not re-run the pipeline
+    // (r17 verdict item 4); results are bound-table-independent.
     val nPartP = df.sparkSession.sessionState.conf.numShufflePartitions
     val parted = graft.operators.RangeId.withRangeId(df, ordered,
-        ordered.map(_ => true), nPartP, "__pid")
+        ordered.map(_ => true), nPartP, "__pid", sampleFrom)
       .repartition(nPartP, col("__pid"))
     val wLocal = Window.partitionBy("__pid").orderBy(ordered: _*)
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -186,6 +186,40 @@ object StreamOps {
     math.max(1, math.ceil(stateBytes / maxPartitionStateBytes.toDouble).toInt)
   }
 
+  /** [[suggestStatePartitions]] fed from what a file-backed drive actually
+    * KNOWS before it starts: the on-disk footprint of the stream's source
+    * directories. `inputBytes x rowExpansion` estimates the state volume a
+    * bounded replay buffers (columnar-compressed parquet decodes to ~16x
+    * its size as buffered UnsafeRow state + store index overhead — measured
+    * on the bench fixtures: ~1 MB parquet → ~9-18 MB buffered state at
+    * sf0.1, ~200 MB → the r15 sf10 probe's ~3 GB), and the 256 MB default
+    * per-partition budget is [[suggestStatePartitions]]'s. The result
+    * SCALES WITH THE DATA, never with the machine: sf0.1 sizes to 1
+    * partition, sf10 to ~13, a 100 TB/day topic to thousands — where the
+    * session default (`spark.sql.shuffle.partitions` = local core count)
+    * is a constant tuned for neither (optimization-guide §2: derive
+    * partitioning from input size; every partition pays fixed
+    * store-lifecycle work per micro-batch — the q77 drive is near-linear
+    * in partition count at constant data). Deployments size the budget via
+    * `spark.graft.streaming.maxPartitionStateBytes`. */
+  def sizedStatePartitionsForInput(spark: org.apache.spark.sql.SparkSession,
+                                   inputPaths: Seq[String],
+                                   rowExpansion: Double = 16.0): Int = {
+    val budget = spark.conf.getOption("spark.graft.streaming.maxPartitionStateBytes")
+      .map(_.toLong).getOrElse(256L << 20)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bytes = inputPaths.map { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(conf)
+      if (fs.exists(hp)) fs.getContentSummary(hp).getLength else 0L
+    }.sum
+    // one "batch" of a bounded replay holds the whole input: horizon x rate
+    // collapses to the decoded input volume
+    suggestStatePartitions(rowsPerSecond = bytes * rowExpansion,
+      horizonSeconds = 1.0, bytesPerRow = 1.0,
+      maxPartitionStateBytes = budget)
+  }
+
   /** Run `body` in a child session whose stateful streaming queries use the
     * RocksDB state-store provider — the 100 TB state engine. The default
     * HDFSBackedStateStoreProvider keeps each partition's working state map

@@ -23,6 +23,18 @@ object InternalBridge {
     spark.internalCreateDataFrame(rdd, schema)
   }
 
+  /** Wrap a raw Catalyst Expression as a user-facing Column (the
+    * `private[sql]` classic-module converter). Needed by expressions whose
+    * "arguments" are not Columns — [[graft.plans.RangeBucketExpr]] carries a
+    * typed bound TABLE that has no lit() encoding, so it cannot ride the
+    * function-registry path the other graft kernels use. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** The Catalyst Expression behind a Column (inverse of [[column]]). */
+  def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
   /** Unload every cached state-store provider (`StateStore.unloadAll` is
     * `private[sql]`). A stopped streaming query's providers stay in the
     * provider cache until the maintenance thread notices the query is gone

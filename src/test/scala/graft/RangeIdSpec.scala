@@ -54,6 +54,45 @@ class RangeIdSpec extends SparkSpec {
     assert(engineOrder == engineOrder.sorted)
   }
 
+  test("multi-key mixed-direction ids ride ONE binary-search expression (r17 verdict item 3)") {
+    import spark.implicits._
+    // nullable string asc (nulls FIRST under Spark's asc default) + long
+    // desc (nulls LAST): the id must be monotone along the engine's own
+    // sort for the same directions, ties must share a bucket, and the plan
+    // must carry the O(log P) graft_range_bucket expression instead of the
+    // old O(P) when-chain
+    val rows = (0 until 400).map { i =>
+      (if (i % 11 == 0) null else s"k${i % 17}%02d", (i % 13).toLong)
+    }
+    val df = spark.createDataset(rows).repartition(7).toDF("s", "v")
+    val keys = Seq(col("s"), col("v"))
+    val got = RangeId.withRangeId(df, keys, Seq(true, false), 6, "__rid")
+    assert(got.queryExecution.analyzed.toString.contains("graft_range_bucket"),
+      "expected the RangeBucketExpr binary search in the plan")
+    val ids = got.orderBy(col("s").asc_nulls_first, col("v").desc_nulls_last)
+      .select(col("__rid")).collect().map(_.getInt(0)).toSeq
+    assert(ids.forall(id => id >= 0 && id < 6))
+    assert(ids == ids.sorted, s"bucket ids not monotone in engine order: $ids")
+    // ties share a bucket: every distinct key tuple maps to exactly one id
+    val byKey = got.collect().groupBy(r => (r.getString(0), r.getLong(1)))
+      .map { case (k, xs) => k -> xs.map(_.getInt(2)).distinct }
+    assert(byKey.values.forall(_.size == 1),
+      s"split ties: ${byKey.filter(_._2.size > 1)}")
+  }
+
+  test("sampleFrom: split points from a cheap sibling frame give the same monotone contract") {
+    import spark.implicits._
+    val df = spark.createDataset((0 until 300).map(_.toLong)).toDF("k")
+      .filter(col("k") % 3 =!= 0) // the "expensive pipeline" survivors
+    val raw = spark.createDataset((0 until 300).map(_.toLong)).toDF("k")
+    val got = RangeId.withRangeId(df, Seq(col("k")), Seq(true), 5, "__rid",
+      sampleFrom = Some(raw))
+    val ids = got.orderBy(col("k")).select(col("__rid")).collect().map(_.getInt(0)).toSeq
+    assert(ids.forall(id => id >= 0 && id < 5))
+    assert(ids == ids.sorted)
+    assert(ids.distinct.size > 1, "raw-frame sample should still split the range")
+  }
+
   test("complex key types fail fast at plan construction with the column named") {
     import spark.implicits._
     val df = spark.createDataset(Seq((1L, Seq(1, 2)), (2L, Seq(3))))

@@ -87,4 +87,22 @@ class StreamingNarrowOpsSpec extends SparkSpec {
     // zero traffic still returns a runnable count
     assert(suggestStatePartitions(0, 3600, 225) == 1)
   }
+
+  test("sizedStatePartitionsForInput: partitions track input volume, not the session default") {
+    import graft.streaming.StreamOps.sizedStatePartitionsForInput
+    val dir = java.nio.file.Files.createTempDirectory("graft_sized_sp").toString
+    spark.range(1000).toDF("id").write.mode("overwrite").parquet(dir)
+    // a few-KB fixture sizes to 1 partition regardless of the session's
+    // 32-partition default (guide §2: partitioning derives from data)
+    assert(sizedStatePartitionsForInput(spark, Seq(dir)) == 1)
+    // the budget conf is the scale dial: shrink it and the SAME input
+    // derives proportionally more partitions (what a 100x SF does to the
+    // default budget)
+    val child = spark.newSession()
+    child.conf.set("spark.graft.streaming.maxPartitionStateBytes", "4096")
+    val n = sizedStatePartitionsForInput(child, Seq(dir))
+    assert(n > 1, s"expected >1 partitions under a 4 KiB budget, got $n")
+    // a missing path contributes zero bytes instead of failing the drive
+    assert(sizedStatePartitionsForInput(spark, Seq(dir + "_nope")) == 1)
+  }
 }
