@@ -2721,7 +2721,14 @@ object SparkEntry {
             col("ts").cast("timestamp").as("click_ts"),
             col("value").as("click_value"))
       }
-      graft.streaming.StreamOps.withStatePartitions(s, 8) { s2 =>
+      // r18: the "sized" face now derives its count from the sizing helper
+      // itself (sizedStatePartitionsForInput — input-volume over the 256 MB
+      // state budget) instead of a hand-pinned 8: 1 partition at sf0.1,
+      // ~13 at sf10 — the same scale-adaptive dial every streaming face
+      // uses now, demonstrated here through the production file sink.
+      val nSp77s = graft.streaming.StreamOps.sizedStatePartitionsForInput(
+        s, Seq(inL, inR))
+      graft.streaming.StreamOps.withStatePartitions(s, nSp77s) { s2 =>
         val lSchema = s2.read.parquet(inL).schema
         val rSchema = s2.read.parquet(inR).schema
         val out = graft.streaming.StreamOps.intervalJoin(
@@ -3015,8 +3022,18 @@ object SparkEntry {
         pmod(col("l_partkey").cast("long"), lit(1024L)).as("x"),
         pmod(col("l_suppkey").cast("long"), lit(1024L)).as("y"),
         col("l_orderkey"))
+      // r18 optimization (guide §2.5/§5): targetFiles was pinned at 4, so
+      // FOUR tasks sorted the whole table regardless of scale — the
+      // documented r15 sf10 pathology (15M rows/sorter, 418 MB spill per
+      // lane, the 115 s sf10 wall). The parallelism floor is
+      // autoTargetFiles' own heuristic: one sorter per shuffle lane, each
+      // inside its execution-memory share. The 16 KiB blockBytes DEMO
+      // geometry stays — row-group size, not file count, sets the pruning
+      // granularity, so the clustering-factor contract and the exact
+      // global min/max are unchanged (oracle re-proven hash-exact).
       L.writeZOrderedByRank(base, Seq("x", "y"), bits = 10, dir,
-        targetFiles = 4, blockBytes = 16L << 10)
+        targetFiles = s.sessionState.conf.numShufflePartitions,
+        blockBytes = 16L << 10)
       // persist the row-group-stats frame ONCE (ADVICE r13: it feeds two
       // plan branches — clusteringFactor + the gmin/gmax agg — which would
       // otherwise open and parse every parquet footer twice). PERSIST, not

@@ -95,9 +95,20 @@ object ConnectedComponents {
       val keys = parent.keySet().iterator()
       while (keys.hasNext) { val k = keys.next(); rows += ((k, find(k))) }
       import spark.implicits._
-      return spark.createDataset(
+      // r18 (guide §3.1): the membership table is ALREADY driver-resident
+      // and bounded by the fast-path threshold (≤ 2 vertices per edge ≈ a
+      // large-broadcast's worth at the limit), but a ParallelCollectionRDD
+      // scan carries no size statistics, so every downstream join of the
+      // CORPUS against it planned as SortMergeJoin — shuffling the whole
+      // corpus by id to meet a map the driver was just holding (q49's
+      // keep-list anti join and qd53's split join both measured this, 2
+      // Exchange + 2 Sort each). The broadcast hint makes those
+      // BroadcastHashJoins: the corpus side never exchanges. The
+      // distributed path below stays unhinted — its label table is
+      // corpus-scaled and must keep the shuffle join.
+      return broadcast(spark.createDataset(
         spark.sparkContext.parallelize(rows.toSeq, edges.rdd.getNumPartitions))
-        .toDF("id", "component")
+        .toDF("id", "component"))
     }
 
     val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
