@@ -130,6 +130,22 @@ object Bench {
       rows.count { case (c, rc, _) => rc > 0 && c < 0.6 * rc }.toDouble / rows.size,
       rows.map(_._3).max)
 
+  /** Run-of-record class (r17 verdict item 7): the artifact names itself
+    * `quiet` or `dirty` so the refreeze protocol is machine-checkable —
+    * BenchRefs/BENCH_PRIOR must only ever be refrozen from a quiet-class
+    * artifact, and a consumer can refuse a dirty one without reading the
+    * per-row probes. Discriminator = `cpu_collapse_frac` (BASELINE.md
+    * calibration: quiet runs of record read 0.007–0.04; the r18 dirty
+    * witness read 0.14) with the threshold at 0.08 — above every observed
+    * quiet run, below every adjudicated-dirty one. Caveat the field
+    * inherits from its input: collapse is measured against the FROZEN
+    * per-face cpu_frac refs, so a run right after a plan change that
+    * legitimately lowers a face's parallelism can read dirty until the
+    * refs are refrozen — the refreeze commit itself must cite a run judged
+    * quiet under the refs it replaces or by its own A/B evidence. */
+  private[graft] def runClass(cpuCollapseFrac: Double): String =
+    if (cpuCollapseFrac > 0.08) "dirty" else "quiet"
+
   /** Extract a flat {"name":number,...} map under `key` from a bench
     * artifact's JSON text — the slim regex parser shared by the parity
     * compare (SPARK_GRAFT_BENCH_COMPARE) and the repro check
@@ -475,7 +491,7 @@ object Bench {
       (r.cpuFrac, refCpu, r.load1)
     })
     val probeFields =
-      s""""load1_start":${r2(load1Start)},"load1_end":${r2(load1End)},"cpu_frac_med":${r2(median(valid.map(_.cpuFrac)))},"quality":{"load_suspect_frac":${r4(suspectFrac)},"cpu_collapse_frac":${r4(collapseFrac)},"max_load1":${r2(maxLoad1)}}"""
+      s""""load1_start":${r2(load1Start)},"load1_end":${r2(load1End)},"cpu_frac_med":${r2(median(valid.map(_.cpuFrac)))},"quality":{"load_suspect_frac":${r4(suspectFrac)},"cpu_collapse_frac":${r4(collapseFrac)},"max_load1":${r2(maxLoad1)},"run_class":"${runClass(collapseFrac)}"}"""
     // Three artifact shapes (round-11 directive 3 + r15 directive 2, the
     // fourth attempt at a non-null driver-side parse):
     //   - the FILE artifact keeps everything: med + cold + spread + probe

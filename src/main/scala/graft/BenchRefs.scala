@@ -39,7 +39,14 @@ object BenchRefs {
     * qd16/qd28/qd32/q49) were measured on the 5-way vowel-rotation
     * fixture; the r16 unique-text formula collapses cross-copy similarity
     * FURTHER (fewer candidate pairs), so those refs bound the new fixture
-    * from above — the safe direction for a gate. */
+    * from above — the safe direction for a gate.
+    *
+    * REFROZEN r18 (optimization round, tools/refreeze_refs.py): the rows
+    * the round's input-sized state partitioning + parallelism-floor layout
+    * write made faster at scale — sf1 q53/q61 (BENCH_SF1_r18b), sf1
+    * q77/q83 (the post-sqrt-floor re-run), sf10 q81 54.82 s (was 115.45 —
+    * the fixed-4-file sort spill eliminated, BENCH_SF10_r18b). Downward
+    * refreezes only; per-row comments keep their original basis notes. */
   val sfRefs: Map[String, Map[String, (Double, Double)]] = Map(
     "sf1" -> Map(
       // REFROZEN r17 with the RangeId fix (the pre-fix sf1 readings
@@ -49,12 +56,12 @@ object BenchRefs {
       "q45_rolling_global_rows" -> ((3.43, 8.9)),
       "q46_rolling_global_time" -> ((3.14, 11.73)),
       "q49_pipeline_dedup_keeplist" -> ((4.64, 5.47)),
-      "q53_pipeline_clean_pack" -> ((3.27, 9.92)),
+      "q53_pipeline_clean_pack" -> ((2.60, 9.66)),
       // q61's first valid sf1 datum (r16c, post fixture-shape fix): the
       // only reading at the current tree, same single-datum basis qd41h's
       // sf1 row was frozen on
-      "q61_stream_window" -> ((2.06, 6.69)),
-      "q77_interval_join_stream" -> ((10.21, 9.1)),
+      "q61_stream_window" -> ((1.64, 5.0)),
+      "q77_interval_join_stream" -> ((7.80, 3.22)),
       // REFROZEN r18: the face now drives the production FILE sink (the
       // memory-sink localize guard barred it from sf10) — and is FASTER
       // at sf1 than the old memory-sink drive (no driver materialization
@@ -73,7 +80,7 @@ object BenchRefs {
       // 1.08x the sf0.1 ref at 10x data (outer-null state machinery is a
       // store-lifecycle fixed term, not data volume; corroborated by the
       // ProfileIntervalSink sf1 readings for all three outer types).
-      "q83_interval_join_full_sink" -> ((13.79, 9.63)),
+      "q83_interval_join_full_sink" -> ((6.49, 2.42)),
       "q81_layout_stats" -> ((9.81, 7.38)),
       "qd03_ngram_jaccard" -> ((2.17, 5.38)),
       "qd04_minhash_pairs" -> ((3.19, 6.57)),
@@ -111,7 +118,7 @@ object BenchRefs {
     // production path is the layout-auto probe's story).
     "sf10" -> Map(
       "q77s_interval_join_sized" -> ((13.14, 7.0)),
-      "q81_layout_stats" -> ((115.45, 7.68)),
+      "q81_layout_stats" -> ((54.82, 16.9)),
       // the file-sink outer join is the streaming face with no harness
       // bound: 3-rep QUIET run (load1 1.05, spread 0.12) = 1.33x at 100x
       // data, corroborated by the ProfileIntervalSink sf10 drives
@@ -176,12 +183,12 @@ object BenchRefs {
     "q38_selectors" -> ((4.0, 0.05, 0.0)),
     "q39_describe_stats" -> ((3.0, 0.01, 0.0)),
     "q40_try_cast" -> ((4.0, 0.02, 0.0)),
-    "q41_asof_unkeyed" -> ((109.0, 0.03, 0.0)),
+    "q41_asof_unkeyed" -> ((109.0, 0.04, 0.0)),
     "q42_fill_global" -> ((103.0, 0.03, 0.0)),
     "q43_calendar_month" -> ((5.0, 0.02, 0.0)),
     "q44_calendar_offset" -> ((7.0, 0.02, 0.0)),
     "q45_rolling_global_rows" -> ((171.0, 0.03, 0.0)),
-    "q46_rolling_global_time" -> ((275.0, 0.05, 0.0)),
+    "q46_rolling_global_time" -> ((275.0, 0.06, 0.0)),
     "q47_jdbc_roundtrip" -> ((20.0, 0.0, 0.0)),
     "q48_pipeline_asof_pivot" -> ((9.0, 0.01, 0.0)),
     "q49_pipeline_dedup_keeplist" -> ((116.0, 0.02, 0.0)),
@@ -208,18 +215,18 @@ object BenchRefs {
     "q70_bucketed_join" -> ((13.0, 0.09, 0.0)),
     "q71_orc_roundtrip" -> ((5.0, 0.08, 0.0)),
     "q72_sessionize" -> ((5.0, 0.03, 0.0)),
-    "q73_sessionize_stream" -> ((198.0, 0.02, 0.0)),
-    "q74_stream_dedup" -> ((165.0, 0.03, 0.0)),
-    "q75_asof_stream" -> ((200.0, 0.03, 0.0)),
-    "q76_asof_stream_fwd" -> ((200.0, 0.02, 0.0)),
-    "q77_interval_join_stream" -> ((199.0, 0.01, 0.0)),
-    "q77s_interval_join_sized" -> ((52.0, 0.01, 0.0)),
-    "q78_interval_join_outer" -> ((201.0, 0.01, 0.0)),
-    "q79_interval_join_full" -> ((201.0, 0.01, 0.0)),
+    "q73_sessionize_stream" -> ((73.0, 0.01, 0.0)),
+    "q74_stream_dedup" -> ((71.0, 0.02, 0.0)),
+    "q75_asof_stream" -> ((75.0, 0.02, 0.0)),
+    "q76_asof_stream_fwd" -> ((75.0, 0.02, 0.0)),
+    "q77_interval_join_stream" -> ((74.0, 0.02, 0.0)),
+    "q77s_interval_join_sized" -> ((14.0, 0.01, 0.0)),
+    "q78_interval_join_outer" -> ((76.0, 0.01, 0.0)),
+    "q79_interval_join_full" -> ((76.0, 0.01, 0.0)),
     "q80_zorder_curve" -> ((5.0, 0.0, 0.0)),
     "q81_layout_stats" -> ((47.0, 0.01, 0.0)),
-    "q82_interval_join_right" -> ((201.0, 0.01, 0.0)),
-    "q83_interval_join_full_sink" -> ((150.0, 0.01, 0.0)),
+    "q82_interval_join_right" -> ((76.0, 0.02, 0.0)),
+    "q83_interval_join_full_sink" -> ((16.0, 0.01, 0.0)),
     "qd01_dedup_exact" -> ((5.0, 0.11, 0.0)),
     "qd02_fingerprint" -> ((6.0, 0.06, 0.0)),
     "qd03_ngram_jaccard" -> ((8.0, 0.02, 0.0)),
@@ -242,10 +249,10 @@ object BenchRefs {
     "qd20_pack" -> ((5.0, 0.03, 0.0)),
     "qd21_decontaminate_neardup" -> ((9.0, 0.03, 0.0)),
     "qd22_mixture" -> ((7.0, 0.03, 0.0)),
-    "qd23_pack_global" -> ((104.0, 0.04, 0.0)),
-    "qd24_shuffle" -> ((103.0, 0.04, 0.0)),
+    "qd23_pack_global" -> ((104.0, 0.06, 0.0)),
+    "qd24_shuffle" -> ((103.0, 0.07, 0.0)),
     "qd25_rarity" -> ((7.0, 0.02, 0.0)),
-    "qd26_shuffle_pack" -> ((103.0, 0.03, 0.0)),
+    "qd26_shuffle_pack" -> ((103.0, 0.05, 0.0)),
     "qd27_upsample" -> ((4.0, 0.11, 0.0)),
     "qd28_span_dedup" -> ((8.0, 0.02, 0.0)),
     "qd29_semantic_dedup" -> ((18.0, 0.03, 0.0)),
@@ -267,13 +274,13 @@ object BenchRefs {
     "qd44_gopher_quality" -> ((66.0, 0.12, 0.0)),
     "qd45_sentence_dedup" -> ((8.0, 0.11, 0.0)),
     "qd46_dup_paragraphs" -> ((66.0, 0.15, 0.0)),
-    "qd47_pack_spans" -> ((104.0, 0.05, 0.0)),
+    "qd47_pack_spans" -> ((104.0, 0.04, 0.0)),
     "qd48_blocklist" -> ((4.0, 0.14, 0.0)),
     "qd49_bpe_encode_fixed" -> ((4.0, 0.05, 0.0)),
     "qd50_bm25" -> ((6.0, 0.04, 0.0)),
     "qd51_approx_distinct" -> ((5.0, 0.03, 0.0)),
     "qd52_dup_ngrams" -> ((4.0, 0.03, 0.0)),
-    "qd53_leakage_safe_split" -> ((116.0, 0.04, 0.0)),
+    "qd53_leakage_safe_split" -> ((114.0, 0.02, 0.0)),
     "qd54_stratified_sample" -> ((6.0, 0.04, 0.0)),
     "qd55_heavy_hitters" -> ((3.0, 0.09, 0.0)),
     "qd56_weighted_sample" -> ((6.0, 0.03, 0.0)),
@@ -288,7 +295,21 @@ object BenchRefs {
     "qs04_ann_pq" -> ((9.0, 0.04, 0.0))
   )
 
-  /** query -> (frozen warm-median seconds, reference cpu_frac). */
+  /** query -> (frozen warm-median seconds, reference cpu_frac).
+    *
+    * REFROZEN r18 (optimization round; tools/refreeze_refs.py from
+    * BENCH_LOCAL_r18b.json): the 18 faces the round made faster —
+    * the streaming family (input-sized state partitions), the RangeId
+    * set (O(log P) bucket expression), q53/qd53/q41/q42 (sampling source
+    * + broadcast component maps). Only rows whose NEW reading undercut
+    * the old ref were refrozen (a loaded window can only inflate, so a
+    * lower reading is real); rows the r18b window inflated (q45, q49,
+    * q53, q61, q81, qd10, plus every untouched face) keep their older,
+    * tighter refs. r18b classes `dirty` by the run_class discriminator —
+    * expected here per the Bench.runClass caveat: collapse was judged
+    * against the PRE-change cpu_frac refs, and the refrozen faces run at
+    * 1-partition state parallelism by design (same-window A/B evidence in
+    * OPTIMIZATION_r18.md). */
   val refs: Map[String, (Double, Double)] = Map(
     "q01_groupby_agg" -> ((1.164, 1.99)),
     "q02_filter_project" -> ((0.624, 1.98)),
@@ -336,12 +357,12 @@ object BenchRefs {
     // operator — the old refs measured an algorithm whose partition-
     // boundary math was silently wrong at sf1+. Values from the post-fix
     // quiet run (cpu_collapse_frac 0, zero violations).
-    "q41_asof_unkeyed" -> ((1.6, 5.16)),
-    "q42_fill_global" -> ((1.062, 5.23)),
+    "q41_asof_unkeyed" -> ((0.927, 4.74)),
+    "q42_fill_global" -> ((0.788, 5.36)),
     "q43_calendar_month" -> ((0.917, 1.28)),
     "q44_calendar_offset" -> ((0.571, 1.3)),
     "q45_rolling_global_rows" -> ((2.841, 4.81)),
-    "q46_rolling_global_time" -> ((1.814, 6.91)),
+    "q46_rolling_global_time" -> ((1.739, 5.5)),
     "q47_jdbc_roundtrip" -> ((0.509, 5.03)),
     "q48_pipeline_asof_pivot" -> ((0.563, 2.07)),
     "q49_pipeline_dedup_keeplist" -> ((1.998, 2.69)),
@@ -368,24 +389,24 @@ object BenchRefs {
     "q70_bucketed_join" -> ((0.465, 5.99)),
     "q71_orc_roundtrip" -> ((0.44, 4.13)),
     "q72_sessionize" -> ((0.38, 2.57)),
-    "q73_sessionize_stream" -> ((2.82, 7.1)),
-    "q74_stream_dedup" -> ((1.99, 6.75)),
-    "q75_asof_stream" -> ((3.19, 7.37)),
-    "q76_asof_stream_fwd" -> ((3.28, 6.55)),
-    "q77_interval_join_stream" -> ((9.21, 6.61)),
+    "q73_sessionize_stream" -> ((2.043, 2.05)),
+    "q74_stream_dedup" -> ((1.285, 1.69)),
+    "q75_asof_stream" -> ((2.280, 2.2)),
+    "q76_asof_stream_fwd" -> ((2.216, 2.11)),
+    "q77_interval_join_stream" -> ((3.734, 1.74)),
     // REFROZEN r18 (file-sink harness; quiet 3-rep reading, spread 0.07):
     // the production-sink drive costs 1.25x the old memory-sink face
-    "q77s_interval_join_sized" -> ((5.8, 2.5)),
-    "q78_interval_join_outer" -> ((9.18, 8.62)),
-    "q79_interval_join_full" -> ((9.43, 7.11)),
+    "q77s_interval_join_sized" -> ((3.664, 1.19)),
+    "q78_interval_join_outer" -> ((3.901, 1.53)),
+    "q79_interval_join_full" -> ((3.808, 1.6)),
     "q80_zorder_curve" -> ((0.46, 1.28)),
     "q81_layout_stats" -> ((4.97, 1.58)),
-    "q82_interval_join_right" -> ((9.8, 8.35)),
+    "q82_interval_join_right" -> ((4.510, 1.67)),
     // frozen r17 (face introduced r17): tight-spread quiet measurement
     // (4-rep run, spread 0.037; a 6-rep sibling read 14.65 with one
     // straggler rep). The file-sink drive costs ~3 s over q79's memory
     // sink: the checkpointed exactly-once commit log + parquet write.
-    "q83_interval_join_full_sink" -> ((12.81, 9.39)),
+    "q83_interval_join_full_sink" -> ((7.965, 0.94)),
     "qd01_dedup_exact" -> ((0.257, 1.32)),
     "qd02_fingerprint" -> ((0.466, 1.64)),
     "qd03_ngram_jaccard" -> ((0.756, 1.88)),
@@ -408,10 +429,10 @@ object BenchRefs {
     "qd20_pack" -> ((0.209, 2.1)),
     "qd21_decontaminate_neardup" -> ((0.736, 1.42)),
     "qd22_mixture" -> ((0.276, 1.65)),
-    "qd23_pack_global" -> ((0.759, 4.8)),
-    "qd24_shuffle" -> ((0.661, 4.86)),
+    "qd23_pack_global" -> ((0.534, 5.36)),
+    "qd24_shuffle" -> ((0.424, 5.69)),
     "qd25_rarity" -> ((0.503, 1.46)),
-    "qd26_shuffle_pack" -> ((0.938, 5.92)),
+    "qd26_shuffle_pack" -> ((0.636, 5.91)),
     "qd27_upsample" -> ((0.138, 1.44)),
     "qd28_span_dedup" -> ((1.373, 1.52)),
     "qd29_semantic_dedup" -> ((0.636, 1.92)),
@@ -433,13 +454,13 @@ object BenchRefs {
     "qd44_gopher_quality" -> ((0.468, 6.17)),
     "qd45_sentence_dedup" -> ((1.125, 1.53)),
     "qd46_dup_paragraphs" -> ((0.397, 10.93)),
-    "qd47_pack_spans" -> ((0.786, 5.27)),
+    "qd47_pack_spans" -> ((0.625, 4.86)),
     "qd48_blocklist" -> ((0.208, 2.21)),
     "qd49_bpe_encode_fixed" -> ((0.945, 1.59)),
     "qd50_bm25" -> ((0.601, 1.57)),
     "qd51_approx_distinct" -> ((0.89, 1.21)),
     "qd52_dup_ngrams" -> ((1.15, 1.39)),
-    "qd53_leakage_safe_split" -> ((2.53, 2.17)),
+    "qd53_leakage_safe_split" -> ((2.098, 2.08)),
     "qd54_stratified_sample" -> ((0.53, 3.96)),
     "qd55_heavy_hitters" -> ((0.27, 2.83)),
     "qd56_weighted_sample" -> ((0.59, 3.49)),

@@ -213,11 +213,22 @@ object StreamOps {
       val fs = hp.getFileSystem(conf)
       if (fs.exists(hp)) fs.getContentSummary(hp).getLength else 0L
     }.sum
-    // one "batch" of a bounded replay holds the whole input: horizon x rate
-    // collapses to the decoded input volume
-    suggestStatePartitions(rowsPerSecond = bytes * rowExpansion,
+    val decoded = bytes * rowExpansion
+    // state term: one "batch" of a bounded replay holds the whole input, so
+    // horizon x rate collapses to the decoded input volume
+    val stateTerm = suggestStatePartitions(rowsPerSecond = decoded,
       horizonSeconds = 1.0, bytesPerRow = 1.0,
       maxPartitionStateBytes = budget)
+    // throughput floor: per-batch wall is fixed-per-partition store
+    // lifecycle PLUS the batch's processing divided across partitions —
+    // cost(P) = a·P + work/P, minimized at P* ∝ sqrt(work). Calibrated on
+    // the measured q77-family curves (32 MB decoded → 1; the 10x fixture's
+    // ~320 MB → 4, recovering the parallelism the state term alone gave
+    // up there; 100x → 10, matching the r15 sf10 probe's optimum). At
+    // real stream volumes the LINEAR state term dominates this sqrt floor,
+    // which only exists so mid-size batches keep useful parallelism.
+    val throughputTerm = math.ceil(math.sqrt(decoded / (32.0 * (1 << 20)))).toInt
+    math.max(stateTerm, math.max(1, throughputTerm))
   }
 
   /** Run `body` in a child session whose stateful streaming queries use the

@@ -200,6 +200,16 @@ class BenchRefsSpec extends SparkSpec {
     assert(maxL == 30.5)
   }
 
+  test("run class (r17 verdict item 7): quiet/dirty from the collapse discriminator") {
+    // calibration anchors (BASELINE.md): quiet runs of record 0.007–0.04,
+    // adjudicated-dirty witness 0.14 — threshold sits between
+    assert(Bench.runClass(0.0) == "quiet")
+    assert(Bench.runClass(0.04) == "quiet")
+    assert(Bench.runClass(0.08) == "quiet")
+    assert(Bench.runClass(0.081) == "dirty")
+    assert(Bench.runClass(0.14) == "dirty")
+  }
+
   test("parseNumMap: extracts a named flat map, tolerates absent keys") {
     val text = """{"queries":{"a":1.5,"b":0.25},"queries_cpu_frac":{"a":2.0}}"""
     assert(Bench.parseNumMap(text, "queries") == Map("a" -> 1.5, "b" -> 0.25))
