@@ -44,6 +44,16 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # Results are re-sorted by norm() before comparing, so DuckDB need not
+    # preserve insertion order — turning it off lets large oracle queries
+    # (qd41 at sf10) stream instead of buffering whole intermediates, which
+    # slashes the out-of-core temp footprint (the sf10 qd41 oracle spilled
+    # past this sandbox's ~80 GB free-disk ceiling with it on). Optional
+    # GRAFT_DUCKDB_THREADS bounds concurrent operator instances (peak temp)
+    # the same way.
+    con.execute("SET preserve_insertion_order=false")
+    if os.environ.get("GRAFT_DUCKDB_THREADS"):
+        con.execute(f"SET threads={int(os.environ['GRAFT_DUCKDB_THREADS'])}")
     for t in TABLES:
         # driver testdata tables are single parquet FILES; ScaleUp scale
         # fixtures (/tmp/graft_sf1, /tmp/graft_sf10) are parquet DIRECTORIES
