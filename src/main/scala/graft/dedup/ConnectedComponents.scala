@@ -106,9 +106,18 @@ object ConnectedComponents {
       // BroadcastHashJoins: the corpus side never exchanges. The
       // distributed path below stays unhinted — its label table is
       // corpus-scaled and must keep the shuffle join.
-      return broadcast(spark.createDataset(
+      //
+      // The hint is additionally gated on the MEMBERSHIP size (ADVICE r18):
+      // at the 4M-edge fast-path limit the map can hold ~8M (Long, Long)
+      // rows — a multi-hundred-MB HashedRelation pinned on the driver and
+      // replicated to every executor, where the unhinted SortMergeJoin
+      // degrades gracefully. At ~64 bytes/row framed, 2^22 rows ≈ 256 MB,
+      // the guide-§3.1 "a few hundred MB is usually fine" ceiling; bigger
+      // memberships return unhinted and the planner chooses.
+      val membership = spark.createDataset(
         spark.sparkContext.parallelize(rows.toSeq, edges.rdd.getNumPartitions))
-        .toDF("id", "component"))
+        .toDF("id", "component")
+      return if (rows.size <= (1 << 22)) broadcast(membership) else membership
     }
 
     val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined

@@ -105,9 +105,10 @@ object Layout {
     * amortized over every subsequent scan: a filter on any interleaved
     * column reads only the row groups whose min/max straddle it. */
   def writeZOrdered(df: DataFrame, cols: Seq[String], bits: Int, path: String,
-                    targetFiles: Int = AutoFiles, blockBytes: Long = 128L << 20): Unit =
+                    targetFiles: Int = AutoFiles, blockBytes: Long = 128L << 20,
+                    sizingBlockBytes: Long = 0L): Unit =
     writeZBy(df, zValue(cols.map(c => pmod(col(c).cast("long"), lit(1L << bits))), bits),
-      path, targetFiles, blockBytes)
+      path, targetFiles, blockBytes, sizingBlockBytes)
 
   /** Quantile-rank quantization of each column into `[0, 2^bits)`: ONE
     * aggregation computes `2^bits - 1` approximate quantile boundaries per
@@ -138,24 +139,35 @@ object Layout {
     * first — the variant for skewed or unbounded columns. */
   def writeZOrderedByRank(df: DataFrame, cols: Seq[String], bits: Int,
                           path: String, targetFiles: Int = AutoFiles,
-                          blockBytes: Long = 128L << 20): Unit =
+                          blockBytes: Long = 128L << 20,
+                          sizingBlockBytes: Long = 0L): Unit =
     writeZBy(df, zValue(quantizedRank(df, cols, bits), bits),
-      path, targetFiles, blockBytes)
+      path, targetFiles, blockBytes, sizingBlockBytes)
 
+  /** `sizingBlockBytes` (r18 verdict item 6) decouples the FILE-COUNT
+    * derivation from the row-group geometry: a diagnostic write that
+    * shrinks `blockBytes` to force multi-group files at toy scale (q81's
+    * 16 KiB) must not let that demo geometry explode the auto-derived file
+    * count — pass the production block size here (0 = use `blockBytes`,
+    * the right default when the two are the same thing). */
   private def writeZBy(df: DataFrame, z: Column, path: String,
-                       targetFiles: Int, blockBytes: Long): Unit = {
+                       targetFiles: Int, blockBytes: Long,
+                       sizingBlockBytes: Long = 0L): Unit = {
     // a negative count is a caller sign bug — fail fast instead of silently
     // routing it to auto-sizing (only the documented AutoFiles sentinel, 0,
     // or an omitted argument selects auto)
     require(targetFiles >= 0,
       s"writeZOrdered: targetFiles must be >= 0 (0 = auto-size), got $targetFiles")
+    require(sizingBlockBytes >= 0,
+      s"writeZOrdered: sizingBlockBytes must be >= 0 (0 = blockBytes), got $sizingBlockBytes")
     val conf = df.sparkSession.sessionState.conf
     val files =
       if (targetFiles > 0) targetFiles
       else {
         // size-estimate sentinel guard (ADVICE r16/r17): see [[knownSize]]
         val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-        autoTargetFiles(knownSize(est, conf.defaultSizeInBytes), blockBytes,
+        autoTargetFiles(knownSize(est, conf.defaultSizeInBytes),
+          if (sizingBlockBytes > 0) sizingBlockBytes else blockBytes,
           conf.numShufflePartitions)
       }
     df.withColumn("__z", z)

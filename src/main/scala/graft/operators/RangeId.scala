@@ -118,9 +118,34 @@ private[graft] object RangeId {
     * under whatever bound table was picked; a skewed sample only skews
     * bucket SIZES (the object-doc trade). The frame must expose the `keys`
     * columns with the same types. */
+  /** A sampled split-point table, reusable across operator calls (r18
+    * verdict item 3): a pipeline composing several global operators over
+    * the SAME key tuple (shuffle→pack chains) samples ONCE via
+    * [[sampleBoundTable]] and passes the table to each call — one bounded
+    * sampling job per pipeline instead of one per operator. The table
+    * pins the key schema and directions it was sampled under so a
+    * mismatched reuse fails fast instead of mis-bucketing. */
+  final case class BoundTable(keySchema: org.apache.spark.sql.types.StructType,
+                              asc: Seq[Boolean], nPart: Int, rows: Seq[Row])
+
+  /** Run the bounded split-point sampling job once and package the result
+    * for reuse ([[BoundTable]]). Same sampling as [[withRangeId]]'s
+    * internal path — ids computed under a reused table are byte-identical
+    * to computing the table inline (the id is a pure function of the key
+    * values under the bound table). */
+  def sampleBoundTable(df: DataFrame, keys: Seq[Column], asc: Seq[Boolean],
+                       nPart: Int): BoundTable = {
+    require(keys.nonEmpty && keys.length == asc.length,
+      s"RangeId: ${keys.length} keys vs ${asc.length} directions")
+    require(nPart >= 1, s"RangeId: nPart must be positive, got $nPart")
+    BoundTable(df.select(keys: _*).schema, asc, nPart,
+      sampleBounds(df, keys, asc, nPart))
+  }
+
   def withRangeId(df: DataFrame, keys: Seq[Column], asc: Seq[Boolean],
                   nPart: Int, idCol: String,
-                  sampleFrom: Option[DataFrame] = None): DataFrame = {
+                  sampleFrom: Option[DataFrame] = None,
+                  bounds: Option[BoundTable] = None): DataFrame = {
     require(keys.nonEmpty && keys.length == asc.length,
       s"RangeId: ${keys.length} keys vs ${asc.length} directions")
     require(nPart >= 1, s"RangeId: nPart must be positive, got $nPart")
@@ -144,8 +169,31 @@ private[graft] object RangeId {
         case _ => ()
       }
     }
-    val bounds = sampleBounds(sampleFrom.getOrElse(df), keys, asc, nPart)
-    if (bounds.isEmpty) df.withColumn(idCol, lit(0))
+    // sampleFrom type fail-fast (ADVICE r18): the catalyst converters below
+    // are built from df's key schema but applied to rows sampled from
+    // sampleFrom — a type mismatch would surface as an opaque
+    // ClassCastException (or silently misordered bounds for coincidentally-
+    // compatible runtime classes) instead of a named error
+    sampleFrom.foreach { sf =>
+      val sfTypes = sf.select(keys: _*).schema.fields.map(_.dataType).toSeq
+      val dfTypes = keySchema.fields.map(_.dataType).toSeq
+      require(sfTypes == dfTypes,
+        s"RangeId: sampleFrom key types ${sfTypes.map(_.simpleString)} != " +
+          s"df key types ${dfTypes.map(_.simpleString)}")
+    }
+    // a reused bound table must have been sampled under the same key
+    // schema, directions and partition count it is now bucketing for
+    bounds.foreach { bt =>
+      require(bt.keySchema.fields.map(_.dataType).toSeq ==
+          keySchema.fields.map(_.dataType).toSeq &&
+          bt.asc == asc && bt.nPart == nPart,
+        s"RangeId: reused BoundTable (keys ${bt.keySchema.simpleString}, " +
+          s"asc ${bt.asc}, nPart ${bt.nPart}) does not match this call " +
+          s"(keys ${keySchema.simpleString}, asc $asc, nPart $nPart)")
+    }
+    val boundRows = bounds.map(_.rows)
+      .getOrElse(sampleBounds(sampleFrom.getOrElse(df), keys, asc, nPart))
+    if (boundRows.isEmpty) df.withColumn(idCol, lit(0))
     else {
       // external sample Rows -> catalyst-internal bound rows (UTF8String,
       // micros longs, Decimal, ...) so the expression compares in the
@@ -153,7 +201,7 @@ private[graft] object RangeId {
       val convs = keySchema.fields.map(f =>
         org.apache.spark.sql.catalyst.CatalystTypeConverters
           .createToCatalystConverter(f.dataType))
-      val internalBounds = bounds.map { r =>
+      val internalBounds = boundRows.map { r =>
         Array.tabulate[Any](convs.length)(i => convs(i)(r.get(i)))
       }.toArray
       val bucket = graft.plans.RangeBucketExpr(

@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{DataType, IntegerType}
 
 /** Bucket id of a (possibly multi-column) order-key tuple against a SORTED
@@ -17,12 +18,17 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
   * equivalence), but O(log P) comparisons per row instead of O(P): at a
   * production shuffle-partition count (P ≈ 2000) the linear chain evaluated
   * ~2000 lexicographic predicates on EVERY row of EVERY global (unkeyed)
-  * operator; the search does ~11. Code size is O(1) (one interpreted eval
-  * over a shared bound table) where the when-chain's generated code grew
-  * O(P) and fell out of whole-stage codegen's method limits long before
-  * that. CodegenFallback costs one virtual call per row — the same class
-  * the repo's other plan-literal-model kernels (BucketizeExpr,
-  * DsirScoreExpr) accept for the same reason.
+  * operator; the search does ~11. Code size is O(1) (the bound table is a
+  * referenced object, never generated code) where the when-chain's
+  * generated code grew O(P) and fell out of whole-stage codegen's method
+  * limits long before that.
+  *
+  * CODEGEN (r18 verdict item 5): the expression implements `doGenCode` —
+  * child key expressions evaluate inside the surrounding WholeStageCodegen
+  * span (fused with the scan/project that feeds them) and the row pays one
+  * call into [[bucketOf]] on the referenced expression object. The previous
+  * `CodegenFallback` forced an interpreted `eval(InternalRow)` per row and
+  * kept the hot path of every global operator outside codegen.
   *
   * `bounds` rows hold CATALYST-INTERNAL values (UTF8String, micros longs,
   * Decimal, ...) in children order and must be strictly increasing under
@@ -33,7 +39,7 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
   * would compute for the same directions. */
 case class RangeBucketExpr(children: Seq[Expression], asc: Seq[Boolean],
                            bounds: Array[Array[Any]])
-    extends Expression with CodegenFallback {
+    extends Expression {
 
   require(children.nonEmpty && children.length == asc.length,
     s"graft_range_bucket: ${children.length} keys vs ${asc.length} directions")
@@ -71,12 +77,10 @@ case class RangeBucketExpr(children: Seq[Expression], asc: Seq[Boolean],
     0
   }
 
-  override def eval(input: InternalRow): Any = {
-    val key = new Array[Any](children.length)
-    var i = 0
-    while (i < key.length) { key(i) = children(i).eval(input); i += 1 }
-    // first index whose bound the key does NOT sort after == the count of
-    // bounds it does sort after (bounds strictly increasing)
+  /** Binary search shared by the interpreted and generated paths: first
+    * index whose bound the key does NOT sort after == the count of bounds
+    * it does sort after (bounds strictly increasing). */
+  def bucketOf(key: Array[Any]): Int = {
     var lo = 0
     var hi = bounds.length
     while (lo < hi) {
@@ -84,6 +88,38 @@ case class RangeBucketExpr(children: Seq[Expression], asc: Seq[Boolean],
       if (cmp(key, bounds(mid)) > 0) lo = mid + 1 else hi = mid
     }
     lo
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val key = new Array[Any](children.length)
+    var i = 0
+    while (i < key.length) { key(i) = children(i).eval(input); i += 1 }
+    bucketOf(key)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rangeBucketExpr", this,
+      classOf[RangeBucketExpr].getName)
+    val keyArr = ctx.freshName("rbKey")
+    val childCodes = children.map(_.genCode(ctx))
+    // explicit valueOf boxing for primitive children (janino's autoboxing
+    // coverage is incomplete); reference-typed values assign directly
+    val fill = children.zip(childCodes).zipWithIndex.map { case ((ch, c), i) =>
+      val boxed =
+        if (CodeGenerator.isPrimitiveType(ch.dataType))
+          s"${CodeGenerator.boxedType(ch.dataType)}.valueOf(${c.value})"
+        else s"${c.value}"
+      s"""
+         |${c.code}
+         |$keyArr[$i] = ${c.isNull} ? null : $boxed;
+       """.stripMargin
+    }.mkString("\n")
+    ev.copy(code =
+      code"""
+        |Object[] $keyArr = new Object[${children.length}];
+        |$fill
+        |${CodeGenerator.javaType(dataType)} ${ev.value} = $ref.bucketOf($keyArr);
+       """.stripMargin, isNull = FalseLiteral)
   }
 
   override protected def withNewChildrenInternal(

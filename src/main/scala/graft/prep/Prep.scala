@@ -16,6 +16,22 @@ import graft.functions.{TextFunctions => T}
   */
 object Prep {
 
+  /** `textCol` as a token array: a column already of type `array<string>`
+    * passes through untouched; a string column gets the standard whitespace
+    * tokenization ([[graft.functions.TextFunctions.tokens]]). This lets a
+    * multi-stage pipeline (qd41/qd41h) tokenize its corpus ONCE into a
+    * persisted token table and feed every stage the arrays — re-splitting
+    * text was the dominant repeated CPU of a chained pipeline (each stage's
+    * model build AND scoring pass re-ran the tokenizer over corpus-scale
+    * text; r18 verdict item 2). Tokenization is deterministic, so every
+    * downstream value is bit-identical either way. */
+  private def toks(df: DataFrame, textCol: String): Column =
+    df.schema(textCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, _) => col(textCol)
+      case _ => T.tokens(col(textCol))
+    }
+
   // ---- deterministic hash split / sampling -------------------------------
   // Random sampling is the wrong tool on a large corpus: it is neither
   // reproducible across engines nor stable under retries/re-partitioning.
@@ -203,7 +219,8 @@ object Prep {
     * positions. No empty-`partitionBy` window and no driver materialization
     * — the boundary-carry idiom of [[packGlobal]] with row counts instead
     * of token sums. */
-  def shuffled(df: DataFrame, idCol: String, salt: Long = 0L): DataFrame = {
+  def shuffled(df: DataFrame, idCol: String, salt: Long = 0L,
+               bounds: Option[graft.operators.RangeId.BoundTable] = None): DataFrame = {
     val keyed = df.withColumn("shuffle_key", shuffleKey(col(idCol), salt).cast("long"))
     // value-derived bucket ids (r17 sf1-oracle catch, see
     // operators.RangeId): the offsets subtree and the data subtree must
@@ -212,7 +229,8 @@ object Prep {
     // from a row_number window the hash exchange below already satisfies
     val nPartS = keyed.sparkSession.sessionState.conf.numShufflePartitions
     val parted = graft.operators.RangeId.withRangeId(keyed,
-        Seq(col("shuffle_key"), col(idCol)), Seq(true, true), nPartS, "__pid")
+        Seq(col("shuffle_key"), col(idCol)), Seq(true, true), nPartS, "__pid",
+        bounds = bounds)
       .repartition(nPartS, col("__pid"))
     // per-partition row counts -> exclusive prefix offsets (≤P rows: the
     // only single-task window runs over the partition COUNT, not the data)
@@ -357,7 +375,8 @@ object Prep {
                          expectedDistinct: Option[Long] = None): DataFrame = {
     graft.plans.SketchExprs.register(corpus.sparkSession)
     graft.plans.BloomExprs.register(corpus.sparkSession)
-    def hashes(c: Column) = call_function("graft_shingle_hashes", T.tokens(c), lit(shingleK))
+    def hashes(df: DataFrame) =
+      call_function("graft_shingle_hashes", toks(df, textCol), lit(shingleK))
     // bench shingles are read twice, not three times: the Bloom build
     // (EAGER, here) and the lazy verify join, which recomputes the distinct
     // set once inside the caller's action (it is the SMALL side by
@@ -367,7 +386,7 @@ object Prep {
     // round 10 (the same cut newSinceSnapshot took in round 10): sizing
     // only trades filter bits against fpp, never correctness — the exact
     // verify join below kills every false positive.
-    val benchSet = bench.select(explode(hashes(col(textCol))).as("__s")).distinct()
+    val benchSet = bench.select(explode(hashes(bench)).as("__s")).distinct()
     val expected = math.max(64L, expectedDistinct.getOrElse {
       val stats = bench.queryExecution.optimizedPlan.stats
       // distinct shingles ≤ total shingles ≈ tokens ≈ text bytes / 6; the
@@ -390,7 +409,7 @@ object Prep {
     val bytes = graft.plans.BloomExprs.serialize(
       benchSet.stat.bloomFilter("__s", expected, fpp))
     val hits = corpus
-      .select(col(idCol).as("__id"), explode(hashes(col(textCol))).as("__s"))
+      .select(col(idCol).as("__id"), explode(hashes(corpus)).as("__s"))
       .filter(graft.plans.BloomExprs.mightContain(col("__s"), bytes))
       .join(benchSet, "__s") // exact verify: kills the fpp false positives
       .groupBy(col("__id")).agg(count(lit(1)).as("n_shared"))
@@ -513,21 +532,25 @@ object Prep {
     // shuffle via ReuseExchange — the count tables are computed once per
     // action with ZERO retained cache blocks (library calls leave
     // `getPersistentRDDs` empty; CacheHygieneSpec enforces this).
-    val cs = corpus.select(explode(T.tokens(col(textCol))).as("w"))
+    val cs = corpus.select(explode(toks(corpus, textCol)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cs"))
-    val ts = target.select(explode(T.tokens(col(textCol))).as("w"))
+    val ts = target.select(explode(toks(target, textCol)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("ct"))
-    val vocab = cs.select("w").union(ts.select("w")).distinct()
-    // ns/nt/v ride as a broadcast 1-row side instead of driver first()/count()
-    // actions: the whole model build stays ONE lazy plan (no sequential
-    // blocking jobs per invocation — qd41 chains three of these stages)
-    val totals = broadcast(
-      cs.agg(sum(col("cs")).as("__ns"))
-        .crossJoin(ts.agg(sum(col("ct")).as("__nt")))
-        .crossJoin(vocab.agg(count(lit(1)).as("__v"))))
+    // vocab = words in EITHER model — ONE full-outer join on the groupBys'
+    // own hash partitioning (r19, guide §2.4: the old
+    // `union.distinct + join(cs,left) + join(ts,left)` shuffled the
+    // vocab-scale table one extra time and planned three extra subtrees).
+    // ns/nt/v ride as a broadcast 1-row side computed in ONE aggregation
+    // over the joined table (sum skips the full-outer nulls, so ns/nt are
+    // the same exact longs; count(1) over the join IS the vocab size)
+    // instead of three crossJoined aggregation subtrees. Values are
+    // bit-identical: every count is an exact int64 either way.
+    val joined = cs.join(ts, Seq("w"), "full_outer")
+    val totals = broadcast(joined.agg(
+      sum(col("cs")).as("__ns"), sum(col("ct")).as("__nt"),
+      count(lit(1)).as("__v")))
     val a = smoothing
-    vocab
-      .join(cs, Seq("w"), "left").join(ts, Seq("w"), "left")
+    joined
       .crossJoin(totals)
       .select(col("w"),
         (log((coalesce(col("ct"), lit(0L)) + lit(a)) / (col("__nt") + lit(a) * col("__v"))) -
@@ -536,7 +559,7 @@ object Prep {
 
   private def tokenJoin(corpus: DataFrame, lr: DataFrame,
                         idCol: String, textCol: String): DataFrame =
-    corpus.select(col(idCol).as("__id"), explode(T.tokens(col(textCol))).as("w"))
+    corpus.select(col(idCol).as("__id"), explode(toks(corpus, textCol)).as("w"))
       .join(lr, "w")
 
   /** DSIR weights with hashed features ([[graft.plans.DsirScoreExpr]]) — the
@@ -564,7 +587,7 @@ object Prep {
     val csArr = new Array[Long](buckets)
     val ctArr = new Array[Long](buckets)
     def side(df: DataFrame, s: Int): DataFrame =
-      df.select(explode(T.tokens(col(textCol))).as("w"), lit(s).as("__s"))
+      df.select(explode(toks(df, textCol)).as("w"), lit(s).as("__s"))
     side(corpus, 0).union(side(target, 1))
       .select(col("__s"), pmod(xxhash64(col("w")), lit(buckets.toLong)).as("b"))
       .groupBy("b").agg(
@@ -593,7 +616,7 @@ object Prep {
       math.log((ctArr(i) + a) / (nt + a * vUsed)) -
         math.log((csArr(i) + a) / (ns + a * vUsed)))
     corpus.withColumn("dsir_weight",
-      coalesce(call_function("graft_dsir_score", T.tokens(col(textCol)),
+      coalesce(call_function("graft_dsir_score", toks(corpus, textCol),
         lit(table)), lit(0.0)))
   }
 
@@ -620,22 +643,35 @@ object Prep {
     * [[perplexityBigramHashed]] is the narrow 100 TB face. */
   def perplexityBigram(corpus: DataFrame, lm: DataFrame, idCol: String,
                        textCol: String, smoothing: Double = 1.0): DataFrame = {
-    val lmTok = lm.select(T.tokens(col(textCol)).as("tk"))
-    // V rides as a broadcast 1-row side (same rationale as logRatioTable's
-    // totals: no blocking driver job per LM build). heads/bigr are each
-    // referenced once in the scoring joins — no persist, no retained blocks.
+    val lmTok = lm.select(toks(lm, textCol).as("tk"))
+    // all THREE count families (heads, bigrams, distinct unigrams) ride ONE
+    // kind-tagged aggregation (r19, guide §2.4 — the shape
+    // [[perplexityBigramHashed]] has used since r15): the three separate
+    // explode→groupBy jobs each shuffled the LM sample; now one exchange
+    // feeds three ReuseExchange consumers. Counts are bit-identical — each
+    // (kind, unit) row is exactly the old per-family row, and V = the
+    // number of kind-2 rows = the old distinct-unigram count. V rides as a
+    // broadcast 1-row side (no blocking driver job per LM build); heads/
+    // bigr are each referenced once in the scoring joins — no persist, no
+    // retained blocks.
+    val lmTok2 = lmTok.filter(size(col("tk")) >= 2)
+    val lmUnits =
+      lmTok2.select(
+          explode(slice(col("tk"), lit(1), size(col("tk")) - 1)).as("u"),
+          lit(0).as("__k"))
+        .union(lmTok2.select(explode(T.shingles(col("tk"), 2)).as("u"),
+          lit(1).as("__k")))
+        .union(lmTok.select(explode(col("tk")).as("u"), lit(2).as("__k")))
+        .groupBy(col("__k"), col("u")).agg(count(lit(1)).as("c"))
     val vDf = broadcast(
-      lmTok.select(explode(col("tk")).as("w")).distinct()
-        .agg(count(lit(1)).as("__v")))
-    val heads = lmTok.filter(size(col("tk")) >= 2)
-      .select(explode(slice(col("tk"), lit(1), size(col("tk")) - 1)).as("w1"))
-      .groupBy("w1").agg(count(lit(1)).as("c1"))
-    val bigr = lmTok.filter(size(col("tk")) >= 2)
-      .select(explode(T.shingles(col("tk"), 2)).as("bg"))
-      .groupBy("bg").agg(count(lit(1)).as("c12"))
+      lmUnits.filter(col("__k") === 2).agg(count(lit(1)).as("__v")))
+    val heads = lmUnits.filter(col("__k") === 0)
+      .select(col("u").as("w1"), col("c").as("c1"))
+    val bigr = lmUnits.filter(col("__k") === 1)
+      .select(col("u").as("bg"), col("c").as("c12"))
     val a = smoothing
     val perDoc = corpus
-      .select(col(idCol).as("__id"), T.tokens(col(textCol)).as("tk"))
+      .select(col(idCol).as("__id"), toks(corpus, textCol).as("tk"))
       .filter(size(col("tk")) >= 2)
       .select(col("__id"), explode(T.shingles(col("tk"), 2)).as("bg"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
@@ -673,7 +709,7 @@ object Prep {
       s"buckets must be in [2, 2^22], got $buckets")
     graft.plans.DsirExprs.register(corpus.sparkSession)
     val a = smoothing
-    val lmTokAll = lm.select(T.tokens(col(textCol)).as("tk"))
+    val lmTokAll = lm.select(toks(lm, textCol).as("tk"))
     val lmTok = lmTokAll.filter(size(col("tk")) >= 2)
     // all THREE count families (heads, bigrams, unigrams) in ONE job
     // (r15, same shape as importanceWeightsHashed): a kind-tagged union
@@ -703,7 +739,7 @@ object Prep {
     val vUsed = math.max(1L, cUni.count(_ > 0L).toLong)
     val headTable = Array.tabulate(buckets)(i => math.log(cHead(i) + a * vUsed))
     val bigTableNeg = Array.tabulate(buckets)(i => -math.log(cBig(i) + a))
-    val tk = T.tokens(col(textCol))
+    val tk = toks(corpus, textCol)
     val headsArr = when(size(tk) >= 2, slice(tk, lit(1), size(tk) - 1))
       .otherwise(array().cast("array<string>"))
     val bigArr = when(size(tk) >= 2, T.shingles(tk, 2))
@@ -914,7 +950,8 @@ object Prep {
     * [[packByTokens]] with a constant group. */
   def packGlobal(df: DataFrame, orderCols: Seq[String], nTokensCol: String,
                  budget: Long,
-                 sampleFrom: Option[DataFrame] = None): DataFrame = {
+                 sampleFrom: Option[DataFrame] = None,
+                 bounds: Option[graft.operators.RangeId.BoundTable] = None): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     val ordered = orderCols.map(col)
     // value-derived bucket ids: same multi-subtree __pid divergence class
@@ -925,7 +962,7 @@ object Prep {
     // (r17 verdict item 4); results are bound-table-independent.
     val nPartP = df.sparkSession.sessionState.conf.numShufflePartitions
     val parted = graft.operators.RangeId.withRangeId(df, ordered,
-        ordered.map(_ => true), nPartP, "__pid", sampleFrom)
+        ordered.map(_ => true), nPartP, "__pid", sampleFrom, bounds)
       .repartition(nPartP, col("__pid"))
     val wLocal = Window.partitionBy("__pid").orderBy(ordered: _*)
       .rowsBetween(Window.unboundedPreceding, -1)

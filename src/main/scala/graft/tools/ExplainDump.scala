@@ -1,7 +1,8 @@
 package graft.tools
 
-/** Round-18 evidence harness: write `.explain("formatted")` of named
-  * SparkEntry BENCH faces to `plans/r18/<query>_<suffix>.txt` — the
+/** Optimization-round evidence harness: write `.explain("formatted")` of
+  * named SparkEntry BENCH faces to `plans/<round>/<query>_<suffix>.txt`
+  * (round via SPARK_GRAFT_PLANS_DIR, default r19) — the
   * before/after plan artifacts the optimization round commits (the judge
   * cannot run Spark; these files carry the plan-shape claims).
   *
@@ -23,14 +24,24 @@ object ExplainDump {
     val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Sessions.local(cpus)
-    val outDir = java.nio.file.Paths.get("plans", "r18")
+    val outDir = java.nio.file.Paths.get("plans",
+      sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "r19"))
     java.nio.file.Files.createDirectories(outDir)
     names.foreach { name =>
       val df = graft.SparkEntry.benchQueries(name)(spark, sfDir)
       val txt = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       val p = df.queryExecution.executedPlan.toString
-      val summary = s"[explain] exchanges=${"Exchange".r.findAllIn(p).size} " +
+      // count exchange KINDS separately (ADVICE r18: a bare "Exchange"
+      // substring count also matched BroadcastExchange/ReusedExchange, so
+      // the plan-shape evidence could overstate shuffles): a shuffle
+      // exchange prints as "Exchange <partitioning>" on its own plan line
+      val shuffleEx = p.linesIterator.count(l =>
+        l.contains("Exchange ") && !l.contains("BroadcastExchange") &&
+          !l.contains("ReusedExchange"))
+      val summary = s"[explain] shuffle_exchanges=$shuffleEx " +
+        s"broadcast_exchanges=${"BroadcastExchange".r.findAllIn(p).size} " +
+        s"reused_exchanges=${"ReusedExchange".r.findAllIn(p).size} " +
         s"wscg=${"WholeStageCodegen".r.findAllIn(p).size}\n"
       java.nio.file.Files.write(outDir.resolve(s"${name}_$suffix.txt"),
         (txt + "\n" + summary).getBytes("UTF-8"))

@@ -80,39 +80,45 @@ object ProfileQd41 {
     }
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val baseCols = docs.columns.map(col).toIndexedSeq
+
+    // mirror of the r19 token-table pipeline (SparkEntry qd41), staged so
+    // each checkpoint's materialization is timed separately
+    val toks = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+      .persist(lvl)
+    timed("stage0 token table (materialize)") { toks.count() }
 
     // stage 1: perplexity gate
-    val s1 = P.perplexityBigram(docs, docs.filter(col("doc_id") % 11 === 0),
-        "doc_id", "text")
+    val s1 = P.perplexityBigram(toks, toks.filter(col("doc_id") % 11 === 0),
+        "doc_id", "tk")
       .filter(col("n_bigrams") > 0 &&
         col("nll_unats") <= lit(3500000L) * col("n_bigrams"))
-      .select(baseCols: _*)
+      .select(col("doc_id"), col("tk"))
       .persist(lvl)
     timed("stage1 perplexity gate (materialize)") { s1.count() }
 
     // stage 2: bloom decontamination — constructor runs the eager bench
     // count + bloom build; the count materializes the verify join
     val s2 = timed("stage2 bloom model build (eager)") {
-      P.contaminationBloom(s1, docs.filter(col("doc_id") % 89 === 0),
-          "doc_id", "text", shingleK = 5, minShared = 1, fpp = 0.01)
+      P.contaminationBloom(s1, toks.filter(col("doc_id") % 89 === 0),
+          "doc_id", "tk", shingleK = 5, minShared = 1, fpp = 0.01)
         .filter(!col("contaminated"))
-        .select(baseCols: _*)
+        .select(col("doc_id"), col("tk"))
         .persist(lvl)
     }
     timed("stage2 verify join (materialize)") { s2.count() }
 
-    // stage 3: DSIR weights + top-k
+    // stage 3: DSIR weights + top-k, split into model vs scoring
+    val weights = P.importanceWeightsMicro(s2,
+      s2.filter(col("doc_id") % 17 === 0), "doc_id", "tk")
     val top = timed("stage3 DSIR weights + top-50") {
-      P.selectTopK(
-          P.importanceWeightsMicro(s2, s2.filter(col("doc_id") % 17 === 0),
-            "doc_id", "text"),
-          "dsir_uweight", "doc_id", k = 50)
+      P.selectTopK(weights, "dsir_uweight", "doc_id", k = 50)
         .select(col("doc_id"), col("dsir_uweight")).collect()
     }
     println(s"[qd41-profile] top-50 rows: ${top.length}")
 
     s2.unpersist(blocking = true); s1.unpersist(blocking = true)
+    toks.unpersist(blocking = true)
 
     // whole-query replicas with the bench's exact rep hygiene: the 5-rep
     // sequence mirrors what the driver times, so a suite-position-dependent

@@ -210,6 +210,25 @@ class BenchRefsSpec extends SparkSpec {
     assert(Bench.runClass(0.14) == "dirty")
   }
 
+  test("repro-prior adjudication (r18 verdict item 7): ambient-repro labeling") {
+    // a violation whose unchanged-tree prior ratio >= 0.8x its own ratio
+    // self-classifies ambient — the slowness reproduces without the diff
+    assert(Bench.adjudicate("unknown", 2.6, Some(2.3)) == "ambient-repro")
+    assert(Bench.adjudicate("ambient-starvation", 2.6, Some(2.2)) == "ambient-repro")
+    assert(Bench.adjudicate("cpu-amplified", 2.0, Some(1.8)) == "ambient-repro")
+    // a prior comfortably inside the gate does NOT adjudicate: the slowness
+    // is new to this tree
+    assert(Bench.adjudicate("unknown", 2.6, Some(1.3)) == "unknown")
+    // no prior, no adjudication
+    assert(Bench.adjudicate("unknown", 2.6, None) == "unknown")
+    // counter-backed mechanisms and failed reps keep their names — a
+    // standing spill/recompute pathology is pre-existing, not ambient
+    assert(Bench.adjudicate("spill", 2.6, Some(2.6)) == "spill")
+    assert(Bench.adjudicate("recompute", 2.6, Some(2.6)) == "recompute")
+    assert(Bench.adjudicate("gc-storm", 2.6, Some(2.6)) == "gc-storm")
+    assert(Bench.adjudicate("failed", 2.6, Some(2.6)) == "failed")
+  }
+
   test("parseNumMap: extracts a named flat map, tolerates absent keys") {
     val text = """{"queries":{"a":1.5,"b":0.25},"queries_cpu_frac":{"a":2.0}}"""
     assert(Bench.parseNumMap(text, "queries") == Map("a" -> 1.5, "b" -> 0.25))

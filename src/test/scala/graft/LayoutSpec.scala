@@ -249,6 +249,39 @@ class LayoutSpec extends SparkSpec {
         targetFiles = -3))
   }
 
+  test("sizingBlockBytes (r18 verdict item 6): demo row-group geometry must not explode the auto file count") {
+    val base = spark.range(40000).select(
+      col("id"),
+      pmod(xxhash64(lit("bx"), col("id")), lit(1024L)).as("x"),
+      pmod(xxhash64(lit("by"), col("id")), lit(1024L)).as("y"))
+    val root = java.nio.file.Files.createTempDirectory("graft_zsizing").toString
+    // a 16 KiB diagnostic row-group geometry with PRODUCTION sizing: the
+    // file count derives from the 128 MB block (parallelism floor here),
+    // not from bytes/(2*16 KiB) — which for this input would demand
+    // hundreds of range partitions (q81's r18 bypass reason)
+    Layout.writeZOrderedByRank(base, Seq("x", "y"), bits = 10, s"$root/z",
+      targetFiles = Layout.AutoFiles, blockBytes = 16L << 10,
+      sizingBlockBytes = 128L << 20)
+    val out = spark.read.parquet(s"$root/z")
+    assert(out.count() == 40000L)
+    assert(out.inputFiles.nonEmpty &&
+      out.inputFiles.length <= spark.sessionState.conf.numShufflePartitions)
+    // the tiny-block sizing really would have exploded the count
+    val est = base.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(Layout.autoTargetFiles(est, 16L << 10,
+      spark.sessionState.conf.numShufflePartitions) >
+      spark.sessionState.conf.numShufflePartitions)
+    // and the multi-group demo geometry survived for the diagnostic:
+    // row groups outnumber files
+    val stats = Layout.rowGroupStats(spark, s"$root/z", Seq("x"))
+    assert(stats.select("file", "row_group").distinct().count() >
+      out.inputFiles.length)
+    intercept[IllegalArgumentException](
+      Layout.writeZOrderedByRank(base, Seq("x", "y"), bits = 10, s"$root/neg",
+        targetFiles = Layout.AutoFiles, blockBytes = 16L << 10,
+        sizingBlockBytes = -1L))
+  }
+
   test("rowGroupStats opens footers through the SESSION Hadoop configuration") {
     // register a filesystem scheme ONLY in the session conf: a footer read
     // through `graftfs://` can succeed only if the task-side closure carries
