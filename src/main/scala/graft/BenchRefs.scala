@@ -61,12 +61,12 @@ object BenchRefs {
       // only reading at the current tree, same single-datum basis qd41h's
       // sf1 row was frozen on
       "q61_stream_window" -> ((1.64, 5.0)),
-      "q77_interval_join_stream" -> ((7.80, 3.22)),
+      "q77_interval_join_stream" -> ((5.98, 3.04)),
       // REFROZEN r18: the face now drives the production FILE sink (the
       // memory-sink localize guard barred it from sf10) — and is FASTER
       // at sf1 than the old memory-sink drive (no driver materialization
       // of the 87k joined rows; 3-rep reading, spread 0.19)
-      "q77s_interval_join_sized" -> ((5.24, 4.91)),
+      "q77s_interval_join_sized" -> ((4.80, 2.52)),
       // q78/q79/q82 carry NO sf1 refs (r16 correction): the failed-rep
       // ledger revealed their historical sf1 "readings" (r13-r15 and the
       // first r16 gated run) completed the DRIVE but aborted at the
@@ -80,16 +80,16 @@ object BenchRefs {
       // 1.08x the sf0.1 ref at 10x data (outer-null state machinery is a
       // store-lifecycle fixed term, not data volume; corroborated by the
       // ProfileIntervalSink sf1 readings for all three outer types).
-      "q83_interval_join_full_sink" -> ((6.49, 2.42)),
-      "q81_layout_stats" -> ((9.81, 7.38)),
+      "q83_interval_join_full_sink" -> ((5.89, 2.83)),
+      "q81_layout_stats" -> ((9.11, 10.3)),
       "qd03_ngram_jaccard" -> ((2.17, 5.38)),
       "qd04_minhash_pairs" -> ((3.19, 6.57)),
       "qd10_dedup_components" -> ((4.2, 5.13)),
-      "qd16_jaccard_prefix" -> ((3.87, 11.12)),
-      "qd28_span_dedup" -> ((2.08, 6.68)),
+      "qd16_jaccard_prefix" -> ((3.61, 10.94)),
+      "qd28_span_dedup" -> ((1.76, 7.36)),
       "qd32_bpe_tokenize" -> ((1.72, 8.61)),
-      "qd41_pipeline_quality_select" -> ((9.99, 13.16)),
-      "qd41h_pipeline_quality_select_hashed" -> ((5.34, 9.23)),
+      "qd41_pipeline_quality_select" -> ((2.60, 8.13)),
+      "qd41h_pipeline_quality_select_hashed" -> ((2.72, 7.67)),
       "qd53_leakage_safe_split" -> ((4.45, 5.32)),
       "qd55_heavy_hitters" -> ((0.33, 6.42)),
       "qd57_heavy_hitters_by_lang" -> ((0.31, 6.35)),
@@ -117,8 +117,8 @@ object BenchRefs {
     // demo-geometry sort spill (418 MB, the r15 physics; the auto-sized
     // production path is the layout-auto probe's story).
     "sf10" -> Map(
-      "q77s_interval_join_sized" -> ((13.14, 7.0)),
-      "q81_layout_stats" -> ((54.82, 16.9)),
+      "q77s_interval_join_sized" -> ((10.77, 6.82)),
+      "q81_layout_stats" -> ((38.45, 15.92)),
       // the file-sink outer join is the streaming face with no harness
       // bound: 3-rep QUIET run (load1 1.05, spread 0.12) = 1.33x at 100x
       // data, corroborated by the ProfileIntervalSink sf10 drives
@@ -127,7 +127,7 @@ object BenchRefs {
       "qd04_minhash_pairs" -> ((10.28, 23.1)),
       "qd16_jaccard_prefix" -> ((14.16, 22.6)),
       "qd28_span_dedup" -> ((3.79, 23.4)),
-      "qd41h_pipeline_quality_select_hashed" -> ((19.11, 21.2)),
+      "qd41h_pipeline_quality_select_hashed" -> ((9.89, 20.85)),
       "qd45_sentence_dedup" -> ((4.94, 21.2)),
       "qd53_leakage_safe_split" -> ((10.22, 19.0)),
       "qd55_heavy_hitters" -> ((0.77, 14.6)),
@@ -203,7 +203,7 @@ object BenchRefs {
     "q58_ndjson_roundtrip" -> ((6.0, 0.0, 0.0)),
     "q59_sql_context" -> ((7.0, 0.03, 0.0)),
     "q60_series_ops" -> ((4.0, 0.08, 0.0)),
-    "q61_stream_window" -> ((131.0, 0.02, 0.0)),
+    "q61_stream_window" -> ((68.0, 0.02, 0.0)),
     "q62_json_multiline" -> ((8.0, 0.07, 0.0)),
     "q63_arrow_handoff" -> ((69.0, 0.04, 0.0)),
     "q64_anonymous_scan" -> ((7.0, 0.06, 0.0)),
@@ -226,7 +226,7 @@ object BenchRefs {
     "q80_zorder_curve" -> ((5.0, 0.0, 0.0)),
     "q81_layout_stats" -> ((47.0, 0.01, 0.0)),
     "q82_interval_join_right" -> ((76.0, 0.02, 0.0)),
-    "q83_interval_join_full_sink" -> ((16.0, 0.01, 0.0)),
+    "q83_interval_join_full_sink" -> ((16.0, 0.02, 0.0)),
     "qd01_dedup_exact" -> ((5.0, 0.11, 0.0)),
     "qd02_fingerprint" -> ((6.0, 0.06, 0.0)),
     "qd03_ngram_jaccard" -> ((8.0, 0.02, 0.0)),
@@ -267,8 +267,8 @@ object BenchRefs {
     "qd38_clean_text" -> ((4.0, 0.05, 0.0)),
     "qd39_perplexity" -> ((13.0, 0.03, 0.0)),
     "qd40_c4_filter" -> ((66.0, 0.08, 0.0)),
-    "qd41_pipeline_quality_select" -> ((761.0, 0.04, 0.0)),
-    "qd41h_pipeline_quality_select_hashed" -> ((54.0, 0.04, 0.0)),
+    "qd41_pipeline_quality_select" -> ((500.0, 0.03, 0.0)),
+    "qd41h_pipeline_quality_select_hashed" -> ((55.0, 0.04, 0.0)),
     "qd42_temperature_mixture" -> ((9.0, 0.02, 0.0)),
     "qd43_html_extract" -> ((4.0, 0.11, 0.0)),
     "qd44_gopher_quality" -> ((66.0, 0.12, 0.0)),
@@ -281,10 +281,10 @@ object BenchRefs {
     "qd51_approx_distinct" -> ((5.0, 0.03, 0.0)),
     "qd52_dup_ngrams" -> ((4.0, 0.03, 0.0)),
     "qd53_leakage_safe_split" -> ((114.0, 0.02, 0.0)),
-    "qd54_stratified_sample" -> ((6.0, 0.04, 0.0)),
-    "qd55_heavy_hitters" -> ((3.0, 0.09, 0.0)),
-    "qd56_weighted_sample" -> ((6.0, 0.03, 0.0)),
-    "qd57_heavy_hitters_by_lang" -> ((3.0, 0.1, 0.0)),
+    "qd54_stratified_sample" -> ((6.0, 0.0, 0.0)),
+    "qd55_heavy_hitters" -> ((3.0, 0.0, 0.0)),
+    "qd56_weighted_sample" -> ((6.0, 0.0, 0.0)),
+    "qd57_heavy_hitters_by_lang" -> ((3.0, 0.0, 0.0)),
     "qm01_media_meta" -> ((4.0, 0.19, 0.0)),
     "qm02_decode_features" -> ((66.0, 0.05, 0.0)),
     "qm03_frame_sample" -> ((4.0, 0.05, 0.0)),
@@ -377,7 +377,7 @@ object BenchRefs {
     "q58_ndjson_roundtrip" -> ((0.357, 2.12)),
     "q59_sql_context" -> ((0.443, 2.25)),
     "q60_series_ops" -> ((0.143, 2.92)),
-    "q61_stream_window" -> ((1.425, 4.74)),
+    "q61_stream_window" -> ((1.119, 2.51)),
     "q62_json_multiline" -> ((0.34, 4.98)),
     "q63_arrow_handoff" -> ((0.245, 5.19)),
     "q64_anonymous_scan" -> ((0.12, 3.59)),
@@ -399,14 +399,14 @@ object BenchRefs {
     "q77s_interval_join_sized" -> ((3.664, 1.19)),
     "q78_interval_join_outer" -> ((3.901, 1.53)),
     "q79_interval_join_full" -> ((3.808, 1.6)),
-    "q80_zorder_curve" -> ((0.46, 1.28)),
+    "q80_zorder_curve" -> ((0.252, 2.0)),
     "q81_layout_stats" -> ((4.97, 1.58)),
     "q82_interval_join_right" -> ((4.510, 1.67)),
     // frozen r17 (face introduced r17): tight-spread quiet measurement
     // (4-rep run, spread 0.037; a 6-rep sibling read 14.65 with one
     // straggler rep). The file-sink drive costs ~3 s over q79's memory
     // sink: the checkpointed exactly-once commit log + parquet write.
-    "q83_interval_join_full_sink" -> ((7.965, 0.94)),
+    "q83_interval_join_full_sink" -> ((4.290, 1.34)),
     "qd01_dedup_exact" -> ((0.257, 1.32)),
     "qd02_fingerprint" -> ((0.466, 1.64)),
     "qd03_ngram_jaccard" -> ((0.756, 1.88)),
@@ -447,8 +447,8 @@ object BenchRefs {
     "qd38_clean_text" -> ((0.28, 1.03)),
     "qd39_perplexity" -> ((1.059, 1.61)),
     "qd40_c4_filter" -> ((0.417, 9.24)),
-    "qd41_pipeline_quality_select" -> ((6.332, 5.12)),
-    "qd41h_pipeline_quality_select_hashed" -> ((5.449, 1.46)),
+    "qd41_pipeline_quality_select" -> ((5.309, 6.92)),
+    "qd41h_pipeline_quality_select_hashed" -> ((2.494, 3.13)),
     "qd42_temperature_mixture" -> ((0.39, 2.01)),
     "qd43_html_extract" -> ((0.662, 2.07)),
     "qd44_gopher_quality" -> ((0.468, 6.17)),
@@ -461,10 +461,10 @@ object BenchRefs {
     "qd51_approx_distinct" -> ((0.89, 1.21)),
     "qd52_dup_ngrams" -> ((1.15, 1.39)),
     "qd53_leakage_safe_split" -> ((2.098, 2.08)),
-    "qd54_stratified_sample" -> ((0.53, 3.96)),
-    "qd55_heavy_hitters" -> ((0.27, 2.83)),
-    "qd56_weighted_sample" -> ((0.59, 3.49)),
-    "qd57_heavy_hitters_by_lang" -> ((0.29, 1.82)),
+    "qd54_stratified_sample" -> ((0.292, 1.7)),
+    "qd55_heavy_hitters" -> ((0.234, 1.21)),
+    "qd56_weighted_sample" -> ((0.251, 1.47)),
+    "qd57_heavy_hitters_by_lang" -> ((0.220, 1.6)),
     "qm01_media_meta" -> ((0.14, 2.72)),
     // REFROZEN r17 (was 0.931): two rounds of stable 1.4–1.55 s sub-gate
     // readings ended in a dedicated quiet-window profile (7 reps, load1
